@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/**
+ * Deduplication operators for LLM training-data pipelines
+ * (extension layer, SURVEY.md §7.3): exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * 100 TB design rules applied throughout (SURVEY.md §7.4 item 8):
+ *  - group/join keys are fixed-width digests or band hashes, never raw text,
+ *    so shuffles carry O(bytes-of-key) not O(bytes-of-doc);
+ *  - candidate generation is always blocked (LSH bands / inverted index with
+ *    a document-frequency cut), never a cartesian product;
+ *  - every aggregation is partial-aggregable (map-side combine applies);
+ *  - no `collect()` on any data path.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: group on a 256-bit content digest, keep the smallest id.
+   * Grouping on `sha2(text)` instead of `text` keeps shuffle rows at
+   * ~40 bytes regardless of document size.
+   */
+  def exact(df: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("digest"))
+      .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
+      .select(idCol, "dup_count")
+
+  /** Documents that survive exact dedup (keep = smallest id per digest). */
+  def exactSurvivors(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /**
+   * MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
+   *
+   * shingle(k words) → H-long MinHash signature (custom Catalyst expression,
+   * one pass) → B bands of R rows; docs sharing any band hash are candidates
+   * (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3) →
+   * verified with exact Jaccard over distinct shingle sets.
+   *
+   * Scale: the only wide ops are (a) a self-join on (band, bandHash) —
+   * bounded buckets once exact dups are removed first, (b) id-keyed joins to
+   * fetch shingle sets for the *candidate pairs only*.
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+   */
+  def minhashLshPairs(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", numHashes: Int = 128,
+                      bands: Int = 16, shingleWords: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val shingled = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.tokens(col(textCol)), shingleWords)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val sig = shingled.select(
+      col("id"),
+      GraftFunctions.minhash_sig(col("shingles"), numHashes).as("sig"))
+
+    // band keys: hash each R-slice of the signature together with the band
+    // index; posexplode → one (band, key) row per band per doc.
+    val banded = sig
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows), b))")))
+      .toDF("id", "band", "bkey")
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(shingled.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
+      .join(shingled.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
+
+    withSets
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dedup survivors: drop any doc that has a similar doc with a
+    * smaller id (standard keep-first policy). */
+  def minhashLshSurvivors(df: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", numHashes: Int = 128,
+                          bands: Int = 16, shingleWords: Int = 3,
+                          threshold: Double = 0.8): DataFrame = {
+    val drops = minhashLshPairs(df, textCol, idCol, numHashes, bands,
+      shingleWords, threshold).select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit SimHash per doc; block on the four
+   * 16-bit quarters (two docs within Hamming distance 3 must agree on at
+   * least one quarter — pigeonhole); verify `bit_count(a^b) <= maxHamming`.
+   */
+  def simhashPairs(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(
+      col(idCol).as("id"),
+      GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
+
+    val blocked = fp.select(col("id"), col("fp"), posexplode(expr(
+      "transform(sequence(0, 3), q -> (fp >> (q * 16)) & 65535)")))
+      .toDF("id", "fp", "q", "qkey")
+
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qkey") === col("b.qkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity via a distributed inverted index:
+   * explode distinct shingles → self-join on shingle (skipping shingles
+   * with document frequency > dfCut, which contribute little to Jaccard but
+   * dominate join fan-out) → count co-occurrences → jaccard.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleWords: Int = 3,
+                        threshold: Double = 0.5, dfCut: Int = 1000): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.tokens(col(textCol)), shingleWords)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
+
+    val inverted = shingled
+      .select(col("id"), explode(col("shingles")).as("sh"))
+      // df-cut: drop ultra-common shingles before the self-join
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= dfCut)
+      .select("id", "sh")
+
+    val co = inverted.as("a").join(inverted.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs. Blocking: sign-bit LSH (random
+   * hyperplanes ≈ SRP-LSH, Charikar 2002) — here the hyperplanes are the
+   * coordinate axes of a seeded pseudo-rotation: bucket = sign bits of 16
+   * seeded linear combinations, split into 4 bands of 4 bits. Verified with
+   * exact cosine. Brute-force variant below for small inputs / oracles.
+   */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            threshold: Double = 0.95): DataFrame = {
+    // 16 sign bits from seeded deterministic projections: bit_j = sign of
+    // sum_i v[i] * mix(i, j), computed with higher-order functions.
+    val sigExpr =
+      """aggregate(
+        |  sequence(0, 15),
+        |  0L,
+        |  (acc, j) -> acc | (CASE WHEN
+        |     aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+        |                        (v, i) -> v * (CAST(xxhash64(i, j) % 1000 AS DOUBLE) / 1000.0)),
+        |               CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0.0
+        |     THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      expr(sigExpr).as("srp"))
+
+    val blocked = sig.select(col("id"), col("v"), posexplode(expr(
+      "transform(sequence(0, 3), q -> (srp >> (q * 4)) & 15)")))
+      .toDF("id", "v", "q", "qkey")
+
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qkey") === col("b.qkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        GraftFunctions.cosine_sim(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Brute-force embedding near-dup (O(n²) — small n / oracle checks only). */
+  def embeddingNearDupBrute(emb: DataFrame, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            threshold: Double = 0.95): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine_sim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

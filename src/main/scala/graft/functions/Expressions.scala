@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Static (Java-callable) kernels for the custom expressions below, so
+ * `doGenCode` can emit a single static call and stay inside whole-stage
+ * codegen — per the preference order "custom Expression with doGenCode
+ * beats a Scala UDF".
+ */
+object ExprKernels {
+  import HashFns._
+
+  /** SimHash-64 over an array of tokens (Charikar, STOC 2002): per token,
+    * a 64-bit hash votes +1/-1 on each bit; the sign of each bit-sum forms
+    * the fingerprint. One pass, O(tokens * 64) bit ops. */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = mix64(fnv1a(tokens.getUTF8String(i).getBytes))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature (Broder, SEQUENCES 1997): H per-seed minima over the
+    * shingle set. One FNV pass per shingle, then H cheap mixes — O(S + S*H)
+    * word ops with no per-seed re-hash of the bytes. */
+  def minhashSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = fnv1a(shingles.getUTF8String(i).getBytes)
+        var h = 0
+        while (h < numHashes) {
+          val v = hashSeeded(base, h.toLong)
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cosine similarity of two float vectors; NaN on length mismatch or zero
+    * norm (NaN, not null, keeps nullSafeCodeGen applicable). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** 64-bit content fingerprint of a token array: positional polynomial
+    * rolling hash (Karp-Rabin style) finalized with SplitMix64. */
+  def fingerprint64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = FnvOffset
+    var i = 0
+    while (i < n) {
+      val t = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i).getBytes)
+      h = h * 0x9e3779b97f4a7c15L + t // polynomial in an odd multiplier
+      i += 1
+    }
+    mix64(h)
+  }
+}
+
+/** simhash64(array<string>) -> long */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.simhash64(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** minhash_sig(array<string>, H) -> array<long> (length H) */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 1024, "numHashes in (0, 1024]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minhashSignature(v.asInstanceOf[ArrayData], numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.minhashSignature($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** cosine_sim(array<float>, array<float>) -> double (NaN on mismatch) */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprKernels.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** fingerprint64(array<string>) -> long */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.fingerprint64(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.fingerprint64($c)")
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+/** Column-level API for the custom expressions + SQL registration. */
+object GraftFunctions {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    col(MinHashSignature(ex(shingles), numHashes))
+  def cosine_sim(a: Column, b: Column): Column =
+    col(CosineSimilarity(ex(a), ex(b)))
+  def fingerprint64(tokens: Column): Column = col(Fingerprint64(ex(tokens)))
+
+  /** Register SQL names so `spark.sql("SELECT simhash64(...)")` works. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      es => Fingerprint64(es.head), "scala_udf")
+  }
+}

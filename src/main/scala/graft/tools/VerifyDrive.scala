@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only end-to-end drive of the library surface (not part of the
+  * library API): every ext-layer operator run against the real testdata. */
+object VerifyDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    import graft.ext._
+
+    println("== Dedup.exact ==")
+    Dedup.exact(docs).orderBy(desc("dup_count")).show(5)
+    println("exact survivors: " + Dedup.exactSurvivors(docs).count() + " of " + docs.count())
+
+    println("== Dedup.minhashLshPairs (threshold 0.5) ==")
+    val mh = Dedup.minhashLshPairs(docs, threshold = 0.5)
+    mh.orderBy(desc("jaccard")).show(10)
+
+    println("== Dedup.simhashPairs (hamming<=8) ==")
+    Dedup.simhashPairs(docs, maxHamming = 8).orderBy("hamming").show(10)
+
+    println("== Dedup.ngramJaccardPairs (threshold 0.3) ==")
+    Dedup.ngramJaccardPairs(docs, threshold = 0.3).orderBy(desc("jaccard")).show(10)
+
+    println("== Dedup.embeddingNearDupPairs vs brute (threshold 0.8) ==")
+    val lsh = Dedup.embeddingNearDupPairs(emb, threshold = 0.8)
+    val brute = Dedup.embeddingNearDupBrute(emb, threshold = 0.8)
+    println(s"lsh pairs=${lsh.count()} brute pairs=${brute.count()}")
+
+    println("== Similarity.bruteForceTopK (5 queries, k=3) ==")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(emb, queries, 3).orderBy("query_id", "score").show(20)
+
+    println("== Similarity.ivfTopK (5 queries, k=3) ==")
+    Similarity.ivfTopK(emb, queries, 3).orderBy("query_id", "score").show(20)
+
+    println("== TextAnalysis.qualityFeatures ==")
+    TextAnalysis.qualityFeatures(docs).show(5)
+    println("lang distribution (pred vs actual):")
+    TextAnalysis.qualityFeatures(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_pred").count().orderBy(desc("count")).show(10)
+
+    println("== Multimodal ==")
+    val media = Multimodal.fromDocuments(docs)
+    Multimodal.extractMeta(media).show(3)
+    Multimodal.decodeFeatures(spark, media).show(3)
+    Multimodal.frameSample(media, 4).groupBy("modality").count().show()
+
+    spark.stop()
+  }
+}
