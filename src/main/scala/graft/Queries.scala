@@ -1,0 +1,616 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions
+import graft.ops.{Csv, Transforms}
+
+/**
+ * The declared query surface: one entry per operator of SURVEY.md §2
+ * (reference parity, expressed over the driver's TPC-H-ish tables) plus the
+ * extension layer (dedup / similarity / text / multimodal over `documents`
+ * and `embeddings`). Each query has a DuckDB oracle in [[oracles]] unless
+ * the operator is not SQL-expressible (noted per entry).
+ *
+ * Determinism rules (the driver hash-compares against DuckDB):
+ *  - Money/value sums go through [[cents]]: per-row `round(x*100)::long`
+ *    (identical double ops in both engines) then an exact integer sum —
+ *    immune to floating-point summation-order differences at any
+ *    parallelism, which is what makes the same query hash-stable from
+ *    local[32] to a 1000-executor cluster.
+ *  - min/max/count/raw-column doubles are order-independent already.
+ *  - Ratios are a single division of exactly-computed integers.
+ *  - Cosine scores: the oracle SQL re-computes the same double-precision
+ *    loop (DuckDB's `list_cosine_similarity` is float32 — not used).
+ *  - Every ORDER BY/LIMIT/rank has a full deterministic tie-break.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries nanosecond timestamps; read them as Long ns
+    * (exact) rather than truncating. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** Order-independent exact money sum (see class doc). */
+  private def cents(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  private def centsSql(x: String): String =
+    s"CAST(sum(CAST(round(($x) * 100) AS BIGINT)) AS BIGINT)"
+
+  /** Double-precision cosine in DuckDB SQL, matching
+    * [[graft.functions.ExprKernels.cosineFloat]] bit-for-bit: float inputs
+    * widened to double, sequential accumulation, one division. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** DuckDB mirror of TextAnalysis.tokens. */
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Exact 3-word-shingle Jaccard pairs in DuckDB (inverted-index join) —
+    * the oracle for both the LSH-accelerated and the exact n-gram dedup. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 2, 0) + 1),
+       |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles
+       |  FROM toks WHERE len(tk) >= 3),
+       |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |co AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT id_a, id_b,
+       |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+       |FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // P1 (SURVEY §2.3): CSV schema-apply — format rows to CSV lines, parse
+    // back with from_csv (codegen'd, no per-record closure). Oracle = the
+    // original columns (round-trip identity; Double.toString round-trips).
+    "p1_csv_roundtrip" -> ((s, dir) => {
+      val line = t(s, dir, "supplier").select(Csv.format(Seq(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))).as("value"))
+      Csv.parse(line, StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+    }),
+
+    // P3: value-set filter (reference symbol filter shape).
+    "p3_filter_symbols" -> ((s, dir) =>
+      Transforms.symbolSetFilter(t(s, dir, "lineitem"), Seq("A", "R"), "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // P4: parameterized threshold filter (symbol==s && (high>=h || low<=l) shape).
+    "p4_filter_threshold" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          (col("o_totalprice") >= 150000.0 || col("o_totalprice") <= 5000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // P5: compound filter with the reference's verbatim unparenthesized
+    // precedence — && binds tighter than || (flinkStreamProcessing.scala:148-151).
+    "p5_filter_compound" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N") && col("l_quantity") === 25.0 ||
+          col("l_discount") === 0.05 &&
+            year(col("l_shipdate")) >= 1996 && year(col("l_shipdate")) <= 1997)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_discount"),
+          year(col("l_shipdate")).as("yr"))),
+
+    // P6: enrichment projection — injected clock + source tag + derived
+    // column (close-open analog), per flinkStreamProcessing.scala:130-134.
+    "p6_enrich_project" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        lit(1700000000L).as("ingest_ts"),
+        lit("lineitem").as("src_topic"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))),
+
+    // P7 + A1 batch shape: tokenize + word count (flinkStarter.scala:14-24).
+    "p7_wordcount" -> ((s, dir) =>
+      Transforms.wordCount(t(s, dir, "documents").select(col("text").as("value")))),
+
+    // F3-F6, F10: string scalar surface incl. the AddressNormalizer
+    // decomposition (upper + regexp_replace + whitespace collapse + trim).
+    "f1_scalar_strings" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_up"),
+        lower(col("c_mktsegment")).as("seg_lo"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"),
+        trim(regexp_replace(regexp_replace(upper(col("c_name")),
+          "[^A-Z0-9]", " "), " +", " ")).as("name_norm"),
+        substring(col("c_name"), 1, 8).as("name_pre"),
+        length(col("c_name")).as("n_len"),
+        split(col("c_name"), "#").getItem(1).as("name_id_part"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        col("c_custkey").cast("string").as("key_str"))),
+
+    // F1/F2/F9: date scalar surface (to_date / year / format / diff / add).
+    "f2_scalar_dates" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("dd"),
+        date_add(to_date(col("o_orderdate")), 30).as("d30"))),
+
+    // A2: SQL grouped sum (flinkStreamTable.scala:73), TPC-H Q1 shape.
+    "a2_sum_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          cents(col("l_quantity")).as("qty_cents"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_cents"))),
+
+    // A3 FLAGSHIP: grouped min/max by (key, year) —
+    // flinkTableManipulation.scala:115 re-expressed over lineitem.
+    "a3_minmax_year" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          count(lit(1)).as("cnt"))),
+
+    // A4: global aggregate, COUNT(*) + AVG(YEAR(date)) (commented Table demo).
+    "a4_global_agg" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        (sum(year(col("o_orderdate"))).cast("double") / count(lit(1))).as("avg_year"),
+        min(year(col("o_orderdate"))).as("min_year"),
+        max(year(col("o_orderdate"))).as("max_year"))),
+
+    // Joins (absent from the reference, free in Spark — SURVEY §2.6):
+    // dims are broadcast — no shuffle of the big side at any scale.
+    "j1_join_dims" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"), cents(col("c_acctbal")).as("acct_cents"))),
+
+    "j2_join_fact_dims" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("cnt"), cents(col("o_totalprice")).as("price_cents"))),
+
+    // Fact-fact join: shuffle join on the key, AQE handles skew at scale.
+    "j3_join_big" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_cents"))),
+
+    // ORDER BY + LIMIT (deterministic tie-break) — TakeOrderedAndProject.
+    "s1_topn" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // Ranking window function, top-3 per group, deterministic order.
+    "s2_window_rank" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("rnk", row_number().over(Window.partitionBy("p_brand")
+          .orderBy(desc("p_retailprice"), asc("p_partkey"))))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")),
+
+    // Set ops: EXCEPT (customers without orders) and INTERSECT.
+    "s3_setops_except" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")))),
+
+    "s4_setops_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey"))),
+
+    // DISTINCT aggregation (Spark plans the two-phase distinct-agg expand).
+    "s5_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("cnt"))),
+
+    // T4/A1 event-time shape: batch equivalent of the streaming tumbling
+    // window — hour buckets over nanosecond event timestamps (exact integer
+    // bucket math; streaming twin in graft.streaming).
+    "e1_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(expr("ts DIV 3600000000000 * 3600").as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), cents(col("value")).as("value_cents"))),
+
+    // ts DIV 1000 * 1000: µs truncation — DuckDB reads parquet ns
+    // timestamps at µs precision, so compare at µs (as ns-valued longs).
+    "e2_events_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("event_type")).as("n_types"),
+          min(expr("ts DIV 1000 * 1000")).as("first_ts"),
+          max(expr("ts DIV 1000 * 1000")).as("last_ts"))),
+
+    // ------------------------- extension layer (SURVEY §7.3, north star)
+
+    "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    "ext_dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(t(s, dir, "documents"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // MinHash+LSH near-dup: 128 hashes / 32 bands of 4 → recall at j>=0.8 is
+    // 1-(1-0.8^4)^32 ≈ 1-5e-8, and candidates are verified with exact
+    // Jaccard — so the exact-Jaccard oracle hash-matches (verified on the
+    // driver's own documents table, which is fixed across scale factors).
+    "ext_dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 128,
+        bands = 32, shingleWords = 3, threshold = 0.8)),
+
+    // SimHash near-dup (no SQL oracle: the fingerprint is a custom kernel).
+    "ext_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+
+    // Exact n-gram Jaccard via distributed inverted index.
+    "ext_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), shingleWords = 3,
+        threshold = 0.8, dfCut = 1000)),
+
+    "ext_embed_neardup_brute" -> ((s, dir) =>
+      Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // SRP-LSH blocked variant (threshold high: near-identical pairs only).
+    "ext_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)),
+
+    // ANN: brute-force cosine top-k (the exactness baseline)…
+    "ext_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // …and the IVF scale path (approximate — rows-only check).
+    "ext_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "ext_text_tokens" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(c).as("n_tokens"),
+        TextAnalysis.wsTokenCount(c).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(c).as("n_bpeish_tokens"))
+    }),
+
+    "ext_text_quality" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        length(c).cast("long").as("n_chars_actual"),
+        TextAnalysis.punctRatio(c).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(c).as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(c).as("avg_token_len"),
+        TextAnalysis.qualityScore(c).as("quality"))
+    }),
+
+    "ext_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))),
+
+    // Rolling-hash fingerprint + SimHash per doc (custom kernels, no oracle).
+    "ext_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.fingerprint64(TextAnalysis.tokens(col("text"))).as("fp"),
+        GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))),
+
+    "ext_mm_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
+
+    "ext_mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.fromDocuments(t(s, dir, "documents")), 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).cast("long").as("total_bytes")))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: ListMap[String, String] = ListMap(
+    "p1_csv_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    "p3_filter_symbols" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')""".stripMargin,
+
+    "p4_filter_threshold" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND (o_totalprice >= 150000.0 OR o_totalprice <= 5000.0)""".stripMargin,
+
+    // verbatim precedence: AND binds tighter than OR in SQL too
+    "p5_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount,
+        |  CAST(year(l_shipdate) AS INTEGER) AS yr
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N') AND l_quantity = 25.0
+        |   OR l_discount = 0.05
+        |  AND year(l_shipdate) >= 1996 AND year(l_shipdate) <= 1997""".stripMargin,
+
+    "p6_enrich_project" ->
+      """SELECT CAST(1700000000 AS BIGINT) AS ingest_ts, 'lineitem' AS src_topic,
+        |  l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "p7_wordcount" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS w
+        |      FROM documents)
+        |WHERE w <> '' GROUP BY w""".stripMargin,
+
+    "f1_scalar_strings" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_up,
+        |  lower(c_mktsegment) AS seg_lo,
+        |  trim('  ' || c_mktsegment || '  ') AS seg_trim,
+        |  trim(regexp_replace(regexp_replace(upper(c_name), '[^A-Z0-9]', ' ', 'g'),
+        |                      ' +', ' ', 'g')) AS name_norm,
+        |  substring(c_name, 1, 8) AS name_pre,
+        |  CAST(length(c_name) AS INTEGER) AS n_len,
+        |  string_split(c_name, '#')[2] AS name_id_part,
+        |  c_mktsegment || '|' || c_name AS joined,
+        |  CAST(c_custkey AS VARCHAR) AS key_str
+        |FROM customer""".stripMargin,
+
+    "f2_scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
+        |  CAST(o_orderdate AS DATE) + 30 AS d30
+        |FROM orders""".stripMargin,
+
+    "a2_sum_group" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_quantity")} AS qty_cents,
+         |  ${centsSql("l_extendedprice")} AS price_cents,
+         |  ${centsSql("l_extendedprice * (1.0 - l_discount)")} AS net_cents
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_minmax_year" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "a4_global_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(year(o_orderdate)) AS DOUBLE) / count(*) AS avg_year,
+        |  CAST(min(year(o_orderdate)) AS INTEGER) AS min_year,
+        |  CAST(max(year(o_orderdate)) AS INTEGER) AS max_year
+        |FROM orders""".stripMargin,
+
+    "j1_join_dims" ->
+      s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("c_acctbal")} AS acct_cents
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "j2_join_fact_dims" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("o_totalprice")} AS price_cents
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "j3_join_big" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_extendedprice * (1.0 - l_discount)")} AS net_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "s1_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "s2_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |          ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "s3_setops_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "s4_setops_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "s5_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "e1_events_hourly" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("value")} AS value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e2_events_users" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(epoch_ns(min(ts)) AS BIGINT) AS first_ts,
+        |  CAST(epoch_ns(max(ts)) AS BIGINT) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ext_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "ext_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+
+    "ext_dedup_minhash_pairs" -> jaccardPairsSql(0.8),
+
+    "ext_dedup_ngram_jaccard" -> jaccardPairsSql(0.8),
+
+    "ext_embed_neardup_brute" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    "ext_embed_neardup_lsh" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95""".stripMargin,
+
+    "ext_ann_brute" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS score
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, cand_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, cand_id) AS rn
+         |      FROM s)
+         |SELECT query_id, cand_id AS neighbor_id, score FROM r WHERE rn <= 5""".stripMargin,
+
+    "ext_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
+         |FROM documents""".stripMargin,
+
+    "ext_text_quality" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |    (CAST(length(text) AS DOUBLE)
+         |      - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |  CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter($tokSql, t -> t IN ($stop))) AS DOUBLE)
+         |    / CAST(len($tokSql) AS DOUBLE) END AS stopword_ratio,
+         |  CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
+         |    / CAST(len($tokSql) AS DOUBLE) END AS avg_token_len,
+         |  (CASE WHEN CAST(len($tokSql) AS DOUBLE) >= 10
+         |          AND CAST(len($tokSql) AS DOUBLE) <= 10000
+         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+         |  + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      (CAST(length(text) AS DOUBLE)
+         |        - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |      / CAST(length(text) AS DOUBLE) END) <= 0.2
+         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+         |  + (CASE WHEN (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter($tokSql, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(len($tokSql) AS DOUBLE) END) >= 0.01
+         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+         |  + (CASE WHEN (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |      CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
+         |      / CAST(len($tokSql) AS DOUBLE) END) >= 2.0
+         |      AND (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |      CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
+         |      / CAST(len($tokSql) AS DOUBLE) END) <= 12.0
+         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+         |  AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "ext_text_langid" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+         |    WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+         |    WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+         |    WHEN regexp_matches(text, '[\\x{0370}-\\x{03ff}]') THEN 'el'
+         |    WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+         |    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+         |    WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+         |    WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+         |    WHEN (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter($tokSql, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(len($tokSql) AS DOUBLE) END) >= 0.02 THEN 'en'
+         |    ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin
+    },
+
+    "ext_mm_meta" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS digest,
+        |  lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+        |FROM documents""".stripMargin,
+
+    "ext_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 4) AS BIGINT) AS chunk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  least(4, CAST(ceil(CAST(len AS DOUBLE) / chunk) AS BIGINT)) AS n_frames,
+        |  len AS total_bytes
+        |FROM m WHERE chunk > 0""".stripMargin
+  )
+}
