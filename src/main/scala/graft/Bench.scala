@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs the headline queries against
+ * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line
+ * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+ *
+ * Each query is forced end-to-end with a `noop` write (full computation,
+ * no sink cost, no driver collect) — `count()` would let Catalyst prune
+ * the work being measured. One untimed warmup query first to exclude
+ * one-off JVM/codegen/parquet-footer costs from every measurement.
+ */
 object Bench {
+
+  /** Headline set: the operators whose cost scales with the fact tables,
+    * plus one representative from each extension family. */
+  private val headline = Seq(
+    "p1_csv_roundtrip", "p3_filter_symbols", "p5_filter_compound",
+    "p6_enrich_project", "p7_wordcount", "a2_sum_group", "a3_minmax_year",
+    "j1_join_dims", "j2_join_fact_dims", "j3_join_big", "s1_topn",
+    "s2_window_rank", "s5_distinct_agg", "e1_events_hourly",
+    "ext_dedup_minhash_pairs", "ext_ann_brute", "ext_text_quality")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOnce("a3_minmax_year") // warmup (untimed)
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      name -> (try runOnce(name) catch { case _: Throwable => -1.0 })
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,11 +42,14 @@ object Queries {
     t(s, dir, "events")
   }
 
-  /** Order-independent exact money sum (see class doc). */
-  private def cents(c: Column): Column = sum(round(c * 100).cast("long"))
+  /** Order-independent exact money sum (see class doc). `floor(x*100+0.5)`
+    * instead of `round`: Spark's double `round` goes through BigDecimal
+    * (per-row allocation, off the codegen fast path) while floor is pure
+    * arithmetic — and both engines evaluate the identical double ops. */
+  private def cents(c: Column): Column = sum(floor(c * 100 + 0.5).cast("long"))
 
   private def centsSql(x: String): String =
-    s"CAST(sum(CAST(round(($x) * 100) AS BIGINT)) AS BIGINT)"
+    s"CAST(sum(CAST(floor(($x) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
 
   /** Double-precision cosine in DuckDB SQL, matching
     * [[graft.functions.ExprKernels.cosineFloat]] bit-for-bit: float inputs

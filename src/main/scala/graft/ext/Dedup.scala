@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions
 
 /**
@@ -58,19 +59,24 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // One scan computes shingle set + signature via codegen'd kernels;
+    // persisted because the pipeline consumes it three times (banding +
+    // both sides of the candidate verify join) — without this, Spark
+    // recomputes the full tokenize/shingle/minhash lineage per consumer.
+    // Materialized size is O(docs × (shingles + 8·numHashes)) — the
+    // standard LSH-index working set, spillable (MEMORY_AND_DISK).
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.tokens(col(textCol)), shingleWords)).as("shingles"))
+      GraftFunctions.shingle_set(
+        GraftFunctions.tokens_lc(col(textCol)), shingleWords).as("shingles"))
       .filter(size(col("shingles")) > 0)
-
-    val sig = shingled.select(
-      col("id"),
-      GraftFunctions.minhash_sig(col("shingles"), numHashes).as("sig"))
+      .select(col("id"), col("shingles"),
+        GraftFunctions.minhash_sig(col("shingles"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band keys: hash each R-slice of the signature together with the band
     // index; posexplode → one (band, key) row per band per doc.
-    val banded = sig
+    val banded = shingled
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows), b))")))
       .toDF("id", "band", "bkey")
@@ -82,11 +88,10 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+    val sets = shingled.select(col("id"), col("shingles"))
     val withSets = cand
-      .join(shingled.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
-      .join(shingled.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
+      .join(sets.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "sh_b"), Seq("id_b"))
 
     withSets
       .select(col("id_a"), col("id_b"),
@@ -113,9 +118,11 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    // persisted: both sides of the blocked self-join derive from it
     val fp = df.select(
       col(idCol).as("id"),
-      GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("fp"))
+      GraftFunctions.simhash64(GraftFunctions.tokens_lc(col(textCol))).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val blocked = fp.select(col("id"), col("fp"), posexplode(expr(
       "transform(sequence(0, 3), q -> (fp >> (q * 16)) & 65535)")))
@@ -140,21 +147,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleWords: Int = 3,
                         threshold: Double = 0.5, dfCut: Int = 1000): DataFrame = {
+    // kernel-computed shingle sets, persisted: consumed by the posting
+    // list and by both size-lookup joins.
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.tokens(col(textCol)), shingleWords)).as("shingles"))
+      GraftFunctions.shingle_set(
+        GraftFunctions.tokens_lc(col(textCol)), shingleWords).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
 
-    val inverted = shingled
-      .select(col("id"), explode(col("shingles")).as("sh"))
-      // df-cut: drop ultra-common shingles before the self-join
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= dfCut)
-      .select("id", "sh")
+    val posts = shingled.select(col("id"), explode(col("shingles")).as("sh"))
+    // df-cut: drop ultra-common shingles before the self-join — they add
+    // little Jaccard mass but dominate join fan-out. The heavy-hitter set
+    // is small by construction, so it broadcasts (anti-join, no shuffle
+    // of the posting list beyond the one groupBy).
+    val heavy = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut).select("sh")
+    val inverted = posts.join(broadcast(heavy), Seq("sh"), "left_anti")
 
     val co = inverted.as("a").join(inverted.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -192,6 +203,7 @@ object Dedup {
         |     THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       expr(sigExpr).as("srp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides derive from it
 
     val blocked = sig.select(col("id"), col("v"), posexplode(expr(
       "transform(sequence(0, 3), q -> (srp >> (q * 4)) & 15)")))

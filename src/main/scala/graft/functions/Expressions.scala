@@ -84,6 +84,65 @@ object ExprKernels {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /**
+   * Lowercase alphanumeric tokens in one pass — semantics identical to
+   * `filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")` (the
+   * TextAnalysis.tokens column algebra) but ~10× faster: Catalyst
+   * higher-order-function lambdas are interpreted per element, this is one
+   * static call inside whole-stage codegen.
+   */
+  def tokensLc(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = s.length
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i)))
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct word k-shingles (space-joined) in one pass — equals
+    * `array_distinct(wordShingles(tokens, k))`; set semantics, so element
+    * order is irrelevant downstream (min-hash, set intersections). */
+  def shingleSet(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      words(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit content fingerprint of a token array: positional polynomial
     * rolling hash (Karp-Rabin style) finalized with SplitMix64. */
   def fingerprint64(tokens: ArrayData): Long = {
@@ -97,6 +156,27 @@ object ExprKernels {
     }
     mix64(h)
   }
+}
+
+/** tokens_lc(string) -> array<string>: lowercase alphanumeric tokens. */
+case class TokensLc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.tokensLc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.tokensLc($c)")
+  override protected def withNewChildInternal(c: Expression): TokensLc = copy(child = c)
+}
+
+/** shingle_set(array<string>, k) -> array<string>: distinct word k-shingles. */
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 64, "k in (0, 64]")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.shingleSet(v.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.shingleSet($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
 }
 
 /** simhash64(array<string>) -> long */
@@ -153,6 +233,8 @@ object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
 
+  def tokens_lc(text: Column): Column = col(TokensLc(ex(text)))
+  def shingle_set(tokens: Column, k: Int): Column = col(ShingleSet(ex(tokens), k))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     col(MinHashSignature(ex(shingles), numHashes))
