@@ -582,8 +582,8 @@ object Queries {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |  CASE
-         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
          |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
          |    WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
          |    WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
          |    WHEN regexp_matches(text, '[\\x{0370}-\\x{03ff}]') THEN 'el'

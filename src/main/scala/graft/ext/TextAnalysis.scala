@@ -80,8 +80,10 @@ object TextAnalysis {
    */
   def langIdHeuristic(text: Column): Column = {
     def has(re: String): Column = text.rlike(re)
-    when(has("[\\u4e00-\\u9fff]"), "zh")
-      .when(has("[\\u3040-\\u30ff]"), "ja")
+    // Kana before CJK: Japanese text usually mixes kanji with kana, so the
+    // presence of kana is the stronger signal; kanji alone → Chinese.
+    when(has("[\\u3040-\\u30ff]"), "ja")
+      .when(has("[\\u4e00-\\u9fff]"), "zh")
       .when(has("[\\uac00-\\ud7af]"), "ko")
       .when(has("[\\u0400-\\u04ff]"), "ru")
       .when(has("[\\u0370-\\u03ff]"), "el")

@@ -20,16 +20,24 @@ import org.apache.spark.sql.types._
  * shuffle bytes per group.
  */
 final class TopKBuffer(val k: Int) {
-  // min-heap on score: root = weakest kept candidate
+  // min-heap on (score asc, id desc): root = weakest kept candidate.
+  // The id tie-break makes RETENTION deterministic — under score ties the
+  // kept set is always the k smallest ids, independent of arrival order
+  // across partitions (else results vary with partitioning).
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
+
+  /** true iff candidate (i) ranks weaker than (j): lower score, or same
+    * score with larger id. */
+  @inline private def weaker(si: Double, ii: Long, sj: Double, ij: Long): Boolean =
+    si < sj || (si == sj && ii > ij)
 
   def insert(score: Double, id: Long): Unit = {
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)
-    } else if (score > scores(0)) {
+    } else if (weaker(scores(0), ids(0), score, id)) {
       scores(0) = score; ids(0) = id
       siftDown(0)
     }
@@ -39,7 +47,7 @@ final class TopKBuffer(val k: Int) {
     var i = i0
     while (i > 0) {
       val p = (i - 1) >> 1
-      if (scores(p) <= scores(i)) return
+      if (!weaker(scores(i), ids(i), scores(p), ids(p))) return
       swap(i, p); i = p
     }
   }
@@ -49,8 +57,8 @@ final class TopKBuffer(val k: Int) {
     while (true) {
       val l = 2 * i + 1; val r = l + 1
       var m = i
-      if (l < size && scores(l) < scores(m)) m = l
-      if (r < size && scores(r) < scores(m)) m = r
+      if (l < size && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
       if (m == i) return
       swap(i, m); i = m
     }

@@ -19,6 +19,17 @@ object Dates {
   /** F2, corrected semantics: calendar year. */
   def extractYear(c: Column): Column = year(toDate(c))
 
-  /** F2, bug-compatible semantics: ISO week-year ("YYYY" pattern). */
-  def weekYear(c: Column): Column = date_format(toDate(c), "YYYY").cast("int")
+  /**
+   * F2, bug-compatible semantics: `SimpleDateFormat("YYYY")` week-year
+   * under the default (US-style) calendar — weeks run Sunday-Saturday and
+   * week 1 is the week containing Jan 1, so Dec 26-31 dates falling in the
+   * week that spans New Year report year+1. Spark ≥3 refuses the 'Y'
+   * pattern outright, so this is computed arithmetically: the week-year is
+   * the calendar year of the Saturday that ends the date's week
+   * (dayofweek: 1=Sunday … 7=Saturday).
+   */
+  def weekYear(c: Column): Column = {
+    val d = toDate(c)
+    year(date_add(d, lit(7) - dayofweek(d)))
+  }
 }
