@@ -1,0 +1,173 @@
+package graft.io
+
+import java.sql.{Connection, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.model.SensorReading
+
+/**
+ * Sink operators K1-K7 (SURVEY.md §2.2), Spark-first.
+ *
+ * Delivery-semantics note (§7.4 item 1): Spark's Kafka/JDBC sinks are
+ * at-least-once under retries; the reference's transactional exactly-once
+ * producer (K1) is deliberately NOT faked. Instead outputs are
+ * idempotent-keyed — the K3 upsert protocol rewrites the same row on
+ * replay, which is the same recovery story the reference relies on.
+ */
+object Sinks {
+
+  /** K5: console — batch `show`, streaming format("console"). */
+  def consoleStream[T](ds: Dataset[T], outputMode: String = "append"): DataStreamWriter[T] =
+    ds.writeStream.format("console").outputMode(outputMode)
+
+  /** K1: Kafka value sink. The input must have a `value` string column
+    * (use [[graft.ops.Csv.format]]). At-least-once; pair with
+    * idempotent/dedup-on-read consumers for effective exactly-once. */
+  def kafkaStream(df: DataFrame, brokers: String, topic: String,
+                  checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /**
+   * K2: rolling file sink. Reference policy (flinkContinuousProcessingRollover
+   * .scala:165-194): hourly buckets `yyyy-MM-dd--HH`, roll by interval /
+   * part size. Spark mapping: `partitionBy` on an ingest-hour bucket
+   * column + processing-time trigger for cadence + `maxRecordsPerFile`
+   * bounding part size (bytes-exact 10 MB rolling has no native knob —
+   * approximated by records; documented divergence §7.4).
+   */
+  def rollingTextFiles(df: DataFrame, path: String, checkpointDir: String,
+                       triggerInterval: String = "15 minutes",
+                       maxRecordsPerFile: Long = 1000000): DataStreamWriter[Row] =
+    df.withColumn("bucket", date_format(current_timestamp(), "yyyy-MM-dd--HH"))
+      .writeStream.format("csv")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /** K6: columnar file sink (the reference's HDFS sink stub, done right):
+    * any hadoop-compatible URI works (`hdfs://…`, `s3a://…`, local). */
+  def parquetStream(df: DataFrame, path: String, checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+
+  /** K7: single text file, overwrite (reference writeAsText+parallelism 1
+    * — only sane for small outputs; keep the coalesce explicit). */
+  def textOverwrite(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").text(path)
+
+  // ------------------------------------------------------------------ JDBC
+
+  /**
+   * K3: the reference's hand-rolled JDBC upsert protocol
+   * (flinkStreamingJDBCSink.scala:138-222): per partition open a
+   * connection + two prepared statements; per record run UPDATE
+   * (`sensor_temp = sensor_temp + ?`, `iteration = iteration + 1`) and
+   * fall back to INSERT when no row matched. The accumulate-on-update
+   * semantics are the reference's, reproduced verbatim.
+   *
+   * `connect` is a serializable thunk so executors open their own
+   * connections (one per partition, like one per Flink task slot) and
+   * tests can inject a fake.
+   */
+  final case class UpsertSql(table: String) {
+    val update: String =
+      s"UPDATE $table SET sensor_ts = ?, sensor_temp = sensor_temp + ?, " +
+        "iteration = iteration + 1 WHERE sensor_id = ?"
+    val insert: String =
+      s"INSERT INTO $table (sensor_id, sensor_ts, sensor_temp, iteration) " +
+        "VALUES (?, ?, ?, 1)"
+  }
+
+  class JdbcUpsert(connect: () => Connection, table: String) extends Serializable {
+    private val sql = UpsertSql(table)
+
+    /** The K3 record protocol, shared by batch and streaming paths. */
+    def upsertAll(conn: Connection, rows: Iterator[SensorReading]): Unit = {
+      val upd = conn.prepareStatement(sql.update)
+      val ins = conn.prepareStatement(sql.insert)
+      try {
+        rows.foreach { r =>
+          upd.setLong(1, r.sensorTStamp)
+          upd.setFloat(2, r.sensorTemp)
+          upd.setString(3, r.sensorId)
+          if (upd.executeUpdate() == 0) {
+            ins.setString(1, r.sensorId)
+            ins.setLong(2, r.sensorTStamp)
+            ins.setFloat(3, r.sensorTemp)
+            ins.executeUpdate()
+          }
+        }
+      } finally { upd.close(); ins.close() }
+    }
+
+    /** Batch path: one connection per partition
+      * (reference flinkBatchJDBCSink.scala:79-135). */
+    def writeBatch(ds: Dataset[SensorReading]): Unit =
+      ds.foreachPartition { (it: Iterator[SensorReading]) =>
+        val conn = connect()
+        try upsertAll(conn, it) finally conn.close()
+      }
+
+    /** Streaming path: ForeachWriter, open/process/close mapping 1:1 onto
+      * the reference RichSinkFunction lifecycle. */
+    def foreachWriter: ForeachWriter[SensorReading] =
+      new ForeachWriter[SensorReading] {
+        @transient private var conn: Connection = _
+        @transient private var upd: PreparedStatement = _
+        @transient private var ins: PreparedStatement = _
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          conn = connect()
+          upd = conn.prepareStatement(sql.update)
+          ins = conn.prepareStatement(sql.insert)
+          true
+        }
+        override def process(r: SensorReading): Unit = {
+          upd.setLong(1, r.sensorTStamp)
+          upd.setFloat(2, r.sensorTemp)
+          upd.setString(3, r.sensorId)
+          if (upd.executeUpdate() == 0) {
+            ins.setString(1, r.sensorId)
+            ins.setLong(2, r.sensorTStamp)
+            ins.setFloat(3, r.sensorTemp)
+            ins.executeUpdate()
+          }
+        }
+        override def close(errorOrNull: Throwable): Unit = {
+          if (upd != null) upd.close()
+          if (ins != null) ins.close()
+          if (conn != null) conn.close()
+        }
+      }
+  }
+
+  /** K4: declarative JDBC batch append (reference JdbcSink.sink with
+    * batchSize 1000 — flinkStreamingJDBCSink02.scala:107-128). Retries are
+    * Spark task retries; `batchsize` matches the reference knob. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 user: String, password: String, batchSize: Int = 1000): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, table, props)
+  }
+
+  /** K4 streaming twin: foreachBatch + append, per-micro-batch. */
+  def jdbcAppendStream(df: DataFrame, url: String, table: String,
+                       user: String, password: String, checkpointDir: String,
+                       batchSize: Int = 1000): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        jdbcAppend(batch, url, table, user, password, batchSize)
+      }
+}

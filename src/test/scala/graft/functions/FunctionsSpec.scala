@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+import graft.functions.GraftFunctions._
+import graft.functions.TopKByScore.top_k_by
+
+/** Custom Catalyst expressions + aggregate (SURVEY §7.3 custom work). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "", "!!! ??? ...", "a b", "Tabs\tand\nnewlines  here",
+    "MiXeD CaSe 123 abc123def", "unicode Éé ß ñ 中文 test")
+
+  test("tokens_lc kernel ≡ lower+split+filter column algebra") {
+    val df = texts.toDF("text")
+    val mismatches = df.select(
+      tokens_lc(col("text")).as("kernel"),
+      TextAnalysis.tokens(col("text")).as("algebra"))
+      .filter(not(col("kernel") === col("algebra")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("shingle_set kernel ≡ array_distinct(wordShingles) as a set") {
+    val df = texts.toDF("text").select(TextAnalysis.tokens(col("text")).as("t"))
+    val rows = df.select(
+      shingle_set(col("t"), 3).as("kernel"),
+      array_distinct(TextAnalysis.wordShingles(col("t"), 3)).as("algebra"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (k, a) => assert(k.toSet == a.toSet && k.length == a.length) }
+  }
+
+  test("shingle_set below k tokens is empty") {
+    val out = Seq("one two").toDF("text")
+      .select(shingle_set(tokens_lc(col("text")), 3))
+      .as[Seq[String]].head()
+    assert(out.isEmpty)
+  }
+
+  test("simhash64: identical token sets collide, disjoint ones differ") {
+    val df = Seq("the quick brown fox", "the quick brown fox",
+      "totally different words entirely").toDF("text")
+      .select(simhash64(tokens_lc(col("text"))).as("h")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("minhash signature similarity estimates Jaccard") {
+    val a = (1 to 100).map(i => s"sh$i")
+    val b = (21 to 120).map(i => s"sh$i") // true jaccard = 80/120 ≈ 0.667
+    val df = Seq(a, b).toDF("sh")
+      .select(minhash_sig(col("sh"), 256).as("sig")).as[Seq[Long]].collect()
+    val est = df(0).zip(df(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.667) < 0.12, s"estimate $est")
+  }
+
+  test("cosine_sim matches a hand computation and handles edge cases") {
+    val df = Seq(
+      (Array(1f, 0f, 1f), Array(1f, 0f, 1f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(df(1) == 0.0)
+    assert(math.abs(df(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f)), (Array(0f, 0f), Array(1f, 1f)))
+      .toDF("a", "b").select(cosine_sim(col("a"), col("b"))).as[Double].collect()
+    assert(bad.forall(_.isNaN))
+  }
+
+  test("fingerprint64 is positional (token order matters)") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(fingerprint64(tokens_lc(col("text")))).as[Long].collect()
+    assert(df(0) == df(2))
+    assert(df(0) != df(1))
+  }
+
+  test("top_k_by keeps the k best with deterministic ties, across partitions") {
+    val df = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "score")
+      .repartition(7)
+    val top = df.agg(top_k_by(col("score"), col("id"), 5))
+      .as[Seq[(Double, Long)]].head()
+    // best score 99.0 held by ids 99,199,…; ties break by ascending id
+    assert(top == Seq((99.0, 99L), (99.0, 199L), (99.0, 299L), (99.0, 399L), (99.0, 499L)))
+  }
+
+  test("SQL registration exposes the expressions to spark.sql") {
+    GraftFunctions.register(spark)
+    Seq("hello world").toDF("text").createOrReplaceTempView("t_reg")
+    val n = spark.sql(
+      "SELECT simhash64(ARRAY('a','b')) AS h, fingerprint64(ARRAY('a')) AS f FROM t_reg")
+      .count()
+    assert(n == 1)
+  }
+}

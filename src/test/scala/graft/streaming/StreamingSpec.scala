@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.SensorReading
+
+/** Streaming semantics T1-T7 via MemoryStream (SURVEY §5 item 2/5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A1 streaming word count accumulates across micro-batches (update mode)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.wordCount(in.toDF()), "wc_test", OutputMode.Update())
+    try {
+      in.addData("To be, or not to be")
+      q.processAllAvailable()
+      in.addData("that is the Question!", "be be BE")
+      q.processAllAvailable()
+      // update mode emits revisions; last row per word is the running total
+      val totals = spark.table("wc_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2).max }
+      assert(totals("be") == 5L && totals("to") == 2L && totals("question") == 1L)
+    } finally q.stop()
+  }
+
+  test("A3 streaming grouped min/max revises groups as data arrives") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.minMaxBySymbolYear(in.toDF().select($"value")).toDF(),
+      "minmax_test", OutputMode.Complete())
+    try {
+      in.addData("NYSE,ABB,2010-01-04,19.05,19.19,18.90,19.12,1720000,17.84")
+      q.processAllAvailable()
+      in.addData("NYSE,ABB,2010-06-04,20.00,25.00,19.00,24.00,1000000,22.00")
+      q.processAllAvailable()
+      val rows = spark.table("minmax_test")
+        .select("symbol", "yearr", "MIN_HIGH", "MAX_HIGH")
+        .as[(String, Int, Float, Float)].collect().toSet
+      assert(rows == Set(("ABB", 2010, 19.19f, 25.0f)))
+    } finally q.stop()
+  }
+
+  test("watermark closes event-time windows and drops late data (append mode)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.hourlyEventCounts(events, lateness = "10 minutes"),
+      "ev_test", OutputMode.Append())
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable() // watermark ≈ 10:10 — window [10,11) still open
+      in.addData((t("2024-01-01 11:30:00"), "view", 1.0))
+      q.processAllAvailable() // watermark 11:20 > 11:00 — [10,11) finalized
+      in.addData((t("2024-01-01 10:40:00"), "click", 99.0)) // late → dropped
+      in.addData((t("2024-01-01 13:00:00"), "view", 1.0))   // push watermark
+      q.processAllAvailable()
+      val w10 = spark.table("ev_test")
+        .filter(col("window.start") === t("2024-01-01 10:00:00"))
+        .select("cnt", "total_value").as[(Long, Double)].collect()
+      assert(w10.toSeq == Seq((2L, 3.0))) // late 99.0 never counted
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-sensor state across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SensorReading]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.sensorRunningState(in.toDS()).toDF(),
+      "state_test", OutputMode.Update())
+    try {
+      in.addData(SensorReading("s1", 100L, 10.0f), SensorReading("s1", 200L, 5.0f))
+      q.processAllAvailable()
+      in.addData(SensorReading("s1", 300L, 2.5f))
+      q.processAllAvailable()
+      val last = spark.table("state_test").filter($"sensorId" === "s1")
+        .orderBy(desc("iterations")).as[StreamingJobs.SensorState].head()
+      assert(last.iterations == 3L && math.abs(last.tempSum - 17.5) < 1e-9
+        && last.lastTs == 300L)
+    } finally q.stop()
+  }
+
+  test("the same logical pipeline runs bounded (T5 unified batch/stream)") {
+    val batchLines = Seq("NYSE,ABB,2010-01-04,19.05,19.19,18.90,19.12,1720000,17.84")
+      .toDF("value")
+    val out = StreamingJobs.minMaxBySymbolYear(batchLines)
+      .as[(String, Int, Float, Float)].collect()
+    assert(out.toSeq == Seq(("ABB", 2010, 19.19f, 19.19f)))
+  }
+}
