@@ -321,15 +321,16 @@ object Queries {
         TextAnalysis.bpeishTokenCount(c).as("n_bpeish_tokens"))
     }),
 
-    "ext_text_quality" -> ((s, dir) => {
-      val c = col("text")
-      t(s, dir, "documents").select(col("doc_id"),
-        length(c).cast("long").as("n_chars_actual"),
-        TextAnalysis.punctRatio(c).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(c).as("stopword_ratio"),
-        TextAnalysis.avgTokenLen(c).as("avg_token_len"),
-        TextAnalysis.qualityScore(c).as("quality"))
-    }),
+    "ext_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatioOf(col("toks")).as("stopword_ratio"),
+          TextAnalysis.avgTokenLenOf(col("toks")).as("avg_token_len"),
+          TextAnalysis.qualityScoreOf(col("text"), col("toks")).as("quality"))),
 
     "ext_text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

@@ -3,20 +3,24 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Text-analysis operators for LLM training-data pipelines: tokenization,
  * language ID, quality scoring, token counting, fingerprinting.
  * (Extension layer — no reference counterpart; SURVEY.md §7.3.)
  *
- * All per-document features are pure Column algebra (codegen'd, one scan,
- * no UDFs) — per-row scalar math is bit-deterministic, so results are
- * oracle-comparable. Designed to run as a single projection over 100 TB:
- * no shuffle, no driver state.
+ * Per-document features are deterministic scalar math over one text scan —
+ * no shuffle, no driver state — so the whole feature projection runs as a
+ * single codegen'd pass over 100 TB. Tokenization is the custom
+ * [[graft.functions.TokensLc]] kernel (semantics pinned by test to
+ * `filter(split(lower(text), "[^a-z0-9]+"), _ =!= "")`, the same split the
+ * DuckDB oracles use); [[qualityFeatures]] computes the token array once
+ * per row and derives every token feature from it.
  */
 object TextAnalysis {
 
-  /** Lowercased alphanumeric tokens; the same regex is used by the DuckDB
-    * oracles (`string_split_regex`), so keep it RE2/ICU-portable. */
+  /** Token split regex (kernel-equivalent; shared with the oracle SQL). */
   val TokenSplitRegex = "[^a-z0-9]+"
 
   /** GPT-2-style pre-tokenizer shape: word pieces or single non-space
@@ -28,10 +32,11 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "be", "by", "not")
 
-  def tokens(text: Column): Column =
-    filter(split(lower(text), TokenSplitRegex), t => t =!= "")
+  /** Lowercased alphanumeric tokens (codegen kernel). */
+  def tokens(text: Column): Column = GraftFunctions.tokens_lc(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+  def tokenCountOf(toks: Column): Column = size(toks).cast("long")
 
   /** Whitespace-delimited token count. */
   def wsTokenCount(text: Column): Column =
@@ -42,7 +47,9 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(BpeishRegex), lit(0))).cast("long")
 
   /** Word k-shingles: ["a","b","c","d"], k=3 → ["a b c","b c d"]. Empty
-    * array when fewer than k tokens. */
+    * array when fewer than k tokens. (Column-algebra reference shape; the
+    * dedup hot path uses the distinct-set kernel
+    * [[graft.functions.GraftFunctions.shingle_set]].) */
   def wordShingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
@@ -57,31 +64,32 @@ object TextAnalysis {
   }
 
   /** Fraction of tokens that are English stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+  def stopwordRatioOf(toks: Column): Column = {
     val n = size(toks).cast("double")
     when(n === 0, 0.0).otherwise(
       size(filter(toks, t => t.isin(Stopwords.map(lit): _*).cast("boolean"))).cast("double") / n)
   }
 
   /** Mean token length in characters. */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+  def avgTokenLenOf(toks: Column): Column = {
     val n = size(toks).cast("double")
     when(n === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") / n)
   }
 
   /**
-   * Heuristic language ID: Unicode-block rules for CJK/Kana/Cyrillic/
-   * Greek/Arabic, accented-Latin hints for de/es/fr, else English when the
-   * stopword profile matches, else "und". Rule-based (n-gram-profile style,
-   * cf. Cavnar & Trenkle 1994) so it is deterministic and SQL-portable.
+   * Heuristic language ID: Unicode-block rules for Kana/CJK/Cyrillic/
+   * Greek/Arabic (kana before CJK — Japanese mixes kanji with kana, kanji
+   * alone reads Chinese), accented-Latin hints for de/es/fr, else English
+   * when the stopword profile matches, else "und". Rule-based
+   * (n-gram-profile style, cf. Cavnar & Trenkle 1994) so it is
+   * deterministic and SQL-portable.
    */
-  def langIdHeuristic(text: Column): Column = {
+  def langIdHeuristic(text: Column): Column = langIdOf(text, tokens(text))
+  def langIdOf(text: Column, toks: Column): Column = {
     def has(re: String): Column = text.rlike(re)
-    // Kana before CJK: Japanese text usually mixes kanji with kana, so the
-    // presence of kana is the stronger signal; kanji alone → Chinese.
     when(has("[\\u3040-\\u30ff]"), "ja")
       .when(has("[\\u4e00-\\u9fff]"), "zh")
       .when(has("[\\uac00-\\ud7af]"), "ko")
@@ -91,36 +99,39 @@ object TextAnalysis {
       .when(has("[äöüß]"), "de")
       .when(has("[ñ¿¡]"), "es")
       .when(has("[àâçèêëîïôùûœ]"), "fr")
-      .when(stopwordRatio(text) >= 0.02, "en")
+      .when(stopwordRatioOf(toks) >= 0.02, "en")
       .otherwise("und")
   }
 
   /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
     * some stopwords, sane token lengths. Deterministic scalar math. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val nTok = tokenCountOf(toks).cast("double")
     val lenOk = when(nTok >= 10 && nTok <= 10000, 1.0).otherwise(0.5)
     val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text) >= 0.01, 1.0).otherwise(0.5)
-    val tokLen = avgTokenLen(text)
+    val stopOk = when(stopwordRatioOf(toks) >= 0.01, 1.0).otherwise(0.5)
+    val tokLen = avgTokenLenOf(toks)
     val tokOk = when(tokLen >= 2.0 && tokLen <= 12.0, 1.0).otherwise(0.0)
     (lenOk * 0.3 + punctOk * 0.3 + stopOk * 0.2 + tokOk * 0.2)
   }
 
-  /** One-scan feature projection over a documents table. */
+  /** One-scan feature projection over a documents table: the token array
+    * is computed once per row and shared by every token-derived feature. */
   def qualityFeatures(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    df.select(
-      col(idCol),
-      length(t).cast("long").as("n_chars_actual"),
-      tokenCount(t).as("n_tokens"),
-      wsTokenCount(t).as("n_ws_tokens"),
-      bpeishTokenCount(t).as("n_bpeish_tokens"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t).as("stopword_ratio"),
-      avgTokenLen(t).as("avg_token_len"),
-      langIdHeuristic(t).as("lang_pred"),
-      qualityScore(t).as("quality"))
+    df.select(col(idCol), t.as("__text"), tokens(t).as("__toks"))
+      .select(
+        col(idCol),
+        length(col("__text")).cast("long").as("n_chars_actual"),
+        tokenCountOf(col("__toks")).as("n_tokens"),
+        wsTokenCount(col("__text")).as("n_ws_tokens"),
+        bpeishTokenCount(col("__text")).as("n_bpeish_tokens"),
+        punctRatio(col("__text")).as("punct_ratio"),
+        stopwordRatioOf(col("__toks")).as("stopword_ratio"),
+        avgTokenLenOf(col("__toks")).as("avg_token_len"),
+        langIdOf(col("__text"), col("__toks")).as("lang_pred"),
+        qualityScoreOf(col("__text"), col("__toks")).as("quality"))
   }
 }
