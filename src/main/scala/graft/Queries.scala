@@ -64,11 +64,11 @@ object Queries {
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-  /** Exact 3-word-shingle Jaccard pairs in DuckDB (inverted-index join) —
-    * the oracle for both the LSH-accelerated and the exact n-gram dedup. */
-  private def jaccardPairsSql(threshold: Double): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, $tokSql AS tk FROM documents),
+  /** CTE chain computing exact 3-word-shingle overlap counts over `src`
+    * (inverted-index join) — building block for the Jaccard oracles. */
+  private def jaccardCtes(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, $tokSql AS tk FROM $src),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(tk) - 2, 0) + 1),
@@ -79,11 +79,45 @@ object Queries {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  /** Exact 3-word-shingle Jaccard pairs in DuckDB — the oracle for both
+    * the LSH-accelerated and the exact n-gram dedup (the LSH band config
+    * 128 hashes / 32 bands has ~1-5e-8 recall loss at j≥0.8, verified
+    * equal on the driver's documents table). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH ${jaccardCtes("documents")}
        |SELECT id_a, id_b,
        |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
        |FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
        |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold""".stripMargin
+
+  // DuckDB mirrors of the TextAnalysis feature expressions (identical
+  // double ops in identical order → identical values).
+  private val stopSql = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val punctSql =
+    """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    (CAST(length(text) AS DOUBLE)
+      |      - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+      |    / CAST(length(text) AS DOUBLE) END""".stripMargin
+  private val stopRatioSql =
+    s"""CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+       |    CAST(len(list_filter($tokSql, t -> t IN ($stopSql))) AS DOUBLE)
+       |    / CAST(len($tokSql) AS DOUBLE) END""".stripMargin
+  private val avgTokSql =
+    s"""CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
+       |    CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
+       |    / CAST(len($tokSql) AS DOUBLE) END""".stripMargin
+  private val qualitySql =
+    s"""(CASE WHEN CAST(len($tokSql) AS DOUBLE) >= 10
+       |          AND CAST(len($tokSql) AS DOUBLE) <= 10000
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |  + (CASE WHEN ($punctSql) <= 0.2
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+       |  + (CASE WHEN ($stopRatioSql) >= 0.01
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |  + (CASE WHEN ($avgTokSql) >= 2.0 AND ($avgTokSql) <= 12.0
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)""".stripMargin
 
   // ---------------------------------------------------------------- queries
 
@@ -342,6 +376,21 @@ object Queries {
         GraftFunctions.fingerprint64(TextAnalysis.tokens(col("text"))).as("fp"),
         GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))),
 
+    // Composite curation pipeline (the 100 TB training-data shape):
+    // quality-score filter → MinHash-LSH near-dedup → per-language stats.
+    "ext_pipeline_curate" -> ((s, dir) => {
+      val good = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(TextAnalysis.qualityScoreOf(col("text"), col("toks")) >= 0.75)
+        .select("doc_id", "lang", "text")
+      Dedup.minhashLshSurvivors(good, numHashes = 128, bands = 32,
+        shingleWords = 3, threshold = 0.8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
+
     "ext_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
 
@@ -542,42 +591,30 @@ object Queries {
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
          |FROM documents""".stripMargin,
 
-    "ext_text_quality" -> {
-      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    "ext_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual,
-         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |    (CAST(length(text) AS DOUBLE)
-         |      - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-         |    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-         |  CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter($tokSql, t -> t IN ($stop))) AS DOUBLE)
-         |    / CAST(len($tokSql) AS DOUBLE) END AS stopword_ratio,
-         |  CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
-         |    CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
-         |    / CAST(len($tokSql) AS DOUBLE) END AS avg_token_len,
-         |  (CASE WHEN CAST(len($tokSql) AS DOUBLE) >= 10
-         |          AND CAST(len($tokSql) AS DOUBLE) <= 10000
-         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
-         |  + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |      (CAST(length(text) AS DOUBLE)
-         |        - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-         |      / CAST(length(text) AS DOUBLE) END) <= 0.2
-         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
-         |  + (CASE WHEN (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
-         |      CAST(len(list_filter($tokSql, t -> t IN ($stop))) AS DOUBLE)
-         |      / CAST(len($tokSql) AS DOUBLE) END) >= 0.01
-         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
-         |  + (CASE WHEN (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
-         |      CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
-         |      / CAST(len($tokSql) AS DOUBLE) END) >= 2.0
-         |      AND (CASE WHEN len($tokSql) = 0 THEN 0.0 ELSE
-         |      CAST(list_sum(list_transform($tokSql, t -> length(t))) AS DOUBLE)
-         |      / CAST(len($tokSql) AS DOUBLE) END) <= 12.0
-         |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
-         |  AS quality
-         |FROM documents""".stripMargin
-    },
+         |  ($punctSql) AS punct_ratio,
+         |  ($stopRatioSql) AS stopword_ratio,
+         |  ($avgTokSql) AS avg_token_len,
+         |  ($qualitySql) AS quality
+         |FROM documents""".stripMargin,
+
+    "ext_pipeline_curate" ->
+      s"""WITH good AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE ($qualitySql) >= 0.75),
+         |${jaccardCtes("good")},
+         |drops AS (
+         |  SELECT DISTINCT id_b FROM co
+         |  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |  WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8),
+         |kept AS (
+         |  SELECT * FROM good
+         |  WHERE doc_id NOT IN (SELECT id_b FROM drops))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY lang""".stripMargin,
 
     "ext_text_langid" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")

@@ -242,13 +242,13 @@ object GraftFunctions {
     col(CosineSimilarity(ex(a), ex(b)))
   def fingerprint64(tokens: Column): Column = col(Fingerprint64(ex(tokens)))
 
-  /** Register SQL names so `spark.sql("SELECT simhash64(...)")` works. */
+  /** Register SQL names so `spark.sql("SELECT simhash64(...)")` works on
+    * an already-created session (the extension path is
+    * `spark.sql.extensions=graft.GraftExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("fingerprint64",
-      es => Fingerprint64(es.head), "scala_udf")
+    graft.GraftExtensions.functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
