@@ -190,19 +190,9 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             threshold: Double = 0.95): DataFrame = {
-    // 16 sign bits from seeded deterministic projections: bit_j = sign of
-    // sum_i v[i] * mix(i, j), computed with higher-order functions.
-    val sigExpr =
-      """aggregate(
-        |  sequence(0, 15),
-        |  0L,
-        |  (acc, j) -> acc | (CASE WHEN
-        |     aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-        |                        (v, i) -> v * (CAST(xxhash64(i, j) % 1000 AS DOUBLE) / 1000.0)),
-        |               CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0.0
-        |     THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin
+    // 16 SRP sign bits (codegen kernel), split into 4 bands of 4 bits.
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      expr(sigExpr).as("srp"))
+      GraftFunctions.srp_sign(col(vecCol), 16).as("srp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both join sides derive from it
 
     val blocked = sig.select(col("id"), col("v"), posexplode(expr(

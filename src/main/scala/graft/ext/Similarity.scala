@@ -41,41 +41,41 @@ object Similarity {
    * Nearest Neighbor Search", TPAMI 2011 — inverted-list part only, no PQ
    * compression); queries probe the `nprobe` nearest cells.
    *
-   * The coarse quantizer here is a deterministic sample of the corpus
-   * (every `centroidStride`-th id) — at real scale it would be k-means
-   * trained offline; the plumbing (assign via broadcast join + max_by,
-   * probe-bucket join, bounded top-k) is identical.
+   * The coarse quantizer is model state (here a deterministic stride
+   * sample of the corpus; at real scale k-means trained offline). Its
+   * centroid matrix is metadata-sized, so it is collected once and baked
+   * into a [[graft.functions.NearestCentroids]] codegen expression —
+   * cell assignment is then a pure projection over the corpus scan (no
+   * join, no shuffle of vectors), the probe side broadcasts (queries are
+   * the small side by construction), and only O(k) rows per query cross
+   * the final shuffle via the bounded top-k aggregate.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStride: Int = 50, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    import graft.functions.GraftFunctions.nearest_centroids
+    // quantizer = bounded model state (|corpus|/stride vectors), not data
+    val centRows = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
+    require(centRows.nonEmpty, "corpus yields no centroids — lower centroidStride")
+    val dim = centRows.head.getSeq[Float](1).length
+    val cents = new Array[Float](centRows.length * dim)
+    centRows.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getSeq[Float](1)
+      var j = 0
+      while (j < dim) { cents(i * dim + j) = v(j); j += 1 }
+    }
 
-    // invert: each corpus vector → nearest centroid (broadcast join; the
-    // quantizer is small by construction)
     val assigned = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(cents))
-      .select(col("cand_id"), col("c_vec"), col("cent_id"),
-        cosine_sim(col("c_vec"), col("cent_vec")).as("cscore"))
-      .groupBy("cand_id")
-      .agg(max_by(col("cent_id"), col("cscore")).as("bucket"),
-        first(col("c_vec")).as("c_vec"))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
 
-    // probe lists: nprobe nearest centroids per query
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("q_vec"), col("cent_id"),
-        cosine_sim(col("q_vec"), col("cent_vec")).as("cscore"))
-      .groupBy("query_id")
-      .agg(top_k_by(col("cscore"), col("cent_id").cast("long"), nprobe).as("pl"),
-        first(col("q_vec")).as("q_vec"))
-      .select(col("query_id"), col("q_vec"), explode(col("pl.id")).as("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(nearest_centroids(col(vecCol), cents, dim, nprobe)).as("bucket"))
 
-    // search only the probed buckets
-    probes.join(assigned, Seq("bucket"))
+    // search only the probed buckets: probes broadcast, corpus streams
+    assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         cosine_sim(col("q_vec"), col("c_vec")).as("score"))

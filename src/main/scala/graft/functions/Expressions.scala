@@ -158,6 +158,97 @@ object ExprKernels {
   }
 }
 
+object SrpKernel {
+  import HashFns._
+
+  /** Signed-random-projection sign bits (Charikar, STOC 2002): bit j is
+    * the sign of a seeded pseudo-random linear combination of the vector.
+    * Weights come from the deterministic seeded hash, so signatures are
+    * stable across JVMs/partitions (shuffle-key safe). */
+  def srpSign(vec: ArrayData, bits: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val w = (hashSeeded(mix64(i.toLong), j.toLong) % 1000L) / 1000.0
+        acc += vec.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (acc > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** srp_sign(array<float>, bits) -> long: SRP-LSH sign-bit signature. */
+case class SrpSign(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 64, "bits in (0, 64]")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SrpKernel.srpSign(v.asInstanceOf[ArrayData], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SrpKernel.srpSign($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SrpSign = copy(child = c)
+}
+
+object NearestCentroidsKernel {
+  /**
+   * Top-`nprobe` centroid indices for `vec` by cosine, ties by ascending
+   * index. `centroids` is a flattened row-major (C × dim) matrix — model
+   * state baked into the plan (the IVF coarse quantizer), so cell
+   * assignment is a pure projection: no join, no shuffle.
+   */
+  def nearest(vec: ArrayData, centroids: Array[Float], dim: Int,
+              nprobe: Int): ArrayData = {
+    val n = vec.numElements()
+    val c = if (dim > 0) centroids.length / dim else 0
+    if (n != dim || c == 0) return new GenericArrayData(new Array[Int](0))
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    val scores = new Array[Double](c)
+    var ci = 0
+    while (ci < c) {
+      var dot = 0.0; var cn = 0.0
+      val off = ci * dim
+      var j = 0
+      while (j < dim) {
+        val x = vec.getFloat(j).toDouble
+        val y = centroids(off + j).toDouble
+        dot += x * y; cn += y * y
+        j += 1
+      }
+      scores(ci) = if (vn == 0.0 || cn == 0.0) Double.NegativeInfinity
+                   else dot / (math.sqrt(vn) * math.sqrt(cn))
+      ci += 1
+    }
+    val k = math.min(nprobe, c)
+    val idx = Array.range(0, c).sortBy(i => (-scores(i), i)).take(k)
+    new GenericArrayData(idx)
+  }
+}
+
+/** nearest_centroids(vec) -> array<int>: top-nprobe IVF cell indices. */
+case class NearestCentroids(child: Expression, centroids: Array[Float],
+                            dim: Int, nprobe: Int)
+    extends UnaryExpression {
+  require(dim > 0 && nprobe > 0, "dim and nprobe must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidsKernel.nearest(v.asInstanceOf[ArrayData], centroids, dim, nprobe)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidsKernel.nearest($c, $ref, $dim, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 /** tokens_lc(string) -> array<string>: lowercase alphanumeric tokens. */
 case class TokensLc(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -233,6 +324,10 @@ object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
 
+  def srp_sign(vec: Column, bits: Int): Column = col(SrpSign(ex(vec), bits))
+  def nearest_centroids(vec: Column, centroids: Array[Float], dim: Int,
+                        nprobe: Int): Column =
+    col(NearestCentroids(ex(vec), centroids, dim, nprobe))
   def tokens_lc(text: Column): Column = col(TokensLc(ex(text)))
   def shingle_set(tokens: Column, k: Int): Column = col(ShingleSet(ex(tokens), k))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))

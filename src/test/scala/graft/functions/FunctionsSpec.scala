@@ -89,6 +89,28 @@ class FunctionsSpec extends SparkSpec {
     assert(top == Seq((99.0, 99L), (99.0, 199L), (99.0, 299L), (99.0, 399L), (99.0, 499L)))
   }
 
+  test("nearest_centroids assigns the closest cell, ties by index") {
+    // two orthogonal centroids in 2-d, flattened row-major
+    val cents = Array(1f, 0f, 0f, 1f)
+    val out = Seq(Array(0.9f, 0.1f), Array(0.1f, 0.9f), Array(1f, 1f))
+      .toDF("v")
+      .select(nearest_centroids(col("v"), cents, 2, 2).as("buckets"))
+      .as[Seq[Int]].collect()
+    assert(out(0) == Seq(0, 1)) // closest to x-axis centroid first
+    assert(out(1) == Seq(1, 0))
+    assert(out(2) == Seq(0, 1)) // exact tie → ascending index
+  }
+
+  test("srp_sign is deterministic and scale-invariant") {
+    val out = Seq(Array(0.5f, -1f, 2f), Array(0.5f, -1f, 2f), Array(1f, -2f, 4f),
+      Array(-0.5f, 1f, -2f))
+      .toDF("v").select(srp_sign(col("v"), 16)).as[Long].collect()
+    assert(out(0) == out(1))        // deterministic
+    assert(out(0) == out(2))        // positive scaling keeps signs
+    assert(out(0) != out(3))        // negation flips signs
+    assert(out(0) >= 0 && out(0) < (1L << 16))
+  }
+
   test("SQL registration exposes the expressions to spark.sql") {
     GraftFunctions.register(spark)
     Seq("hello world").toDF("text").createOrReplaceTempView("t_reg")
