@@ -285,6 +285,19 @@ object Queries {
           count_distinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("cnt"))),
 
+    // ROLLUP subtotals (reference has no grouping sets; native in Spark).
+    "s6_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), cents(col("l_quantity")).as("qty_cents"))),
+
+    // Semi-join / EXISTS decorrelation: orders having a max-quantity line.
+    "s7_semijoin" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") === 50.0)
+          .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // T4/A1 event-time shape: batch equivalent of the streaming tumbling
     // window — hour buckets over nanosecond event timestamps (exact integer
     // bucket math; streaming twin in graft.streaming).
@@ -533,6 +546,16 @@ object Queries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s6_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_quantity")} AS qty_cents
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "s7_semijoin" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity = 50.0)""".stripMargin,
 
     "e1_events_hourly" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,

@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T1: state survives stop + restart from the checkpoint") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val totals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def start() = StreamingJobs.wordCount(in.toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => totals.put(r.getString(0), r.getLong(1)))
+      }.start()
+
+    val q1 = start()
+    in.addData("alpha beta alpha")
+    q1.processAllAvailable()
+    q1.stop()
+
+    in.addData("alpha")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(totals.get("alpha") == 3L) // 2 before restart + 1 after: state recovered
+      assert(totals.get("beta") == 1L)
+    } finally q2.stop()
+  }
+
   test("the same logical pipeline runs bounded (T5 unified batch/stream)") {
     val batchLines = Seq("NYSE,ABB,2010-01-04,19.05,19.19,18.90,19.12,1720000,17.84")
       .toDF("value")
