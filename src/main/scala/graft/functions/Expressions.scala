@@ -91,7 +91,14 @@ object ExprKernels {
    * higher-order-function lambdas are interpreted per element, this is one
    * static call inside whole-stage codegen.
    */
-  def tokensLc(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+  def tokensLc(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    tokensLc(text, false)
+
+  /** `keepUnderscore = true` reproduces `split(lower(text), "\\W+")`
+    * (Java \W treats '_' as a word char); false is the stricter
+    * `[^a-z0-9]+` split the dedup/quality layer uses. */
+  def tokensLc(text: org.apache.spark.unsafe.types.UTF8String,
+               keepUnderscore: Boolean): ArrayData = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new java.util.ArrayList[AnyRef]()
     val n = s.length
@@ -100,7 +107,8 @@ object ExprKernels {
     while (i <= n) {
       val alnum = i < n && {
         val c = s.charAt(i)
-        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          (keepUnderscore && c == '_')
       }
       if (alnum) { if (start < 0) start = i }
       else if (start >= 0) {
@@ -250,12 +258,15 @@ case class NearestCentroids(child: Expression, centroids: Array[Float],
 }
 
 /** tokens_lc(string) -> array<string>: lowercase alphanumeric tokens. */
-case class TokensLc(child: Expression) extends UnaryExpression {
+case class TokensLc(child: Expression, keepUnderscore: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    ExprKernels.tokensLc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    ExprKernels.tokensLc(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], keepUnderscore)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.tokensLc($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.tokensLc($c, $keepUnderscore)")
   override protected def withNewChildInternal(c: Expression): TokensLc = copy(child = c)
 }
 
@@ -329,6 +340,8 @@ object GraftFunctions {
                         nprobe: Int): Column =
     col(NearestCentroids(ex(vec), centroids, dim, nprobe))
   def tokens_lc(text: Column): Column = col(TokensLc(ex(text)))
+  /** \W+-compatible tokenization (underscore is a word char). */
+  def tokens_word(text: Column): Column = col(TokensLc(ex(text), keepUnderscore = true))
   def shingle_set(tokens: Column, k: Int): Column = col(ShingleSet(ex(tokens), k))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

@@ -57,12 +57,14 @@ object Transforms {
 
   /**
    * P7: tokenize — lowercase, split on non-word, drop empties
-   * (reference: flinkStarter.scala:14-18). `explode` keeps this fully
-   * distributed; no driver-side collection.
+   * (reference: flinkStarter.scala:14-18), via the one-pass codegen kernel
+   * (semantics = `split(lower(text), "\\W+")` minus empties, pinned by
+   * test). `explode` keeps this fully distributed; no driver-side
+   * collection.
    */
   def tokenize(df: DataFrame, textCol: String = "value"): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "\\W+")).as("word"))
-      .filter(col("word") =!= "")
+    df.select(explode(
+      graft.functions.GraftFunctions.tokens_word(col(textCol))).as("word"))
 
   /** A1 batch shape: word count. Streaming shape lives in
     * graft.streaming.WordCountJob (update mode + processing-time trigger;

@@ -26,6 +26,16 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("tokens_word kernel ≡ split(lower, \\W+) minus empties") {
+    val df = (texts :+ "under_score keeps_underscores x__y").toDF("text")
+    val mismatches = df.select(
+      tokens_word(col("text")).as("kernel"),
+      filter(split(lower(col("text")), "\\W+"), t => t =!= "").as("algebra"))
+      .filter(not(col("kernel") === col("algebra")))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("shingle_set kernel ≡ array_distinct(wordShingles) as a set") {
     val df = texts.toDF("text").select(TextAnalysis.tokens(col("text")).as("t"))
     val rows = df.select(
