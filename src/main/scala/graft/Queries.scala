@@ -219,6 +219,17 @@ object Queries {
           max("l_extendedprice").as("max_price"),
           count(lit(1)).as("cnt"))),
 
+    // A3 via SQL text + temp view — the reference's Table-API route
+    // (createTemporaryView + sqlQuery, flinkTableManipulation.scala:108-115):
+    // identical semantics through the SQL parser instead of the DataFrame DSL.
+    "a3_sql_text" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("t_lineitem")
+      s.sql("""SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
+              |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+              |  count(*) AS cnt
+              |FROM t_lineitem GROUP BY l_returnflag, year(l_shipdate)""".stripMargin)
+    }),
+
     // A4: global aggregate, COUNT(*) + AVG(YEAR(date)) (commented Table demo).
     "a4_global_agg" -> ((s, dir) =>
       t(s, dir, "orders").agg(
@@ -487,6 +498,12 @@ object Queries {
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "a3_sql_text" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, year(l_shipdate)""".stripMargin,
 
     "a4_global_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
