@@ -21,6 +21,28 @@ import graft.functions.GraftFunctions
 object Dedup {
 
   /**
+   * Candidate generation shared by every LSH family: group rows by bucket
+   * key(s), enumerate in-bucket id pairs, dedupe across buckets. ONE
+   * shuffle of the bucketed rows — a self-join would shuffle both sides
+   * and hash-build the full set. Skew guard: pairs enumerate over the
+   * `maxBucket` smallest ids per bucket (sorted → deterministic);
+   * larger buckets are near-identical mass that exact dedup upstream
+   * should have removed, and O(maxBucket²) bounds task memory and fan-out.
+   * `bucketed` must have an `id` column plus `keyCols`.
+   */
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                          maxBucket: Int = 1000): DataFrame =
+    bucketed.groupBy(keyCols.map(col): _*).agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr(s"slice(array_sort(ids), 1, $maxBucket)").as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /**
    * Exact dedup: group on a 256-bit content digest, keep the smallest id.
    * Grouping on `sha2(text)` instead of `text` keeps shuffle rows at
    * ~40 bytes regardless of document size.
@@ -81,12 +103,7 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows), b))")))
       .toDF("id", "band", "bkey")
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(banded, Seq("band", "bkey"))
 
     val sets = shingled.select(col("id"), col("shingles"))
     val withSets = cand
@@ -124,25 +141,23 @@ object Dedup {
       GraftFunctions.simhash64(GraftFunctions.tokens_lc(col(textCol))).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val blocked = fp.select(col("id"), col("fp"), posexplode(expr(
+    val blocked = fp.select(col("id"), posexplode(expr(
       "transform(sequence(0, 3), q -> (fp >> (q * 16)) & 65535)")))
-      .toDF("id", "fp", "q", "qkey")
+      .toDF("id", "q", "qkey")
 
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.qkey") === col("b.qkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+    bucketPairs(blocked, Seq("q", "qkey"))
+      .join(fp.toDF("id_a", "fp_a"), Seq("id_a"))
+      .join(fp.toDF("id_b", "fp_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /**
    * Exact n-gram Jaccard similarity via a distributed inverted index:
-   * explode distinct shingles → self-join on shingle (skipping shingles
-   * with document frequency > dfCut, which contribute little to Jaccard but
-   * dominate join fan-out) → count co-occurrences → jaccard.
+   * explode distinct shingles → group postings per shingle (df-cut drops
+   * postings longer than dfCut) → enumerate in-posting pairs → count
+   * co-occurrences → jaccard.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleWords: Int = 3,
@@ -158,18 +173,19 @@ object Dedup {
 
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
 
+    // inverted index grouped per shingle: one shuffle of the posting list.
+    // The df-cut falls out of the same groupBy — postings longer than
+    // dfCut are ultra-common shingles that add little Jaccard mass but
+    // quadratic pair fan-out, so they are skipped entirely.
     val posts = shingled.select(col("id"), explode(col("shingles")).as("sh"))
-    // df-cut: drop ultra-common shingles before the self-join — they add
-    // little Jaccard mass but dominate join fan-out. The heavy-hitter set
-    // is small by construction, so it broadcasts (anti-join, no shuffle
-    // of the posting list beyond the one groupBy).
-    val heavy = posts.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCut).select("sh")
-    val inverted = posts.join(broadcast(heavy), Seq("sh"), "left_anti")
-
-    val co = inverted.as("a").join(inverted.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val co = posts
+      .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCut))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
 
     co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
@@ -195,17 +211,19 @@ object Dedup {
       GraftFunctions.srp_sign(col(vecCol), 16).as("srp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both join sides derive from it
 
-    val blocked = sig.select(col("id"), col("v"), posexplode(expr(
+    // bucket ids only — vectors are joined back for the (few) candidate
+    // pairs rather than shuffled once per band.
+    val blocked = sig.select(col("id"), posexplode(expr(
       "transform(sequence(0, 3), q -> (srp >> (q * 4)) & 15)")))
-      .toDF("id", "v", "q", "qkey")
+      .toDF("id", "q", "qkey")
 
-    blocked.as("a").join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.qkey") === col("b.qkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        GraftFunctions.cosine_sim(col("a.v"), col("b.v")).as("cosine"))
+    val vecs = sig.select(col("id"), col("v"))
+    bucketPairs(blocked, Seq("q", "qkey"))
+      .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine_sim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   /** Brute-force embedding near-dup (O(n²) — small n / oracle checks only). */

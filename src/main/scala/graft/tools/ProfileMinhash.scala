@@ -2,10 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.storage.StorageLevel
+import graft.ext.Dedup
 import graft.functions.GraftFunctions
 
-/** Dev-only: stage-by-stage timing of the MinHash-LSH dedup pipeline. */
+/** Dev-only: stage-by-stage timing of the MinHash-LSH dedup pipeline
+  * (mirrors the current Dedup.minhashLshPairs structure). */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -23,29 +25,25 @@ object ProfileMinhash {
 
     val shingled = docs.select(
       col("doc_id").as("id"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.tokens(col("text")), 3)).as("shingles"))
+      GraftFunctions.shingle_set(
+        GraftFunctions.tokens_lc(col("text")), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    time("shingled.count")(println(shingled.count()))
+      .select(col("id"), col("shingles"),
+        GraftFunctions.minhash_sig(col("shingles"), 128).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("materialize shingles+sig")(println(shingled.count()))
 
-    val sig = shingled.select(col("id"),
-      GraftFunctions.minhash_sig(col("shingles"), 128).as("sig"))
-    time("sig.count")(println(sig.count()))
-
-    val banded = sig.select(col("id"), posexplode(expr(
+    val banded = shingled.select(col("id"), posexplode(expr(
       "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))")))
       .toDF("id", "band", "bkey")
-    time("banded.count")(println(banded.count()))
-
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    time("cand.count")(println(cand.count()))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    time("band + candidate join")(println(cand.count()))
 
-    time("full pipeline")(
+    shingled.unpersist()
+    time("full pipeline cold")(
       println(Dedup.minhashLshPairs(docs, numHashes = 128, bands = 32,
         threshold = 0.8).count()))
     spark.stop()
