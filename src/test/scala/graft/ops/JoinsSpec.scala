@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Tables
+
+/** Skew salting and bucketed co-located joins. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result and spreads the hot key") {
+    // 10k rows of one hot key + a long tail
+    val big = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("key", "rowid")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 1.5) }.toDF("key", "weight")
+
+    val plain = big.join(small, "key").select("key", "rowid", "weight")
+    val salted = Joins.saltedJoin(big, small, "key", 8, col("rowid"))
+      .select("key", "rowid", "weight")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+
+    // the hot key's rows actually land in multiple salt partitions
+    val spread = big.filter($"key" === "hot")
+      .select(pmod(xxhash64($"rowid"), lit(8)).as("salt"))
+      .distinct().count()
+    assert(spread == 8)
+  }
+
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val df = ((1 to 5000).map(i => ("hot", i.toDouble)) ++
+      (1 to 50).map(i => (s"k$i", i.toDouble))).toDF("key", "v")
+    val direct = df.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+    val salted = Joins.saltedCountSum(df, Seq("key"), "v", col("v"), 16)
+    // integer-valued doubles sum exactly in both orders at this scale
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+
+  test("same-bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(
+        (1L to 1000L).map(i => (i, s"o$i")).toDF("k", "o_val"), "t_orders_b", "k", 4)
+      Tables.writeBucketed(
+        (1L to 3000L).map(i => (i % 1000 + 1, s"l$i")).toDF("k", "l_val"), "t_lines_b", "k", 4)
+      val joined = Tables.bucketedJoin(spark, "t_orders_b", "t_lines_b", "k")
+      assert(joined.count() == 3000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_orders_b")
+      spark.sql("DROP TABLE IF EXISTS t_lines_b")
+    }
+  }
+}
