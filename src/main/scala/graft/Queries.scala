@@ -327,6 +327,27 @@ object Queries {
           min(expr("ts DIV 1000 * 1000")).as("first_ts"),
           max(expr("ts DIV 1000 * 1000")).as("last_ts"))),
 
+    // As-of (point-in-time) join: each event joined to the user's latest
+    // order at event time — an operator Spark lacks, composed via
+    // union + ordered window (graft.ops.AsofJoin; no pair explosion).
+    // Orders are deduped to one per (custkey, day) so ties are impossible.
+    "e3_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_timestamp(col("o_orderdate")).as("order_sec"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsofJoin.asofJoin(
+        ev, ord, key = "user_id",
+        leftTime = col("ts"),
+        rightTime = col("order_sec") * lit(1000000000L),
+        rightCols = Seq("o_orderkey"),
+        rightOrd = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000 * 1000").as("ts_ns"), col("o_orderkey"))
+    }),
+
     // ------------------------- extension layer (SURVEY §7.3, north star)
 
     "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -586,6 +607,16 @@ object Queries {
         |  CAST(epoch_ns(min(ts)) AS BIGINT) AS first_ts,
         |  CAST(epoch_ns(max(ts)) AS BIGINT) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "e3_asof_join" ->
+      """WITH od AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS odate,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(epoch_ns(e.ts) AS BIGINT) AS ts_ns, od.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.odate""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join (point-in-time join): for each left row, attach the latest
+ * right row with `rightTime <= leftTime` for the same key. Spark has no
+ * native operator; a range-condition join explodes to O(|left|·|right|)
+ * per key before picking the max. This implementation composes existing
+ * operators (preference (a) of the custom-operator ladder): tag both
+ * sides, union, and carry right values forward with
+ * `last(_, ignoreNulls)` over a (key, time)-ordered window — one shuffle
+ * per side, no pair explosion, O(1) state per row. The window sort also
+ * makes ties deterministic: right rows sort before left rows at equal
+ * time (<= semantics), and equal-time right rows resolve by `rightOrd`.
+ */
+object AsofJoin {
+
+  /**
+   * @param left      left (probe) side
+   * @param right     right (reference) side
+   * @param key       equi-join key column name (same name both sides)
+   * @param leftTime  left event-time column (orderable; same type scale as rightTime)
+   * @param rightTime right event-time column
+   * @param rightCols right value columns to attach
+   * @param rightOrd  deterministic tie-break among equal-time right rows
+   *                  (e.g. a right-side id; highest wins)
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: Column, rightTime: Column,
+               rightCols: Seq[String], rightOrd: Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+    val lPadded = rightCols.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+
+    val r0 = right
+      .withColumn("__t", rightTime)
+      .withColumn("__side", lit(0))
+      .withColumn("__ord", rightOrd.cast("long"))
+      .withColumnRenamed(key, "__k")
+    val rPadded = leftCols.filter(_ != key).foldLeft(r0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumnRenamed("__k", key)
+
+    val unioned = lPadded.select((leftCols ++ rightCols ++ Seq("__t", "__side", "__ord")).map(col): _*)
+      .unionByName(rPadded.select((leftCols ++ rightCols ++ Seq("__t", "__side", "__ord")).map(col): _*))
+
+    // right rows (side 0) sort before left rows at equal __t → "<=" semantics
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // carry the latest right row as ONE struct — per-column carries could
+    // mix values from different right rows when right columns hold nulls
+    val rstruct = when(col("__side") === 0, struct(rightCols.map(col): _*))
+    val carried = unioned.withColumn("__r", last(rstruct, ignoreNulls = true).over(w))
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+}
