@@ -348,6 +348,32 @@ object Queries {
           expr("ts DIV 1000 * 1000").as("ts_ns"), col("o_orderkey"))
     }),
 
+    // Banded range join (graft.ops.RangeJoin): events paired with the
+    // same user's orders placed in the 7 days before the event — bucketed
+    // equi-join, never a per-key cartesian. µs-truncated event times keep
+    // the range predicate identical in both engines.
+    "e4_range_join" -> ((s, dir) => {
+      val week = 7L * 86400000000000L
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000 * 1000").as("ts_ns"))
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"), col("o_orderkey"),
+        (unix_timestamp(col("o_orderdate")) * lit(1000000000L)).as("ord_ns"))
+      graft.ops.RangeJoin.rangeJoin(ev, ord, key = "user_id",
+        leftTimeCol = "ts_ns", rightTimeCol = "ord_ns",
+        lower = -week, upper = 0L)
+        .select(col("event_id"), col("o_orderkey"),
+          expr("(ts_ns - ord_ns) DIV 86400000000000").cast("int").as("day_gap"))
+    }),
+
+    // Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    // same (n-1)p interpolation — verified bit-identical).
+    "s8_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"))),
+
     // ------------------------- extension layer (SURVEY §7.3, north star)
 
     "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -617,6 +643,27 @@ object Queries {
         |  CAST(epoch_ns(e.ts) AS BIGINT) AS ts_ns, od.o_orderkey
         |FROM events e
         |ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.odate""".stripMargin,
+
+    "e4_range_join" ->
+      """WITH e2 AS (
+        |  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns
+        |  FROM events),
+        |od AS (
+        |  SELECT o_custkey AS user_id, o_orderkey,
+        |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 1000000000 AS ord_ns
+        |  FROM orders)
+        |SELECT e2.event_id, od.o_orderkey,
+        |  CAST((e2.ts_ns - od.ord_ns) // 86400000000000 AS INTEGER) AS day_gap
+        |FROM e2 JOIN od ON e2.user_id = od.user_id
+        |  AND od.ord_ns >= e2.ts_ns - 7 * 86400000000000
+        |  AND od.ord_ns <= e2.ts_ns""".stripMargin,
+
+    "s8_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
