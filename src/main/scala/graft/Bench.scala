@@ -20,7 +20,8 @@ object Bench {
     "p1_csv_roundtrip", "p3_filter_symbols", "p5_filter_compound",
     "p6_enrich_project", "p7_wordcount", "a2_sum_group", "a3_minmax_year",
     "j1_join_dims", "j2_join_fact_dims", "j3_join_big", "s1_topn",
-    "s2_window_rank", "s5_distinct_agg", "e1_events_hourly",
+    "s2_window_rank", "s5_distinct_agg", "s8_percentiles",
+    "e1_events_hourly", "e3_asof_join", "e4_range_join",
     "ext_dedup_minhash_pairs", "ext_ann_brute", "ext_text_quality")
 
   def main(args: Array[String]): Unit = {

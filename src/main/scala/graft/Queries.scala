@@ -366,13 +366,13 @@ object Queries {
           expr("(ts_ns - ord_ns) DIV 86400000000000").cast("int").as("day_gap"))
     }),
 
-    // Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
-    // same (n-1)p interpolation — verified bit-identical).
+    // Exact percentiles via the sort-based graft.ops.Percentiles (same
+    // (n-1)p interpolation as DuckDB quantile_cont, bit-identical; bounded
+    // memory, unlike Spark's counts-map `percentile` aggregate).
     "s8_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"))),
+      graft.ops.Percentiles.exactPercentiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))),
 
     // ------------------------- extension layer (SURVEY §7.3, north star)
 

@@ -117,6 +117,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming exact dedup drops repeats across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.streamingExactDedup(in.toDF().toDF("ts", "text"),
+        "ts", Seq("text")),
+      "dedup_test", OutputMode.Append())
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-01-01 10:00:00"), "doc a"), (t("2024-01-01 10:00:01"), "doc b"))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 10:05:00"), "doc a"), // dup, later batch
+        (t("2024-01-01 10:05:01"), "doc c"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_test").select("text").as[String]
+        .collect().sorted.toSeq
+      assert(texts == Seq("doc a", "doc b", "doc c"))
+    } finally q.stop()
+  }
+
+  test("streaming fingerprint dedup ignores whitespace/punctuation variants") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.streamingFingerprintDedup(in.toDF().toDF("ts", "text"), "ts"),
+      "fpdedup_test", OutputMode.Append())
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-01-01 10:00:00"), "The quick fox!"),
+        (t("2024-01-01 10:00:01"), "the   QUICK fox"), // same tokens
+        (t("2024-01-01 10:00:02"), "fox quick the"))   // order differs → kept
+      q.processAllAvailable()
+      assert(spark.table("fpdedup_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("the same logical pipeline runs bounded (T5 unified batch/stream)") {
     val batchLines = Seq("NYSE,ABB,2010-01-04,19.05,19.19,18.90,19.12,1720000,17.84")
       .toDF("value")
