@@ -374,6 +374,20 @@ object Queries {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75))),
 
+    // Analytic window functions: lag/lead/first_value + sliding-frame sum
+    // over each customer's order history (exact integer cents).
+    "s9_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        sum(cents).over(w.rowsBetween(-2, 0)).as("trailing3_cents"))
+    }),
+
     // ------------------------- extension layer (SURVEY §7.3, north star)
 
     "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -664,6 +678,18 @@ object Queries {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s9_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing3_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

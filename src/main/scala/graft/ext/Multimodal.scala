@@ -81,6 +81,43 @@ object Multimodal {
     }
   }
 
+  /**
+   * ===== STUB RESIZE =====
+   * Deterministic fake "resize" to target dimensions: real code would
+   * decode, scale, and re-encode inside the same mapPartitions shape.
+   * The fake keeps every `stride`-th byte where stride preserves the
+   * target/declared pixel ratio — schema and batch mechanics are real.
+   */
+  def resizeStub(payload: Array[Byte], declaredW: Int, declaredH: Int,
+                 targetW: Int, targetH: Int): Array[Byte] = {
+    val declared = math.max(declaredW * declaredH, 1).toLong
+    val target = math.max(targetW * targetH, 1).toLong
+    if (target >= declared || payload.isEmpty) return payload
+    val keep = math.max((payload.length * target / declared).toInt, 1)
+    val out = new Array[Byte](keep)
+    var i = 0
+    while (i < keep) {
+      out(i) = payload((i.toLong * payload.length / keep).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-parallel resize of image-modality rows to a bounding box;
+    * non-image rows pass through untouched. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        if (r.modality != "image") r
+        else MediaRecord(r.doc_id, r.modality,
+          resizeStub(r.payload, r.declared_w, r.declared_h, targetW, targetH),
+          math.min(r.declared_w, targetW), math.min(r.declared_h, targetH))
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frames` fixed-size chunks, one output row per chunk — pure column
     * algebra (posexplode over substrings), fully distributed. */

@@ -114,6 +114,21 @@ class ExtSpec extends SparkSpec {
     assert(frames.map(f => new String(f._2)).toSeq == Seq("ab", "cd", "e"))
   }
 
+  test("multimodal: resize keeps ratio-bounded payload for images only") {
+    val media = Multimodal.fromDocuments(docs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val resized = Multimodal.resizeImages(spark, media, 8, 8).collect()
+    resized.foreach { r =>
+      val orig = media.filter(col("doc_id") === r.doc_id)
+        .select("payload").as[Array[Byte]].head()
+      if (r.modality == "image") {
+        assert(r.payload.length <= orig.length)
+        assert(r.declared_w <= 8 && r.declared_h <= 8)
+      } else assert(r.payload.sameElements(orig))
+    }
+  }
+
   test("multimodal: decode stub yields bounded features per record") {
     val media = Multimodal.fromDocuments(docs
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
