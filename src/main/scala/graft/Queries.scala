@@ -374,6 +374,19 @@ object Queries {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75))),
 
+    // Sessionization via session_window (gap 30 min): the batch shape of
+    // streaming session windows, oracle-checked against a gaps-and-islands
+    // SQL rewrite. µs-truncated timestamps keep both engines identical.
+    "e5_sessionize" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts DIV 1000)").as("tsx"))
+        .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"))),
+
     // Analytic window functions: lag/lead/first_value + sliding-frame sum
     // over each customer's order history (exact integer cents).
     "s9_analytics" -> ((s, dir) => {
@@ -678,6 +691,24 @@ object Queries {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "e5_sessionize" ->
+      """WITH e2 AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 1000 AS ts_us
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e2),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS sess_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "s9_analytics" ->
       """SELECT o_orderkey, o_custkey,

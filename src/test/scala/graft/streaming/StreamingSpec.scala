@@ -153,6 +153,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes clicks within the time window") {
+    implicit val sc = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.clickAttribution(
+        imps.toDF().toDF("imp_id", "imp_ts"),
+        clicks.toDF().toDF("click_imp_id", "click_ts")),
+      "attr_test", OutputMode.Append())
+    try {
+      imps.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, t("2024-01-01 10:30:00")),  // within 1h → attributed
+        (2L, t("2024-01-01 12:00:00")))  // 2h later → outside window
+      q.processAllAvailable()
+      val got = spark.table("attr_test").select("imp_id").as[Long].collect().toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
   test("the same logical pipeline runs bounded (T5 unified batch/stream)") {
     val batchLines = Seq("NYSE,ABB,2010-01-04,19.05,19.19,18.90,19.12,1720000,17.84")
       .toDF("value")
