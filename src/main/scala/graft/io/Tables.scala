@@ -26,4 +26,21 @@ object Tables {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /**
+   * Day-partitioned event layout: `path/<dateCol>=yyyy-MM-dd/part-*.parquet`.
+   * Date-range predicates then prune at the DIRECTORY level
+   * (`PartitionFilters` in the scan) — on a 100 TB event store, a one-day
+   * query reads one day, not 100 TB. `maxRecordsPerFile` bounds part sizes
+   * (the K2 rolling-policy knob generalized to batch layout).
+   */
+  def writeDayPartitioned(df: DataFrame, path: String, tsCol: String,
+                          dateCol: String = "event_date",
+                          maxRecordsPerFile: Long = 5000000): Unit =
+    df.withColumn(dateCol, org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(dateCol)
+      .parquet(path)
 }

@@ -39,6 +39,24 @@ class JoinsSpec extends SparkSpec {
     assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
   }
 
+  test("day-partitioned layout prunes non-matching partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1.0), ("2024-01-01 11:00:00", 2.0),
+      ("2024-01-02 10:00:00", 3.0), ("2024-01-03 10:00:00", 4.0))
+      .toDF("ts_s", "v").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    Tables.writeDayPartitioned(df, s"$tmp/events", "ts")
+
+    val q = spark.read.parquet(s"$tmp/events")
+      .filter($"event_date" === "2024-01-01")
+    assert(q.count() == 2)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-01"),
+      s"expected directory-level pruning:\n$scan")
+    // the pruned scan must not carry a post-scan data filter on event_date
+    assert(!scan.contains("PushedFilters: [IsNotNull(v)"))
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
