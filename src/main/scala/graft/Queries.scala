@@ -348,22 +348,21 @@ object Queries {
           expr("ts DIV 1000 * 1000").as("ts_ns"), col("o_orderkey"))
     }),
 
-    // Banded range join (graft.ops.RangeJoin): events paired with the
-    // same user's orders placed in the 7 days before the event — bucketed
+    // Banded range join (graft.ops.RangeJoin): each event paired with the
+    // same user's STRICTLY EARLIER events in the prior 7 days — bucketed
     // equi-join, never a per-key cartesian. µs-truncated event times keep
     // the range predicate identical in both engines.
     "e4_range_join" -> ((s, dir) => {
       val week = 7L * 86400000000000L
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         expr("ts DIV 1000 * 1000").as("ts_ns"))
-      val ord = t(s, dir, "orders").select(
-        col("o_custkey").as("user_id"), col("o_orderkey"),
-        (unix_timestamp(col("o_orderdate")) * lit(1000000000L)).as("ord_ns"))
-      graft.ops.RangeJoin.rangeJoin(ev, ord, key = "user_id",
-        leftTimeCol = "ts_ns", rightTimeCol = "ord_ns",
-        lower = -week, upper = 0L)
-        .select(col("event_id"), col("o_orderkey"),
-          expr("(ts_ns - ord_ns) DIV 86400000000000").cast("int").as("day_gap"))
+      val prior = ev.select(col("user_id"),
+        col("event_id").as("prior_event_id"), col("ts_ns").as("prior_ns"))
+      graft.ops.RangeJoin.rangeJoin(ev, prior, key = "user_id",
+        leftTimeCol = "ts_ns", rightTimeCol = "prior_ns",
+        lower = -week, upper = -1L)
+        .select(col("event_id"), col("prior_event_id"),
+          expr("(ts_ns - prior_ns) DIV 86400000000000").cast("int").as("day_gap"))
     }),
 
     // Exact percentiles via the sort-based graft.ops.Percentiles (same
@@ -674,16 +673,12 @@ object Queries {
     "e4_range_join" ->
       """WITH e2 AS (
         |  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns
-        |  FROM events),
-        |od AS (
-        |  SELECT o_custkey AS user_id, o_orderkey,
-        |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) * 1000000000 AS ord_ns
-        |  FROM orders)
-        |SELECT e2.event_id, od.o_orderkey,
-        |  CAST((e2.ts_ns - od.ord_ns) // 86400000000000 AS INTEGER) AS day_gap
-        |FROM e2 JOIN od ON e2.user_id = od.user_id
-        |  AND od.ord_ns >= e2.ts_ns - 7 * 86400000000000
-        |  AND od.ord_ns <= e2.ts_ns""".stripMargin,
+        |  FROM events)
+        |SELECT a.event_id, b.event_id AS prior_event_id,
+        |  CAST((a.ts_ns - b.ts_ns) // 86400000000000 AS INTEGER) AS day_gap
+        |FROM e2 a JOIN e2 b ON a.user_id = b.user_id
+        |  AND b.ts_ns >= a.ts_ns - 7 * 86400000000000
+        |  AND b.ts_ns <= a.ts_ns - 1""".stripMargin,
 
     "s8_percentiles" ->
       """SELECT l_returnflag,

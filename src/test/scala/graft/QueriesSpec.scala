@@ -9,15 +9,15 @@ import graft.io.Sources.AppConfig
 class QueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private val expectNonEmpty = Seq(
-    "p1_csv_roundtrip", "p5_filter_compound", "a2_sum_group",
-    "a3_minmax_year", "j3_join_big", "s2_window_rank",
-    "e1_events_hourly", "ext_dedup_minhash_pairs", "ext_ann_brute",
-    "ext_text_quality", "ext_mm_frames")
+  /** Queries whose result is legitimately empty on the small fixture
+    * (no embedding pair reaches cosine 0.95 in the synthetic data). */
+  private val mayBeEmpty = Set("ext_embed_neardup_lsh")
 
-  expectNonEmpty.foreach { name =>
-    test(s"$name runs and returns rows at sf0.001") {
-      assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name runs at sf0.001" +
+      (if (mayBeEmpty(name)) "" else " and returns rows")) {
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0)
     }
   }
 
