@@ -10,6 +10,11 @@ import graft.functions.GraftFunctions
  * (extension layer, SURVEY.md §7.3): exact, MinHash+LSH, SimHash,
  * n-gram Jaccard, embedding-cosine near-dup.
  *
+ * Cache lifecycle: the LSH pipelines persist their shared index
+ * intermediates (MEMORY_AND_DISK — spillable, LRU-evicted). Callers
+ * running many dedup passes in one session can release them with
+ * `spark.catalog.clearCache()` once results are materialized.
+ *
  * 100 TB design rules applied throughout (SURVEY.md §7.4 item 8):
  *  - group/join keys are fixed-width digests or band hashes, never raw text,
  *    so shuffles carry O(bytes-of-key) not O(bytes-of-doc);

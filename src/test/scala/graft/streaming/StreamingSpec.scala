@@ -153,6 +153,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes gap-separated sessions (append mode)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.sessionize(in.toDF().toDF("user_id", "ts")),
+      "sess_test", OutputMode.Append())
+    try {
+      in.addData((7L, t("2024-01-01 10:00:00")), (7L, t("2024-01-01 10:10:00")),
+        (7L, t("2024-01-01 11:30:00"))) // > 30 min gap → second session
+      q.processAllAvailable()
+      in.addData((7L, t("2024-01-01 14:00:00"))) // watermark closes both
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(rows == Set((7L, 2L), (7L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes clicks within the time window") {
     implicit val sc = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp)]
