@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * CSV schema-apply (operator P1 in SURVEY.md §2.3) and its inverse.
@@ -33,4 +33,25 @@ object Csv {
   /** Inverse of parse: all columns → one CSV line (used by the Kafka-shaped
     * sinks and the enrichment projection P6). */
   def format(cols: Seq[Column]): Column = concat_ws(",", cols: _*)
+
+  /**
+   * Quarantine parse for 100 TB ingestion: parses permissively, splitting
+   * the stream into (valid rows, raw malformed lines). One bad row must
+   * neither kill a 1000-executor stage (strict mode) nor silently vanish
+   * (plain permissive) — quarantined lines go to a dead-letter sink for
+   * replay after a parser fix.
+   */
+  def parseQuarantine(df: DataFrame, schema: StructType,
+                      valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt", StringType))
+    val parsed = df.select(col(valueCol), from_csv(col(valueCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt",
+            "ignoreLeadingWhiteSpace" -> "true",
+            "ignoreTrailingWhiteSpace" -> "true")).as("r"))
+    val valid = parsed.filter(col("r._corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+    val quarantined = parsed.filter(col("r._corrupt").isNotNull)
+      .select(col(valueCol).as("raw_line"))
+    (valid, quarantined)
+  }
 }

@@ -24,10 +24,13 @@ object Percentiles {
                        ps: Seq[Double]): DataFrame = {
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(keys: _*)
-    val ranked = df.select(keys :+ col(valueCol) :+
-      (row_number().over(w) - 1).as("__i") :+
-      count(lit(1)).over(wAll).as("__n"): _*)
+    // group sizes via a pre-aggregated broadcast join: an unbounded
+    // count-over-window would force a second full pass over the sorted
+    // partition; the size table is one row per group (metadata-sized)
+    val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val ranked = df.join(broadcast(sizes), keyCols)
+      .select(keys :+ col(valueCol) :+ col("__n") :+
+        (row_number().over(w) - 1).as("__i"): _*)
 
     val aggs = ps.map { p =>
       val h = (col("__n") - 1) * lit(p)

@@ -38,6 +38,18 @@ class OpsSpec extends SparkSpec {
     assert(out.last.getAs[Any]("open") == null)
   }
 
+  test("P1 quarantine parse splits valid rows from malformed lines") {
+    val bad = (goodLines ++ Seq(
+      "NYSE,BAD,2010-01-04,notanumber,1,1,1,1,1",
+      "short,row")).toDF("value")
+    val (valid, quarantined) = Csv.parseQuarantine(bad, Csv.dailyPriceSchema)
+    assert(valid.count() == 4)
+    assert(valid.as[DailyPrice].collect().map(_.symbol).toSet ==
+      Set("ABB", "IBM", "CAT", "GE"))
+    val q = quarantined.as[String].collect()
+    assert(q.length == 2 && q.exists(_.contains("notanumber")))
+  }
+
   test("F2: week-year variant reproduces the reference bug on Dec 28-31") {
     val df = Seq("2010-12-31", "2010-06-15").toDF("trdate")
       .select(Dates.extractYear(col("trdate")).as("correct"),
