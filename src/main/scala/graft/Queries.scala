@@ -288,6 +288,15 @@ object Queries {
         .intersect(
           t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey"))),
 
+    // Approximate distinct (HyperLogLog++): the sketch path for cardinality
+    // at 100 TB — fixed-size state, partial-aggregable. No SQL oracle
+    // (DuckDB's HLL differs); accuracy vs exact is pinned by unit test and
+    // the exact twin s5_distinct_agg is oracle-checked.
+    "s10_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))),
+
     // DISTINCT aggregation (Spark plans the two-phase distinct-agg expand).
     "s5_distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")

@@ -21,6 +21,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct tracks the exact counts within its rsd bound") {
+    val approx = SparkEntry.queries("s10_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = SparkEntry.queries("s5_distinct_agg")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s < 0.1, s"$k supps: $as_ vs $s")
+    }
+  }
+
+  test("count-min sketch estimates heavy-hitter frequencies") {
+    val cms = spark.read.parquet(s"$dir/lineitem.parquet")
+      .stat.countMinSketch("l_returnflag", eps = 0.001, confidence = 0.99, seed = 42)
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val est = cms.estimateCount(flag)
+      assert(est >= n && est <= (n * 1.01 + 100).toLong, s"$flag: $est vs $n")
+    }
+  }
+
   test("every declared oracle has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
