@@ -149,6 +149,65 @@ object Sinks {
       }
   }
 
+  /**
+   * Effectively-exactly-once JDBC sink (the §7.4 item-1 answer): Spark's
+   * sinks are at-least-once under retries — the same micro-batch (epoch)
+   * can be delivered twice. This wrapper records committed epochs in a
+   * tracking table inside the SAME transaction as the data write, and
+   * skips epochs already present on replay: duplicate delivery becomes a
+   * no-op, which composes with any idempotent or append-only target.
+   * (Same design as transactional sink commit protocols; the tracking
+   * table needs `(query_id text, epoch_id bigint, PRIMARY KEY(query_id,
+   * epoch_id))`.)
+   */
+  class JdbcEpochIdempotent(connect: () => Connection, queryId: String,
+                            trackingTable: String = "graft_epochs")
+      extends Serializable {
+
+    /** Run `write(conn)` exactly once per epoch: returns false if the
+      * epoch was already committed (replay detected). */
+    def writeEpoch(epochId: Long)(write: Connection => Unit): Boolean = {
+      val conn = connect()
+      try {
+        conn.setAutoCommit(false)
+        val check = conn.prepareStatement(
+          s"SELECT 1 FROM $trackingTable WHERE query_id = ? AND epoch_id = ?")
+        check.setString(1, queryId)
+        check.setLong(2, epochId)
+        val rs = check.executeQuery()
+        val seen = rs != null && rs.next()
+        check.close()
+        if (seen) { conn.rollback(); false }
+        else {
+          write(conn)
+          val mark = conn.prepareStatement(
+            s"INSERT INTO $trackingTable (query_id, epoch_id) VALUES (?, ?)")
+          mark.setString(1, queryId)
+          mark.setLong(2, epochId)
+          mark.executeUpdate()
+          mark.close()
+          conn.commit()
+          true
+        }
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+    }
+
+    /** foreachBatch adapter: rows are collected per micro-batch on the
+      * driver ONLY for modest sink volumes (dimension-table refresh
+      * shape); high-volume paths should partition the epoch write. */
+    def sink(insertSql: String, bind: (PreparedStatement, Row) => Unit)
+            (batch: DataFrame, epochId: Long): Unit = {
+      val rows = batch.collect()
+      writeEpoch(epochId) { conn =>
+        val ps = conn.prepareStatement(insertSql)
+        try rows.foreach { r => bind(ps, r); ps.executeUpdate() }
+        finally ps.close()
+      }
+    }
+  }
+
   /** K4: declarative JDBC batch append (reference JdbcSink.sink with
     * batchSize 1000 — flinkStreamingJDBCSink02.scala:107-128). Retries are
     * Spark task retries; `batchsize` matches the reference knob. */

@@ -70,6 +70,72 @@ object FakeDb {
       Array(classOf[Connection]), new ConnectionHandler).asInstanceOf[Connection]
 }
 
+/** Transactional fake for the epoch-idempotent sink: tracks committed
+  * epochs and appended rows, honoring select/insert/commit/rollback. */
+object FakeTxDb {
+  val epochs = scala.collection.mutable.Set[(String, Long)]()
+  val rows = scala.collection.mutable.ArrayBuffer[String]()
+  private val pendingEpochs = scala.collection.mutable.Set[(String, Long)]()
+  private val pendingRows = scala.collection.mutable.ArrayBuffer[String]()
+
+  def reset(): Unit = { epochs.clear(); rows.clear(); pendingEpochs.clear(); pendingRows.clear() }
+
+  private class Stmt(sql: String) extends InvocationHandler {
+    private val params = scala.collection.mutable.Map[Int, Any]()
+    override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "setString" | "setLong" =>
+          params(args(0).asInstanceOf[Int]) = args(1); null
+        case "executeQuery" =>
+          val seen = FakeTxDb.synchronized(epochs.contains(
+            (params(1).asInstanceOf[String], params(2).asInstanceOf[Long])))
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[java.sql.ResultSet]), new InvocationHandler {
+              private var first = true
+              override def invoke(p: AnyRef, mm: Method, a: Array[AnyRef]): AnyRef =
+                mm.getName match {
+                  case "next" =>
+                    val r = first && seen; first = false; java.lang.Boolean.valueOf(r)
+                  case _ => null
+                }
+            })
+        case "executeUpdate" =>
+          FakeTxDb.synchronized {
+            if (sql.contains("graft_epochs"))
+              pendingEpochs += ((params(1).asInstanceOf[String],
+                params(2).asInstanceOf[Long]))
+            else pendingRows += params(1).asInstanceOf[String]
+          }
+          Integer.valueOf(1)
+        case _ => null
+      }
+  }
+
+  private class Conn extends InvocationHandler {
+    override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "prepareStatement" =>
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[PreparedStatement]),
+            new Stmt(args(0).asInstanceOf[String]))
+        case "commit" =>
+          FakeTxDb.synchronized {
+            epochs ++= pendingEpochs; rows ++= pendingRows
+            pendingEpochs.clear(); pendingRows.clear()
+          }
+          null
+        case "rollback" =>
+          FakeTxDb.synchronized { pendingEpochs.clear(); pendingRows.clear() }
+          null
+        case _ => null
+      }
+  }
+
+  def connect(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), new Conn).asInstanceOf[Connection]
+}
+
 class JdbcUpsertSpec extends SparkSpec {
   import spark.implicits._
 
@@ -107,6 +173,19 @@ class JdbcUpsertSpec extends SparkSpec {
     readings.foreach(w.process)
     w.close(null)
     assert(FakeDb.table.get("sensor_1").iteration == 2)
+  }
+
+  test("epoch-idempotent sink writes each epoch once, replays are no-ops") {
+    FakeTxDb.reset()
+    val sink = new Sinks.JdbcEpochIdempotent(() => FakeTxDb.connect(), "q1")
+    val df = Seq("r1", "r2").toDF("v")
+    val write = sink.sink("INSERT INTO t (v) VALUES (?)",
+      (ps, r) => ps.setString(1, r.getString(0))) _
+    write(df, 0L)
+    write(df, 0L) // replayed epoch → skipped
+    write(df, 1L)
+    assert(FakeTxDb.rows.size == 4) // 2 rows × 2 distinct epochs
+    assert(FakeTxDb.epochs == Set(("q1", 0L), ("q1", 1L)))
   }
 
   test("UpsertSql renders the reference statements") {
