@@ -32,6 +32,11 @@ object AsofJoin {
                leftTime: Column, rightTime: Column,
                rightCols: Seq[String], rightOrd: Column): DataFrame = {
     val leftCols = left.columns.toSeq
+    val overlap = leftCols.toSet.intersect(rightCols.toSet)
+    require(overlap.isEmpty,
+      s"rename right columns colliding with the left side first: $overlap")
+    require(rightCols.forall(right.columns.contains),
+      s"rightCols must exist on the right side: $rightCols")
     val l = left
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))

@@ -23,6 +23,9 @@ object RangeJoin {
                 lower: Long, upper: Long,
                 bucketSize: Long = 0L): DataFrame = {
     require(upper >= lower, "upper must be >= lower")
+    val overlap = (left.columns.toSet - key).intersect(right.columns.toSet - key)
+    require(overlap.isEmpty,
+      s"rename columns shared by both sides (except the key) first: $overlap")
     val b = if (bucketSize > 0) bucketSize else math.max(upper - lower, 1L)
     val lb = left.withColumn("__bucket", explode(expr(
       s"sequence(($leftTimeCol + ${lower}L) DIV ${b}L, ($leftTimeCol + ${upper}L) DIV ${b}L)")))
