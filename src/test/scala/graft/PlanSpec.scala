@@ -1,0 +1,51 @@
+package graft
+
+/** Structural guards on the physical plans of key queries — the scale
+  * properties (pushdown, broadcast, bounded top-k, group-limit) must not
+  * silently regress when queries are refactored. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("p3: the set filter reaches the parquet scan") {
+    val p = plan("p3_filter_symbols")
+    assert(p.contains("PushedFilters: [In(l_returnflag"), p)
+  }
+
+  test("p3: the scan reads only the projected columns") {
+    val p = plan("p3_filter_symbols")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("a2: aggregation is partial+final around one exchange") {
+    val p = plan("a2_sum_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("j1: dimension joins broadcast (no sort-merge shuffle)") {
+    val p = plan("j1_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("s1: top-N is TakeOrderedAndProject, not a full sort") {
+    val p = plan("s1_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s2: rank filter plans as WindowGroupLimit before and after the shuffle") {
+    val p = plan("s2_window_rank")
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
+  }
+
+  test("ann brute: bounded top-k aggregates partially before the shuffle") {
+    val p = plan("ext_ann_brute")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_topkbyscore|partial.*TopKByScore|topkbyscore".r
+      .findAllIn(p.toLowerCase).nonEmpty, p)
+  }
+}
