@@ -409,6 +409,75 @@ object Queries {
         sum(cents).over(w.rowsBetween(-2, 0)).as("trailing3_cents"))
     }),
 
+    // CUBE over both group keys (Expand-based grouping sets plan).
+    "s11_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), cents(col("l_quantity")).as("qty_cents"))),
+
+    // Explicit GROUPING SETS through the SQL parser.
+    "s12_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("t_li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM t_li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+              |                        (l_returnflag, l_linestatus))""".stripMargin)
+    }),
+
+    // Anti-join / NOT EXISTS: customers that never placed a high-value
+    // order (filter keeps the build side small and the result non-empty
+    // at every scale factor).
+    "s13_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // Pivot: status counts as columns (explicit value list keeps the
+    // schema fixed without a driver-side distinct pass — essential at
+    // scale; missing combos coalesced to 0 to match SQL FILTER counts).
+    "s14_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"))),
+
+    // Correlated scalar subquery (decorrelated to an aggregate+join by
+    // Catalyst): each customer's most expensive order. max() is exact on
+    // doubles, so the equality predicate is engine-independent.
+    "s15_corr_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("t_ord_sq")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM t_ord_sq o
+              |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+              |                      FROM t_ord_sq o2
+              |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // UNION ALL of two tagged branches of the same source.
+    "s16_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(lit("open").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "F")
+          .select(lit("done").as("bucket"), col("o_orderkey"), col("o_totalprice")))
+    }),
+
+    // Full-outer join of two differently-filtered aggregates (null-padded
+    // sides; the USING join coalesces the key like SQL FULL JOIN + COALESCE).
+    "s17_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_open"))
+      val done = o.filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_done"))
+      open.join(done, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"), col("n_open"), col("n_done"))
+    }),
+
     // ------------------------- extension layer (SURVEY §7.3, north star)
 
     "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -725,6 +794,52 @@ object Queries {
         |    AS trailing3_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "s11_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_quantity")} AS qty_cents
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "s12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin,
+
+    "s13_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)""".stripMargin,
+
+    "s14_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS cnt_f,
+        |  CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS cnt_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s15_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "s16_union_all" ->
+      """SELECT 'open' AS bucket, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'done' AS bucket, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "s17_full_outer" ->
+      """WITH opn AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_open
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |don AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_done
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT coalesce(opn.o_custkey, don.o_custkey) AS o_custkey,
+        |  n_open, n_done
+        |FROM opn FULL JOIN don ON opn.o_custkey = don.o_custkey""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
