@@ -478,6 +478,17 @@ object Queries {
         .select(col("o_custkey"), col("n_open"), col("n_done"))
     }),
 
+    // Unpivot (wide→long reshape): three measure columns melted into
+    // (metric, val) rows — the inverse of s14_pivot, Expand-based, no shuffle.
+    "s18_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")),
+
     // ------------------------- extension layer (SURVEY §7.3, north star)
 
     "ext_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -840,6 +851,16 @@ object Queries {
         |SELECT coalesce(opn.o_custkey, don.o_custkey) AS o_custkey,
         |  n_open, n_done
         |FROM opn FULL JOIN don ON opn.o_custkey = don.o_custkey""".stripMargin,
+
+    "s18_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
   }
 
+  test("s13: anti-join broadcasts the filtered build side") {
+    val p = plan("s13_antijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
+  }
+
+  test("s18: unpivot is a single Expand, no shuffle") {
+    val p = plan("s18_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)
