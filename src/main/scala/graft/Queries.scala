@@ -577,6 +577,22 @@ object Queries {
           sum(length(col("text"))).cast("long").as("total_chars"))
     }),
 
+    // Deterministic train/val/test split via a multiplicative hash of the
+    // id — reproducible at any parallelism or file layout (unlike
+    // df.sample, whose output depends on partitioning), so the same
+    // document lands in the same split on a laptop or a 1000-executor
+    // cluster. ~1% val / ~1% test / 98% train.
+    "ext_split_assign" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(h < 42949673L, "val")
+            .when(h < 85899346L, "test")
+            .otherwise("train").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     "ext_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
 
@@ -950,6 +966,17 @@ object Queries {
          |    ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin
     },
+
+    "ext_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS hv
+        |  FROM documents)
+        |SELECT CASE WHEN hv < 42949673 THEN 'val'
+        |            WHEN hv < 85899346 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY 1, 2""".stripMargin,
 
     "ext_mm_meta" ->
       """SELECT doc_id,
