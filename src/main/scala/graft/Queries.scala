@@ -200,6 +200,20 @@ object Queries {
         datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("dd"),
         date_add(to_date(col("o_orderdate")), 30).as("d30"))),
 
+    // Nested/array columns: per-order collected lists (sort_array makes
+    // collect_list order-deterministic at any parallelism) + array scalars.
+    "f3_nested_arrays" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_list(col("l_linenumber"))).as("linenos"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_orderkey"), col("statuses"), col("linenos"),
+          col("n_lines"),
+          array_contains(col("statuses"), "O").as("has_open"),
+          size(col("linenos")).as("n_size"))),
+
     // A2: SQL grouped sum (flinkStreamTable.scala:73), TPC-H Q1 shape.
     "a2_sum_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -662,6 +676,18 @@ object Queries {
         |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
         |  CAST(o_orderdate AS DATE) + 30 AS d30
         |FROM orders""".stripMargin,
+
+    "f3_nested_arrays" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |    list_sort(list(l_linenumber)) AS linenos,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, statuses, linenos, n_lines,
+        |  list_contains(statuses, 'O') AS has_open,
+        |  CAST(len(linenos) AS INTEGER) AS n_size
+        |FROM g""".stripMargin,
 
     "a2_sum_group" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
