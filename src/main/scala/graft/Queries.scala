@@ -214,6 +214,20 @@ object Queries {
           array_contains(col("statuses"), "O").as("has_open"),
           size(col("linenos")).as("n_size"))),
 
+    // Higher-order array functions (transform/filter/aggregate/exists)
+    // over a generated sequence — all-integer lambdas, so results are
+    // engine-exact. (HOF lambdas are interpreted, not codegen'd — fine
+    // here; hot paths use the custom kernels in graft.functions.)
+    "f4_higher_order" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sequence(lit(1L), col("l_linenumber").cast("long")).as("seq"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          aggregate(col("seq"), lit(0L), (a, x) => a + x).as("tri"),
+          transform(col("seq"), x => x * x).as("squares"),
+          filter(col("seq"), x => x % 2 === 1).as("odds"),
+          exists(col("seq"), x => x % 5 === 0).as("has_mult5"))),
+
     // A2: SQL grouped sum (flinkStreamTable.scala:73), TPC-H Q1 shape.
     "a2_sum_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -589,6 +603,23 @@ object Queries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
+
+    // Dataset profiling in one pass: row/non-null/distinct counts, exact
+    // min/max, and exact integer first+second moments (floored dollars so
+    // the squared sum stays far inside BIGINT at any scale) — the stats
+    // from which mean/variance derive without FP summation-order drift.
+    "ext_profile_stats" -> ((s, dir) => {
+      val fl = floor(col("o_totalprice")).cast("long")
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        sum(fl).as("sum_floor"),
+        sum(fl * fl).as("sumsq_floor"),
+        count_distinct(col("o_orderstatus")).as("n_status"),
+        count_distinct(col("o_custkey")).as("n_cust"))
     }),
 
     // Deterministic train/val/test split via a multiplicative hash of the
@@ -992,6 +1023,27 @@ object Queries {
          |    ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin
     },
+
+    "f4_higher_order" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS tri,
+        |  list_transform(range(1, l_linenumber + 1), x -> x * x) AS squares,
+        |  list_filter(range(1, l_linenumber + 1), x -> x % 2 = 1) AS odds,
+        |  len(list_filter(range(1, l_linenumber + 1), x -> x % 5 = 0)) > 0
+        |    AS has_mult5
+        |FROM lineitem""".stripMargin,
+
+    "ext_profile_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_totalprice) AS BIGINT) AS n_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)
+        |         * CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sumsq_floor,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders""".stripMargin,
 
     "ext_split_assign" ->
       """WITH h AS (
