@@ -54,6 +54,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("s15: correlated subquery decorrelates to aggregate + join") {
+    val p = plan("s15_corr_subquery")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final max
+    assert(p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("subquery"), p) // no per-row execution
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)
