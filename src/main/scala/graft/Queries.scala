@@ -638,6 +638,21 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Batch packing for training: assign documents to fixed-budget bins
+    // (4000 chars) via an exact prefix sum — deterministic at any
+    // parallelism. Windows partition by lang so packing parallelizes per
+    // group; at 100 TB the partition key becomes lang × hash-prefix so no
+    // single window serializes the corpus.
+    "ext_pack_bins" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("cum_before"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("cum_before DIV 4000").as("bin"))
+    }),
+
     "ext_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
 
@@ -1055,6 +1070,14 @@ object Queries {
         |            ELSE 'train' END AS split,
         |  lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "ext_pack_bins" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 4000 AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
 
     "ext_mm_meta" ->
       """SELECT doc_id,
