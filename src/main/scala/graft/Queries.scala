@@ -584,6 +584,17 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))),
 
+    // Corpus n-gram document frequency (the statistic behind the df-cut in
+    // ngramJaccardPairs): distinct 3-shingles per doc via the codegen
+    // kernel, exploded and counted — shuffle key is the shingle string,
+    // partial-aggregated map-side.
+    "ext_ngram_df" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(GraftFunctions.shingle_set(
+          GraftFunctions.tokens_lc(col("text")), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)),
+
     // Rolling-hash fingerprint + SimHash per doc (custom kernels, no oracle).
     "ext_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1070,6 +1081,18 @@ object Queries {
         |            ELSE 'train' END AS split,
         |  lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "ext_ngram_df" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles
+         |  FROM toks WHERE len(tk) >= 3)
+         |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
+         |FROM (SELECT unnest(shingles) AS s FROM sh)
+         |GROUP BY s HAVING count(*) >= 3""".stripMargin,
 
     "ext_pack_bins" ->
       """SELECT doc_id, lang, n_chars,
