@@ -228,6 +228,19 @@ object Queries {
           filter(col("seq"), x => x % 2 === 1).as("odds"),
           exists(col("seq"), x => x % 5 === 0).as("has_mult5"))),
 
+    // Conditional / null-handling scalars: CASE tiers, NULLIF+COALESCE,
+    // LEAST/GREATEST — threshold compares are on raw parquet doubles, so
+    // both engines branch identically.
+    "f5_conditionals" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_totalprice") > 250000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_x"),
+        least(year(col("o_orderdate")), lit(1997)).as("yr_floor"),
+        greatest(year(col("o_orderdate")), lit(1997)).as("yr_ceil"))),
+
     // A2: SQL grouped sum (flinkStreamTable.scala:73), TPC-H Q1 shape.
     "a2_sum_group" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1049,6 +1062,16 @@ object Queries {
          |    ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin
     },
+
+    "f5_conditionals" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 250000.0 THEN 'high'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'low' END AS tier,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+        |  CAST(least(year(o_orderdate), 1997) AS INTEGER) AS yr_floor,
+        |  CAST(greatest(year(o_orderdate), 1997) AS INTEGER) AS yr_ceil
+        |FROM orders""".stripMargin,
 
     "f4_higher_order" ->
       """SELECT l_orderkey, l_linenumber,
