@@ -662,6 +662,21 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Test-set decontamination: drop training documents whose content
+    // digest appears in the eval split (doc_id % 10 == 0 stands in for the
+    // benchmark set). Anti-join on the 32-byte digest, never the text —
+    // fixed-width shuffle keys at any corpus size, and the distinct eval
+    // digest set broadcasts when small.
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        .select(sha2(col("text"), 256).as("digest")).distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("digest", sha2(col("text"), 256))
+        .join(evalSet, Seq("digest"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // Batch packing for training: assign documents to fixed-budget bins
     // (4000 chars) via an exact prefix sum — deterministic at any
     // parallelism. Windows partition by lang so packing parallelizes per
@@ -1116,6 +1131,11 @@ object Queries {
          |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
          |FROM (SELECT unnest(shingles) AS s FROM sh)
          |GROUP BY s HAVING count(*) >= 3""".stripMargin,
+
+    "ext_decontaminate" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
 
     "ext_pack_bins" ->
       """SELECT doc_id, lang, n_chars,
