@@ -119,6 +119,33 @@ object Queries {
        |  + (CASE WHEN ($avgTokSql) >= 2.0 AND ($avgTokSql) <= 12.0
        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)""".stripMargin
 
+  /** Raw array-typed f3 plan: per-order collected lists + array scalars.
+    * Declared query serializes the list columns (driver comparator limit);
+    * this form is the one unit-tested for array semantics. */
+  def nestedArraysRaw(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(
+        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        sort_array(collect_list(col("l_linenumber"))).as("linenos"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_orderkey"), col("statuses"), col("linenos"),
+        col("n_lines"),
+        array_contains(col("statuses"), "O").as("has_open"),
+        size(col("linenos")).as("n_size"))
+
+  /** Raw array-typed f4 plan: HOF transform/filter/aggregate/exists over a
+    * generated 1..n sequence (long elements so both engines agree). */
+  def higherOrderRaw(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sequence(lit(1L), col("l_linenumber").cast("long")).as("seq"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        aggregate(col("seq"), lit(0L), (a, x) => a + x).as("tri"),
+        transform(col("seq"), x => x * x).as("squares"),
+        filter(col("seq"), x => x % 2 === 1).as("odds"),
+        exists(col("seq"), x => x % 5 === 0).as("has_mult5"))
+
   // ---------------------------------------------------------------- queries
 
   val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -202,31 +229,28 @@ object Queries {
 
     // Nested/array columns: per-order collected lists (sort_array makes
     // collect_list order-deterministic at any parallelism) + array scalars.
+    // Declared output serializes the arrays to comma-joined strings — the
+    // driver's pandas comparator cannot canonicalize array cells. The
+    // raw-array construction (nestedArraysRaw) stays covered in QueriesSpec.
     "f3_nested_arrays" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          sort_array(collect_list(col("l_linenumber"))).as("linenos"),
-          count(lit(1)).as("n_lines"))
-        .select(col("l_orderkey"), col("statuses"), col("linenos"),
-          col("n_lines"),
-          array_contains(col("statuses"), "O").as("has_open"),
-          size(col("linenos")).as("n_size"))),
+      nestedArraysRaw(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"),
+          array_join(col("statuses"), ",").as("statuses"),
+          array_join(col("linenos").cast("array<string>"), ",").as("linenos"),
+          col("n_lines"), col("has_open"), col("n_size"))),
 
     // Higher-order array functions (transform/filter/aggregate/exists)
     // over a generated sequence — all-integer lambdas, so results are
     // engine-exact. (HOF lambdas are interpreted, not codegen'd — fine
     // here; hot paths use the custom kernels in graft.functions.)
+    // Array outputs are comma-joined for the driver comparator; the raw
+    // arrays (higherOrderRaw) stay covered in QueriesSpec.
     "f4_higher_order" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          sequence(lit(1L), col("l_linenumber").cast("long")).as("seq"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          aggregate(col("seq"), lit(0L), (a, x) => a + x).as("tri"),
-          transform(col("seq"), x => x * x).as("squares"),
-          filter(col("seq"), x => x % 2 === 1).as("odds"),
-          exists(col("seq"), x => x % 5 === 0).as("has_mult5"))),
+      higherOrderRaw(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("tri"),
+          array_join(col("squares").cast("array<string>"), ",").as("squares"),
+          array_join(col("odds").cast("array<string>"), ",").as("odds"),
+          col("has_mult5"))),
 
     // Conditional / null-handling scalars: CASE tiers, NULLIF+COALESCE,
     // LEAST/GREATEST — threshold compares are on raw parquet doubles, so
@@ -651,8 +675,19 @@ object Queries {
     // df.sample, whose output depends on partitioning), so the same
     // document lands in the same split on a laptop or a 1000-executor
     // cluster. ~1% val / ~1% test / 98% train.
+    //
+    // Multilinear hash over the 21-bit limbs of doc_id: each product is
+    // ≤ 2^21 · 2^32 ≈ 2^53, so the arithmetic never leaves BIGINT for the
+    // whole non-negative id domain [0, 2^63) — a naive doc_id * K would
+    // silently wrap in non-ANSI Spark at doc_id ≳ 3.5e9 while DuckDB
+    // raises, a latent engine divergence at multi-billion-doc scale.
+    // (For doc_id < 2^21 the value equals (doc_id * 2654435761) mod 2^32.)
     "ext_split_assign" -> ((s, dir) => {
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val h = expr(
+        """pmod(pmod(doc_id, 2097152) * 2654435761L
+          |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+          |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+          .stripMargin)
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           when(h < 42949673L, "val")
@@ -765,13 +800,16 @@ object Queries {
     "f3_nested_arrays" ->
       """WITH g AS (
         |  SELECT l_orderkey,
-        |    list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        |    list_sort(list(l_linenumber)) AS linenos,
+        |    list_sort(list(DISTINCT l_linestatus)) AS statuses_a,
+        |    list_sort(list(l_linenumber)) AS linenos_a,
         |    CAST(count(*) AS BIGINT) AS n_lines
         |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT l_orderkey, statuses, linenos, n_lines,
-        |  list_contains(statuses, 'O') AS has_open,
-        |  CAST(len(linenos) AS INTEGER) AS n_size
+        |SELECT l_orderkey,
+        |  array_to_string(statuses_a, ',') AS statuses,
+        |  array_to_string(linenos_a, ',') AS linenos,
+        |  n_lines,
+        |  list_contains(statuses_a, 'O') AS has_open,
+        |  CAST(len(linenos_a) AS INTEGER) AS n_size
         |FROM g""".stripMargin,
 
     "a2_sum_group" ->
@@ -1091,8 +1129,12 @@ object Queries {
     "f4_higher_order" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS tri,
-        |  list_transform(range(1, l_linenumber + 1), x -> x * x) AS squares,
-        |  list_filter(range(1, l_linenumber + 1), x -> x % 2 = 1) AS odds,
+        |  array_to_string(
+        |    list_transform(range(1, l_linenumber + 1), x -> x * x), ',')
+        |    AS squares,
+        |  array_to_string(
+        |    list_filter(range(1, l_linenumber + 1), x -> x % 2 = 1), ',')
+        |    AS odds,
         |  len(list_filter(range(1, l_linenumber + 1), x -> x % 5 = 0)) > 0
         |    AS has_mult5
         |FROM lineitem""".stripMargin,
@@ -1112,7 +1154,9 @@ object Queries {
     "ext_split_assign" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
-        |    (doc_id * 2654435761) % 4294967296 AS hv
+        |    ((doc_id % 2097152) * 2654435761
+        |     + ((doc_id // 2097152) % 2097152) * 2246822519
+        |     + (doc_id // 4398046511104) * 3266489917) % 4294967296 AS hv
         |  FROM documents)
         |SELECT CASE WHEN hv < 42949673 THEN 'val'
         |            WHEN hv < 85899346 THEN 'test'

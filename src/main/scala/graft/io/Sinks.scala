@@ -13,9 +13,11 @@ import graft.model.SensorReading
  *
  * Delivery-semantics note (§7.4 item 1): Spark's Kafka/JDBC sinks are
  * at-least-once under retries; the reference's transactional exactly-once
- * producer (K1) is deliberately NOT faked. Instead outputs are
- * idempotent-keyed — the K3 upsert protocol rewrites the same row on
- * replay, which is the same recovery story the reference relies on.
+ * producer (K1) is deliberately NOT faked. K3 reproduces the reference's
+ * accumulate-on-update protocol (`sensor_temp = sensor_temp + ?`,
+ * `iteration + 1`), so a task retry/replay double-accumulates — it is
+ * at-least-once, NOT replay-idempotent. Replay-sensitive paths should use
+ * [[JdbcEpochIdempotent]], whose epoch marker makes re-delivery a no-op.
  */
 object Sinks {
 
@@ -194,9 +196,73 @@ object Sinks {
       } finally conn.close()
     }
 
-    /** foreachBatch adapter: rows are collected per micro-batch on the
-      * driver ONLY for modest sink volumes (dimension-table refresh
-      * shape); high-volume paths should partition the epoch write. */
+    /**
+     * The flagship scale path: partitioned epoch write, no driver
+     * materialization. Phase 1 — every partition streams its rows into
+     * `stagingTable` over its OWN connection, first deleting its
+     * (query, epoch, partition) slice so a task retry overwrites rather
+     * than duplicates; each partition commits independently (staging is
+     * exactly-once per slice). Phase 2 — ONE driver-side transaction
+     * promotes the epoch's staging rows into the target via the
+     * set-based `promoteSql` (INSERT .. SELECT, executed inside the
+     * database — no row crosses the driver), records the epoch marker,
+     * and clears staging, all atomically. A replayed epoch re-stages and
+     * is then skipped by the marker check; its staging slice is cleaned
+     * up so replays leave no residue.
+     *
+     * Contracts: `stagingInsertSql` parameters 1-3 are
+     * (query_id, epoch_id, part_id) — `bind` binds data columns from
+     * index 4; `promoteSql` parameters 1-2 are (query_id, epoch_id).
+     */
+    def sinkPartitioned(stagingTable: String, stagingInsertSql: String,
+                        bind: (PreparedStatement, Row) => Unit,
+                        promoteSql: String)
+                       (batch: DataFrame, epochId: Long): Unit = {
+      val qid = queryId
+      val open = connect
+      batch.foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conn = open()
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(s"DELETE FROM $stagingTable " +
+            "WHERE query_id = ? AND epoch_id = ? AND part_id = ?")
+          del.setString(1, qid); del.setLong(2, epochId); del.setInt(3, pid)
+          del.executeUpdate(); del.close()
+          val ps = conn.prepareStatement(stagingInsertSql)
+          try it.foreach { r =>
+            ps.setString(1, qid); ps.setLong(2, epochId); ps.setInt(3, pid)
+            bind(ps, r); ps.executeUpdate()
+          } finally ps.close()
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+        finally conn.close()
+      }
+      val promoted = writeEpoch(epochId) { conn =>
+        val ps = conn.prepareStatement(promoteSql)
+        ps.setString(1, qid); ps.setLong(2, epochId)
+        ps.executeUpdate(); ps.close()
+        val clean = conn.prepareStatement(
+          s"DELETE FROM $stagingTable WHERE query_id = ? AND epoch_id = ?")
+        clean.setString(1, qid); clean.setLong(2, epochId)
+        clean.executeUpdate(); clean.close()
+      }
+      if (!promoted) {
+        // replayed epoch: the marker txn skipped, but phase 1 re-staged —
+        // clear the orphan slice (autocommit; idempotent)
+        val conn = open()
+        try {
+          val clean = conn.prepareStatement(
+            s"DELETE FROM $stagingTable WHERE query_id = ? AND epoch_id = ?")
+          clean.setString(1, qid); clean.setLong(2, epochId)
+          clean.executeUpdate(); clean.close()
+        } finally conn.close()
+      }
+    }
+
+    /** foreachBatch adapter for SMALL outputs only (dimension-table
+      * refresh shape): rows are collected on the driver. Anything with
+      * real volume belongs on [[sinkPartitioned]]. */
     def sink(insertSql: String, bind: (PreparedStatement, Row) => Unit)
             (batch: DataFrame, epochId: Long): Unit = {
       val rows = batch.collect()

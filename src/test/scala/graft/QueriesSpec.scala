@@ -45,6 +45,41 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("f3/f4 raw array variants agree with the serialized declared outputs") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+
+    val f3raw = Queries.nestedArraysRaw(li)
+      .select(col("l_orderkey"),
+        array_join(col("statuses"), ",").as("statuses"),
+        array_join(col("linenos").cast("array<string>"), ",").as("linenos"),
+        col("n_lines"), col("has_open"), col("n_size"))
+    val f3 = SparkEntry.queries("f3_nested_arrays")(spark, dir)
+    assert(f3raw.exceptAll(f3).isEmpty && f3.exceptAll(f3raw).isEmpty)
+    // array semantics: statuses is a distinct sorted set, linenos keeps dups
+    val probe = Queries.nestedArraysRaw(li)
+      .select(size(col("statuses")).as("ns"), col("n_lines"), col("n_size"))
+      .agg(max(col("ns")).as("mx"), sum((col("n_size") === col("n_lines"))
+        .cast("long")).as("eq"), count(lit(1)).as("n")).head()
+    assert(probe.getAs[Int]("mx") <= 3)               // only F/O/P statuses
+    assert(probe.getAs[Long]("eq") == probe.getAs[Long]("n"))
+
+    val f4raw = Queries.higherOrderRaw(li)
+      .select(col("l_orderkey"), col("l_linenumber"), col("tri"),
+        array_join(col("squares").cast("array<string>"), ",").as("squares"),
+        array_join(col("odds").cast("array<string>"), ",").as("odds"),
+        col("has_mult5"))
+    val f4 = SparkEntry.queries("f4_higher_order")(spark, dir)
+    assert(f4raw.exceptAll(f4).isEmpty && f4.exceptAll(f4raw).isEmpty)
+    // spot-check lambda semantics on a known n
+    val r7 = Queries.higherOrderRaw(li).filter(col("l_linenumber") === 7).head()
+    assert(r7.getAs[Long]("tri") == 28L)
+    assert(r7.getAs[scala.collection.Seq[Long]]("squares") ==
+      Seq(1L, 4L, 9L, 16L, 25L, 36L, 49L))
+    assert(r7.getAs[scala.collection.Seq[Long]]("odds") == Seq(1L, 3L, 5L, 7L))
+    assert(r7.getAs[Boolean]("has_mult5"))
+  }
+
   test("every declared oracle has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

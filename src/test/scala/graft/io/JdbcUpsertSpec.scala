@@ -136,6 +136,93 @@ object FakeTxDb {
       Array(classOf[Connection]), new Conn).asInstanceOf[Connection]
 }
 
+/** Transactional fake with a staging table and PER-CONNECTION pending
+  * state, so concurrent partition transactions don't interleave (the
+  * partitioned epoch sink commits one transaction per partition in
+  * parallel). Autocommit connections apply statements immediately. */
+object FakeStagingDb {
+  val epochs = scala.collection.mutable.Set[(String, Long)]()
+  val staging = scala.collection.mutable.ArrayBuffer[(String, Long, Int, String)]()
+  val target = scala.collection.mutable.ArrayBuffer[String]()
+  var stagingDeletes = 0
+
+  def reset(): Unit = this.synchronized {
+    epochs.clear(); staging.clear(); target.clear(); stagingDeletes = 0
+  }
+
+  private class Stmt(sql: String, conn: Conn) extends InvocationHandler {
+    private val params = scala.collection.mutable.Map[Int, Any]()
+    override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "setString" | "setLong" | "setInt" =>
+          params(args(0).asInstanceOf[Int]) = args(1); null
+        case "executeQuery" => // epoch marker check
+          val seen = FakeStagingDb.synchronized(epochs.contains(
+            (params(1).asInstanceOf[String], params(2).asInstanceOf[Long])))
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[java.sql.ResultSet]), new InvocationHandler {
+              private var first = true
+              override def invoke(p: AnyRef, mm: Method, a: Array[AnyRef]): AnyRef =
+                mm.getName match {
+                  case "next" =>
+                    val r = first && seen; first = false
+                    java.lang.Boolean.valueOf(r)
+                  case _ => null
+                }
+            })
+        case "executeUpdate" =>
+          val p = params.toMap
+          val op: () => Unit =
+            if (sql.startsWith("INSERT INTO staging")) { () =>
+              staging += ((p(1).asInstanceOf[String], p(2).asInstanceOf[Long],
+                p(3).asInstanceOf[Int], p(4).asInstanceOf[String]))
+            } else if (sql.startsWith("DELETE FROM staging") && sql.contains("part_id")) { () =>
+              stagingDeletes += 1
+              val k = (p(1).asInstanceOf[String], p(2).asInstanceOf[Long],
+                p(3).asInstanceOf[Int])
+              staging.filterInPlace(s => (s._1, s._2, s._3) != k)
+            } else if (sql.startsWith("DELETE FROM staging")) { () =>
+              val k = (p(1).asInstanceOf[String], p(2).asInstanceOf[Long])
+              staging.filterInPlace(s => (s._1, s._2) != k)
+            } else if (sql.contains("graft_epochs")) { () =>
+              epochs += ((p(1).asInstanceOf[String], p(2).asInstanceOf[Long]))
+            } else { () => // promote: INSERT INTO target SELECT .. FROM staging
+              val k = (p(1).asInstanceOf[String], p(2).asInstanceOf[Long])
+              target ++= staging.filter(s => (s._1, s._2) == k).map(_._4)
+            }
+          conn.enqueue(op)
+          Integer.valueOf(1)
+        case _ => null
+      }
+  }
+
+  private class Conn extends InvocationHandler {
+    private var autoCommit = true
+    private val pending = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    def enqueue(op: () => Unit): Unit =
+      if (autoCommit) FakeStagingDb.synchronized(op())
+      else pending += op
+    override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "setAutoCommit" =>
+          autoCommit = args(0).asInstanceOf[java.lang.Boolean]; null
+        case "prepareStatement" =>
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[PreparedStatement]),
+            new Stmt(args(0).asInstanceOf[String], this))
+        case "commit" =>
+          FakeStagingDb.synchronized { pending.foreach(_()); pending.clear() }
+          null
+        case "rollback" => pending.clear(); null
+        case _ => null
+      }
+  }
+
+  def connect(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), new Conn).asInstanceOf[Connection]
+}
+
 class JdbcUpsertSpec extends SparkSpec {
   import spark.implicits._
 
@@ -186,6 +273,31 @@ class JdbcUpsertSpec extends SparkSpec {
     write(df, 1L)
     assert(FakeTxDb.rows.size == 4) // 2 rows × 2 distinct epochs
     assert(FakeTxDb.epochs == Set(("q1", 0L), ("q1", 1L)))
+  }
+
+  test("partitioned epoch sink: staged per-partition, promoted once, replay residue-free") {
+    FakeStagingDb.reset()
+    val sink = new Sinks.JdbcEpochIdempotent(() => FakeStagingDb.connect(), "qp")
+    val df = Seq("r1", "r2", "r3", "r4").toDF("v").repartition(2)
+    val write = sink.sinkPartitioned(
+      "staging",
+      "INSERT INTO staging (query_id, epoch_id, part_id, v) VALUES (?, ?, ?, ?)",
+      (ps, r) => ps.setString(4, r.getString(0)),
+      "INSERT INTO target (v) SELECT v FROM staging WHERE query_id = ? AND epoch_id = ?") _
+
+    write(df, 0L)
+    assert(FakeStagingDb.target.sorted == Seq("r1", "r2", "r3", "r4"))
+    assert(FakeStagingDb.staging.isEmpty)              // promoted + cleaned
+    assert(FakeStagingDb.epochs == Set(("qp", 0L)))
+    assert(FakeStagingDb.stagingDeletes >= 2)          // delete-before-insert per slice
+
+    write(df, 0L)                                      // full epoch replay
+    assert(FakeStagingDb.target.size == 4)             // no double-promote
+    assert(FakeStagingDb.staging.isEmpty)              // replay slice cleaned up
+
+    write(df, 1L)
+    assert(FakeStagingDb.target.size == 8)
+    assert(FakeStagingDb.epochs == Set(("qp", 0L), ("qp", 1L)))
   }
 
   test("UpsertSql renders the reference statements") {

@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state is evicted once the watermark passes (bounded state)") {
+    // Pins the dropDuplicatesWithinWatermark semantics: a duplicate arriving
+    // AFTER the watermark has passed first-occurrence + delay is re-emitted
+    // (its state row was evicted) — the price of bounded state on an
+    // unbounded stream, and the documented contract of streamingExactDedup.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.streamingExactDedup(in.toDF().toDF("ts", "text"),
+        "ts", Seq("text"), lateness = "1 hour"),
+      "dedup_evict_test", OutputMode.Append())
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-01-01 10:00:00"), "doc x"))
+      q.processAllAvailable()                       // watermark → 09:00
+      in.addData((t("2024-01-01 13:00:00"), "advance"))
+      q.processAllAvailable()                       // watermark → 12:00 > 10:00+1h: evict
+      in.addData((t("2024-01-01 13:30:00"), "doc x")) // state gone → re-emitted
+      q.processAllAvailable()
+      val n = spark.table("dedup_evict_test")
+        .filter(org.apache.spark.sql.functions.col("text") === "doc x").count()
+      assert(n == 2, s"expected re-emission after state eviction, got $n")
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup ignores whitespace/punctuation variants") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
