@@ -64,6 +64,91 @@ object Queries {
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  // ------------------------------------------------------------------------
+  // DuckDB mirror of the graft hash kernels (HashFns.fnv1a / mix64,
+  // ExprKernels.fingerprint64 / simhash64) — bit-exact, verified against
+  // the Spark dump row-for-row. 64-bit wrapping arithmetic is emulated in
+  // an unsigned-HUGEINT domain [0, 2^64): DuckDB BIGINT errors on overflow
+  // instead of wrapping, so wrapping multiplies split the constant into
+  // 32-bit halves (every intermediate stays < 2^96 « HUGEINT max) and
+  // xor round-trips through signed BIGINT (two's-complement bitwise).
+  private def uHuge(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + 18446744073709551616 " +
+      s"ELSE CAST(($x) AS HUGEINT) END)"
+  private def sBig(x: String): String =
+    s"(CASE WHEN ($x) >= 9223372036854775808 " +
+      s"THEN CAST(($x) - 18446744073709551616 AS BIGINT) " +
+      s"ELSE CAST(($x) AS BIGINT) END)"
+  private def xor64Sql(a: String, b: String): String =
+    uHuge(s"xor(${sBig(a)}, ${sBig(b)})")
+  private def wrapmulSql(a: String, c: BigInt): String = {
+    val lo = c & 0xffffffffL
+    val hi = c >> 32
+    s"((($a) * $lo + ((($a) % 4294967296) * $hi) % 4294967296 " +
+      s"* 4294967296) % 18446744073709551616)"
+  }
+  private val FnvOffsetU = BigInt("14695981039346656037") // 0xcbf29ce484222325
+  private val FnvPrimeU = BigInt("1099511628211")         // 0x100000001b3
+  private val GoldU = BigInt("11400714819323198485")      // 0x9e3779b97f4a7c15
+  private val MixC2 = BigInt("13787848793156543929")      // 0xbf58476d1ce4e5b9
+  private val MixC3 = BigInt("10723151780598845931")      // 0x94d049bb133111eb
+
+  /** FNV-1a over an ASCII token expression (tokens are [a-z0-9]+, so char
+    * code = byte); xor with a byte only touches the low 8 bits. */
+  private def fnv1aSql(tok: String): String = {
+    val lowXor = uHuge(s"xor(${sBig("h % 256")}, ${sBig("b")})")
+    val step = wrapmulSql(s"h - h % 256 + $lowXor", FnvPrimeU)
+    s"list_reduce(list_prepend(CAST($FnvOffsetU AS HUGEINT), " +
+      s"list_transform(string_split($tok, ''), c -> CAST(ascii(c) AS HUGEINT))), " +
+      s"(h, b) -> $step)"
+  }
+
+  /** SplitMix64 finalizer as a chain of CTE column stages z0→za→…→`outCol`
+    * (CTE columns keep the expansion linear; inlining would be 2^k-sized). */
+  private def mix64Ctes(prefix: String, keyCol: String, outCol: String): String = {
+    val stages = Seq(
+      "za" -> s"((z0 + $GoldU) % 18446744073709551616)",
+      "xa" -> xor64Sql("za", "za // 1073741824"), //  z ^ (z >>> 30)
+      "zb" -> wrapmulSql("xa", MixC2),
+      "xb" -> xor64Sql("zb", "zb // 134217728"),  //  z ^ (z >>> 27)
+      "zc" -> wrapmulSql("xb", MixC3),
+      outCol -> xor64Sql("zc", "zc // 2147483648")) // z ^ (z >>> 31)
+    stages.zipWithIndex.map { case ((name, e), i) =>
+      val src = if (i == 0) s"${prefix}0" else s"$prefix${i}"
+      val in = if (i == 0) "z0" else stages(i - 1)._1
+      s"$prefix${i + 1} AS (SELECT $keyCol, $in, $e AS $name FROM $src)"
+    }.mkString(",\n")
+  }
+
+  /** fingerprint64 accumulator: fnv1a per token, polynomial combine in the
+    * golden-ratio multiplier, starting from the FNV offset. */
+  private def fpAccSql: String =
+    s"list_reduce(list_prepend(CAST($FnvOffsetU AS HUGEINT), " +
+      s"list_transform($tokSql, t -> ${fnv1aSql("t")})), " +
+      s"(h, t) -> (${wrapmulSql("h", GoldU)} + t) % 18446744073709551616)"
+
+  /** Per-(doc, token) SimHash fingerprints CTE chain ending in `fps`
+    * (doc_id, fpu): h = mix64(fnv1a(token)) per token, 64 per-bit sign
+    * votes, bit set where votes > 0; tokenless docs get fingerprint 0. */
+  private def simhashCtes: String =
+    s"""tk AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+       |h0 AS (SELECT doc_id, ${fnv1aSql("tok")} AS z0 FROM tk),
+       |${mix64Ctes("h", "doc_id", "h")},
+       |bits AS (SELECT unnest(range(0, 64)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h // CAST(2.0 ** b AS HUGEINT)) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS v
+       |  FROM h6 CROSS JOIN bits GROUP BY doc_id, b),
+       |fps AS (
+       |  SELECT d.doc_id,
+       |    coalesce(f.fpu, 0) AS fpu
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id,
+       |      coalesce(sum(CASE WHEN v > 0 THEN CAST(2.0 ** b AS HUGEINT)
+       |                   ELSE 0 END), 0) AS fpu
+       |    FROM votes GROUP BY doc_id) f ON d.doc_id = f.doc_id)""".stripMargin
+
   /** CTE chain computing exact 3-word-shingle overlap counts over `src`
     * (inverted-index join) — building block for the Jaccard oracles. */
   private def jaccardCtes(src: String): String =
@@ -145,6 +230,39 @@ object Queries {
         transform(col("seq"), x => x * x).as("squares"),
         filter(col("seq"), x => x % 2 === 1).as("odds"),
         exists(col("seq"), x => x % 5 === 0).as("has_mult5"))
+
+  /**
+   * Two-level prefix-sum batch packing: documents are packed into
+   * fixed-budget bins (`budget` chars) in deterministic
+   * (lang, sub, doc_id) order, where `sub = doc_id % numSubs` splits each
+   * language into `numSubs` hash-prefix sub-partitions.
+   *
+   * Scale shape: the per-row window partitions on BOTH (lang, sub), so the
+   * dominant language parallelizes across `numSubs` tasks instead of
+   * serializing into one; the cross-sub offsets come from a prefix sum
+   * over the (langs × numSubs)-row totals table — metadata-sized, so the
+   * offset join broadcasts. Raise `numSubs` with corpus size (256 at
+   * 100 TB); the output stays deterministic for any value.
+   */
+  def packBins(documents: DataFrame, budget: Long = 4000L,
+               numSubs: Int = 16): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"), col("n_chars"),
+      pmod(col("doc_id"), lit(numSubs.toLong)).as("sub"))
+    val wLocal = Window.partitionBy("lang", "sub").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.select(col("doc_id"), col("lang"), col("sub"),
+      col("n_chars"),
+      coalesce(sum(col("n_chars")).over(wLocal), lit(0L)).as("local_before"))
+    val wOff = Window.partitionBy("lang").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "sub")
+      .agg(sum(col("n_chars")).as("sub_total"))
+      .select(col("lang"), col("sub"),
+        coalesce(sum(col("sub_total")).over(wOff), lit(0L)).as("sub_offset"))
+    local.join(broadcast(offsets), Seq("lang", "sub"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"(local_before + sub_offset) DIV $budget").as("bin"))
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -592,10 +710,13 @@ object Queries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
-    // …and the IVF scale path (approximate — rows-only check).
+    // …and the IVF scale path (approximate — rows-only check; recall@5
+    // vs brute force is pinned ≥ 0.9 in ExtSpec). Quantizer sized to the
+    // test corpus (~500-2000 vectors): 8 cells, probe 6, 2 Lloyd passes.
     "ext_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numCentroids = 8, nprobe = 6, kmeansIters = 2)
     }),
 
     "ext_text_tokens" -> ((s, dir) => {
@@ -713,19 +834,11 @@ object Queries {
     }),
 
     // Batch packing for training: assign documents to fixed-budget bins
-    // (4000 chars) via an exact prefix sum — deterministic at any
-    // parallelism. Windows partition by lang so packing parallelizes per
-    // group; at 100 TB the partition key becomes lang × hash-prefix so no
-    // single window serializes the corpus.
-    "ext_pack_bins" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("cum_before"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          expr("cum_before DIV 4000").as("bin"))
-    }),
+    // (4000 chars) via an exact two-level prefix sum (see [[packBins]]) —
+    // deterministic at any parallelism, and no window ever serializes a
+    // whole language.
+    "ext_pack_bins" -> ((s, dir) =>
+      packBins(t(s, dir, "documents"))),
 
     "ext_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
@@ -1080,6 +1193,28 @@ object Queries {
          |  ($qualitySql) AS quality
          |FROM documents""".stripMargin,
 
+    // Bit-exact DuckDB reimplementation of fingerprint64 + simhash64 (see
+    // the hash-mirror helpers above) — the custom kernels are fully
+    // oracle-checked, not rows-only.
+    "ext_text_fingerprint" ->
+      s"""WITH f0 AS (SELECT doc_id, $fpAccSql AS z0 FROM documents),
+         |${mix64Ctes("f", "doc_id", "fpu")},
+         |$simhashCtes
+         |SELECT f6.doc_id, ${sBig("f6.fpu")} AS fp,
+         |  ${sBig("fps.fpu")} AS simhash
+         |FROM f6 JOIN fps ON f6.doc_id = fps.doc_id""".stripMargin,
+
+    // Exact all-pairs Hamming join over the mirrored SimHash fingerprints:
+    // O(n²) is fine oracle-side; the Spark side's quarter-blocked
+    // pigeonhole candidates are exact for maxHamming 3, so the sets match.
+    "ext_dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |sfp AS (SELECT doc_id, ${sBig("fpu")} AS fp FROM fps)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
     "ext_pipeline_curate" ->
       s"""WITH good AS (
          |  SELECT doc_id, lang, text FROM documents
@@ -1182,12 +1317,28 @@ object Queries {
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
 
     "ext_pack_bins" ->
-      """SELECT doc_id, lang, n_chars,
-        |  CAST(coalesce(sum(n_chars) OVER (
-        |      PARTITION BY lang ORDER BY doc_id
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, doc_id % 16 AS sub FROM documents),
+        |loc AS (
+        |  SELECT doc_id, lang, sub, n_chars,
+        |    coalesce(sum(n_chars) OVER (
+        |      PARTITION BY lang, sub ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 4000 AS BIGINT) AS bin
-        |FROM documents""".stripMargin,
+        |      AS local_before
+        |  FROM base),
+        |tot AS (
+        |  SELECT lang, sub, sum(n_chars) AS sub_total
+        |  FROM base GROUP BY lang, sub),
+        |off AS (
+        |  SELECT lang, sub,
+        |    coalesce(sum(sub_total) OVER (
+        |      PARTITION BY lang ORDER BY sub
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sub_offset
+        |  FROM tot)
+        |SELECT l.doc_id, l.lang, l.n_chars,
+        |  CAST((l.local_before + o.sub_offset) // 4000 AS BIGINT) AS bin
+        |FROM loc l JOIN off o USING (lang, sub)""".stripMargin,
 
     "ext_mm_meta" ->
       """SELECT doc_id,

@@ -41,29 +41,66 @@ object Similarity {
    * Nearest Neighbor Search", TPAMI 2011 — inverted-list part only, no PQ
    * compression); queries probe the `nprobe` nearest cells.
    *
-   * The coarse quantizer is model state (here a deterministic stride
-   * sample of the corpus; at real scale k-means trained offline). Its
-   * centroid matrix is metadata-sized, so it is collected once and baked
-   * into a [[graft.functions.NearestCentroids]] codegen expression —
+   * The coarse quantizer is model state: a FIXED number of centroids
+   * (`numCentroids`, default 256) chosen as a deterministic hash-ordered
+   * sample of the corpus — a distributed TakeOrdered, so the driver
+   * receives exactly `numCentroids` rows no matter how large the corpus
+   * is (a stride sample would grow the driver collect linearly with
+   * corpus size — a driver OOM at 100 TB). At real scale the quantizer
+   * would be k-means trained offline; hash-ordered sampling keeps the
+   * same contract (bounded, deterministic, parallelism-independent).
+   * The centroid matrix is metadata-sized, so it is collected once and
+   * baked into a [[graft.functions.NearestCentroids]] codegen expression —
    * cell assignment is then a pure projection over the corpus scan (no
    * join, no shuffle of vectors), the probe side broadcasts (queries are
    * the small side by construction), and only O(k) rows per query cross
    * the final shuffle via the bounded top-k aggregate.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidStride: Int = 50, nprobe: Int = 4,
+              numCentroids: Int = 256, nprobe: Int = 4,
+              kmeansIters: Int = 2, sampleFactor: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.GraftFunctions.nearest_centroids
-    // quantizer = bounded model state (|corpus|/stride vectors), not data
-    val centRows = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
-    require(centRows.nonEmpty, "corpus yields no centroids — lower centroidStride")
+    // quantizer init = bounded model state: exactly numCentroids vectors
+    val centRows = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(numCentroids)
+      .collect()
+    require(centRows.nonEmpty, "corpus is empty — no centroids")
     val dim = centRows.head.getSeq[Float](1).length
-    val cents = new Array[Float](centRows.length * dim)
+    var cents = new Array[Float](centRows.length * dim)
     centRows.zipWithIndex.foreach { case (r, i) =>
       val v = r.getSeq[Float](1)
       var j = 0
       while (j < dim) { cents(i * dim + j) = v(j); j += 1 }
+    }
+
+    // Lloyd refinement (spherical k-means: cosine assignment, per-cell
+    // mean) on a BOUNDED hash-ordered sample — training cost and every
+    // driver transfer are independent of corpus size: the sample is
+    // `numCentroids * sampleFactor` rows that stay distributed; only the
+    // (cells × dim) mean matrix comes back per iteration.
+    if (kmeansIters > 0) {
+      val sample = corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(math.max(numCentroids * sampleFactor, numCentroids))
+        .cache()
+      try {
+        for (_ <- 1 to kmeansIters) {
+          val means = sample
+            .select(nearest_centroids(col(vecCol), cents, dim, 1)
+              .getItem(0).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+            .groupBy("cell", "pos").agg(avg("x").as("m"))
+            .collect() // ≤ numCentroids × dim rows — metadata-sized
+          val next = cents.clone() // empty cells keep their old centroid
+          means.foreach { r =>
+            next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2).toFloat
+          }
+          cents = next
+        }
+      } finally sample.unpersist()
     }
 
     val assigned = corpus

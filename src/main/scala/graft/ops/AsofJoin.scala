@@ -31,6 +31,73 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: Column, rightTime: Column,
                rightCols: Seq[String], rightOrd: Column): DataFrame = {
+    val (unioned, leftCols) =
+      unionTagged(left, right, key, leftTime, rightTime, rightCols, rightOrd)
+
+    // right rows (side 0) sort before left rows at equal __t → "<=" semantics
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // carry the latest right row as ONE struct — per-column carries could
+    // mix values from different right rows when right columns hold nulls
+    val rstruct = when(col("__side") === 0, struct(rightCols.map(col): _*))
+    val carried = unioned.withColumn("__r", last(rstruct, ignoreNulls = true).over(w))
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /**
+   * Hot-key-hardened as-of join, result-identical to [[asofJoin]]: when a
+   * single key's history exceeds one task (the plain variant's window
+   * serializes each key), split the timeline with `bucketOf` (a
+   * monotonic time → bucket-id mapping, e.g. `t => floor over a day`)
+   * and resolve in two levels — the row-level window partitions on
+   * (key, bucket) so a hot key parallelizes across its buckets, and
+   * cross-bucket carry-in comes from a per-(key, bucket) "latest right
+   * row" table (one row per bucket — metadata-sized) prefix-carried over
+   * buckets. Struct-level coalesce keeps right-row atomicity.
+   */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: Column, rightTime: Column,
+                     rightCols: Seq[String], rightOrd: Column)
+                    (bucketOf: Column => Column): DataFrame = {
+    val (tagged, leftCols) =
+      unionTagged(left, right, key, leftTime, rightTime, rightCols, rightOrd)
+    val unioned = tagged.withColumn("__b", bucketOf(col("__t")))
+    val rstruct = when(col("__side") === 0, struct(rightCols.map(col): _*))
+
+    // level 1: resolve within each (key, bucket)
+    val wIn = Window.partitionBy(key, "__b")
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__rin", last(rstruct, ignoreNulls = true).over(wIn))
+
+    // level 2: latest right struct per (key, bucket), prefix-carried to
+    // later buckets; include left-only buckets so they get a carry-in too
+    val lastPerBucket = unioned.filter(col("__side") === 0)
+      .groupBy(key, "__b")
+      .agg(max_by(struct(rightCols.map(col): _*),
+        struct(col("__t"), col("__ord"))).as("__last"))
+    val wB = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = unioned.select(col(key), col("__b")).distinct()
+      .join(lastPerBucket, Seq(key, "__b"), "left")
+      .withColumn("__cin", last(col("__last"), ignoreNulls = true).over(wB))
+      .select(col(key), col("__b"), col("__cin"))
+
+    carried.filter(col("__side") === 1)
+      .join(carryIn, Seq(key, "__b"), "left")
+      .withColumn("__r", coalesce(col("__rin"), col("__cin")))
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Shared plumbing: tag each side, pad missing columns with typed
+    * nulls, union — columns (leftCols ++ rightCols ++ __t/__side/__ord). */
+  private def unionTagged(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: Column, rightTime: Column,
+                          rightCols: Seq[String], rightOrd: Column)
+      : (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     val overlap = leftCols.toSet.intersect(rightCols.toSet)
     require(overlap.isEmpty,
@@ -53,19 +120,8 @@ object AsofJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumnRenamed("__k", key)
 
-    val unioned = lPadded.select((leftCols ++ rightCols ++ Seq("__t", "__side", "__ord")).map(col): _*)
-      .unionByName(rPadded.select((leftCols ++ rightCols ++ Seq("__t", "__side", "__ord")).map(col): _*))
-
-    // right rows (side 0) sort before left rows at equal __t → "<=" semantics
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    // carry the latest right row as ONE struct — per-column carries could
-    // mix values from different right rows when right columns hold nulls
-    val rstruct = when(col("__side") === 0, struct(rightCols.map(col): _*))
-    val carried = unioned.withColumn("__r", last(rstruct, ignoreNulls = true).over(w))
-
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
+    val cols = leftCols ++ rightCols ++ Seq("__t", "__side", "__ord")
+    (lPadded.select(cols.map(col): _*)
+      .unionByName(rPadded.select(cols.map(col): _*)), leftCols)
   }
 }

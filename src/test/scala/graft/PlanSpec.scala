@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("subquery"), p) // no per-row execution
   }
 
+  test("ext_pack_bins: per-row window partitions on (lang, sub); offset join broadcasts") {
+    val p = plan("ext_pack_bins")
+    // the row-level prefix-sum sort must carry BOTH partition keys — a
+    // lang-only window would serialize the dominant language at scale
+    assert("Sort \\[lang[^\\]]*ASC NULLS FIRST, sub[^\\]]*ASC NULLS FIRST, doc_id"
+      .r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)

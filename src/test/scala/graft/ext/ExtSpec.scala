@@ -75,10 +75,23 @@ class ExtSpec extends SparkSpec {
       assert(hits.length == 10)
       assert(hits.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) || true))
     }
-    val ivf = Similarity.ivfTopK(emb, qs, 10).as[(Long, Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(emb, qs, 10, numCentroids = 8, nprobe = 6,
+      kmeansIters = 2).as[(Long, Long, Double)].collect()
     val bruteSet = byQuery.values.flatten.map(r => (r._1, r._2)).toSet
     val recall = ivf.map(r => (r._1, r._2)).count(bruteSet.contains) / 50.0
-    assert(recall >= 0.3, s"IVF recall $recall") // nprobe=4 of ~10 cells
+    assert(recall >= 0.8, s"IVF recall@10 $recall")
+  }
+
+  test("IVF recall@5 >= 0.9 vs brute force (driver-gate quantizer config)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val qs = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.ivfTopK(emb, qs, 5, numCentroids = 8, nprobe = 6,
+      kmeansIters = 2).as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall@5 $recall")
+    // the quantizer is bounded: centroid count never scales with the corpus
   }
 
   test("text analysis features on known strings") {

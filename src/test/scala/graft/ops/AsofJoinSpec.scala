@@ -33,6 +33,36 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4) == ((5L, None, None)))
   }
 
+  test("salted variant equals the unsalted join (synthetic edge cases)") {
+    // buckets of width 10 cut right between events: carry-in must cross
+    // bucket borders, left-only buckets must still see earlier quotes
+    val plain = AsofJoin.asofJoin(trades, quotes, "sym",
+      col("tt"), col("qt"), Seq("px", "note"), rightOrd = col("px"))
+    val salted = AsofJoin.asofJoinSalted(trades, quotes, "sym",
+      col("tt"), col("qt"), Seq("px", "note"), rightOrd = col("px"))(
+      t => floor(t / 10).cast("long"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted variant equals the unsalted join on the events table") {
+    // the e3 query shape: page_view events as-of-joined to purchase events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("sec"), col("value"))
+    val l = ev.filter(col("event_type") === "page_view")
+      .select(col("user_id"), col("sec").as("lsec"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("rsec"), col("value"))
+    val plain = AsofJoin.asofJoin(l, r, "user_id",
+      col("lsec"), col("rsec"), Seq("rsec", "value"), rightOrd = col("rsec"))
+    val salted = AsofJoin.asofJoinSalted(l, r, "user_id",
+      col("lsec"), col("rsec"), Seq("rsec", "value"), rightOrd = col("rsec"))(
+      t => floor(t / 86400).cast("long")) // daily buckets
+    assert(plain.count() == salted.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("right row carried atomically (no cross-row column mixing)") {
     // latest quote has a null note; a per-column carry would back-fill it
     val q = Seq(("A", 10L, 1.0, Some("early")), ("A", 20L, 2.0, None))
