@@ -688,7 +688,18 @@ object Queries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 128,
         bands = 32, shingleWords = 3, threshold = 0.8)),
 
-    // SimHash near-dup (no SQL oracle: the fingerprint is a custom kernel).
+    // Near-dup clusters: connected components over the LSH pair graph —
+    // similarity is not transitive, so survivor election needs the
+    // closure. Oracle: recursive-CTE reachability over the exact-Jaccard
+    // pair graph (≡ the LSH pairs, see ext_dedup_minhash_pairs).
+    "ext_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.connectedComponents(docs,
+        Dedup.minhashLshPairs(docs, numHashes = 128, bands = 32,
+          shingleWords = 3, threshold = 0.8))
+    }),
+
+    // SimHash near-dup (oracle: bit-exact DuckDB kernel mirror).
     "ext_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
 
@@ -758,6 +769,15 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"),
         GraftFunctions.fingerprint64(TextAnalysis.tokens(col("text"))).as("fp"),
         GraftFunctions.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))),
+
+    // Overlapping fixed-window chunking (500 chars, stride 400) — the
+    // long-document prep step before tokenize/embed.
+    "ext_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"))),
+
+    // Duplicate-shingle repetition ratio (boilerplate/spam signal).
+    "ext_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))),
 
     // Composite curation pipeline (the 100 TB training-data shape):
     // quality-score filter → MinHash-LSH near-dedup → per-language stats.
@@ -1151,6 +1171,23 @@ object Queries {
 
     "ext_dedup_minhash_pairs" -> jaccardPairsSql(0.8),
 
+    // Reachability closure over the exact-Jaccard pair graph; min
+    // reachable id per node = cluster id.
+    "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes("documents")},
+         |pr AS (
+         |  SELECT id_a, id_b
+         |  FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |  WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.v, ed.dst FROM reach JOIN ed ON reach.u = ed.src)
+         |SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY v""".stripMargin,
+
     "ext_dedup_ngram_jaccard" -> jaccardPairsSql(0.8),
 
     "ext_embed_neardup_brute" ->
@@ -1192,6 +1229,39 @@ object Queries {
          |  ($avgTokSql) AS avg_token_len,
          |  ($qualitySql) AS quality
          |FROM documents""".stripMargin,
+
+    "ext_chunk_docs" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    1 + (greatest(length(text) - 500, 0) + 399) // 400 AS n_chunks
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS k
+        |  FROM c)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |  substring(text, CAST(k * 400 + 1 AS INTEGER), 500) AS chunk,
+        |  CAST(length(substring(text, CAST(k * 400 + 1 AS INTEGER), 500))
+        |    AS BIGINT) AS chunk_len,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks
+        |FROM ex""".stripMargin,
+
+    "ext_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    greatest(len(tk) - 2, 0) AS n_shingles,
+         |    len(list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 2, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])))
+         |      AS n_distinct
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CASE WHEN n_shingles > 0
+         |    THEN CAST(1.0 AS DOUBLE)
+         |      - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio
+         |FROM sh""".stripMargin,
 
     // Bit-exact DuckDB reimplementation of fingerprint64 + simhash64 (see
     // the hash-mirror helpers above) — the custom kernels are fully

@@ -134,6 +134,58 @@ object Dedup {
   }
 
   /**
+   * Connected components over a dup-pair edge list → (doc_id, cluster_id)
+   * where cluster_id is the smallest doc id reachable through the pair
+   * graph (singletons are their own cluster). This is the principled
+   * bridge from dup PAIRS to cluster representatives: similarity is not
+   * transitive, so near-dup groups must be closed before electing one
+   * survivor per group.
+   *
+   * Algorithm: min-label propagation with per-round pointer halving
+   * (each round also replaces a node's label with its label's label) —
+   * the halving step is what turns O(diameter) convergence into
+   * O(log diameter), the standard hash-to-min / Union-Find-contraction
+   * trade (cf. Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC 2014). Every round shuffles only fixed-width
+   * (id, label) rows; iteration stops at the fixpoint (count of changed
+   * labels, one action per round) or `maxIters`.
+   */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id",
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("v"), col(idCol).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val halved = stepped
+        .join(stepped.select(col("v").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = halved
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = halved
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit SimHash per doc; block on the four
    * 16-bit quarters (two docs within Hamming distance 3 must agree on at
    * least one quarter — pigeonhole); verify `bit_count(a^b) <= maxHamming`.

@@ -116,6 +116,53 @@ object TextAnalysis {
     (lenOk * 0.3 + punctOk * 0.3 + stopOk * 0.2 + tokOk * 0.2)
   }
 
+  /**
+   * Fixed-window character chunking with overlap — the standard prep step
+   * before tokenization/embedding of long documents. Chunk k covers
+   * chars [k·stride, k·stride + chunkSize); the chunk count
+   * `1 + ceil(max(len - chunkSize, 0) / stride)` is pure integer
+   * arithmetic (engine-exact) and guarantees full coverage with
+   * `chunkSize - stride` chars of overlap. A narrow per-row transform:
+   * no shuffle, fan-out bounded by doc length / stride.
+   */
+  def chunkDocs(df: DataFrame, chunkSize: Int = 500, stride: Int = 400,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "need stride > 0 and chunkSize >= stride (non-negative overlap)")
+    df.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(length(__text) - $chunkSize, 0) + $stride - 1) DIV $stride"))
+      .select(col(idCol), col("n_chunks"),
+        posexplode(expr(
+          s"transform(sequence(0L, n_chunks - 1), k -> substring(__text, CAST(k * $stride + 1 AS INT), $chunkSize))")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk"), length(col("col")).cast("long").as("chunk_len"),
+        col("n_chunks"))
+  }
+
+  /**
+   * Repetition ratio: fraction of duplicate word 3-shingles,
+   * `1 - distinct/total` — high values flag boilerplate/spam for
+   * quality filtering. Both counts come from the codegen'd shingle
+   * kernel; the division is the only floating-point op, identical in
+   * both engines.
+   */
+  def repetition(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", shingleWords: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        greatest(size(col("__toks")) - (shingleWords - 1), lit(0))
+          .cast("long").as("n_shingles"),
+        size(GraftFunctions.shingle_set(col("__toks"), shingleWords))
+          .cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_shingles"), col("n_distinct"),
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_shingles").cast("double"))
+          .otherwise(0.0).as("rep_ratio"))
+  }
+
   /** One-scan feature projection over a documents table: the token array
     * is computed once per row and shared by every token-derived feature. */
   def qualityFeatures(df: DataFrame, textCol: String = "text",

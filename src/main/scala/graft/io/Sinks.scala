@@ -40,8 +40,8 @@ object Sinks {
    * .scala:165-194): hourly buckets `yyyy-MM-dd--HH`, roll by interval /
    * part size. Spark mapping: `partitionBy` on an ingest-hour bucket
    * column + processing-time trigger for cadence + `maxRecordsPerFile`
-   * bounding part size (bytes-exact 10 MB rolling has no native knob —
-   * approximated by records; documented divergence §7.4).
+   * bounding part size by records. For the reference's bytes-exact 10 MB
+   * cap use [[writeRollingBytes]] via foreachBatch.
    */
   def rollingTextFiles(df: DataFrame, path: String, checkpointDir: String,
                        triggerInterval: String = "15 minutes",
@@ -53,6 +53,56 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")
       .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /**
+   * K2, bytes-exact: rolls part files at `maxBytes` like the reference's
+   * `withMaxPartSize(10 MB)` — and with the SAME granularity: Flink's
+   * rolling policy is per subtask, so here each PARTITION writes its own
+   * `part-<epoch>-<partition>-<seq>` files under `bucket=<hour>/`,
+   * starting a new one once the current file crosses the byte cap (a
+   * file can overshoot by at most one record, exactly like Flink, which
+   * also checks size between records). Writes go through the Hadoop
+   * FileSystem API, so any `hdfs://`/`s3a://`/local URI works; file
+   * names are deterministic per (epoch, partition), so a replayed epoch
+   * overwrites its own files instead of duplicating them.
+   *
+   * Wire into a stream as `.writeStream.foreachBatch(writeRollingBytes(
+   * path, maxBytes)).trigger(...)` — the trigger interval supplies the
+   * reference's rollover-interval dimension.
+   */
+  def writeRollingBytes(path: String, maxBytes: Long = 10L * 1024 * 1024,
+                        valueCol: String = "value")
+                       (batch: DataFrame, epochId: Long): Unit = {
+    val bucket = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd--HH").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    batch.select(col(valueCol).cast("string")).rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val dir = new org.apache.hadoop.fs.Path(s"$path/bucket=$bucket")
+      val fs = dir.getFileSystem(conf.value)
+      var seq = 0
+      var out: java.io.OutputStream = null
+      var written = 0L
+      def roll(): Unit = {
+        if (out != null) out.close()
+        out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, f"part-$epochId-$pid%05d-$seq%04d.txt"),
+          true)
+        seq += 1; written = 0L
+      }
+      try {
+        rows.foreach { r =>
+          if (out == null || written >= maxBytes) roll()
+          val bytes = (r.getString(0) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(bytes)
+          written += bytes.length
+        }
+      } finally if (out != null) out.close()
+    }
+  }
 
   /** K6: columnar file sink (the reference's HDFS sink stub, done right):
     * any hadoop-compatible URI works (`hdfs://…`, `s3a://…`, local). */

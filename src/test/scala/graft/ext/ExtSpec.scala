@@ -55,6 +55,17 @@ class ExtSpec extends SparkSpec {
     assert(ng((0L, 1L)) == 1.0 && ng((0L, 3L)) == 0.75)
   }
 
+  test("connected components: chains close transitively, singletons stay") {
+    // path 1-2-3-4-5 (diameter 4, needs >1 round), pair 10-11, loner 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("embedding near-dup: LSH pairs ⊆ brute pairs, brute is exact") {
     val emb = spark.read.parquet(sf("embeddings"))
     val brute = Dedup.embeddingNearDupBrute(emb, threshold = 0.45)
@@ -92,6 +103,35 @@ class ExtSpec extends SparkSpec {
     val recall = ivf.count(brute.contains).toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall@5 $recall")
     // the quantizer is bounded: centroid count never scales with the corpus
+  }
+
+  test("chunking covers the text with the declared overlap") {
+    val text = ("a" * 450) + ("b" * 450) + ("c" * 100) // 1000 chars
+    val df = Seq((1L, text), (2L, ""), (3L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df).as[(Long, Int, String, Long, Long)]
+      .collect().groupBy(_._1)
+    val c1 = out(1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0, 1, 2) && c1.head._5 == 3L)
+    assert(c1(0)._3 == text.substring(0, 500))
+    assert(c1(1)._3 == text.substring(400, 900))  // 100-char overlap
+    assert(c1(2)._3 == text.substring(800, 1000)) // tail shorter than size
+    // reassembly: stride-aligned prefixes reconstruct the document
+    assert(c1.map(c => c._3.take(400)).mkString.take(1000) +
+      c1.last._3.drop(400) == text)
+    assert(out(2L).toSeq == Seq((2L, 0, "", 0L, 1L)))  // empty doc: 1 empty chunk
+    assert(out(3L).toSeq == Seq((3L, 0, "tiny", 4L, 1L)))
+  }
+
+  test("repetition ratio counts duplicate shingles") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 9 toks, 7 shingles, 3 distinct
+      (2L, "all words differ here now"), // 5 toks, 3 shingles, 3 distinct
+      (3L, "one two")).toDF("doc_id", "text") // < 3 toks → no shingles
+    val out = TextAnalysis.repetition(df)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 3L, 1.0 - 3.0 / 7.0)))
+    assert(out(1) == ((2L, 3L, 3L, 0.0)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0)))
   }
 
   test("text analysis features on known strings") {

@@ -28,6 +28,30 @@ class SinksSpec extends SparkSpec {
     assert(buckets.length == 1 && buckets.head.matches("""\d{4}-\d{2}-\d{2}--\d{2}"""))
   }
 
+  test("K2 bytes-exact: part files roll at the byte cap, per partition") {
+    val tmp = Files.createTempDirectory("graft-k2b").toString
+    // 40 rows of 10 bytes (9 chars + newline) on 2 partitions, 64-byte cap
+    // → each partition rolls after 7 rows: ceil(200/70) ≈ 3 files each
+    val df = spark.range(40).select(
+      format_string("row%06d", col("id")).as("value")).repartition(2)
+    Sinks.writeRollingBytes(s"$tmp/out", maxBytes = 64)(df, epochId = 7L)
+
+    val files = new java.io.File(tmp, "out").listFiles().head.listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length >= 4, files.map(_.getName).mkString(","))
+    // every file is bounded by cap + one record, and no file is empty
+    assert(files.forall(f => f.length > 0 && f.length <= 64 + 10))
+    // all part files carry the epoch id (replay overwrites, not duplicates)
+    assert(files.forall(_.getName.startsWith("part-7-")))
+    // nothing lost: the concatenation holds all 40 rows exactly once
+    val back = spark.read.text(s"$tmp/out").select("value").as[String]
+      .collect().toSet
+    assert(back == (0L until 40L).map(i => f"row$i%06d").toSet)
+    // replaying the same epoch rewrites the same file names → same count
+    Sinks.writeRollingBytes(s"$tmp/out", maxBytes = 64)(df, epochId = 7L)
+    assert(spark.read.text(s"$tmp/out").count() == 40)
+  }
+
   test("K6: parquet stream sink round-trips typed rows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Double)]
