@@ -120,6 +120,21 @@ object Queries {
     }.mkString(",\n")
   }
 
+  /** Overflow-safe multiplicative limb hash of doc_id (both dialects):
+    * 21-bit limbs × 32-bit odd constants, every product ≤ 2^53 — wraps
+    * nowhere, valid on the whole non-negative id domain. Shared by the
+    * split assigner and the stratified sampler. */
+  private val limbHashSpark =
+    """pmod(pmod(doc_id, 2097152) * 2654435761L
+      |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+      |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+      .stripMargin
+  private val limbHashDuck =
+    """((doc_id % 2097152) * 2654435761
+      | + ((doc_id // 2097152) % 2097152) * 2246822519
+      | + (doc_id // 4398046511104) * 3266489917) % 4294967296"""
+      .stripMargin
+
   /** fingerprint64 accumulator: fnv1a per token, polynomial combine in the
     * golden-ratio multiplier, starting from the FNV offset. */
   private def fpAccSql: String =
@@ -592,6 +607,22 @@ object Queries {
         sum(cents).over(w.rowsBetween(-2, 0)).as("trailing3_cents"))
     }),
 
+    // Distribution analytics: ntile deciles + percent_rank/cume_dist.
+    // The order key (o_totalprice, o_orderkey) is unique, so every rank
+    // function is deterministic and both engines agree exactly. NOTE:
+    // an unpartitioned window is a single-task total order by design —
+    // exact global ranks cannot shard. At 100 TB the answer is
+    // s8-style approx summaries or pre-bucketing by range; this query
+    // exists for SQL-surface completeness on dimension-sized inputs.
+    "s19_distribution" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+    }),
+
     // CUBE over both group keys (Expand-based grouping sets plan).
     "s11_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -779,6 +810,24 @@ object Queries {
     "ext_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"))),
 
+    // PII/URL scrubbing with per-doc match counts.
+    "ext_scrub_pii" -> ((s, dir) =>
+      TextAnalysis.scrubPii(t(s, dir, "documents"))),
+
+    // Deterministic stratified sample: exactly K docs per language in
+    // hash order — reproducible at any parallelism or file layout,
+    // unlike df.sample/sampleBy whose picks depend on partitioning. The
+    // per-lang window is the same shape as ext_pack_bins level 1 and
+    // shuffles only (id, lang, hash).
+    "ext_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(expr(limbHashSpark), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rank_in_lang", row_number().over(w))
+        .filter(col("rank_in_lang") <= 25)
+    }),
+
     // Composite curation pipeline (the 100 TB training-data shape):
     // quality-score filter → MinHash-LSH near-dedup → per-language stats.
     "ext_pipeline_curate" -> ((s, dir) => {
@@ -824,11 +873,7 @@ object Queries {
     // raises, a latent engine divergence at multi-billion-doc scale.
     // (For doc_id < 2^21 the value equals (doc_id * 2654435761) mod 2^32.)
     "ext_split_assign" -> ((s, dir) => {
-      val h = expr(
-        """pmod(pmod(doc_id, 2097152) * 2654435761L
-          |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
-          |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
-          .stripMargin)
+      val h = expr(limbHashSpark)
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           when(h < 42949673L, "val")
@@ -1104,6 +1149,14 @@ object Queries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
+    "s19_distribution" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
     "s11_cube" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
          |  ${centsSql("l_quantity")} AS qty_cents
@@ -1263,6 +1316,31 @@ object Queries {
          |    ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio
          |FROM sh""".stripMargin,
 
+    "ext_scrub_pii" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.DigitRunRe}', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}'))
+         |    AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |    AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunRe}'))
+         |    AS BIGINT) AS n_digit_runs
+         |FROM documents""".stripMargin,
+
+    "ext_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, $limbHashDuck AS hv FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+         |      AS INTEGER) AS rank_in_lang
+         |  FROM h)
+         |SELECT doc_id, lang, rank_in_lang FROM r
+         |WHERE rank_in_lang <= 25""".stripMargin,
+
     // Bit-exact DuckDB reimplementation of fingerprint64 + simhash64 (see
     // the hash-mirror helpers above) — the custom kernels are fully
     // oracle-checked, not rows-only.
@@ -1357,11 +1435,8 @@ object Queries {
         |FROM orders""".stripMargin,
 
     "ext_split_assign" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |    ((doc_id % 2097152) * 2654435761
-        |     + ((doc_id // 2097152) % 2097152) * 2246822519
-        |     + (doc_id // 4398046511104) * 3266489917) % 4294967296 AS hv
+      s"""WITH h AS (
+        |  SELECT doc_id, lang, $limbHashDuck AS hv
         |  FROM documents)
         |SELECT CASE WHEN hv < 42949673 THEN 'val'
         |            WHEN hv < 85899346 THEN 'test'

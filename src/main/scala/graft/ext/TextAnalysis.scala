@@ -163,6 +163,35 @@ object TextAnalysis {
           .otherwise(0.0).as("rep_ratio"))
   }
 
+  // Scrub patterns kept to constructs with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB): literal classes and bounded
+  // quantifiers only — no lookaround, no \w/\b dialect edges.
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^ \\t\\r\\n]+"
+  val DigitRunRe = "[0-9]{9,}"
+
+  /**
+   * PII/URL scrubbing for training corpora: replace URLs, email
+   * addresses, and long digit runs (ids/phones) with typed placeholder
+   * tokens, and report per-document match counts (counted on the RAW
+   * text, before any replacement). Replacement order is URL → email →
+   * digits, so an address inside a URL is scrubbed as part of the URL.
+   * Pure narrow projection: no shuffle, codegen regex.
+   */
+  def scrubPii(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        DigitRunRe, "<NUM>").as("scrubbed"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(DigitRunRe)).cast("long").as("n_digit_runs"))
+  }
+
   /** One-scan feature projection over a documents table: the token array
     * is computed once per row and shared by every token-derived feature. */
   def qualityFeatures(df: DataFrame, textCol: String = "text",

@@ -100,6 +100,52 @@ object StreamingJobs {
   }
 
   /**
+   * T7 on the modern API: the same per-sensor running state as
+   * [[sensorRunningState]] but via `transformWithState` (Spark 4's
+   * StatefulProcessor), which adds what mapGroupsWithState can't do:
+   * multiple named state variables per key, per-state TTL, and timers —
+   * the engine-native replacement for hand-rolled state bookkeeping.
+   * Requires the RocksDB state store provider (set
+   * `spark.sql.streaming.stateStore.providerClass` to
+   * `...RocksDBStateStoreProvider`), which is also the provider you want
+   * at 100 TB: state spills off-heap instead of living on the JVM heap.
+   */
+  class SensorStateProcessor(ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SensorReading, SensorState] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var state: ValueState[SensorState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[SensorState] = Encoders.product[SensorState]
+      val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[SensorState]("sensor", enc, ttlConf)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SensorReading],
+                                 timerValues: TimerValues): Iterator[SensorState] = {
+      val prev = Option(state.get()).getOrElse(SensorState(key, 0L, 0.0, 0L))
+      val next = rows.foldLeft(prev) { (acc, r) =>
+        SensorState(key, math.max(acc.lastTs, r.sensorTStamp),
+          acc.tempSum + r.sensorTemp, acc.iterations + 1)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def sensorRunningStateTws(readings: Dataset[SensorReading],
+                            ttl: Option[java.time.Duration] = None): Dataset[SensorState] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.sensorId)
+      .transformWithState(new SensorStateProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /**
    * Streaming exact dedup: drop records whose content digest was already
    * seen. `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is
    * what bounds the seen-digest state: a state row is evicted once the

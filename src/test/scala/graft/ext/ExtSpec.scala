@@ -134,6 +134,20 @@ class ExtSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("PII scrub redacts urls, emails, digit runs with raw-text counts") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or see https://ex.com/a?b=1 ok"),
+      (2L, "card 1234567890123456 and id 987654321."),
+      (3L, "clean text, short num 12345")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail me at <EMAIL> or see <URL> ok")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((1L, 1L, 0L)))
+    assert(out(1)._2 == "card <NUM> and id <NUM>.")
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0L, 0L, 2L)))
+    assert(out(2)._2 == "clean text, short num 12345") // below run threshold
+  }
+
   test("text analysis features on known strings") {
     val row = TextAnalysis.qualityFeatures(
       Seq((1L, "The quick brown fox! It is fast.")).toDF("doc_id", "text"))

@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates the same per-sensor state (RocksDB provider)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[SensorReading]
+      val q = StreamingJobs.startMemory(
+        StreamingJobs.sensorRunningStateTws(in.toDS()).toDF(),
+        "tws_test", OutputMode.Update())
+      try {
+        in.addData(SensorReading("s1", 100L, 10.0f), SensorReading("s1", 200L, 5.0f))
+        q.processAllAvailable()
+        in.addData(SensorReading("s1", 300L, 2.5f), SensorReading("s2", 50L, 1.0f))
+        q.processAllAvailable()
+        val rows = spark.table("tws_test").as[StreamingJobs.SensorState].collect()
+        val s1 = rows.filter(_.sensorId == "s1").maxBy(_.iterations)
+        assert(s1.iterations == 3L && math.abs(s1.tempSum - 17.5) < 1e-9
+          && s1.lastTs == 300L)
+        assert(rows.exists(s => s.sensorId == "s2" && s.iterations == 1L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T1: state survives stop + restart from the checkpoint") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[String]
