@@ -1,0 +1,100 @@
+package graft.jobs
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.io.{FakeDb, Sources}
+import graft.streaming.StreamingJobs
+
+/**
+ * Embedded integration harness for the job wiring that unit tests can't
+ * reach: the REAL socket source against a local ServerSocket, and a job
+ * `main` run end-to-end through its config loading, file source, and
+ * JDBC sink via a fake `java.sql.Driver` registered with DriverManager —
+ * no external Kafka/Postgres needed.
+ */
+class JobsIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S3 socket source streams lines from a live local socket") {
+    val server = new ServerSocket(0) // ephemeral port
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println("to be or not to be")
+      out.println("be it so")
+      out.flush()
+      // keep the connection open until the test closes the server;
+      // the socket source treats EOF as stream end
+      while (!server.isClosed) Thread.sleep(50)
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.wordCount(
+        Sources.socketLines(spark, "localhost", server.getLocalPort)),
+      "socket_wc_test", org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      // socket data arrives asynchronously — poll until the counts land
+      val deadline = System.currentTimeMillis() + 30000
+      var totals = Map.empty[String, Long]
+      while (totals.getOrElse("be", 0L) < 3L
+          && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        totals = spark.table("socket_wc_test").collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (w, rs) => w -> rs.map(_._2).max }
+        if (totals.getOrElse("be", 0L) < 3L) Thread.sleep(200)
+      }
+      assert(totals("be") == 3L, s"got $totals")
+      assert(totals("to") == 2L && totals("so") == 1L)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
+  test("BatchJdbcUpsertJob.main runs file → parse → K3 upsert via a registered fake driver") {
+    java.sql.DriverManager.registerDriver(FakeJdbcDriver)
+    FakeDb.reset()
+    val dir = Files.createTempDirectory("graft-job-it")
+    val src = dir.resolve("sensors.txt")
+    Files.writeString(src,
+      "sensor_1,1547718199,35.8\nsensor_6,1547718201,15.4\nsensor_1,1547718207,36.3\n")
+    val props = dir.resolve("job.properties")
+    Files.writeString(props,
+      s"""SRC_FILE_PATH=${src}
+         |JDBC_URL=jdbc:graftfake:mem
+         |JDBC_USER=u
+         |JDBC_PASSWORD=p
+         |TABLE=t_it
+         |""".stripMargin)
+
+    BatchJdbcUpsertJob.main(Array(props.toString))
+
+    val s1 = FakeDb.table.get("sensor_1")
+    assert(s1 != null && s1.iteration == 2)
+    assert(math.abs(s1.temp - (35.8f + 36.3f)) < 1e-4)
+    assert(FakeDb.table.get("sensor_6").iteration == 1)
+  }
+}
+
+/** Minimal java.sql.Driver returning the reflective FakeDb connection for
+  * `jdbc:graftfake:` URLs, so job mains exercise their real
+  * DriverManager.getConnection path. */
+object FakeJdbcDriver extends java.sql.Driver {
+  override def acceptsURL(url: String): Boolean = url.startsWith("jdbc:graftfake:")
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (acceptsURL(url)) FakeDb.connect() else null
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def getParentLogger: java.util.logging.Logger =
+    java.util.logging.Logger.getGlobal
+}
