@@ -91,7 +91,12 @@ object Dedup {
     // both sides of the candidate verify join) — without this, Spark
     // recomputes the full tokenize/shingle/minhash lineage per consumer.
     // Materialized size is O(docs × (shingles + 8·numHashes)) — the
-    // standard LSH-index working set, spillable (MEMORY_AND_DISK).
+    // standard LSH-index working set, spillable (MEMORY_AND_DISK). If
+    // even the spilled index is too large (extreme corpora), the trade
+    // is to persist (id, sig) only and recompute shingles for the
+    // candidate ids behind a semi-join — measured ~1 s slower here
+    // (extra stages dominate at bench scale), so the cached-index form
+    // stays the default.
     val shingled = df.select(
       col(idCol).as("id"),
       GraftFunctions.shingle_set(
