@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("text ops are shuffle-free narrow scans reading only (doc_id, text)") {
+    Seq("ext_scrub_pii", "ext_chunk_docs", "ext_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q:\n$p")
+    }
+  }
+
+  test("stratified sample: one hash exchange (the per-lang window), pruned scan") {
+    val p = plan("ext_sample_stratified")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)
