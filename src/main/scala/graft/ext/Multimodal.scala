@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
  * video payloads are opaque `binary` columns with typed metadata beside
  * them. The Spark-side mechanics — schema, partition-parallel batch
  * processing via `mapPartitions`, bounded memory per task — are real and
- * tested; the actual codec step is STUBBED (no image/audio libraries in
- * this container) with a clearly-marked deterministic fake.
+ * tested. Codecs: IMAGE decode/resize and WAV-audio decode are REAL,
+ * built on the JDK's own codecs (`javax.imageio`: PNG/JPEG/GIF/BMP;
+ * `javax.sound.sampled`: WAV) — no external libraries needed. Payloads
+ * the JDK cannot decode (video, synthetic test bytes) fall back to the
+ * clearly-marked deterministic stub so the pipeline shape still runs
+ * end-to-end on any input.
  */
 object Multimodal {
 
@@ -50,12 +54,79 @@ object Multimodal {
       lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"))
 
   /**
-   * ===== STUB DECODE =====
-   * Deterministic fake "decode": real code would call an image/audio codec
-   * here (e.g. javax.imageio / ffmpeg bindings) inside the same
-   * mapPartitions shape — one codec context per partition, streaming
-   * through the iterator, never materializing the partition.
-   * The fake maps the first 8 payload bytes to a feature vector in [0,1).
+   * REAL image decode via the JDK codec (`javax.imageio` — PNG/JPEG/GIF/
+   * BMP). 8-dim feature: normalized width/height, aspect ratio, global
+   * mean gray, and a 2×2 grid of quadrant mean grays (subsampled to
+   * ≤16×16 probes per quadrant so cost is O(1) per image regardless of
+   * resolution). None when the payload is not a decodable image.
+   */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](8)
+        out(0) = w / 4096.0f
+        out(1) = h / 4096.0f
+        out(2) = w.toFloat / h.toFloat
+        def meanGray(x0: Int, y0: Int, x1: Int, y1: Int): Float = {
+          val sx = math.max(1, (x1 - x0) / 16)
+          val sy = math.max(1, (y1 - y0) / 16)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          if (n == 0) 0.0f else (sum / n / 255.0).toFloat
+        }
+        out(3) = meanGray(0, 0, w, h)
+        out(4) = meanGray(0, 0, w / 2, h / 2)
+        out(5) = meanGray(w / 2, 0, w, h / 2)
+        out(6) = meanGray(0, h / 2, w / 2, h)
+        out(7) = meanGray(w / 2, h / 2, w, h)
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL WAV-audio decode via `javax.sound.sampled` (ships with the
+    * JDK): sample rate, channels, sample width, frame count → features.
+    * None for payloads that are not parseable WAV. */
+  def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durationSec =
+          if (fmt.getFrameRate > 0) frames / fmt.getFrameRate else 0.0f
+        Some(Array(
+          fmt.getSampleRate / 48000.0f,
+          fmt.getChannels.toFloat,
+          fmt.getSampleSizeInBits / 32.0f,
+          frames / 1e6f,
+          durationSec / 3600.0f,
+          0.0f, 0.0f, 0.0f))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /**
+   * ===== STUB DECODE (fallback) =====
+   * Deterministic fake for payloads the JDK codecs cannot decode (video —
+   * no JDK codec exists — and synthetic test bytes): maps the first 8
+   * payload bytes to a feature vector in [0,1). Clearly marked; the
+   * real paths are [[decodeImage]]/[[decodeWav]] above.
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -68,25 +139,64 @@ object Multimodal {
   }
 
   /** Partition-parallel decode: `mapPartitions` so per-partition codec
-    * setup is amortized; input stays an iterator (constant memory). */
+    * setup is amortized; input stays an iterator (constant memory).
+    * Dispatch: image → ImageIO, audio → WAV parser, anything not
+    * decodable (or video) → the deterministic stub. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     implicit val inEnc = Encoders.product[MediaRecord]
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition codec init would go here
       it.map { r =>
+        val real = r.modality match {
+          case "image" => decodeImage(r.payload)
+          case "audio" => decodeWav(r.payload)
+          case _ => None
+        }
         MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
-          decodeStub(r.payload))
+          real.getOrElse(decodeStub(r.payload)))
       }
     }
   }
 
   /**
-   * ===== STUB RESIZE =====
-   * Deterministic fake "resize" to target dimensions: real code would
-   * decode, scale, and re-encode inside the same mapPartitions shape.
-   * The fake keeps every `stride`-th byte where stride preserves the
-   * target/declared pixel ratio — schema and batch mechanics are real.
+   * REAL image resize via the JDK: decode (ImageIO), scale into the
+   * (targetW, targetH) bounding box preserving aspect ratio (bilinear,
+   * never upscales), re-encode as PNG. Returns the new payload + actual
+   * dimensions, or None when the payload is not a decodable image.
+   */
+  def resizeImageBytes(payload: Array[Byte], targetW: Int, targetH: Int)
+      : Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = math.min(1.0,
+          math.min(targetW.toDouble / w, targetH.toDouble / h))
+        val nw = math.max(1, math.round(w * s).toInt)
+        val nh = math.max(1, math.round(h * s).toInt)
+        val dst = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some((bos.toByteArray, nw, nh))
+      }
+    } catch { case _: Exception => None }
+
+  /**
+   * ===== STUB RESIZE (fallback) =====
+   * Deterministic fake "resize" for payloads ImageIO cannot decode: keeps
+   * every `stride`-th byte where stride preserves the target/declared
+   * pixel ratio — schema and batch mechanics are real. The real path is
+   * [[resizeImageBytes]] above.
    */
   def resizeStub(payload: Array[Byte], declaredW: Int, declaredH: Int,
                  targetW: Int, targetH: Int): Array[Byte] = {
@@ -104,16 +214,23 @@ object Multimodal {
   }
 
   /** Partition-parallel resize of image-modality rows to a bounding box;
-    * non-image rows pass through untouched. */
+    * non-image rows pass through untouched. Decodable images go through
+    * the real JDK scale-and-reencode; everything else falls back to the
+    * deterministic stub. */
   def resizeImages(spark: SparkSession, media: DataFrame,
                    targetW: Int, targetH: Int): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         if (r.modality != "image") r
-        else MediaRecord(r.doc_id, r.modality,
-          resizeStub(r.payload, r.declared_w, r.declared_h, targetW, targetH),
-          math.min(r.declared_w, targetW), math.min(r.declared_h, targetH))
+        else resizeImageBytes(r.payload, targetW, targetH) match {
+          case Some((bytes, nw, nh)) =>
+            MediaRecord(r.doc_id, r.modality, bytes, nw, nh)
+          case None =>
+            MediaRecord(r.doc_id, r.modality,
+              resizeStub(r.payload, r.declared_w, r.declared_h, targetW, targetH),
+              math.min(r.declared_w, targetW), math.min(r.declared_h, targetH))
+        }
       }
     }
   }

@@ -196,6 +196,53 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real PNG payloads decode and resize through the JDK codec") {
+    // build a genuine 64x48 PNG: left half dark, right half bright
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x202020 else 0xE0E0E0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val feat = Multimodal.decodeImage(png).get
+    assert(math.abs(feat(0) - 64 / 4096.0f) < 1e-6)
+    assert(math.abs(feat(1) - 48 / 4096.0f) < 1e-6)
+    assert(math.abs(feat(2) - 64.0f / 48.0f) < 1e-6)
+    assert(feat(4) < 0.2 && feat(5) > 0.8) // dark left / bright right quadrants
+
+    // resize into a 32x32 box: aspect preserved → 32x24, payload re-decodes
+    val Some((resized, nw, nh)) = Multimodal.resizeImageBytes(png, 32, 32)
+    assert((nw, nh) == ((32, 24)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 32 && back.getHeight == 24)
+
+    // through the distributed path: real decode for the image row
+    val media = Seq(Multimodal.MediaRecord(1L, "image", png, 64, 48)).toDS().toDF()
+    val out = Multimodal.decodeFeatures(spark, media).collect().head
+    assert(out.feature.toSeq == feat.toSeq)
+    val rs = Multimodal.resizeImages(spark, media, 32, 32).collect().head
+    assert(rs.declared_w == 32 && rs.declared_h == 24)
+  }
+
+  test("multimodal: real WAV payloads decode format features") {
+    // 16-bit mono 8 kHz, 800 frames (0.1 s) of silence → genuine WAV bytes
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](800 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val feat = Multimodal.decodeWav(bos.toByteArray).get
+    assert(math.abs(feat(0) - 8000f / 48000f) < 1e-6) // sample rate
+    assert(feat(1) == 1.0f)                           // channels
+    assert(feat(2) == 0.5f)                           // 16/32 bits
+    assert(math.abs(feat(3) - 800 / 1e6f) < 1e-9)     // frames
+  }
+
   test("multimodal: decode stub yields bounded features per record") {
     val media = Multimodal.fromDocuments(docs
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
