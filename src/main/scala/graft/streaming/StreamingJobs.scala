@@ -177,6 +177,33 @@ object StreamingJobs {
       .drop("__fp")
 
   /**
+   * Streaming curation (T5/T9 twin of the batch `ext_pipeline_curate`
+   * query): quality-score filter → watermark-bounded fingerprint
+   * near-dedup → windowed per-language counts. Every stage is the same
+   * pure column logic the batch path uses — the quality score and the
+   * fingerprint kernel are identical expressions — so a corpus curated
+   * incrementally converges to the batch answer, and dedup state is
+   * evicted by the watermark (bounded on an unbounded stream).
+   */
+  def streamingCurate(docs: DataFrame, tsCol: String = "ts",
+                      minQuality: Double = 0.75,
+                      window: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame = {
+    import graft.ext.TextAnalysis
+    val good = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .filter(TextAnalysis.qualityScoreOf(col("text"), col("__toks")) >= minQuality)
+      .drop("__toks")
+    // the watermark set inside the dedup stage carries downstream —
+    // redefining it between chained stateful operators is disallowed
+    streamingFingerprintDedup(good, tsCol, "text", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+  }
+
+  /**
    * Streaming sessionization: session windows (gap-based) per key under a
    * watermark — sessions close and emit once the watermark passes their
    * end (batch twin: the e5_sessionize query).

@@ -206,6 +206,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filters quality, dedups, and emits windowed lang stats") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.streamingCurate(in.toDF().toDF("ts", "lang", "text")),
+      "curate_test", OutputMode.Append())
+    def t(s: String) = Timestamp.valueOf(s)
+    val good1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val good2 = "a calm morning walk through the old town is always a pleasure"
+    try {
+      in.addData(
+        (t("2024-01-01 10:05:00"), "en", good1),
+        (t("2024-01-01 10:10:00"), "en", "The  quick brown fox; jumps over the lazy dog near the river bank"), // same tokens → dup
+        (t("2024-01-01 10:20:00"), "en", good2),
+        (t("2024-01-01 10:25:00"), "de", "!!! ??? ***")) // junk → filtered
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 12:30:00"), "en", // advances watermark past 11:00
+        "another well formed sentence with plenty of ordinary words in it for the advance"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_test")
+        .select("lang", "n_docs").as[(String, Long)].collect().toSet
+      assert(rows == Set(("en", 2L))) // dup dropped, junk filtered, window closed
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes gap-separated sessions (append mode)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
