@@ -34,6 +34,22 @@ object ProbeEdge {
     Dedup.minhashLshPairs(docs, threshold = 0.5).orderBy("id_a", "id_b").show()
     println("== simhash pairs hamming<=3 ==")
     Dedup.simhashPairs(docs, maxHamming = 3).orderBy("id_a", "id_b").show()
+
+    import graft.ext.TextAnalysis
+    val nonNull = docs.filter($"text".isNotNull)
+    // NB: empty/sub-shingle docs produce NO shingles → invisible to
+    // shingle-based near-dup (pairs require ≥3 tokens); exact dedup
+    // catches them upstream. So {2,3} stay singletons here by design.
+    println("== clusters over minhash pairs (expect {0,1,6}→0, rest singleton) ==")
+    Dedup.connectedComponents(nonNull,
+      Dedup.minhashLshPairs(nonNull, threshold = 0.5)).orderBy("doc_id").show()
+    println("== chunking (empty doc → 1 empty chunk; short docs → 1 chunk) ==")
+    TextAnalysis.chunkDocs(nonNull, chunkSize = 20, stride = 15)
+      .orderBy("doc_id", "chunk_id").show(truncate = false)
+    println("== repetition (empty/sub-shingle → 0.0) ==")
+    TextAnalysis.repetition(nonNull).orderBy("doc_id").show()
+    println("== scrub on punctuation-only / empty text (no-ops, zero counts) ==")
+    TextAnalysis.scrubPii(nonNull).orderBy("doc_id").show(truncate = false)
     spark.stop()
   }
 }
