@@ -43,4 +43,43 @@ object Tables {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(dateCol)
       .parquet(path)
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * `ceil(bytes / targetFileBytes)` files. Streaming sinks and
+   * fine-grained partition writes accumulate small files; at 100 TB the
+   * resulting driver/namenode listing pressure and per-file task overhead
+   * dominate read cost, so periodic compaction is part of operating the
+   * store. Input size comes from the filesystem (no data pass); the
+   * rewrite is one shuffle-free coalesce when shrinking file count, or a
+   * round-robin repartition when growing it.
+   */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val df = spark.read.parquet(inPath)
+    val current = df.rdd.getNumPartitions
+    val out = if (nFiles < current) df.coalesce(nFiles.toInt)
+              else df.repartition(nFiles.toInt)
+    out.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /**
+   * Data-skipping-friendly layout: range-partition on `sortCols` and sort
+   * within each partition before writing. Parquet row-group min/max stats
+   * on the sort columns then become tight and DISJOINT across files, so
+   * point/range predicates skip whole files instead of scanning — the
+   * batch analogue of clustering/Z-ordering on a single key prefix.
+   */
+  def writeSortedBy(df: DataFrame, path: String, numFiles: Int,
+                    sortCols: String*): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

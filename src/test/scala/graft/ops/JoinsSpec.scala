@@ -57,6 +57,52 @@ class JoinsSpec extends SparkSpec {
     assert(!scan.contains("PushedFilters: [IsNotNull(v)"))
   }
 
+  test("compaction rewrites a many-small-files directory to the byte-targeted count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 64 tiny files
+    spark.range(10000).toDF("id").repartition(64).write.parquet(s"$tmp/small")
+    val before = new java.io.File(s"$tmp/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+
+    val totalBytes = new java.io.File(s"$tmp/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target ~ half the data per file → expect 2 output files
+    val n = Tables.compact(spark, s"$tmp/small", s"$tmp/compacted",
+      targetFileBytes = totalBytes / 2 + 1)
+    assert(n == 2)
+    val after = new java.io.File(s"$tmp/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 2)
+    // lossless
+    val a = spark.read.parquet(s"$tmp/small")
+    val b = spark.read.parquet(s"$tmp/compacted")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("range-sorted layout yields disjoint per-file key ranges (file skipping)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val df = spark.range(10000).toDF("k")
+      .withColumn("v", $"k" * 7 % 1000)
+      .orderBy(rand(42)) // scrambled input
+    Tables.writeSortedBy(df, s"$tmp/sorted", numFiles = 4, "k")
+
+    val back = spark.read.parquet(s"$tmp/sorted")
+    assert(back.count() == 10000)
+    // per-file (min, max) of the sort key must not overlap across files —
+    // that disjointness is what makes parquet min/max stats skip files
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
