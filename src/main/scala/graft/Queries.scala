@@ -575,10 +575,14 @@ object Queries {
     // Exact percentiles via the sort-based graft.ops.Percentiles (same
     // (n-1)p interpolation as DuckDB quantile_cont, bit-identical; bounded
     // memory, unlike Spark's counts-map `percentile` aggregate).
+    // Two-level ranks: 3 return-flag groups would serialize the plain
+    // per-group window into 3 tasks; bucketing by price/2000 (~52
+    // monotone range buckets) parallelizes groups × buckets. Output is
+    // identical to the plain variant (PercentilesSpec proves it).
     "s8_percentiles" -> ((s, dir) =>
-      graft.ops.Percentiles.exactPercentiles(
+      graft.ops.Percentiles.exactPercentilesBucketed(
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
-        Seq(0.25, 0.5, 0.75))),
+        Seq(0.25, 0.5, 0.75))(v => floor(v / 2000).cast("long"))),
 
     // Sessionization via session_window (gap 30 min): the batch shape of
     // streaming session windows, oracle-checked against a gaps-and-islands

@@ -31,7 +31,46 @@ object Percentiles {
     val ranked = df.join(broadcast(sizes), keyCols)
       .select(keys :+ col(valueCol) :+ col("__n") :+
         (row_number().over(w) - 1).as("__i"): _*)
+    selectPercentiles(ranked, keyCols, valueCol, ps)
+  }
 
+  /**
+   * Two-level variant for few/huge groups: the plain version's window
+   * serializes each group into one task (fine for many groups, a 3-task
+   * bottleneck when 3 groups hold the whole table). Here the global rank
+   * within a group is (local rank within a value-range bucket) + (count
+   * of rows in lower buckets): the row-level window partitions on
+   * (group, bucket) — parallelism = groups × buckets — and the bucket
+   * offsets come from a prefix sum over the metadata-sized counts table,
+   * broadcast back. `bucketOf` must be a monotone non-decreasing function
+   * of the value (e.g. `floor`); output is identical to exactPercentiles.
+   */
+  def exactPercentilesBucketed(df: DataFrame, keyCols: Seq[String],
+                               valueCol: String, ps: Seq[Double])
+                              (bucketOf: Column => Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val bKeys = keyCols :+ "__b"
+    val base = df.select(keys :+ col(valueCol) :+
+      bucketOf(col(valueCol)).as("__b"): _*)
+    val wLoc = Window.partitionBy(bKeys.map(col): _*).orderBy(col(valueCol))
+    val local = base.withColumn("__lr", row_number().over(wLoc))
+    val counts = base.groupBy(bKeys.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(bKeys.map(col) :+
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off") :+
+      sum(col("__c")).over(Window.partitionBy(keys: _*)).as("__n"): _*)
+    val ranked = local.join(broadcast(offs), bKeys)
+      .select(keys :+ col(valueCol) :+ col("__n") :+
+        (col("__lr") - 1 + col("__off")).as("__i"): _*)
+    selectPercentiles(ranked, keyCols, valueCol, ps)
+  }
+
+  /** Shared tail: interpolate each requested percentile from the two
+    * bracketing ranks — at most 2 contributing rows per (group, p). */
+  private def selectPercentiles(ranked: DataFrame, keyCols: Seq[String],
+                                valueCol: String, ps: Seq[Double]): DataFrame = {
     val aggs = ps.map { p =>
       val h = (col("__n") - 1) * lit(p)
       val lo = floor(h)
@@ -42,6 +81,6 @@ object Percentiles {
       (vLo * (lit(1.0) - f) + coalesce(vHi, vLo) * f)
         .as(s"p${(p * 100).round}")
     }
-    ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }
