@@ -161,8 +161,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (NOT persist) per iteration: an iterative loop
+    // doubles the logical plan every round — caching materializes the
+    // data but the plan still nests, and analysis/stringification blows
+    // up exponentially after ~15 rounds. Checkpointing truncates the
+    // lineage to the materialized partitions, keeping every round O(1)
+    // in plan size (found by the FuzzSpec random-graph property).
     var labels = nodes.select(col(idCol).as("v"), col(idCol).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -177,11 +183,10 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = halved
         .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = halved
       done = changed == 0
       iter += 1

@@ -1,0 +1,141 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/**
+ * Seeded randomized properties: each scale-optimized operator is checked
+ * against a naive in-memory reference implementation on many random
+ * inputs — the shapes a hand-picked fixture can miss (duplicate
+ * timestamps, all-in-one-bucket, disconnected blobs, degenerate sizes).
+ * Seeds are fixed, so failures reproduce.
+ */
+class FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin (plain and salted) equals the naive reference on random data") {
+    val rnd = new Random(1234)
+    for (round <- 1 to 5) {
+      val keys = Seq("a", "b", "c")
+      val right = Seq.tabulate(30)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, i.toLong)) // (k, t, rid)
+      val left = Seq.tabulate(40)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong, i.toLong)) // (k, t, lid)
+
+      // naive: latest right with rt <= lt, ties by max rid
+      val expect = left.map { case (k, lt, lid) =>
+        val m = right.filter(r => r._1 == k && r._2 <= lt)
+        val best = if (m.isEmpty) None
+          else Some(m.maxBy(r => (r._2, r._3)))
+        (lid, best.map(_._3))
+      }.toMap
+
+      val lDf = left.toDF("k", "lt", "lid")
+      val rDf = right.toDF("k", "rt", "rid")
+      def check(out: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val got = out.select("lid", "rid")
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got == expect, s"round $round $tag")
+      }
+      check(AsofJoin.asofJoin(lDf, rDf, "k", col("lt"), col("rt"),
+        Seq("rid"), rightOrd = col("rid")), "plain")
+      check(AsofJoin.asofJoinSalted(lDf, rDf, "k", col("lt"), col("rt"),
+        Seq("rid"), rightOrd = col("rid"))(t => floor(t / 7).cast("long")),
+        "salted")
+    }
+  }
+
+  test("bucketed percentiles equal a naive sorted-interpolation reference") {
+    val rnd = new Random(99)
+    for (round <- 1 to 5) {
+      val data = Seq.tabulate(200)(_ =>
+        (s"g${rnd.nextInt(4)}", math.floor(rnd.nextDouble() * 1000) / 10))
+      val ps = Seq(0.1, 0.5, 0.9)
+      val expect = data.groupBy(_._1).map { case (g, rows) =>
+        val v = rows.map(_._2).sorted
+        g -> ps.map { p =>
+          val h = (v.length - 1) * p
+          val lo = h.toInt
+          val frac = h - lo
+          val hi = if (lo + 1 < v.length) v(lo + 1) else v(lo)
+          v(lo) * (1.0 - frac) + hi * frac
+        }
+      }
+      val got = Percentiles.exactPercentilesBucketed(
+        data.toDF("k", "v"), Seq("k"), "v", ps)(x => floor(x / 13).cast("long"))
+        .collect().map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      expect.foreach { case (g, e) =>
+        e.zip(got(g)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"round $round group $g: $e vs ${got(g)}")
+        }
+      }
+    }
+  }
+
+  test("connectedComponents equals a naive union-find on random graphs") {
+    val rnd = new Random(7)
+    for (round <- 1 to 5) {
+      val n = 40
+      val edges = Seq.tabulate(25)(_ => {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }).filter(e => e._1 != e._2).distinct
+
+      // naive union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+
+      val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("doc_id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"round $round")
+    }
+  }
+
+  test("chunking reconstructs every random document exactly") {
+    val rnd = new Random(5)
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, Random.javaRandomToRandom(new java.util.Random(rnd.nextLong()))
+        .alphanumeric.take(rnd.nextInt(1200)).mkString))
+    val out = graft.ext.TextAnalysis.chunkDocs(docs.toDF("doc_id", "text"),
+      chunkSize = 100, stride = 70)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val chunks = out(id)
+      // stride-prefix concatenation + last tail == original text
+      val rebuilt = chunks.dropRight(1).map(_._3.take(70)).mkString + chunks.last._3
+      assert(rebuilt == text, s"doc $id len ${text.length}")
+      // every chunk except the last is full-size or the doc is short
+      chunks.dropRight(1).foreach(c => assert(c._4 == 100L))
+    }
+  }
+
+  test("split assignment is invariant under repartitioning") {
+    val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
+      concat(lit("l"), pmod(col("id"), lit(4))).as("lang"))
+    def splits(parts: Int) = {
+      val df = docs.repartition(parts)
+      df.createOrReplaceTempView("documents_fuzz")
+      // reuse the declared query's hash by reading through SparkEntry shape:
+      // simplest faithful re-derivation — same limb-hash expression
+      df.select(col("doc_id"),
+        expr("""pmod(pmod(doc_id, 2097152) * 2654435761L
+               |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+               |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+          .stripMargin).as("hv"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(splits(1) == splits(13))
+  }
+}
