@@ -121,6 +121,30 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("top_k_by bounded heap equals naive sort-take across partition merges") {
+    import graft.functions.TopKByScore.top_k_by
+    val rnd = new Random(31)
+    for (round <- 1 to 5) {
+      // coarse scores force ties → exercises the deterministic id tie-break;
+      // repartition(7) forces the partial/merge path of the aggregate
+      val data = Seq.tabulate(400)(i =>
+        (s"q${rnd.nextInt(8)}", i.toLong, (rnd.nextInt(20) / 4.0)))
+      val expect = data.groupBy(_._1).map { case (q, rows) =>
+        q -> rows.map(r => (r._3, r._2)).sortBy(r => (-r._1, r._2)).take(5)
+          .map(r => (r._2, r._1))
+      }
+      val got = data.toDF("q", "id", "score").repartition(7)
+        .groupBy("q").agg(top_k_by(col("score"), col("id"), 5).as("topk"))
+        .select(col("q"), explode(col("topk")).as("hit"))
+        .select(col("q"), col("hit.id"), col("hit.score"))
+        .as[(String, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+      expect.foreach { case (q, e) =>
+        assert(got(q) == e, s"round $round query $q: ${got(q)} vs $e")
+      }
+    }
+  }
+
   test("split assignment is invariant under repartitioning") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       concat(lit("l"), pmod(col("id"), lit(4))).as("lang"))
