@@ -79,7 +79,10 @@ object StreamingInputJob {
 }
 
 /** flinkContinuousProcessingRollover.scala: Kafka → compound filter →
-  * enrich → rolling bucketed files (15 min roll, hourly buckets). */
+  * enrich → rolling bucketed files. Mirrors the full reference policy:
+  * hourly buckets, 15 min rollover interval (the trigger), and the 10 MB
+  * part cap bytes-exact via [[Sinks.writeRollingBytes]] (per-partition
+  * roll = Flink's per-subtask roll). */
 object RollingFileSinkJob {
   def main(args: Array[String]): Unit = {
     val c = AppConfig.fromArgs(args)
@@ -91,8 +94,13 @@ object RollingFileSinkJob {
         c.getOrElse("high", "50.0").toDouble, c.getOrElse("low", "10.0").toDouble,
         2010, 2011),
       c.get("INCOMING_TOPIC"))
-    Sinks.rollingTextFiles(out, c.get("OUT_PATH"),
-      c.getOrElse("CHECKPOINT_DIR", "/tmp/graft-ckpt/rolling"))
+    out.writeStream
+      .option("checkpointLocation",
+        c.getOrElse("CHECKPOINT_DIR", "/tmp/graft-ckpt/rolling"))
+      .foreachBatch(Sinks.writeRollingBytes(c.get("OUT_PATH"),
+        maxBytes = c.getOrElse("MAX_PART_BYTES", "10485760").toLong) _)
+      .trigger(Trigger.ProcessingTime(
+        c.getOrElse("ROLLOVER_INTERVAL", "15 minutes")))
       .start().awaitTermination()
   }
 }

@@ -52,6 +52,30 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.text(s"$tmp/out").count() == 40)
   }
 
+  test("K2 bytes-exact wired as a stream: foreachBatch rolls per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-k2bs").toString
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch(Sinks.writeRollingBytes(s"$tmp/out", maxBytes = 32) _)
+      .start()
+    try {
+      in.addData((1 to 10).map(i => f"line$i%04d"): _*) // 10 × 9 bytes
+      q.processAllAvailable()
+      in.addData("tail0001")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.text(s"$tmp/out").select("value").as[String]
+      .collect().toSet
+    assert(rows == ((1 to 10).map(i => f"line$i%04d").toSet + "tail0001"))
+    // multiple part files exist and all carry epoch-scoped names
+    val parts = new java.io.File(tmp, "out").listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+    assert(parts.length >= 3)
+    assert(parts.forall(_.length <= 32 + 9))
+  }
+
   test("K6: parquet stream sink round-trips typed rows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, Double)]
