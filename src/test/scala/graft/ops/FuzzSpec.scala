@@ -149,11 +149,8 @@ class FuzzSpec extends SparkSpec {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       concat(lit("l"), pmod(col("id"), lit(4))).as("lang"))
     def splits(parts: Int) = {
-      val df = docs.repartition(parts)
-      df.createOrReplaceTempView("documents_fuzz")
-      // reuse the declared query's hash by reading through SparkEntry shape:
-      // simplest faithful re-derivation — same limb-hash expression
-      df.select(col("doc_id"),
+      // same limb-hash expression as the declared ext_split_assign query
+      docs.repartition(parts).select(col("doc_id"),
         expr("""pmod(pmod(doc_id, 2097152) * 2654435761L
                |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
                |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
