@@ -46,6 +46,21 @@ class AvroSpec extends SparkSpec {
     assert(back.exceptAll(nyseDf).isEmpty)
   }
 
+  test("extreme float values survive the round-trip (NaN, infinities, denormals)") {
+    val extremes = Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+      Float.MinValue, Float.MaxValue, Float.MinPositiveValue, -0.0f, 0.0f)
+    val rows = extremes.zipWithIndex.map { case (f, i) =>
+      Row("X", s"S$i", "2020-01-01", f, f, f, f, i, f)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      Avro.sparkSchema(Avro.NyseSchemaJson))
+    val back = Avro.fromAvroBytes(
+      Avro.toAvroBytes(df, Avro.NyseSchemaJson), Avro.NyseSchemaJson)
+    // exceptAll uses NaN-safe equality, so NaN rows compare equal
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("round-trip works on real table data (orders projected to a flat record)") {
     val schema =
       """{"name": "Ord", "type": "record", "fields": [
