@@ -177,6 +177,18 @@ object StreamingJobs {
       .drop("__fp")
 
   /**
+   * Stream-static dimension enrichment: join an unbounded stream against
+   * a bounded dimension table. Spark re-plans the static side per
+   * micro-batch (so dimension updates between batches are picked up) and
+   * broadcasts it when small — no stream-side state at all, unlike a
+   * stream-stream join. The completing piece of the join matrix next to
+   * [[clickAttribution]]'s stream-stream join.
+   */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /**
    * Streaming curation (T5/T9 twin of the batch `ext_pipeline_curate`
    * query): quality-score filter → watermark-bounded fingerprint
    * near-dedup → windowed per-language counts. Every stage is the same

@@ -231,6 +231,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches against a broadcast dimension table") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("s1", "hall"), ("s2", "roof")).toDF("sensor", "location")
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingJobs.startMemory(
+      StreamingJobs.enrichWithDim(in.toDF().toDF("sensor", "temp"), dim, "sensor"),
+      "dim_join_test", OutputMode.Append())
+    try {
+      in.addData(("s1", 20.0), ("s2", 21.0), ("s9", 5.0)) // s9: no dim row
+      q.processAllAvailable()
+      val rows = spark.table("dim_join_test")
+        .select("sensor", "location").as[(String, Option[String])]
+        .collect().toSet
+      assert(rows == Set(("s1", Some("hall")), ("s2", Some("roof")), ("s9", None)))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains all available input and stops on its own") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData("alpha beta", "beta")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val q = StreamingJobs.wordCount(in.toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp)
+      .format("memory").queryName("avnow_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // backfill semantics: terminates by itself
+    assert(!q.isActive)
+    val totals = spark.table("avnow_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (w, rs) => w -> rs.map(_._2).max }
+    assert(totals("beta") == 2L && totals("alpha") == 1L)
+  }
+
   test("streaming sessionization closes gap-separated sessions (append mode)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
