@@ -224,6 +224,13 @@ class ExtSpec extends SparkSpec {
     assert(out.feature.toSeq == feat.toSeq)
     val rs = Multimodal.resizeImages(spark, media, 32, 32).collect().head
     assert(rs.declared_w == 32 && rs.declared_h == 24)
+
+    // JPEG path of the same codec (lossy, so only structure is asserted)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jfeat = Multimodal.decodeImage(jbos.toByteArray).get
+    assert(math.abs(jfeat(0) - 64 / 4096.0f) < 1e-6)
+    assert(jfeat(4) < 0.25 && jfeat(5) > 0.75)
   }
 
   test("multimodal: real WAV payloads decode format features") {

@@ -121,6 +121,28 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("range join equals the naive range predicate on random windows") {
+    val rnd = new Random(17)
+    for (round <- 1 to 5) {
+      // random (possibly negative/asymmetric) window, random timestamps
+      // with heavy key collision — band borders land between/on events
+      val lower = rnd.nextInt(60) - 30
+      val upper = lower + rnd.nextInt(60)
+      val left = Seq.tabulate(80)(_ =>
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(300).toLong)).toDF("key", "lt")
+      val right = Seq.tabulate(80)(_ =>
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(300).toLong)).toDF("key", "rt")
+      val naive = left.join(right, Seq("key"))
+        .filter(col("rt") >= col("lt") + lower && col("rt") <= col("lt") + upper)
+      val banded = RangeJoin.rangeJoin(left, right, "key", "lt", "rt",
+        lower, upper)
+      assert(banded.count() == naive.count(),
+        s"round $round window [$lower,$upper]")
+      assert(banded.except(naive).isEmpty && naive.except(banded).isEmpty,
+        s"round $round window [$lower,$upper]")
+    }
+  }
+
   test("top_k_by bounded heap equals naive sort-take across partition merges") {
     import graft.functions.TopKByScore.top_k_by
     val rnd = new Random(31)
