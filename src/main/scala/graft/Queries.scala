@@ -538,6 +538,10 @@ object Queries {
     // order at event time — an operator Spark lacks, composed via
     // union + ordered window (graft.ops.AsofJoin; no pair explosion).
     // Orders are deduped to one per (custkey, day) so ties are impossible.
+    // The certified path is the HOT-KEY-SALTED variant (day-bucketed
+    // two-level windows): a pathological key's full history parallelizes
+    // across its time buckets instead of serializing into one task.
+    // Result-identical to the plain variant (AsofJoinSpec + FuzzSpec).
     "e3_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"),
         col("user_id"), col("ts"))
@@ -545,12 +549,13 @@ object Queries {
         .groupBy(col("o_custkey").as("user_id"),
           unix_timestamp(col("o_orderdate")).as("order_sec"))
         .agg(max("o_orderkey").as("o_orderkey"))
-      graft.ops.AsofJoin.asofJoin(
+      graft.ops.AsofJoin.asofJoinSalted(
         ev, ord, key = "user_id",
         leftTime = col("ts"),
         rightTime = col("order_sec") * lit(1000000000L),
         rightCols = Seq("o_orderkey"),
-        rightOrd = col("o_orderkey"))
+        rightOrd = col("o_orderkey"))(
+        t => floor(t / 86400000000000L).cast("long")) // daily buckets
         .select(col("event_id"), col("user_id"),
           expr("ts DIV 1000 * 1000").as("ts_ns"), col("o_orderkey"))
     }),
@@ -613,18 +618,29 @@ object Queries {
 
     // Distribution analytics: ntile deciles + percent_rank/cume_dist.
     // The order key (o_totalprice, o_orderkey) is unique, so every rank
-    // function is deterministic and both engines agree exactly. NOTE:
-    // an unpartitioned window is a single-task total order by design —
-    // exact global ranks cannot shard. At 100 TB the answer is
-    // s8-style approx summaries or pre-bucketing by range; this query
-    // exists for SQL-surface completeness on dimension-sized inputs.
+    // function is deterministic and both engines agree exactly. NOT a
+    // single-task global window: exact global rank comes from the
+    // two-level bucketed pattern (graft.ops.Ranks — local row_number
+    // within a monotone price bucket + broadcast prefix offsets), and
+    // all three rank functions derive arithmetically from (rank, n):
+    //   ntile(k): first n%k buckets take n/k+1 rows, the rest n/k
+    //   percent_rank = (r-1)/(n-1);  cume_dist = r/n  (unique order key)
     "s19_distribution" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        ntile(10).over(w).as("decile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cum_dist"))
+      graft.ops.Ranks.withGlobalRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        order = Seq(col("o_totalprice"), col("o_orderkey")),
+        bucket = floor(col("o_totalprice") / 2000).cast("long"))
+      .selectExpr(
+        "o_orderkey",
+        """CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1)
+          |  THEN (__r - 1) DIV (__n DIV 10 + 1) + 1
+          |  ELSE __n % 10
+          |    + (__r - 1 - (__n % 10) * (__n DIV 10 + 1))
+          |      DIV greatest(__n DIV 10, 1) + 1
+          |END AS INT) AS decile""".stripMargin,
+        "CASE WHEN __n > 1 THEN CAST(__r - 1 AS DOUBLE) / (__n - 1) " +
+          "ELSE CAST(0.0 AS DOUBLE) END AS pct_rank",
+        "CAST(__r AS DOUBLE) / __n AS cum_dist")
     }),
 
     // CUBE over both group keys (Expand-based grouping sets plan).

@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
 
+  test("s19: global ranks shard — no row-level single-partition exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val exec = SparkEntry.queries("s19_distribution")(spark, dir)
+      .queryExecution.executedPlan
+    // a SinglePartition shuffle is only legitimate over pre-aggregated
+    // (one-row-per-bucket) data — never over row-level table data
+    val offenders = exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+        !e.child.toString.contains("HashAggregate") => e
+    }
+    assert(offenders.isEmpty, exec.toString)
+    // the row-level window must partition on the price bucket
+    assert("Sort \\[__b".r.findAllIn(exec.toString).nonEmpty, exec.toString)
+  }
+
+  test("e3: asof row-level window partitions on (user_id, day bucket)") {
+    val p = plan("e3_asof_join")
+    assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)
