@@ -25,6 +25,22 @@ import graft.functions.GraftFunctions
  */
 object Dedup {
 
+  /** Prefix of the named observation metrics every [[bucketPairs]] call
+    * emits (suffix = a per-call sequence number, so several LSH pipelines
+    * can compose in one plan). After any action on a DataFrame derived
+    * from an LSH pipeline, read them with [[capStats]]. */
+  val CapMetricPrefix = "graft.dedup.cap"
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate-cap observability: the (buckets, truncated_buckets,
+    * dropped_ids) rows observed during the LAST action executed on
+    * `result`'s plan — one entry per LSH candidate stage in the plan.
+    * `dropped_ids > 0` means the skew cap truncated at least one bucket
+    * and measured recall is bounded accordingly (no silent caps). */
+  def capStats(result: DataFrame): Map[String, org.apache.spark.sql.Row] =
+    result.queryExecution.observedMetrics
+      .filter { case (name, _) => name.startsWith(CapMetricPrefix) }
+
   /**
    * Candidate generation shared by every LSH family: group rows by bucket
    * key(s), enumerate in-bucket id pairs, dedupe across buckets. ONE
@@ -33,12 +49,21 @@ object Dedup {
    * `maxBucket` smallest ids per bucket (sorted → deterministic);
    * larger buckets are near-identical mass that exact dedup upstream
    * should have removed, and O(maxBucket²) bounds task memory and fan-out.
+   * The cap is OBSERVABLE, never silent: each call plants a named
+   * `observe` metric (buckets, truncated_buckets, dropped_ids) readable
+   * via [[capStats]] after any action on the downstream DataFrame.
    * `bucketed` must have an `id` column plus `keyCols`.
    */
-  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
-                          maxBucket: Int = 1000): DataFrame =
+  private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                               maxBucket: Int = 1000): DataFrame =
     bucketed.groupBy(keyCols.map(col): _*).agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe(s"$CapMetricPrefix.${capSeq.incrementAndGet()}",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("truncated_buckets"),
+        sum(greatest(size(col("ids")) - maxBucket, lit(0)).cast("long"))
+          .as("dropped_ids"))
       .select(expr(s"slice(array_sort(ids), 1, $maxBucket)").as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
  * processing via `mapPartitions`, bounded memory per task — are real and
  * tested. Codecs: IMAGE decode/resize and WAV-audio decode are REAL,
  * built on the JDK's own codecs (`javax.imageio`: PNG/JPEG/GIF/BMP;
- * `javax.sound.sampled`: WAV) — no external libraries needed. Payloads
- * the JDK cannot decode (video, synthetic test bytes) fall back to the
- * clearly-marked deterministic stub so the pipeline shape still runs
- * end-to-end on any input.
+ * `javax.sound.sampled`: WAV), and VIDEO metadata is a REAL MP4/ISO-BMFF
+ * box walk (pure JVM — no external libraries needed). Payloads none of
+ * those parse (synthetic test bytes, corrupt files) fall back to the
+ * clearly-marked deterministic stub with `decode_ok = false`, so the
+ * pipeline shape still runs end-to-end on any input and every fallback
+ * is auditable.
  */
 object Multimodal {
 
@@ -29,7 +31,26 @@ object Multimodal {
       doc_id: Long,
       modality: String,
       byte_len: Long,
-      feature: Array[Float]) // decoded feature vector (stub)
+      feature: Array[Float], // decoded feature vector
+      decode_ok: Boolean) // false = stub fallback (auditable, never silent)
+
+  /** Resize output: the record plus an explicit real-codec/stub marker. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      modality: String,
+      payload: Array[Byte],
+      declared_w: Int,
+      declared_h: Int,
+      decode_ok: Boolean) // false = stub fallback (auditable, never silent)
+
+  /** Video container metadata from the MP4/ISO-BMFF box walk. */
+  final case class VideoMeta(
+      major_brand: String,
+      timescale: Long,
+      duration_sec: Double,
+      width: Int, // largest track's presentation size (0 = no visual track)
+      height: Int,
+      tracks: Int)
 
   /** Synthesize a multimodal table from `documents` (texts as fake
     * payloads) — deterministic, schema-faithful stand-in for a real
@@ -121,6 +142,95 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  // ---- MP4 / ISO-BMFF metadata (pure-JVM box walk over the public
+  // ISO/IEC 14496-12 layout; the JDK has no video codec, but container
+  // metadata needs none) -------------------------------------------------
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /**
+   * REAL video metadata via an MP4/ISO-BMFF box walk: `ftyp` (major
+   * brand) + `moov`→`mvhd` (timescale, duration) + `trak`→`tkhd`
+   * (presentation width/height, 16.16 fixed point). Handles 32/64-bit
+   * box sizes and version-0/1 full boxes; every read is bounds-checked,
+   * malformed input yields None. No frame decode — container metadata
+   * only, which is what a 100 TB curation pass actually needs (duration/
+   * dimension filters) before any GPU-side decode.
+   */
+  def parseMp4Meta(p: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (p.length < 16) return None
+      var brand: String = null
+      var timescale = 0L
+      var duration = -1L
+      var w = 0
+      var h = 0
+      var tracks = 0
+      def scan(start: Long, end: Long, depth: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          var size = be32(p, off.toInt)
+          val typ = fourcc(p, off.toInt + 4)
+          var hdr = 8L
+          if (size == 1L && off + 16 <= end) {
+            size = be64(p, off.toInt + 8); hdr = 16
+          } else if (size == 0L) size = end - off
+          if (size < hdr || off + size > end) return // malformed: stop
+          val body = (off + hdr).toInt
+          val blen = (size - hdr).toInt
+          typ match {
+            case "ftyp" if depth == 0 && blen >= 4 =>
+              brand = fourcc(p, body)
+            case "moov" | "trak" | "mdia" =>
+              if (typ == "trak") tracks += 1
+              scan(body, off + size, depth + 1)
+            case "mvhd" if blen >= 20 =>
+              val v = p(body) & 0xff
+              if (v == 1 && blen >= 32) {
+                timescale = be32(p, body + 20)
+                duration = be64(p, body + 24)
+              } else if (v == 0) {
+                timescale = be32(p, body + 12)
+                duration = be32(p, body + 16)
+              }
+            case "tkhd" =>
+              val v = p(body) & 0xff
+              val dimOff = 4 + (if (v == 1) 32 else 20) + 52
+              if (blen >= dimOff + 8) {
+                val tw = (be32(p, body + dimOff) >> 16).toInt
+                val th = (be32(p, body + dimOff + 4) >> 16).toInt
+                if (tw * th > w * h) { w = tw; h = th }
+              }
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      scan(0L, p.length.toLong, 0)
+      if (brand == null || timescale <= 0 || duration < 0) None
+      else Some(VideoMeta(brand, timescale,
+        duration.toDouble / timescale, w, h, tracks))
+    } catch { case _: Exception => None }
+
+  /** MP4 metadata → the 8-dim feature shape shared by all modalities. */
+  def decodeMp4(payload: Array[Byte]): Option[Array[Float]] =
+    parseMp4Meta(payload).map { m =>
+      Array(
+        m.width / 4096.0f,
+        m.height / 4096.0f,
+        if (m.height > 0) m.width.toFloat / m.height else 0.0f,
+        (m.duration_sec / 3600.0).toFloat,
+        m.timescale / 1e6f,
+        m.tracks.toFloat,
+        0.0f, 0.0f)
+    }
+
   /**
    * ===== STUB DECODE (fallback) =====
    * Deterministic fake for payloads the JDK codecs cannot decode (video —
@@ -140,8 +250,10 @@ object Multimodal {
 
   /** Partition-parallel decode: `mapPartitions` so per-partition codec
     * setup is amortized; input stays an iterator (constant memory).
-    * Dispatch: image → ImageIO, audio → WAV parser, anything not
-    * decodable (or video) → the deterministic stub. */
+    * Dispatch: image → ImageIO, audio → WAV parser, video → MP4 box
+    * walk; anything not decodable → the deterministic stub with
+    * `decode_ok = false`, so fallbacks are countable at scale
+    * (`filter(!$"decode_ok")`), never silent. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     implicit val inEnc = Encoders.product[MediaRecord]
@@ -150,10 +262,11 @@ object Multimodal {
         val real = r.modality match {
           case "image" => decodeImage(r.payload)
           case "audio" => decodeWav(r.payload)
+          case "video" => decodeMp4(r.payload)
           case _ => None
         }
         MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
-          real.getOrElse(decodeStub(r.payload)))
+          real.getOrElse(decodeStub(r.payload)), real.isDefined)
       }
     }
   }
@@ -214,22 +327,27 @@ object Multimodal {
   }
 
   /** Partition-parallel resize of image-modality rows to a bounding box;
-    * non-image rows pass through untouched. Decodable images go through
-    * the real JDK scale-and-reencode; everything else falls back to the
-    * deterministic stub. */
+    * non-image rows pass through untouched (`decode_ok = true` — nothing
+    * to decode). Decodable images go through the real JDK
+    * scale-and-reencode; everything else falls back to the deterministic
+    * stub with `decode_ok = false`, so fallbacks are auditable at scale. */
   def resizeImages(spark: SparkSession, media: DataFrame,
-                   targetW: Int, targetH: Int): Dataset[MediaRecord] = {
-    implicit val enc = Encoders.product[MediaRecord]
+                   targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val inEnc = Encoders.product[MediaRecord]
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        if (r.modality != "image") r
+        if (r.modality != "image")
+          ResizedMedia(r.doc_id, r.modality, r.payload,
+            r.declared_w, r.declared_h, decode_ok = true)
         else resizeImageBytes(r.payload, targetW, targetH) match {
           case Some((bytes, nw, nh)) =>
-            MediaRecord(r.doc_id, r.modality, bytes, nw, nh)
+            ResizedMedia(r.doc_id, r.modality, bytes, nw, nh, decode_ok = true)
           case None =>
-            MediaRecord(r.doc_id, r.modality,
+            ResizedMedia(r.doc_id, r.modality,
               resizeStub(r.payload, r.declared_w, r.declared_h, targetW, targetH),
-              math.min(r.declared_w, targetW), math.min(r.declared_h, targetH))
+              math.min(r.declared_w, targetW), math.min(r.declared_h, targetH),
+              decode_ok = false)
         }
       }
     }

@@ -41,6 +41,26 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L)) // 1 and 3 dropped as dups of 0
   }
 
+  test("bucketPairs cap is observable: oversized bucket reports dropped ids") {
+    // one bucket of 10 ids capped at 4 → C(4,2)=6 pairs, 6 ids dropped;
+    // a second, in-cap bucket contributes its pair and no drops
+    val bucketed = ((0L to 9L).map(i => ("hot", i)) ++
+      Seq(("ok", 100L), ("ok", 101L))).toDF("bkey", "id")
+    val pairs = Dedup.bucketPairs(bucketed, Seq("bkey"), maxBucket = 4)
+    val got = pairs.collect()
+    assert(got.length == 6 + 1)
+    val stats = Dedup.capStats(pairs).values
+    assert(stats.size == 1)
+    val row = stats.head
+    assert(row.getAs[Long]("buckets") == 2L)
+    assert(row.getAs[Long]("truncated_buckets") == 1L)
+    assert(row.getAs[Long]("dropped_ids") == 6L)
+    // an uncapped run reports zero drops
+    val free = Dedup.bucketPairs(bucketed, Seq("bkey"), maxBucket = 100)
+    assert(free.count() == 45 + 1)
+    assert(Dedup.capStats(free).values.head.getAs[Long]("dropped_ids") == 0L)
+  }
+
   test("simhash blocks and verifies hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
@@ -192,7 +212,13 @@ class ExtSpec extends SparkSpec {
       if (r.modality == "image") {
         assert(r.payload.length <= orig.length)
         assert(r.declared_w <= 8 && r.declared_h <= 8)
-      } else assert(r.payload.sameElements(orig))
+        // synthetic text payloads are not decodable images → the stub
+        // fallback must be flagged, not silent
+        assert(!r.decode_ok)
+      } else {
+        assert(r.payload.sameElements(orig))
+        assert(r.decode_ok) // pass-through: nothing to decode
+      }
     }
   }
 
@@ -222,8 +248,10 @@ class ExtSpec extends SparkSpec {
     val media = Seq(Multimodal.MediaRecord(1L, "image", png, 64, 48)).toDS().toDF()
     val out = Multimodal.decodeFeatures(spark, media).collect().head
     assert(out.feature.toSeq == feat.toSeq)
+    assert(out.decode_ok)
     val rs = Multimodal.resizeImages(spark, media, 32, 32).collect().head
     assert(rs.declared_w == 32 && rs.declared_h == 24)
+    assert(rs.decode_ok)
 
     // JPEG path of the same codec (lossy, so only structure is asserted)
     val jbos = new java.io.ByteArrayOutputStream()
@@ -257,5 +285,79 @@ class ExtSpec extends SparkSpec {
     val feats = Multimodal.decodeFeatures(spark, media).collect()
     assert(feats.length == 5)
     assert(feats.forall(f => f.feature.length == 8 && f.feature.forall(v => v >= 0f && v < 1f)))
+    // text payloads decode under no codec → every fallback is flagged
+    assert(feats.forall(!_.decode_ok))
+  }
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length)
+    bb.put(typ.getBytes("ISO-8859-1"))
+    bb.put(body)
+    bb.array()
+  }
+
+  /** Genuine (minimal) ISO-BMFF file: ftyp + moov(mvhd, trak(tkhd)) +
+    * a 64-bit-size mdat — built straight from the public box layout. */
+  private def tinyMp4: Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(96) // version 0 full box
+      .putInt(0)          // version + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1000)       // timescale
+      .putInt(90000)      // duration → 90 s
+      .array()
+    val tkhd = java.nio.ByteBuffer.allocate(84) // version 0: 84-byte body
+      .position(76).asInstanceOf[java.nio.ByteBuffer]
+      .putInt(640 << 16).putInt(360 << 16) // width, height (16.16)
+      .array()
+    val moov = mp4Box("moov", mp4Box("mvhd", mvhd) ++
+      mp4Box("trak", mp4Box("tkhd", tkhd)))
+    val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0) ++ "mp41".getBytes("ISO-8859-1"))
+    // mdat with size=1 + 64-bit largesize to exercise the wide-size branch
+    val payload = Array.fill[Byte](10)(7)
+    val mdat = java.nio.ByteBuffer.allocate(16 + payload.length)
+      .putInt(1).put("mdat".getBytes("ISO-8859-1"))
+      .putLong(16L + payload.length).put(payload).array()
+    ftyp ++ moov ++ mdat
+  }
+
+  test("multimodal: MP4 box walk extracts real container metadata") {
+    val meta = Multimodal.parseMp4Meta(tinyMp4).get
+    assert(meta.major_brand == "isom")
+    assert(meta.timescale == 1000L)
+    assert(math.abs(meta.duration_sec - 90.0) < 1e-9)
+    assert(meta.width == 640 && meta.height == 360)
+    assert(meta.tracks == 1)
+
+    // through the distributed path: the video modality is a REAL decode
+    val media = Seq(Multimodal.MediaRecord(9L, "video", tinyMp4, 0, 0)).toDS().toDF()
+    val out = Multimodal.decodeFeatures(spark, media).collect().head
+    assert(out.decode_ok)
+    assert(math.abs(out.feature(0) - 640 / 4096.0f) < 1e-6)
+    assert(math.abs(out.feature(1) - 360 / 4096.0f) < 1e-6)
+    assert(math.abs(out.feature(3) - 90.0f / 3600.0f) < 1e-6)
+    assert(out.feature(5) == 1.0f) // track count
+  }
+
+  test("multimodal: corrupt payloads flag decode_ok = false, never throw") {
+    // truncated MP4, truncated PNG, random bytes — all must fall back
+    val corruptMp4 = tinyMp4.take(20)
+    assert(Multimodal.parseMp4Meta(corruptMp4).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", corruptMp4, 0, 0),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](0x50, 0x4e, 0x47, 1, 2), 8, 8),
+      Multimodal.MediaRecord(3L, "audio", Array[Byte](0x52, 0x49, 0x46, 0x46), 0, 0)
+    ).toDS().toDF()
+    val outs = Multimodal.decodeFeatures(spark, media).collect()
+    assert(outs.length == 3 && outs.forall(!_.decode_ok))
+    outs.foreach { o =>
+      val stub = Multimodal.decodeStub(
+        media.filter(col("doc_id") === o.doc_id)
+          .select("payload").as[Array[Byte]].head())
+      assert(o.feature.toSeq == stub.toSeq) // deterministic, marked fallback
+    }
+    val rs = Multimodal.resizeImages(spark, media, 4, 4).collect()
+    assert(rs.filter(_.modality == "image").forall(!_.decode_ok))
   }
 }
