@@ -44,14 +44,28 @@ object Bench {
 
     runOnce("a3_minmax_year") // warmup (untimed)
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      name -> (try runOnce(name) catch { case _: Throwable => -1.0 })
+    // 3 passes over the whole set, report the per-query MEDIAN: single
+    // runs carry ±20 % machine-load noise that made round-over-round
+    // comparison unreadable; the median of 3 interleaved passes is stable
+    // while still charging each query its steady-state cost.
+    val names = headline.filter(SparkEntry.queries.contains)
+    val passes = (1 to 3).map { _ =>
+      names.map { name =>
+        name -> (try runOnce(name) catch { case _: Throwable => -1.0 })
+      }.toMap
     }
+    def median3(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val results = names.map(n => n -> median3(passes.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val runs = passes
+      .map(p => f"${p.values.filter(_ >= 0).sum}%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     // The bare JSON goes to stdout (unprefixed: run/outputStrategy is
     // StdoutOutput) AND to a file whose entire content is the one line,
     // so the driver can parse either.

@@ -555,7 +555,10 @@ object Queries {
         rightTime = col("order_sec") * lit(1000000000L),
         rightCols = Seq("o_orderkey"),
         rightOrd = col("o_orderkey"))(
-        t => floor(t / 86400000000000L).cast("long")) // daily buckets
+        // 7-day buckets: ~52 buckets/year of hot-key parallelism; finer
+        // buckets inflate the bucket-level carry-in table for no extra
+        // safety (ProbeAsof: 1d 1.79 s, 7d 1.35 s, plain 0.70 s at sf0.1)
+        t => floor(t / (7L * 86400000000000L)).cast("long"))
         .select(col("event_id"), col("user_id"),
           expr("ts DIV 1000 * 1000").as("ts_ns"), col("o_orderkey"))
     }),

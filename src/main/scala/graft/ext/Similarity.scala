@@ -61,6 +61,21 @@ object Similarity {
               kmeansIters: Int = 2, sampleFactor: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.GraftFunctions.nearest_centroids
+    val (cents, dim) = trainQuantizer(corpus, numCentroids, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    val assigned = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** Coarse-quantizer training, shared by the in-session and persisted
+    * index paths. Returns the flattened (numCentroids × dim) centroid
+    * matrix + dim — metadata-sized model state. */
+  private def trainQuantizer(corpus: DataFrame, numCentroids: Int,
+                             kmeansIters: Int, sampleFactor: Int,
+                             idCol: String, vecCol: String): (Array[Float], Int) = {
+    import graft.functions.GraftFunctions.nearest_centroids
     // quantizer init = bounded model state: exactly numCentroids vectors
     val centRows = corpus
       .select(col(idCol), col(vecCol))
@@ -102,16 +117,18 @@ object Similarity {
         }
       } finally sample.unpersist()
     }
+    (cents, dim)
+  }
 
-    val assigned = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
-
+  /** Shared probe tail: search only the probed cells — probes broadcast
+    * (queries are the small side), the inverted lists stream. */
+  private def probeIndex(assigned: DataFrame, cents: Array[Float], dim: Int,
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.nearest_centroids
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         explode(nearest_centroids(col(vecCol), cents, dim, nprobe)).as("bucket"))
-
-    // search only the probed buckets: probes broadcast, corpus streams
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
@@ -121,5 +138,68 @@ object Similarity {
       .select(col("query_id"), explode(col("topk")).as("hit"))
       .select(col("query_id"), col("hit.id").as("neighbor_id"),
         col("hit.score").as("score"))
+  }
+
+  /**
+   * Persisted IVF index — the build-once/query-many split a 100 TB corpus
+   * requires: quantizer training + the full corpus-assignment scan run
+   * ONCE, then any number of query batches probe the stored inverted
+   * lists. Layout under `path`:
+   *   `centroids/`   — (cell, centroid) parquet, numCentroids rows
+   *   `assignments/` — (bucket, cand_id, c_vec) parquet, range-partitioned
+   *                    AND sorted by bucket ([[graft.io.Tables.writeSortedBy]]),
+   *                    so per-file bucket min/max are disjoint and a probe
+   *                    of `nprobe` cells skips every other file.
+   */
+  def buildIvfIndex(corpus: DataFrame, path: String,
+                    numCentroids: Int = 256, kmeansIters: Int = 2,
+                    sampleFactor: Int = 64, indexFiles: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    val spark = corpus.sparkSession
+    val (cents, dim) = trainQuantizer(corpus, numCentroids, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    val centroidRows = (0 until cents.length / dim).map { c =>
+      (c, cents.slice(c * dim, (c + 1) * dim).toSeq)
+    }
+    import spark.implicits._
+    centroidRows.toDF("cell", "centroid")
+      .repartition(1) // metadata-sized
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    graft.io.Tables.writeSortedBy(assigned, s"$path/assignments",
+      indexFiles, "bucket")
+  }
+
+  /** Load the metadata-sized centroid matrix of a persisted index. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[Float], Int) = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect() // numCentroids rows — metadata-sized
+    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    val dim = rows.head.getSeq[Float](1).length
+    val cents = new Array[Float](rows.length * dim)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val v = r.getSeq[Float](1)
+      var j = 0
+      while (j < dim) { cents(c * dim + j) = v(j); j += 1 }
+    }
+    (cents, dim)
+  }
+
+  /** Query a persisted IVF index: same probe plan as [[ivfTopK]], but the
+    * corpus side is the stored, bucket-sorted inverted lists — no
+    * re-training, no re-assignment, parquet file skipping on the probed
+    * cells. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val (cents, dim) = loadIvfCentroids(spark, path)
+    val assigned = spark.read.parquet(s"$path/assignments")
+    probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
   }
 }

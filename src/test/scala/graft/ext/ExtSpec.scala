@@ -125,6 +125,28 @@ class ExtSpec extends SparkSpec {
     // the quantizer is bounded: centroid count never scales with the corpus
   }
 
+  test("persisted IVF index: build once, reload, recall@5 >= 0.9") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8, kmeansIters = 2,
+      indexFiles = 4)
+    // round-trip: stored centroid matrix reloads with the right shape
+    val (cents, dim) = Similarity.loadIvfCentroids(spark, dir)
+    assert(dim > 0 && cents.length == 8 * dim)
+    // stored inverted lists are bucket-sorted → disjoint per-file ranges
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    assert(assigned.columns.toSet == Set("bucket", "cand_id", "c_vec"))
+    assert(assigned.count() == emb.count())
+    // query the LOADED index (no retraining): same recall pin as in-session
+    val qs = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.ivfTopKFromIndex(spark, dir, qs, 5, nprobe = 6)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"loaded-index recall@5 $recall")
+  }
+
   test("chunking covers the text with the declared overlap") {
     val text = ("a" * 450) + ("b" * 450) + ("c" * 100) // 1000 chars
     val df = Seq((1L, text), (2L, ""), (3L, "tiny")).toDF("doc_id", "text")
