@@ -25,21 +25,42 @@ import graft.functions.GraftFunctions
  */
 object Dedup {
 
-  /** Prefix of the named observation metrics every [[bucketPairs]] call
-    * emits (suffix = a per-call sequence number, so several LSH pipelines
-    * can compose in one plan). After any action on a DataFrame derived
-    * from an LSH pipeline, read them with [[capStats]]. */
-  val CapMetricPrefix = "graft.dedup.cap"
-  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Cumulative candidate-cap counters: multi-id buckets seen, buckets
+    * truncated by the skew cap, and candidate ids dropped by it.
+    * `droppedIds > 0` bounds measured recall — the cap is visible, never
+    * silent. */
+  final case class CapStats(buckets: Long, truncatedBuckets: Long,
+                            droppedIds: Long)
 
-  /** Candidate-cap observability: the (buckets, truncated_buckets,
-    * dropped_ids) rows observed during the LAST action executed on
-    * `result`'s plan — one entry per LSH candidate stage in the plan.
-    * `dropped_ids > 0` means the skew cap truncated at least one bucket
-    * and measured recall is bounded accordingly (no silent caps). */
-  def capStats(result: DataFrame): Map[String, org.apache.spark.sql.Row] =
-    result.queryExecution.observedMetrics
-      .filter { case (name, _) => name.startsWith(CapMetricPrefix) }
+  // Named LongAccumulators (one trio per SparkContext, shown in the Spark
+  // UI): unlike `observe` metrics — which attach to one QueryExecution
+  // and are invisible when the result is consumed via `df.write` — these
+  // count for ANY action. Task retries can over-count slightly; they are
+  // observability counters, not exact billing.
+  private val capAccs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    (org.apache.spark.util.LongAccumulator,
+     org.apache.spark.util.LongAccumulator,
+     org.apache.spark.util.LongAccumulator)]()
+
+  private def accsFor(sc: org.apache.spark.SparkContext) =
+    capAccs.computeIfAbsent(sc, s =>
+      (s.longAccumulator("graft.dedup.cap.buckets"),
+        s.longAccumulator("graft.dedup.cap.truncated_buckets"),
+        s.longAccumulator("graft.dedup.cap.dropped_ids")))
+
+  /** Read the cumulative cap counters for this session (since start or
+    * the last [[capStatsReset]]). */
+  def capStats(spark: org.apache.spark.sql.SparkSession): CapStats = {
+    val (b, t, d) = accsFor(spark.sparkContext)
+    CapStats(b.value, t.value, d.value)
+  }
+
+  /** Zero the cap counters (e.g. per dedup pass, to attribute drops). */
+  def capStatsReset(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (b, t, d) = accsFor(spark.sparkContext)
+    b.reset(); t.reset(); d.reset()
+  }
 
   /**
    * Candidate generation shared by every LSH family: group rows by bucket
@@ -49,28 +70,40 @@ object Dedup {
    * `maxBucket` smallest ids per bucket (sorted → deterministic);
    * larger buckets are near-identical mass that exact dedup upstream
    * should have removed, and O(maxBucket²) bounds task memory and fan-out.
-   * The cap is OBSERVABLE, never silent: each call plants a named
-   * `observe` metric (buckets, truncated_buckets, dropped_ids) readable
-   * via [[capStats]] after any action on the downstream DataFrame.
-   * `bucketed` must have an `id` column plus `keyCols`.
+   * The cap is OBSERVABLE, never silent: per-session accumulators
+   * (readable via [[capStats]], visible in the Spark UI) count buckets
+   * hit, buckets truncated, and ids dropped — the truncation runs on
+   * bucket-level rows (post-aggregation, tiny), so the JVM hop costs
+   * nothing on the data path. `bucketed` must have a long `id` column
+   * plus `keyCols`.
    */
   private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
-                               maxBucket: Int = 1000): DataFrame =
+                               maxBucket: Int = 1000): DataFrame = {
+    val (accB, accT, accD) = accsFor(bucketed.sparkSession.sparkContext)
+    val session = bucketed.sparkSession
+    import session.implicits._
     bucketed.groupBy(keyCols.map(col): _*).agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) > 1)
-      .observe(s"$CapMetricPrefix.${capSeq.incrementAndGet()}",
-        count(lit(1)).as("buckets"),
-        sum(when(size(col("ids")) > maxBucket, lit(1L)).otherwise(lit(0L)))
-          .as("truncated_buckets"),
-        sum(greatest(size(col("ids")) - maxBucket, lit(0)).cast("long"))
-          .as("dropped_ids"))
-      .select(expr(s"slice(array_sort(ids), 1, $maxBucket)").as("ids"))
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        it.map { ids =>
+          accB.add(1L)
+          if (ids.length > maxBucket) {
+            accT.add(1L)
+            accD.add((ids.length - maxBucket).toLong)
+          }
+          ids.sorted.take(maxBucket)
+        }
+      }
+      .toDF("ids")
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
           |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
 
   /**
    * Exact dedup: group on a 256-bit content digest, keep the smallest id.

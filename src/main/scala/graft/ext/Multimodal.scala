@@ -218,6 +218,37 @@ object Multimodal {
         duration.toDouble / timescale, w, h, tracks))
     } catch { case _: Exception => None }
 
+  /** Row shape of [[extractVideoMeta]]. */
+  final case class VideoMetaRow(
+      doc_id: Long,
+      major_brand: String,
+      timescale: Long,
+      duration_sec: Double,
+      width: Int,
+      height: Int,
+      tracks: Int,
+      decode_ok: Boolean)
+
+  /** Column-level video metadata over video-modality rows: the
+    * `extractMeta`-style table for the MP4 path (brand, timescale,
+    * duration, track dimensions), `decode_ok = false` rows carry zeros —
+    * auditable, never silent. Partition-parallel, constant memory. */
+  def extractVideoMeta(media: DataFrame): Dataset[VideoMetaRow] = {
+    implicit val enc = Encoders.product[VideoMetaRow]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.filter(col("modality") === "video").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          parseMp4Meta(r.payload) match {
+            case Some(m) => VideoMetaRow(r.doc_id, m.major_brand, m.timescale,
+              m.duration_sec, m.width, m.height, m.tracks, decode_ok = true)
+            case None => VideoMetaRow(r.doc_id, "", 0L, 0.0, 0, 0, 0,
+              decode_ok = false)
+          }
+        }
+      }
+  }
+
   /** MP4 metadata → the 8-dim feature shape shared by all modalities. */
   def decodeMp4(payload: Array[Byte]): Option[Array[Float]] =
     parseMp4Meta(payload).map { m =>

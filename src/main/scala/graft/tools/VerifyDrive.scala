@@ -48,6 +48,18 @@ object VerifyDrive {
     println("== Similarity.ivfTopK (5 queries, k=3) ==")
     Similarity.ivfTopK(emb, queries, 3).orderBy("query_id", "score").show(20)
 
+    println("== Similarity persisted index (build → reload → query) ==")
+    val ivfDir = java.nio.file.Files.createTempDirectory("drive_ivf_").toString
+    Similarity.buildIvfIndex(emb, ivfDir, numCentroids = 8, indexFiles = 4)
+    Similarity.ivfTopKFromIndex(spark, ivfDir, queries, 3)
+      .orderBy("query_id", "score").show(20)
+
+    println("== Dedup.capStats (observable LSH candidate cap) ==")
+    Dedup.capStatsReset(spark)
+    Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    println(Dedup.capStats(spark))
+
     println("== TextAnalysis.qualityFeatures ==")
     TextAnalysis.qualityFeatures(docs).show(5)
     println("lang distribution (pred vs actual):")
@@ -60,6 +72,10 @@ object VerifyDrive {
     Multimodal.extractMeta(media).show(3)
     Multimodal.decodeFeatures(spark, media).show(3)
     Multimodal.frameSample(media, 4).groupBy("modality").count().show()
+    println("decode_ok rate (synthetic text payloads → all stub):")
+    Multimodal.decodeFeatures(spark, media)
+      .groupBy("modality", "decode_ok").count().show()
+    Multimodal.extractVideoMeta(media).groupBy("decode_ok").count().show()
 
     spark.stop()
   }

@@ -46,19 +46,22 @@ class ExtSpec extends SparkSpec {
     // a second, in-cap bucket contributes its pair and no drops
     val bucketed = ((0L to 9L).map(i => ("hot", i)) ++
       Seq(("ok", 100L), ("ok", 101L))).toDF("bkey", "id")
+    Dedup.capStatsReset(spark)
     val pairs = Dedup.bucketPairs(bucketed, Seq("bkey"), maxBucket = 4)
-    val got = pairs.collect()
-    assert(got.length == 6 + 1)
-    val stats = Dedup.capStats(pairs).values
-    assert(stats.size == 1)
-    val row = stats.head
-    assert(row.getAs[Long]("buckets") == 2L)
-    assert(row.getAs[Long]("truncated_buckets") == 1L)
-    assert(row.getAs[Long]("dropped_ids") == 6L)
-    // an uncapped run reports zero drops
+    // a WRITE action (not collect) — the counters must still see it,
+    // which is why they are accumulators, not observe metrics
+    pairs.write.format("noop").mode("overwrite").save()
+    val stats = Dedup.capStats(spark)
+    assert(stats.buckets == 2L)
+    assert(stats.truncatedBuckets == 1L)
+    assert(stats.droppedIds == 6L)
+    assert(pairs.count() == 6 + 1)
+    // an uncapped run adds zero drops
+    Dedup.capStatsReset(spark)
     val free = Dedup.bucketPairs(bucketed, Seq("bkey"), maxBucket = 100)
     assert(free.count() == 45 + 1)
-    assert(Dedup.capStats(free).values.head.getAs[Long]("dropped_ids") == 0L)
+    val freeStats = Dedup.capStats(spark)
+    assert(freeStats.buckets == 2L && freeStats.droppedIds == 0L)
   }
 
   test("simhash blocks and verifies hamming distance") {
@@ -360,6 +363,22 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out.feature(1) - 360 / 4096.0f) < 1e-6)
     assert(math.abs(out.feature(3) - 90.0f / 3600.0f) < 1e-6)
     assert(out.feature(5) == 1.0f) // track count
+  }
+
+  test("multimodal: extractVideoMeta populates the metadata table for MP4 rows") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", tinyMp4, 0, 0),
+      Multimodal.MediaRecord(2L, "video", "not a video".getBytes, 0, 0),
+      Multimodal.MediaRecord(3L, "image", tinyMp4, 0, 0) // wrong modality: excluded
+    ).toDS().toDF()
+    val metas = Multimodal.extractVideoMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas.keySet == Set(1L, 2L))
+    val ok = metas(1L)
+    assert(ok.decode_ok && ok.major_brand == "isom" &&
+      ok.width == 640 && ok.height == 360 &&
+      math.abs(ok.duration_sec - 90.0) < 1e-9 && ok.tracks == 1)
+    assert(!metas(2L).decode_ok && metas(2L).timescale == 0L)
   }
 
   test("multimodal: corrupt payloads flag decode_ok = false, never throw") {

@@ -181,4 +181,57 @@ class FuzzSpec extends SparkSpec {
     }
     assert(splits(1) == splits(13))
   }
+
+  test("bucketed global rank equals a naive total sort on random data") {
+    val rnd = new Random(99)
+    for (round <- 1 to 5) {
+      val n = 1 + rnd.nextInt(400)
+      // values may be negative, duplicated, and bucket-boundary-heavy
+      val rows = Seq.tabulate(n)(i =>
+        ((rnd.nextInt(40) - 20).toDouble, i.toLong)) // (v, id) — id unique
+      val expect = rows.sortBy { case (v, id) => (v, id) }
+        .zipWithIndex.map { case ((_, id), i) => id -> (i + 1).toLong }.toMap
+      val got = Ranks.withGlobalRank(rows.toDF("v", "id"),
+        order = Seq(col("v"), col("id")),
+        bucket = floor(col("v") / 7).cast("long"))
+        .select("id", "__r", "__n")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got.view.mapValues(_._1).toMap == expect, s"round $round")
+      assert(got.values.forall(_._2 == n.toLong), s"round $round n")
+    }
+  }
+
+  test("derived ntile/percent_rank/cume_dist equal Spark's window functions") {
+    // the s19 arithmetic (rank → bucket-size formula) must agree with the
+    // engine's own ntile for every n-vs-k remainder shape, including n < k
+    val rnd = new Random(7)
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 9, 10, 11, 25, 64, 100, 137)) {
+      val rows = Seq.tabulate(n)(i => (rnd.nextInt(50).toDouble, i.toLong))
+      val df = rows.toDF("v", "id")
+      val w = Window.orderBy(col("v"), col("id"))
+      val builtin = df.select(col("id"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+      val derived = graft.ops.Ranks.withGlobalRank(df,
+        order = Seq(col("v"), col("id")),
+        bucket = floor(col("v") / 11).cast("long"))
+        .selectExpr("id",
+          """CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1)
+            |  THEN (__r - 1) DIV (__n DIV 10 + 1) + 1
+            |  ELSE __n % 10
+            |    + (__r - 1 - (__n % 10) * (__n DIV 10 + 1))
+            |      DIV greatest(__n DIV 10, 1) + 1
+            |END AS INT) AS decile""".stripMargin,
+          "CASE WHEN __n > 1 THEN CAST(__r - 1 AS DOUBLE) / (__n - 1) " +
+            "ELSE CAST(0.0 AS DOUBLE) END AS pct_rank",
+          "CAST(__r AS DOUBLE) / __n AS cum_dist")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(derived == builtin, s"n=$n")
+    }
+  }
 }
