@@ -70,30 +70,36 @@ object Dedup {
    * `maxBucket` smallest ids per bucket (sorted → deterministic);
    * larger buckets are near-identical mass that exact dedup upstream
    * should have removed, and O(maxBucket²) bounds task memory and fan-out.
-   * The cap is OBSERVABLE, never silent: per-session accumulators
-   * (readable via [[capStats]], visible in the Spark UI) count buckets
-   * hit, buckets truncated, and ids dropped — the truncation runs on
-   * bucket-level rows (post-aggregation, tiny), so the JVM hop costs
-   * nothing on the data path. `bucketed` must have a long `id` column
-   * plus `keyCols`.
+   * The cap applies MAP-SIDE, not post-collect: `bounded_min_ids` is a
+   * TypedImperativeAggregate (size-maxBucket heap + exact count), so
+   * partial aggregation keeps at most maxBucket ids per bucket per
+   * partition and at most that many cross the shuffle — `collect_list`
+   * + slice would buffer the WHOLE hot bucket in one task before
+   * capping (an OOM on a billion-duplicate bucket). And it is
+   * OBSERVABLE, never silent: per-session accumulators (readable via
+   * [[capStats]], visible in the Spark UI) count buckets hit, buckets
+   * truncated, and ids dropped, with drops exact (total - kept).
+   * `bucketed` must have a long `id` column plus `keyCols`.
    */
   private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
                                maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.BoundedMinIds.bounded_min_ids
     val (accB, accT, accD) = accsFor(bucketed.sparkSession.sparkContext)
     val session = bucketed.sparkSession
     import session.implicits._
-    bucketed.groupBy(keyCols.map(col): _*).agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"))
-      .as[Seq[Long]]
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(bounded_min_ids(col("id"), maxBucket).as("bk"))
+      .filter(col("bk.total") > 1)
+      .select(col("bk.ids").as("ids"), col("bk.total").as("total"))
+      .as[(Seq[Long], Long)]
       .mapPartitions { it =>
-        it.map { ids =>
+        it.map { case (ids, total) =>
           accB.add(1L)
-          if (ids.length > maxBucket) {
+          if (total > ids.length) {
             accT.add(1L)
-            accD.add((ids.length - maxBucket).toLong)
+            accD.add(total - ids.length)
           }
-          ids.sorted.take(maxBucket)
+          ids // already the maxBucket smallest, ascending
         }
       }
       .toDF("ids")

@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("minhash candidates: bucket cap is a partial (map-side) bounded aggregate") {
+    val p = plan("ext_dedup_minhash_pairs").toLowerCase
+    // partial + final boundedminids around the bucket shuffle — at most
+    // maxBucket ids per bucket per partition ever cross the wire
+    assert("partial_boundedminids|boundedminids".r.findAllIn(p).size >= 2, p)
+  }
+
   test("ann brute: bounded top-k aggregates partially before the shuffle") {
     val p = plan("ext_ann_brute")
     assert(p.contains("ObjectHashAggregate"), p)

@@ -167,6 +167,28 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("bounded_min_ids equals naive sorted-take with exact totals across merges") {
+    import graft.functions.BoundedMinIds.bounded_min_ids
+    val rnd = new Random(47)
+    for (round <- 1 to 5) {
+      // duplicate ids allowed; repartition(7) forces the partial/merge path
+      val data = Seq.tabulate(300)(_ =>
+        (s"b${rnd.nextInt(6)}", rnd.nextInt(80).toLong))
+      val expect = data.groupBy(_._1).map { case (b, rows) =>
+        b -> (rows.map(_._2).sorted.take(9), rows.size.toLong)
+      }
+      val got = data.toDF("b", "id").repartition(7)
+        .groupBy("b").agg(bounded_min_ids(col("id"), 9).as("bk"))
+        .select(col("b"), col("bk.ids"), col("bk.total"))
+        .as[(String, Seq[Long], Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      expect.foreach { case (b, (ids, total)) =>
+        assert(got(b)._1 == ids, s"round $round bucket $b ids")
+        assert(got(b)._2 == total, s"round $round bucket $b total")
+      }
+    }
+  }
+
   test("split assignment is invariant under repartitioning") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       concat(lit("l"), pmod(col("id"), lit(4))).as("lang"))
