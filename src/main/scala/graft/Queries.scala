@@ -818,6 +818,23 @@ object Queries {
         .groupBy("ngram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)),
 
+    // Vocabulary building: every token ranked by global frequency
+    // (vocab_id = frequency rank, ties by token) — the id-assignment
+    // step of tokenizer training. Exact GLOBAL ranks without a
+    // single-task sort: graft.ops.Ranks two-level bucketed rank, bucket
+    // = -bit_length(cnt) (pure integer, exactly monotone along the
+    // cnt-descending order). Capped to the top 32k — a vocab, not a
+    // token dump.
+    "ext_vocab_rank" -> ((s, dir) => {
+      val wc = ops.Transforms.wordCount(
+        t(s, dir, "documents").select(col("text").as("value")))
+      graft.ops.Ranks.withGlobalRank(wc,
+        order = Seq(col("cnt").desc, col("word")),
+        bucket = -length(bin(col("cnt"))).cast("long"))
+        .filter(col("__r") <= 32768)
+        .selectExpr("word", "cnt", "__r AS vocab_id")
+    }),
+
     // Rolling-hash fingerprint + SimHash per doc (custom kernels, no oracle).
     "ext_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1478,6 +1495,16 @@ object Queries {
          |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
          |FROM (SELECT unnest(shingles) AS s FROM sh)
          |GROUP BY s HAVING count(*) >= 3""".stripMargin,
+
+    "ext_vocab_rank" ->
+      """WITH wc AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY w)
+        |SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS vocab_id
+        |FROM wc QUALIFY vocab_id <= 32768""".stripMargin,
 
     "ext_decontaminate" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -307,11 +307,18 @@ object Dedup {
     // inverted index grouped per shingle: one shuffle of the posting list.
     // The df-cut falls out of the same groupBy — postings longer than
     // dfCut are ultra-common shingles that add little Jaccard mass but
-    // quadratic pair fan-out, so they are skipped entirely.
+    // quadratic pair fan-out, so they are skipped entirely. The bounded
+    // aggregate makes the cut map-side: at most dfCut ids per shingle
+    // buffer anywhere, and the EXACT total drives the cut, so a kept
+    // posting list (total <= dfCut) is always complete — semantics are
+    // identical to collect_list + length filter, without the hot-shingle
+    // task buffer.
+    import graft.functions.BoundedMinIds.bounded_min_ids
     val posts = shingled.select(col("id"), explode(col("shingles")).as("sh"))
     val co = posts
-      .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, dfCut))
+      .groupBy("sh").agg(bounded_min_ids(col("id"), dfCut).as("bk"))
+      .filter(col("bk.total").between(2, dfCut))
+      .select(col("bk.ids").as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
