@@ -818,6 +818,44 @@ object Queries {
         .groupBy("ngram").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)),
 
+    // N-gram-level decontamination (the serious form of train/test
+    // hygiene, cf. the 13-gram overlap checks of LLM eval cards):
+    // a training doc is contaminated if it shares ANY word 3-gram with
+    // the held-out split (doc_id % 10 == 0), not just an exact copy.
+    // Scale shape: the held-out shingle set is small by construction →
+    // broadcast semi-join against a narrow exploded scan of the train
+    // side; contaminated ids collapse via distinct before the anti-join.
+    // (At petabyte scale the join key would be xxhash64(shingle) —
+    // fixed-width — at a 2^-64 collision risk; raw shingles keep the
+    // oracle exact here.)
+    "ext_ngram_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(GraftFunctions.shingle_set(
+          GraftFunctions.tokens_lc(col("text")), 3)).as("sh"))
+      val testSh = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+      val bad = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(testSh), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Quality-weighted deterministic sampling (importance resampling):
+    // keep each doc with probability = its quality score, decided by the
+    // overflow-safe limb hash of doc_id against floor(q · 2^32) — pure
+    // integer comparison, reproducible at any parallelism, no RNG state.
+    // A narrow scan: no shuffle at all.
+    "ext_sample_weighted" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.qualityScoreOf(col("text"),
+            TextAnalysis.tokens(col("text"))).as("q"))
+        .filter(expr(limbHashSpark) <
+          floor(col("q") * 4294967296L).cast("long"))
+        .select("doc_id", "lang", "n_chars")),
+
     // Vocabulary building: every token ranked by global frequency
     // (vocab_id = frequency rank, ties by token) — the id-assignment
     // step of tokenizer training. Exact GLOBAL ranks without a
@@ -1495,6 +1533,29 @@ object Queries {
          |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
          |FROM (SELECT unnest(shingles) AS s FROM sh)
          |GROUP BY s HAVING count(*) >= 3""".stripMargin,
+
+    "ext_ngram_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |shx AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
+         |  FROM toks WHERE len(tk) >= 3),
+         |bad AS (
+         |  SELECT DISTINCT doc_id FROM shx
+         |  WHERE doc_id % 10 <> 0
+         |    AND s IN (SELECT s FROM shx WHERE doc_id % 10 = 0))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id % 10 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "ext_sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, $limbHashDuck AS hv,
+         |    ($qualitySql) AS q
+         |  FROM documents)
+         |WHERE hv < CAST(floor(q * 4294967296) AS BIGINT)""".stripMargin,
 
     "ext_vocab_rank" ->
       """WITH wc AS (
