@@ -820,8 +820,10 @@ object Queries {
 
     // N-gram-level decontamination (the serious form of train/test
     // hygiene, cf. the 13-gram overlap checks of LLM eval cards):
-    // a training doc is contaminated if it shares ANY word 3-gram with
+    // a training doc is contaminated if it shares ANY word 5-gram with
     // the held-out split (doc_id % 10 == 0), not just an exact copy.
+    // (5-grams, not 3: short n-grams over-fire on common phrases — at
+    // sf0.1 every doc shares some 3-gram and the filter degenerates.)
     // Scale shape: the held-out shingle set is small by construction →
     // broadcast semi-join against a narrow exploded scan of the train
     // side; contaminated ids collapse via distinct before the anti-join.
@@ -832,7 +834,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         explode(GraftFunctions.shingle_set(
-          GraftFunctions.tokens_lc(col("text")), 3)).as("sh"))
+          GraftFunctions.tokens_lc(col("text")), 5)).as("sh"))
       val testSh = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
       val bad = sh.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(testSh), Seq("sh"), "left_semi")
@@ -855,6 +857,26 @@ object Queries {
         .filter(expr(limbHashSpark) <
           floor(col("q") * 4294967296L).cast("long"))
         .select("doc_id", "lang", "n_chars")),
+
+    // Mixture construction: downsample each language to a fixed
+    // character budget (token proxy) — the per-domain sampling-weight
+    // step of training-mix building. keep_rate(lang) = min(1, budget /
+    // total_chars(lang)); the keep decision is the limb hash against
+    // floor(rate · 2^32) — deterministic, parallelism-independent. One
+    // metadata-sized per-lang aggregate broadcast back over a narrow
+    // scan; rates derive from exact integer totals so both engines
+    // compute bit-identical doubles.
+    "ext_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val totals = docs.groupBy("lang")
+        .agg(sum("n_chars").as("lang_chars"))
+      docs.join(broadcast(totals), Seq("lang"))
+        .withColumn("rate",
+          least(lit(1.0), lit(50000.0) / col("lang_chars").cast("double")))
+        .filter(expr(limbHashSpark) <
+          floor(col("rate") * 4294967296L).cast("long"))
+        .select("doc_id", "lang", "n_chars")
+    }),
 
     // Vocabulary building: every token ranked by global frequency
     // (vocab_id = frequency rank, ties by token) — the id-assignment
@@ -1539,9 +1561,10 @@ object Queries {
          |  SELECT doc_id, $tokSql AS tk FROM documents),
          |shx AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(len(tk) - 2, 0) + 1),
-         |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
-         |  FROM toks WHERE len(tk) >= 3),
+         |    range(1, greatest(len(tk) - 4, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+         |           || ' ' || tk[i + 3] || ' ' || tk[i + 4]))) AS s
+         |  FROM toks WHERE len(tk) >= 5),
          |bad AS (
          |  SELECT DISTINCT doc_id FROM shx
          |  WHERE doc_id % 10 <> 0
@@ -1556,6 +1579,17 @@ object Queries {
          |    ($qualitySql) AS q
          |  FROM documents)
          |WHERE hv < CAST(floor(q * 4294967296) AS BIGINT)""".stripMargin,
+
+    "ext_mixture_sample" ->
+      s"""WITH totals AS (
+         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS lang_chars
+         |  FROM documents GROUP BY lang)
+         |SELECT doc_id, d.lang, n_chars
+         |FROM documents d JOIN totals t ON d.lang = t.lang
+         |WHERE $limbHashDuck <
+         |  CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |    CAST(50000.0 AS DOUBLE) / CAST(lang_chars AS DOUBLE))
+         |    * 4294967296) AS BIGINT)""".stripMargin,
 
     "ext_vocab_rank" ->
       """WITH wc AS (

@@ -106,6 +106,37 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("ngram decontam: held-out shingles broadcast into semi + anti joins") {
+    val p = plan("ext_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("weighted sample is a shuffle-free narrow scan") {
+    val p = plan("ext_sample_weighted")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("mixture sample: one metadata aggregate, broadcast back, no sort-merge") {
+    val p = plan("ext_mixture_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocab rank: row-level window partitions on the count bucket") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val exec = SparkEntry.queries("ext_vocab_rank")(spark, dir)
+      .queryExecution.executedPlan
+    val offenders = exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+        !e.child.toString.contains("HashAggregate") => e
+    }
+    assert(offenders.isEmpty, exec.toString)
+  }
+
   test("minhash candidates: bucket cap is a partial (map-side) bounded aggregate") {
     val p = plan("ext_dedup_minhash_pairs").toLowerCase
     // partial + final boundedminids around the bucket shuffle — at most
