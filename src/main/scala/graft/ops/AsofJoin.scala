@@ -74,15 +74,19 @@ object AsofJoin {
     val carried = unioned.withColumn("__rin", last(rstruct, ignoreNulls = true).over(wIn))
 
     // level 2: latest right struct per (key, bucket), prefix-carried to
-    // later buckets; include left-only buckets so they get a carry-in too
-    val lastPerBucket = unioned.filter(col("__side") === 0)
+    // later buckets. ONE aggregation over all rows serves two purposes:
+    // left rows carry a null ordering key so max_by skips them, but their
+    // (key, bucket) groups still materialize — the group set IS the
+    // distinct bucket set (left-only buckets get a null __last), so no
+    // separate distinct scan + join is needed. Partial aggregation means
+    // only ~1 row per (key, bucket, task) reaches the shuffle.
+    val lastPerBucket = unioned
       .groupBy(key, "__b")
-      .agg(max_by(struct(rightCols.map(col): _*),
-        struct(col("__t"), col("__ord"))).as("__last"))
+      .agg(max_by(rstruct,
+        when(col("__side") === 0, struct(col("__t"), col("__ord")))).as("__last"))
     val wB = Window.partitionBy(key).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = unioned.select(col(key), col("__b")).distinct()
-      .join(lastPerBucket, Seq(key, "__b"), "left")
+    val carryIn = lastPerBucket
       .withColumn("__cin", last(col("__last"), ignoreNulls = true).over(wB))
       .select(col(key), col("__b"), col("__cin"))
 
