@@ -824,20 +824,23 @@ object Queries {
     // the held-out split (doc_id % 10 == 0), not just an exact copy.
     // (5-grams, not 3: short n-grams over-fire on common phrases — at
     // sf0.1 every doc shares some 3-gram and the filter degenerates.)
-    // Scale shape: the held-out shingle set is small by construction →
-    // broadcast semi-join against a narrow exploded scan of the train
-    // side; contaminated ids collapse via distinct before the anti-join.
-    // (At petabyte scale the join key would be xxhash64(shingle) —
-    // fixed-width — at a 2^-64 collision risk; raw shingles keep the
-    // oracle exact here.)
+    // Scale shape: the join key is xxhash64(shingle) — fixed-width, so
+    // the shuffle/build side carries 8-byte keys instead of raw 5-gram
+    // text (collision odds ~2^-64·pairs; the DuckDB oracle stays on raw
+    // shingles and has never diverged). NO broadcast hint: the held-out
+    // set is small for real benchmark suites, but here it grows with the
+    // corpus (10 % of docs) — a forced broadcast is terabytes at 100 TB.
+    // AQE converts the shuffle semi-join to broadcast at runtime iff the
+    // built side is actually small (PlanSpec pins both behaviors).
     "ext_ngram_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         explode(GraftFunctions.shingle_set(
           GraftFunctions.tokens_lc(col("text")), 5)).as("sh"))
-      val testSh = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      val testSh = sh.filter(col("doc_id") % 10 === 0).select("shk").distinct()
       val bad = sh.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(testSh), Seq("sh"), "left_semi")
+        .join(testSh, Seq("shk"), "left_semi")
         .select("doc_id").distinct()
       docs.filter(col("doc_id") % 10 =!= 0)
         .join(bad, Seq("doc_id"), "left_anti")
@@ -880,18 +883,19 @@ object Queries {
 
     // Vocabulary building: every token ranked by global frequency
     // (vocab_id = frequency rank, ties by token) — the id-assignment
-    // step of tokenizer training. Exact GLOBAL ranks without a
-    // single-task sort: graft.ops.Ranks two-level bucketed rank, bucket
-    // = -bit_length(cnt) (pure integer, exactly monotone along the
-    // cnt-descending order). Capped to the top 32k — a vocab, not a
-    // token dump.
+    // step of tokenizer training, capped to the top 32k. Zipf-safe:
+    // Ranks.topKByCountDesc first computes the exact count threshold for
+    // the top 32k from a metadata-sized per-cnt histogram and ranks ONLY
+    // `cnt >= threshold` (~32k rows) — bucketing alone leaves the cnt=1
+    // bucket (most of a Zipfian vocabulary) in one window task. Bucket =
+    // -bit_length(cnt): pure integer, exactly monotone along cnt desc.
     "ext_vocab_rank" -> ((s, dir) => {
       val wc = ops.Transforms.wordCount(
         t(s, dir, "documents").select(col("text").as("value")))
-      graft.ops.Ranks.withGlobalRank(wc,
+      graft.ops.Ranks.topKByCountDesc(wc, cntCol = "cnt",
         order = Seq(col("cnt").desc, col("word")),
-        bucket = -length(bin(col("cnt"))).cast("long"))
-        .filter(col("__r") <= 32768)
+        bucket = -length(bin(col("cnt"))).cast("long"),
+        limit = 32768L)
         .selectExpr("word", "cnt", "__r AS vocab_id")
     }),
 

@@ -47,4 +47,37 @@ object Ranks {
       .withColumn("__r", col("__lr") + col("__off"))
       .drop("__b", "__lr", "__off")
   }
+
+  /**
+   * Exact top-`limit` global ranks over (`cntCol` desc, ties by `order`)
+   * WITHOUT ranking the full table. Bucketing alone does not fix a
+   * Zipf-shaped `cntCol`: the cnt=1 bucket holds most distinct rows
+   * (hapax legomena), so its window task still processes nearly the whole
+   * table, and a post-rank `LIMIT` cannot be pushed below the window. The
+   * exact pre-cut: a per-cnt histogram (`groupBy(cntCol).count` — at most
+   * one row per distinct count value, metadata-sized) gives the largest
+   * threshold at which the cumulative row count reaches `limit`; every
+   * row with `cntCol >= threshold` is a prefix of the global
+   * (cnt desc, …) order, so ranking ONLY those rows (boundary ties
+   * included, trimmed by `__r <= limit` after) yields ranks identical to
+   * ranking everything. The ranked set is ~`limit` rows regardless of
+   * vocabulary size; the histogram's own cumulative window runs over
+   * pre-aggregated one-row-per-count data.
+   */
+  def topKByCountDesc(df: DataFrame, cntCol: String, order: Seq[Column],
+                      bucket: Column, limit: Long): DataFrame = {
+    val hist = df.groupBy(cntCol).agg(count(lit(1)).as("__types"))
+    val wCum = Window.orderBy(col(cntCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // count groups whose FIRST row still falls inside the top `limit`
+    // (rows before the group < limit); the smallest such count value is
+    // the exact keep threshold.
+    val thr = hist
+      .withColumn("__cum", sum("__types").over(wCum))
+      .filter(col("__cum") - col("__types") < limit)
+      .agg(min(col(cntCol)).as("__thr"))
+    val pre = df.join(broadcast(thr), col(cntCol) >= col("__thr"))
+      .drop("__thr")
+    withGlobalRank(pre, order, bucket).filter(col("__r") <= limit)
+  }
 }

@@ -9,6 +9,16 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Node-level plan for `collect`-based guards: AdaptiveSparkPlanExec is
+    * a LEAF node (its tree only prints), so pattern-matching collects must
+    * unwrap it or they match nothing and pass vacuously. */
+  private def planTree(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("p3: the set filter reaches the parquet scan") {
     val p = plan("p3_filter_symbols")
     assert(p.contains("PushedFilters: [In(l_returnflag"), p)
@@ -88,8 +98,7 @@ class PlanSpec extends SparkSpec {
   test("s19: global ranks shard — no row-level single-partition exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    val exec = SparkEntry.queries("s19_distribution")(spark, dir)
-      .queryExecution.executedPlan
+    val exec = planTree("s19_distribution")
     // a SinglePartition shuffle is only legitimate over pre-aggregated
     // (one-row-per-bucket) data — never over row-level table data
     val offenders = exec.collect {
@@ -106,11 +115,38 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
   }
 
-  test("ngram decontam: held-out shingles broadcast into semi + anti joins") {
-    val p = plan("ext_ngram_decontam")
+  test("ngram decontam: no forced broadcast — AQE picks broadcast only " +
+    "because the held-out side is actually small") {
+    val df = SparkEntry.queries("ext_ngram_decontam")(spark, dir)
+    df.collect() // let AQE finalize the plan from runtime shuffle stats
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    // at sf0.001 the held-out shingle-hash set IS small → AQE converts
+    // the shuffle semi-join to broadcast at runtime
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // the join key must be the fixed-width shingle hash, not raw text
+    assert(p.contains("shk"), p)
+  }
+
+  test("ngram decontam degrades to a shuffle semi-join when broadcast is " +
+    "off (the huge-held-out shape), with identical results") {
+    val run = () => SparkEntry.queries("ext_ngram_decontam")(spark, dir)
+    val expected = run().collect().toSet
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    try {
+      confs.foreach(spark.conf.set(_, "-1"))
+      val df = run()
+      val got = df.collect().toSet
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"), p)
+      assert(got == expected)
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
   }
 
   test("weighted sample is a shuffle-free narrow scan") {
@@ -128,13 +164,30 @@ class PlanSpec extends SparkSpec {
   test("vocab rank: row-level window partitions on the count bucket") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    val exec = SparkEntry.queries("ext_vocab_rank")(spark, dir)
-      .queryExecution.executedPlan
+    val exec = planTree("ext_vocab_rank")
     val offenders = exec.collect {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
         !e.child.toString.contains("HashAggregate") => e
     }
     assert(offenders.isEmpty, exec.toString)
+  }
+
+  test("vocab rank: the ranked input is threshold-pre-filtered — no " +
+    "window over the full vocabulary") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = planTree("ext_vocab_rank")
+    // the row-level (__b-partitioned) window must sit ABOVE the
+    // one-row-threshold join (a BroadcastNestedLoopJoin on cnt >= __thr):
+    // without the pre-cut, the Zipf cnt=1 bucket funnels most of the
+    // vocabulary through one window task
+    val rowWindows = exec.collect {
+      case w: WindowExec if w.partitionSpec.exists(_.toString.contains("__b")) => w
+    }
+    assert(rowWindows.nonEmpty, exec.toString)
+    rowWindows.foreach { w =>
+      assert(w.child.toString.contains("BroadcastNestedLoopJoin"),
+        s"row-level window not fed by the threshold pre-filter:\n$w")
+    }
   }
 
   test("minhash candidates: bucket cap is a partial (map-side) bounded aggregate") {

@@ -223,6 +223,29 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("topKByCountDesc equals a naive full sort on Zipfian counts") {
+    val rnd = new Random(21)
+    for (round <- 1 to 5) {
+      val n = 200 + rnd.nextInt(800)
+      // Zipf-shaped counts: a few huge counts, a heavy cnt=1 tail, and
+      // massive tie runs — the shape whose boundary ties and hot tail
+      // the histogram threshold must handle exactly
+      val rows = Seq.tabulate(n)(i => (f"w${rnd.nextInt(1000000)}%07d_$i",
+        math.max(1L, (n / (i + 1)).toLong)))
+      // limits landing inside tie runs, at 1, and beyond the table size
+      val limit = 1 + rnd.nextInt(n + 50)
+      val expect = rows.sortBy { case (w, c) => (-c, w) }
+        .take(limit).zipWithIndex
+        .map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+      val got = Ranks.topKByCountDesc(rows.toDF("word", "cnt"), "cnt",
+        order = Seq(col("cnt").desc, col("word")),
+        bucket = -length(bin(col("cnt"))).cast("long"), limit = limit)
+        .select("word", "__r")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"round $round n=$n limit=$limit")
+    }
+  }
+
   test("derived ntile/percent_rank/cume_dist equal Spark's window functions") {
     // the s19 arithmetic (rank → bucket-size formula) must agree with the
     // engine's own ntile for every n-vs-k remainder shape, including n < k
