@@ -538,10 +538,13 @@ object Queries {
     // order at event time — an operator Spark lacks, composed via
     // union + ordered window (graft.ops.AsofJoin; no pair explosion).
     // Orders are deduped to one per (custkey, day) so ties are impossible.
-    // The certified path is the HOT-KEY-SALTED variant (day-bucketed
-    // two-level windows): a pathological key's full history parallelizes
-    // across its time buckets instead of serializing into one task.
-    // Result-identical to the plain variant (AsofJoinSpec + FuzzSpec).
+    // The certified path is the ADAPTIVE variant: a metadata-sized
+    // per-key count routes keys above 1M rows into the salted two-level
+    // plan (day-bucketed windows — a pathological key parallelizes
+    // across its time buckets) while everything else takes the plain
+    // single-window plan, so the ~2× salting overhead is paid only where
+    // it buys safety. Result-identical to both fixed variants
+    // (AsofJoinSpec + FuzzSpec at mixed hot/cold thresholds).
     "e3_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"),
         col("user_id"), col("ts"))
@@ -549,7 +552,7 @@ object Queries {
         .groupBy(col("o_custkey").as("user_id"),
           unix_timestamp(col("o_orderdate")).as("order_sec"))
         .agg(max("o_orderkey").as("o_orderkey"))
-      graft.ops.AsofJoin.asofJoinSalted(
+      graft.ops.AsofJoin.asofJoinAdaptive(
         ev, ord, key = "user_id",
         leftTime = col("ts"),
         rightTime = col("order_sec") * lit(1000000000L),

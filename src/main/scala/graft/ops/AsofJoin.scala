@@ -96,6 +96,52 @@ object AsofJoin {
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /**
+   * Adaptive as-of join, result-identical to [[asofJoin]] /
+   * [[asofJoinSalted]]: routes each key down the cheaper plan its actual
+   * volume needs. The salted variant is hot-key-safe but costs ~2× the
+   * plain one locally (the bucket-level carry-in machinery); paying that
+   * on EVERY key buys safety only for keys whose history exceeds one
+   * task. So: one metadata-sized per-key count over both sides' key
+   * columns (narrow scan, partial-aggregable) finds the keys above
+   * `hotThreshold`; that set is bounded by totalRows / hotThreshold —
+   * broadcastable by construction — and splits both inputs with
+   * broadcast semi/anti joins. Cold keys (in a healthy dataset: all of
+   * them) run the plain single-window plan; hot keys run the salted
+   * two-level plan. With no hot keys the salted branch executes over
+   * empty partitions — stage-scheduling overhead only.
+   *
+   * The hot-key set is persisted (it feeds four semi/anti joins);
+   * release with `spark.catalog.clearCache()` after materializing.
+   *
+   * @param hotThreshold combined (left + right) row count above which a
+   *        key's window no longer fits one task comfortably. The default
+   *        (1M rows) is conservative for executor-sized partitions.
+   */
+  def asofJoinAdaptive(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: Column, rightTime: Column,
+                       rightCols: Seq[String], rightOrd: Column,
+                       hotThreshold: Long = 1000000L)
+                      (bucketOf: Column => Column): DataFrame = {
+    val hot = left.select(col(key)).unionByName(right.select(col(key)))
+      .groupBy(key).agg(count(lit(1)).as("__kc"))
+      .filter(col("__kc") > hotThreshold)
+      .select(col(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cold = asofJoin(
+      left.join(broadcast(hot), Seq(key), "left_anti"),
+      right.join(broadcast(hot), Seq(key), "left_anti"),
+      key, leftTime, rightTime, rightCols, rightOrd)
+    val salted = asofJoinSalted(
+      left.join(broadcast(hot), Seq(key), "left_semi"),
+      right.join(broadcast(hot), Seq(key), "left_semi"),
+      key, leftTime, rightTime, rightCols, rightOrd)(bucketOf)
+    // the semi/anti joins move `key` to the front — restore the caller's
+    // column order so all three variants are drop-in interchangeable
+    val outCols = left.columns.toSeq ++ rightCols
+    cold.unionByName(salted).select(outCols.map(col): _*)
+  }
+
   /** Shared plumbing: tag each side, pad missing columns with typed
     * nulls, union — columns (leftCols ++ rightCols ++ __t/__side/__ord). */
   private def unionTagged(left: DataFrame, right: DataFrame, key: String,

@@ -37,12 +37,24 @@ object ProbeAsof {
       }
       println(f"$tag: median ${times.sorted.apply(1)}%.3f s  (${times.map(t => f"$t%.3f").mkString(", ")})")
     }
+    def adaptive(thr: Long) = AsofJoin.asofJoinAdaptive(ev, ord, "user_id",
+      col("ts"), col("order_sec") * lit(1000000000L), Seq("o_orderkey"),
+      col("o_orderkey"), hotThreshold = thr)(
+      t => floor(t / (7L * 86400000000000L)).cast("long"))
+
     run("plain      ")(plain)
     for (d <- Seq(1L, 7L, 30L, 90L, 365L)) run(f"salted $d%4dd")(salted(d))
-    // sanity: result identity at one width
+    // adaptive: all-cold (1M), and forced all-hot (0) for the upper bound
+    run("adaptive 1M")(adaptive(1000000L))
+    run("adaptive 0 ")(adaptive(0L))
+    // sanity: result identity
     val a = plain.collect().map(_.toSeq).toSet
     val b = salted(30L).collect().map(_.toSeq).toSet
+    val c = adaptive(1000000L).collect().map(_.toSeq).toSet
+    val d = adaptive(10000L).collect().map(_.toSeq).toSet // mixed split
     println(s"equal(plain, salted30): ${a == b}")
+    println(s"equal(plain, adaptive1M): ${a == c}")
+    println(s"equal(plain, adaptiveMixed): ${a == d}")
     spark.stop()
   }
 }

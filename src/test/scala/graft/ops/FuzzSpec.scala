@@ -46,6 +46,13 @@ class FuzzSpec extends SparkSpec {
       check(AsofJoin.asofJoinSalted(lDf, rDf, "k", col("lt"), col("rt"),
         Seq("rid"), rightOrd = col("rid"))(t => floor(t / 7).cast("long")),
         "salted")
+      // adaptive at thresholds that force a MIXED hot/cold split (~23
+      // rows per key per side), all-hot, and all-cold routing
+      Seq(0L, 20L, 999L).foreach { thr =>
+        check(AsofJoin.asofJoinAdaptive(lDf, rDf, "k", col("lt"), col("rt"),
+          Seq("rid"), rightOrd = col("rid"), hotThreshold = thr)(
+          t => floor(t / 7).cast("long")), s"adaptive(thr=$thr)")
+      }
     }
   }
 
