@@ -15,14 +15,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: the operators whose cost scales with the fact tables,
-    * plus one representative from each extension family. */
+    * plus one representative from each extension family. Round 4 adds the
+    * round-3 operators (sessionize, decontam, vocab rank, mixture sample)
+    * so their plans are perf-tracked like everything else — cross-round
+    * totals compare like-for-like on the shared 20-query prefix. */
   private val headline = Seq(
     "p1_csv_roundtrip", "p3_filter_symbols", "p5_filter_compound",
     "p6_enrich_project", "p7_wordcount", "a2_sum_group", "a3_minmax_year",
     "j1_join_dims", "j2_join_fact_dims", "j3_join_big", "s1_topn",
     "s2_window_rank", "s5_distinct_agg", "s8_percentiles",
     "e1_events_hourly", "e3_asof_join", "e4_range_join",
-    "ext_dedup_minhash_pairs", "ext_ann_brute", "ext_text_quality")
+    "ext_dedup_minhash_pairs", "ext_ann_brute", "ext_text_quality",
+    "e5_sessionize", "ext_ngram_decontam", "ext_vocab_rank",
+    "ext_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,7 +61,12 @@ object Bench {
     }
     def median3(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      if (ok.isEmpty) -1.0
+      // even survivor count (a failed pass): mean of the two middle
+      // values — taking ok(size/2) would report the LARGER one, a small
+      // upward bias versus true median semantics
+      else if (ok.size % 2 == 0) (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      else ok(ok.size / 2)
     }
     val results = names.map(n => n -> median3(passes.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
