@@ -787,6 +787,22 @@ object Queries {
         numCentroids = 8, nprobe = 6, kmeansIters = 2)
     }),
 
+    // The build-once/query-many ANN path — the shape a 100 TB corpus
+    // requires: quantizer training + the full assignment scan run once
+    // into a persisted index (bucket-sorted parquet inverted lists with
+    // per-file range skipping); query batches then probe the STORED
+    // lists. Approximate — rows-only check; ExtSpec pins recall@5 ≥ 0.9
+    // from the loaded index. The temp build here is per-invocation so
+    // the declared query stays self-contained.
+    "ext_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      Similarity.buildIvfIndex(emb, path, numCentroids = 8, kmeansIters = 2)
+      Similarity.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 6)
+    }),
+
     "ext_text_tokens" -> ((s, dir) => {
       val c = col("text")
       t(s, dir, "documents").select(col("doc_id"),

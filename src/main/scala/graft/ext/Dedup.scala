@@ -62,6 +62,18 @@ object Dedup {
     b.reset(); t.reset(); d.reset()
   }
 
+  /** One-row DataFrame snapshot of [[capStats]] — the queryable artifact
+    * form, so a pipeline can record the drop counters NEXT TO its results
+    * (write both to the same output root) instead of reading a
+    * session-API value that dies with the session. Snapshot semantics:
+    * call AFTER materializing the dedup result it should describe. */
+  def capStatsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val s = capStats(spark)
+    import spark.implicits._
+    Seq((s.buckets, s.truncatedBuckets, s.droppedIds))
+      .toDF("buckets", "truncated_buckets", "dropped_ids")
+  }
+
   /**
    * Candidate generation shared by every LSH family: group rows by bucket
    * key(s), enumerate in-bucket id pairs, dedupe across buckets. ONE
@@ -80,6 +92,13 @@ object Dedup {
    * [[capStats]], visible in the Spark UI) count buckets hit, buckets
    * truncated, and ids dropped, with drops exact (total - kept).
    * `bucketed` must have a long `id` column plus `keyCols`.
+   *
+   * Counter stability: the counting stage is persisted, so any number of
+   * actions over the result (or over several downstream consumers) fire
+   * the accumulators ONCE — an uncached plan would re-execute the stage
+   * per action and double-count. Task retries and cache eviction under
+   * memory+disk pressure can still over-count; these are observability
+   * counters, not exact billing.
    */
   private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
                                maxBucket: Int = 1000): DataFrame = {
@@ -103,6 +122,9 @@ object Dedup {
         }
       }
       .toDF("ids")
+      // pin the counted stage: bounded size (≤ maxBucket ids per
+      // multi-id bucket), spillable
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
@@ -218,21 +240,34 @@ object Dedup {
    * Beyond", SoCC 2014). Every round shuffles only fixed-width
    * (id, label) rows; iteration stops at the fixpoint (count of changed
    * labels, one action per round) or `maxIters`.
+   *
+   * @param checkpointDir when set, per-round lineage truncation uses
+   *        RELIABLE `checkpoint` into this directory (any Hadoop URI)
+   *        instead of `localCheckpoint`. localCheckpoint stores the
+   *        truncated partitions on executors — on a real cluster, losing
+   *        ONE executor mid-loop kills the whole job because the lineage
+   *        needed to recompute them is gone. A reliable checkpoint
+   *        survives executor loss at the cost of a per-round
+   *        write-to-storage; at 100 TB that is the correct trade for a
+   *        multi-round iterative job.
    */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id",
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (NOT persist) per iteration: an iterative loop
+    // checkpoint (NOT persist) per iteration: an iterative loop
     // doubles the logical plan every round — caching materializes the
     // data but the plan still nests, and analysis/stringification blows
     // up exponentially after ~15 rounds. Checkpointing truncates the
     // lineage to the materialized partitions, keeping every round O(1)
     // in plan size (found by the FuzzSpec random-graph property).
-    var labels = nodes.select(col(idCol).as("v"), col(idCol).as("lbl"))
-      .localCheckpoint(true)
+    var labels = snap(nodes.select(col(idCol).as("v"), col(idCol).as("lbl")))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -247,11 +282,11 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val changed = halved
+      val snapped = snap(halved)
+      val changed = snapped
         .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
-      labels = halved
+      labels = snapped
       done = changed == 0
       iter += 1
     }

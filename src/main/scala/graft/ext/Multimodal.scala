@@ -205,7 +205,10 @@ object Multimodal {
               if (blen >= dimOff + 8) {
                 val tw = (be32(p, body + dimOff) >> 16).toInt
                 val th = (be32(p, body + dimOff + 4) >> 16).toInt
-                if (tw * th > w * h) { w = tw; h = th }
+                // compare as Long: 16.16 dims reach 65535 each, so the
+                // Int product of a malformed track overflows and could
+                // silently win the largest-track selection
+                if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
               }
             case _ => ()
           }

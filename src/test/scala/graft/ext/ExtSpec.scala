@@ -64,6 +64,37 @@ class ExtSpec extends SparkSpec {
     assert(freeStats.buckets == 2L && freeStats.droppedIds == 0L)
   }
 
+  test("cap counters are stable across repeated actions; capStatsDf " +
+    "records the same values as the session API") {
+    val bucketed = ((0L to 9L).map(i => ("hot", i)) ++
+      Seq(("ok", 100L), ("ok", 101L))).toDF("bkey", "id")
+    Dedup.capStatsReset(spark)
+    val pairs = Dedup.bucketPairs(bucketed, Seq("bkey"), maxBucket = 4)
+    // several actions over the same result — the counted stage is
+    // persisted, so the accumulators fire once, not once per action
+    pairs.count()
+    pairs.write.format("noop").mode("overwrite").save()
+    pairs.count()
+    val stats = Dedup.capStats(spark)
+    assert(stats == Dedup.CapStats(2L, 1L, 6L), stats)
+    // the queryable artifact form carries the same numbers
+    val row = Dedup.capStatsDf(spark).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (2L, 1L, 6L))
+  }
+
+  test("connected components converge identically with a reliable " +
+    "checkpoint dir (the cluster-fault-tolerant mode)") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val got = Dedup.connectedComponents(nodes, pairs,
+      checkpointDir = Some(ckpt.toString))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("simhash blocks and verifies hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
