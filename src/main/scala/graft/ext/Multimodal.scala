@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
  * processing via `mapPartitions`, bounded memory per task — are real and
  * tested. Codecs: IMAGE decode/resize and WAV-audio decode are REAL,
  * built on the JDK's own codecs (`javax.imageio`: PNG/JPEG/GIF/BMP;
- * `javax.sound.sampled`: WAV), and VIDEO metadata is a REAL MP4/ISO-BMFF
- * box walk (pure JVM — no external libraries needed). Payloads none of
- * those parse (synthetic test bytes, corrupt files) fall back to the
- * clearly-marked deterministic stub with `decode_ok = false`, so the
- * pipeline shape still runs end-to-end on any input and every fallback
- * is auditable.
+ * `javax.sound.sampled`: WAV); AUDIO container metadata additionally
+ * covers FLAC (STREAMINFO walk) and MP3 (MPEG frame-header walk), and
+ * VIDEO metadata is a REAL MP4/ISO-BMFF box walk (all pure JVM — no
+ * external libraries needed). Payloads none of those parse (synthetic
+ * test bytes, corrupt files) fall back to the clearly-marked
+ * deterministic stub with `decode_ok = false`, so the pipeline shape
+ * still runs end-to-end on any input and every fallback is auditable.
  */
 object Multimodal {
 
@@ -141,6 +142,183 @@ object Multimodal {
           0.0f, 0.0f, 0.0f))
       } finally in.close()
     } catch { case _: Exception => None }
+
+  // ---- FLAC / MP3 metadata (pure-JVM header walks over the public
+  // container layouts — the same treatment MP4 gets below: the JDK
+  // decodes neither, but a curation pass needs container metadata, not
+  // samples) --------------------------------------------------------------
+
+  /** Audio container metadata — the WAV/FLAC/MP3 counterpart of
+    * [[VideoMeta]]. `frames` is total sample frames (FLAC/WAV) or MPEG
+    * frames (MP3); `bits_per_sample` is 0 where the codec has none. */
+  final case class AudioMeta(
+      codec: String, // "wav" | "flac" | "mp3"
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      frames: Long,
+      duration_sec: Double)
+
+  /**
+   * REAL FLAC metadata: `fLaC` magic, then the mandatory STREAMINFO
+   * metadata block (type 0, ≥34 bytes) whose bytes 10-17 pack
+   * 20-bit sample rate, 3-bit channels-1, 5-bit bits-per-sample-1 and a
+   * 36-bit total-sample count (FLAC format spec / RFC 9639). Bounds-
+   * checked; malformed input yields None.
+   */
+  def parseFlacMeta(p: Array[Byte]): Option[AudioMeta] =
+    try {
+      if (p.length < 42 || fourcc(p, 0) != "fLaC") return None
+      var off = 4
+      var out: Option[AudioMeta] = None
+      var done = false
+      while (!done && off + 4 <= p.length) {
+        val hdr = p(off) & 0xff
+        val last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val blen = ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        val body = off + 4
+        if (btype == 0 && blen >= 34 && body + 34 <= p.length) {
+          val b10 = p(body + 10) & 0xffL
+          val b11 = p(body + 11) & 0xffL
+          val b12 = p(body + 12) & 0xffL
+          val b13 = p(body + 13) & 0xffL
+          val rate = ((b10 << 12) | (b11 << 4) | (b12 >> 4)).toInt
+          val channels = (((b12 >> 1) & 0x7) + 1).toInt
+          val bps = ((((b12 & 0x1) << 4) | (b13 >> 4)) + 1).toInt
+          val total = ((b13 & 0x0fL) << 32) | ((p(body + 14) & 0xffL) << 24) |
+            ((p(body + 15) & 0xffL) << 16) | ((p(body + 16) & 0xffL) << 8) |
+            (p(body + 17) & 0xffL)
+          if (rate > 0)
+            out = Some(AudioMeta("flac", rate, channels, bps, total,
+              total.toDouble / rate))
+          done = true
+        } else {
+          done = last
+          off = body + blen
+        }
+      }
+      out
+    } catch { case _: Exception => None }
+
+  /**
+   * REAL MP3 metadata: skips an ID3v2 tag (syncsafe size), then walks
+   * Layer-III MPEG frame headers (11-bit sync, version/bitrate/
+   * samplerate fields per the public MPEG-1/2 audio layout), summing
+   * frame lengths (`samplesPerFrame/8 · bitrate / rate + padding`) for
+   * an exact frame count and duration on CBR and VBR alike. Requires at
+   * least one valid frame; trailing junk (e.g. an ID3v1 tag) ends the
+   * walk without invalidating what was parsed.
+   */
+  def parseMp3Meta(p: Array[Byte]): Option[AudioMeta] =
+    try {
+      var off = 0
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3')
+        off = 10 + (((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+          ((p(8) & 0x7f) << 7) | (p(9) & 0x7f))
+      val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320, 0)
+      val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+        128, 144, 160, 0)
+      var frames = 0L
+      var samples = 0L
+      var rate = 0
+      var channels = 0
+      var done = false
+      while (!done && off + 4 <= p.length) {
+        val b1 = p(off + 1) & 0xff
+        val verBits = (b1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (b1 >> 1) & 0x3 // 1 = Layer III
+        val b2 = p(off + 2) & 0xff
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        if ((p(off) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0 ||
+          layerBits != 1 || verBits == 1 || srIdx == 3 ||
+          brIdx == 0 || brIdx == 15) {
+          done = true // junk or free-format/reserved: stop the walk
+        } else {
+          val mpeg1 = verBits == 3
+          val sr = (if (mpeg1) Array(44100, 48000, 32000)
+                    else if (verBits == 2) Array(22050, 24000, 16000)
+                    else Array(11025, 12000, 8000))(srIdx)
+          val br = (if (mpeg1) brMpeg1 else brMpeg2)(brIdx) * 1000
+          val spf = if (mpeg1) 1152 else 576
+          val flen = spf / 8 * br / sr + ((b2 >> 1) & 0x1)
+          channels = if (((p(off + 3) & 0xff) >> 6) == 3) 1 else 2
+          rate = sr
+          frames += 1
+          samples += spf
+          off += flen
+        }
+      }
+      if (frames == 0 || rate == 0) None
+      else Some(AudioMeta("mp3", rate, channels, 0, frames,
+        samples.toDouble / rate))
+    } catch { case _: Exception => None }
+
+  /** WAV metadata through the JDK parser, in the shared [[AudioMeta]]
+    * shape. */
+  def parseWavMeta(p: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleRate <= 0) None
+        else Some(AudioMeta("wav", fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, in.getFrameLength,
+          in.getFrameLength / fmt.getFrameRate.toDouble))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio metadata dispatch: WAV (JDK), then FLAC, then MP3. */
+  def parseAudioMeta(p: Array[Byte]): Option[AudioMeta] =
+    parseWavMeta(p).orElse(parseFlacMeta(p)).orElse(parseMp3Meta(p))
+
+  /** Row shape of [[extractAudioMeta]]. */
+  final case class AudioMetaRow(
+      doc_id: Long,
+      codec: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      frames: Long,
+      duration_sec: Double,
+      decode_ok: Boolean)
+
+  /** Column-level audio metadata over audio-modality rows — the
+    * [[extractVideoMeta]] counterpart for WAV/FLAC/MP3. `decode_ok =
+    * false` rows carry zeros — auditable, never silent. */
+  def extractAudioMeta(media: DataFrame): Dataset[AudioMetaRow] = {
+    implicit val enc = Encoders.product[AudioMetaRow]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.filter(col("modality") === "audio").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          parseAudioMeta(r.payload) match {
+            case Some(m) => AudioMetaRow(r.doc_id, m.codec, m.sample_rate,
+              m.channels, m.bits_per_sample, m.frames, m.duration_sec,
+              decode_ok = true)
+            case None => AudioMetaRow(r.doc_id, "", 0, 0, 0, 0L, 0.0,
+              decode_ok = false)
+          }
+        }
+      }
+  }
+
+  /** FLAC/MP3 metadata → the 8-dim feature shape shared by all
+    * modalities (same layout as the WAV path). */
+  def decodeAudioMeta(payload: Array[Byte]): Option[Array[Float]] =
+    parseFlacMeta(payload).orElse(parseMp3Meta(payload)).map { m =>
+      Array(
+        m.sample_rate / 48000.0f,
+        m.channels.toFloat,
+        m.bits_per_sample / 32.0f,
+        m.frames / 1e6f,
+        (m.duration_sec / 3600.0).toFloat,
+        0.0f, 0.0f, 0.0f)
+    }
 
   // ---- MP4 / ISO-BMFF metadata (pure-JVM box walk over the public
   // ISO/IEC 14496-12 layout; the JDK has no video codec, but container
@@ -296,6 +474,7 @@ object Multimodal {
         val real = r.modality match {
           case "image" => decodeImage(r.payload)
           case "audio" => decodeWav(r.payload)
+            .orElse(decodeAudioMeta(r.payload)) // FLAC/MP3 header walk
           case "video" => decodeMp4(r.payload)
           case _ => None
         }

@@ -432,4 +432,68 @@ class ExtSpec extends SparkSpec {
     val rs = Multimodal.resizeImages(spark, media, 4, 4).collect()
     assert(rs.filter(_.modality == "image").forall(!_.decode_ok))
   }
+
+  /** Genuine (minimal) FLAC: `fLaC` magic, a skippable VORBIS_COMMENT
+    * block, then STREAMINFO — 44.1 kHz stereo, 16-bit, 441000 samples
+    * (10 s) — packed straight from the public STREAMINFO bit layout. */
+  private def tinyFlac: Array[Byte] = {
+    val streaminfo = new Array[Byte](34)
+    streaminfo(0) = 0x10; streaminfo(1) = 0x00 // min blocksize 4096
+    streaminfo(2) = 0x10; streaminfo(3) = 0x00 // max blocksize
+    streaminfo(10) = 0x0a // rate 44100 >> 12
+    streaminfo(11) = 0xc4.toByte // (44100 >> 4) & 0xff
+    streaminfo(12) = 0x42 // low-nibble(rate)<<4 | (channels-1)<<1 | bps-1>>4
+    streaminfo(13) = 0xf0.toByte // (bps-1 & 0xf)<<4 | totalSamples>>32
+    streaminfo(14) = 0x00; streaminfo(15) = 0x06
+    streaminfo(16) = 0xba.toByte; streaminfo(17) = 0xa8.toByte // 441000
+    "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x04, 0, 0, 4) ++ Array.fill[Byte](4)(0) ++ // vorbis cmt
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo // last + type 0
+  }
+
+  /** Genuine (minimal) MP3: ID3v2 tag (syncsafe size), three MPEG-1
+    * Layer III 128 kbps / 44.1 kHz frames (417 bytes each), then an
+    * ID3v1 trailer the walk must stop at without invalidating. */
+  private def tinyMp3: Array[Byte] = {
+    val id3 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, 10) ++ Array.fill[Byte](10)(0)
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](413)(0x55) // 144·128000/44100 = 417 total
+    id3 ++ frame ++ frame ++ frame ++
+      ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+  }
+
+  test("multimodal: FLAC and MP3 header walks extract real audio metadata") {
+    val flac = Multimodal.parseFlacMeta(tinyFlac).get
+    assert(flac.codec == "flac" && flac.sample_rate == 44100 &&
+      flac.channels == 2 && flac.bits_per_sample == 16 &&
+      flac.frames == 441000L)
+    assert(math.abs(flac.duration_sec - 10.0) < 1e-9)
+
+    val mp3 = Multimodal.parseMp3Meta(tinyMp3).get
+    assert(mp3.codec == "mp3" && mp3.sample_rate == 44100 &&
+      mp3.channels == 2 && mp3.frames == 3L)
+    assert(math.abs(mp3.duration_sec - 3 * 1152.0 / 44100) < 1e-9)
+
+    // truncation and junk must fall back, never throw
+    assert(Multimodal.parseFlacMeta(tinyFlac.take(20)).isEmpty)
+    assert(Multimodal.parseMp3Meta(tinyMp3.take(6)).isEmpty)
+    assert(Multimodal.parseAudioMeta("not audio at all".getBytes).isEmpty)
+
+    // through the distributed paths: real decodes flagged decode_ok
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", tinyFlac, 0, 0),
+      Multimodal.MediaRecord(2L, "audio", tinyMp3, 0, 0),
+      Multimodal.MediaRecord(3L, "audio", Array[Byte](1, 2, 3), 0, 0)
+    ).toDS().toDF()
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).decode_ok && feats(2L).decode_ok && !feats(3L).decode_ok)
+
+    val metas = Multimodal.extractAudioMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).codec == "flac" && metas(1L).decode_ok)
+    assert(metas(2L).codec == "mp3" && metas(2L).frames == 3L)
+    assert(!metas(3L).decode_ok && metas(3L).codec == "")
+  }
 }
