@@ -1035,7 +1035,56 @@ object Queries {
       Multimodal.frameSample(Multimodal.fromDocuments(t(s, dir, "documents")), 4)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame_bytes"))).cast("long").as("total_bytes")))
+          sum(length(col("frame_bytes"))).cast("long").as("total_bytes"))),
+
+    // Audio container metadata (WAV/FLAC/MP3 header walks) over the
+    // audio-modality rows — the audio twin of ext_mm_meta. The synthetic
+    // text payloads parse under none of the three codecs, so the oracle
+    // pins the full fallback table: every row must arrive with zeros and
+    // decode_ok = false (the auditable-stub contract); real containers
+    // are covered by ExtSpec's synthesized FLAC/MP3/WAV fixtures.
+    "ext_mm_audio" -> ((s, dir) =>
+      Multimodal.extractAudioMeta(
+        Multimodal.fromDocuments(t(s, dir, "documents"))).toDF()),
+
+    // BPE-style pair statistics: global frequencies of ADJACENT token
+    // pairs (raw occurrence counts, not per-doc distinct) — the inner
+    // statistic of byte-pair-encoding tokenizer training. One exploded
+    // narrow scan (codegen tokenizer kernel) into one partial-aggregable
+    // groupBy; the cnt floor keeps the output a statistics table, not a
+    // corpus dump.
+    "ext_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(GraftFunctions.tokens_lc(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> concat(tk[i-1], ' ', tk[i]))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)),
+
+    // Per-document salient terms (keyword extraction): top-5 terms per
+    // doc by an integer tf-idf proxy `tf * 1e6 DIV df` — floor division
+    // over exact counts, so the ranking is bit-identical across engines
+    // (a float ln() idf would differ in the last ulp between libms and
+    // break tie order). Scale shape: tf is one row per (doc, term); the
+    // df join keys on the term (AQE skew-join splits the Zipf-head
+    // terms); the final window partitions per doc — bounded by per-doc
+    // vocabulary, never global.
+    "ext_salient_terms" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfTbl, Seq("term"))
+        .withColumn("salience", expr("tf * 1000000 DIV df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("salience").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "salience", "rk")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1669,6 +1718,41 @@ object Queries {
         |SELECT doc_id,
         |  least(4, CAST(ceil(CAST(len AS DOUBLE) / chunk) AS BIGINT)) AS n_frames,
         |  len AS total_bytes
-        |FROM m WHERE chunk > 0""".stripMargin
+        |FROM m WHERE chunk > 0""".stripMargin,
+
+    // synthetic payloads parse under no audio codec → the oracle IS the
+    // all-fallback table (zeros + decode_ok = false for every audio row)
+    "ext_mm_audio" ->
+      """SELECT doc_id, '' AS codec, CAST(0 AS INTEGER) AS sample_rate,
+        |  CAST(0 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS bits_per_sample,
+        |  CAST(0 AS BIGINT) AS frames, CAST(0.0 AS DOUBLE) AS duration_sec,
+        |  FALSE AS decode_ok
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+
+    "ext_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT $tokSql AS tk FROM documents),
+         |pr AS (
+         |  SELECT unnest(list_transform(
+         |    range(1, greatest(len(tk) - 1, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM toks WHERE len(tk) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pr GROUP BY pair HAVING count(*) >= 3""".stripMargin,
+
+    "ext_salient_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |tf AS (
+         |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+         |  GROUP BY 1, 2),
+         |dfx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, term, tf, df, tf * 1000000 // df AS salience,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf * 1000000 // df DESC, term) AS BIGINT) AS rk
+         |FROM tf JOIN dfx USING (term)
+         |QUALIFY rk <= 5""".stripMargin
   )
 }
