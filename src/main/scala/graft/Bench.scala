@@ -42,8 +42,13 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      // scoped: operator-internal persists release per run, so pass 2/3
+      // measure the same cold-cache plan as pass 1 (and the 3×24-query
+      // sweep never accumulates pinned storage)
+      graft.ops.Caching.scoped {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -20,13 +20,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scope releases operator-internal persists (LSH indexes, hot-key
+      // sets) as soon as the query's write completes — memory stays flat
+      // across the whole sweep; clearCache is the belt for anything
+      // built outside the Caching registry
+      try graft.ops.Caching.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release intermediates persisted inside operators (LSH indexes):
-      // keeps memory flat across the whole query sweep
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

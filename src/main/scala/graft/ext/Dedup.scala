@@ -2,8 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions
+import graft.ops.Caching
 
 /**
  * Deduplication operators for LLM training-data pipelines
@@ -11,9 +11,11 @@ import graft.functions.GraftFunctions
  * n-gram Jaccard, embedding-cosine near-dup.
  *
  * Cache lifecycle: the LSH pipelines persist their shared index
- * intermediates (MEMORY_AND_DISK — spillable, LRU-evicted). Callers
- * running many dedup passes in one session can release them with
- * `spark.catalog.clearCache()` once results are materialized.
+ * intermediates (MEMORY_AND_DISK — spillable, LRU-evicted) via
+ * [[graft.ops.Caching.register]]. Wrap build-then-materialize in
+ * `Caching.scoped { … }` to release them when the pass completes;
+ * without a scope they live for the session (release with
+ * `spark.catalog.clearCache()`).
  *
  * 100 TB design rules applied throughout (SURVEY.md §7.4 item 8):
  *  - group/join keys are fixed-width digests or band hashes, never raw text,
@@ -123,8 +125,8 @@ object Dedup {
       }
       .toDF("ids")
       // pin the counted stage: bounded size (≤ maxBucket ids per
-      // multi-id bucket), spillable
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // multi-id bucket), spillable; scope-released (see class doc)
+      .transform(df => Caching.register(df))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
@@ -190,7 +192,7 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .select(col("id"), col("shingles"),
         GraftFunctions.minhash_sig(col("shingles"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(df => Caching.register(df))
 
     // band keys: hash each R-slice of the signature together with the band
     // index; posexplode → one (band, key) row per band per doc.
@@ -250,24 +252,57 @@ object Dedup {
    *        survives executor loss at the cost of a per-round
    *        write-to-storage; at 100 TB that is the correct trade for a
    *        multi-round iterative job.
+   *
+   *        Storage stays BOUNDED: once round N's checkpoint and fixpoint
+   *        check have materialized, round N-1's checkpoint files are
+   *        deleted — at most two label-table copies exist at any moment
+   *        (not one per round, which at 100 TB would grow storage by a
+   *        full label table per iteration). The FINAL round's files are
+   *        intentionally kept: the returned DataFrame reads from them —
+   *        remove the directory after consuming the result. Cleanup is
+   *        scoped to this SparkContext's own UUID subdirectory
+   *        (`sc.getCheckpointDir`), so a shared parent directory is safe.
+   *
+   *        Side effect to know about: `setCheckpointDir` is GLOBAL
+   *        SparkContext state — other jobs in the same session that call
+   *        `.checkpoint()` afterwards will also write under this
+   *        directory (in the same per-context UUID subdir).
    */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id",
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // the per-context checkpoint root (dir/<uuid> — setCheckpointDir
+    // appends the UUID), for round-N-1 file cleanup
+    val ckptRoot = checkpointDir.flatMap(_ => sc.getCheckpointDir)
+      .map(new org.apache.hadoop.fs.Path(_))
+    val fs = ckptRoot.map(_.getFileSystem(sc.hadoopConfiguration))
+    def rddDirs(): Set[String] = (for {
+      root <- ckptRoot; f <- fs
+      st <- Option(f.globStatus(new org.apache.hadoop.fs.Path(root, "rdd-*")))
+    } yield st.map(_.getPath.toString).toSet).getOrElse(Set.empty)
+    // snap + the checkpoint dirs the snapped DF owns (empty for local)
+    def snapTracked(df: DataFrame): (DataFrame, Set[String]) =
+      if (checkpointDir.isDefined) {
+        val before = rddDirs()
+        val out = df.checkpoint() // eager — materializes the round
+        (out, rddDirs() -- before)
+      } else (df.localCheckpoint(true), Set.empty)
+    def deleteCkpt(dirs: Set[String]): Unit =
+      for (f <- fs; d <- dirs) f.delete(new org.apache.hadoop.fs.Path(d), true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(df => Caching.register(df))
     // checkpoint (NOT persist) per iteration: an iterative loop
     // doubles the logical plan every round — caching materializes the
     // data but the plan still nests, and analysis/stringification blows
     // up exponentially after ~15 rounds. Checkpointing truncates the
     // lineage to the materialized partitions, keeping every round O(1)
     // in plan size (found by the FuzzSpec random-graph property).
-    var labels = snap(nodes.select(col(idCol).as("v"), col(idCol).as("lbl")))
+    var (labels, labelsCkpt) =
+      snapTracked(nodes.select(col(idCol).as("v"), col(idCol).as("lbl")))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -282,11 +317,16 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-      val snapped = snap(halved)
+      val (snapped, snappedCkpt) = snapTracked(halved)
       val changed = snapped
         .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
+      // the fixpoint check above was the LAST reader of round N-1's
+      // labels — its checkpoint files can go now, keeping storage at
+      // ≤ 2 label-table copies for the whole run
+      deleteCkpt(labelsCkpt)
       labels = snapped
+      labelsCkpt = snappedCkpt
       done = changed == 0
       iter += 1
     }
@@ -305,7 +345,7 @@ object Dedup {
     val fp = df.select(
       col(idCol).as("id"),
       GraftFunctions.simhash64(GraftFunctions.tokens_lc(col(textCol))).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(df => Caching.register(df))
 
     val blocked = fp.select(col("id"), posexplode(expr(
       "transform(sequence(0, 3), q -> (fp >> (q * 16)) & 65535)")))
@@ -335,7 +375,7 @@ object Dedup {
       GraftFunctions.shingle_set(
         GraftFunctions.tokens_lc(col(textCol)), shingleWords).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(df => Caching.register(df))
 
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
 
@@ -382,7 +422,7 @@ object Dedup {
     // 16 SRP sign bits (codegen kernel), split into 4 bands of 4 bits.
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       GraftFunctions.srp_sign(col(vecCol), 16).as("srp"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides derive from it
+      .transform(df => Caching.register(df)) // both join sides derive from it
 
     // bucket ids only — vectors are joined back for the (few) candidate
     // pairs rather than shuffled once per band.

@@ -214,9 +214,14 @@ object Multimodal {
   def parseMp3Meta(p: Array[Byte]): Option[AudioMeta] =
     try {
       var off = 0
-      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3')
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
         off = 10 + (((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
           ((p(8) & 0x7f) << 7) | (p(9) & 0x7f))
+        // ID3v2.4 footer flag (header byte 5, bit 4): the syncsafe size
+        // covers neither the 10-byte header nor the 10-byte footer, so a
+        // footered tag needs 10 more bytes skipped before frame sync
+        if ((p(5) & 0x10) != 0) off += 10
+      }
       val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
         192, 224, 256, 320, 0)
       val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,

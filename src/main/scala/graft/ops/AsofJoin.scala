@@ -86,12 +86,17 @@ object AsofJoin {
         when(col("__side") === 0, struct(col("__t"), col("__ord")))).as("__last"))
     val wB = Window.partitionBy(key).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe key match: a null key is one (windowable) group everywhere
+    // else in this operator — the carry-in join must agree, or null-key
+    // rows routed here by [[asofJoinAdaptive]] would lose cross-bucket
+    // carry-in that the plain variant's single window provides.
     val carryIn = lastPerBucket
       .withColumn("__cin", last(col("__last"), ignoreNulls = true).over(wB))
-      .select(col(key), col("__b"), col("__cin"))
+      .select(col(key).as("__ck"), col("__b").as("__cb"), col("__cin"))
 
     carried.filter(col("__side") === 1)
-      .join(carryIn, Seq(key, "__b"), "left")
+      .join(carryIn,
+        col(key) <=> col("__ck") && col("__b") === col("__cb"), "left")
       .withColumn("__r", coalesce(col("__rin"), col("__cin")))
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
@@ -111,8 +116,20 @@ object AsofJoin {
    * two-level plan. With no hot keys the salted branch executes over
    * empty partitions — stage-scheduling overhead only.
    *
-   * The hot-key set is persisted (it feeds four semi/anti joins);
-   * release with `spark.catalog.clearCache()` after materializing.
+   * The hot-key set is persisted (it feeds four semi/anti joins) via
+   * [[Caching.register]]: wrap build-then-materialize in
+   * `Caching.scoped { … }` to release it when the pass completes, or
+   * release session-wide with `spark.catalog.clearCache()`.
+   *
+   * Null keys: rows with a null `key` never equi-join (SQL semantics), so
+   * the count/semi/anti routing sends them down the COLD branch regardless
+   * of volume (`left_anti` keeps them, `left_semi` drops them) — where the
+   * plain window puts all of them in ONE task (`partitionBy(key)` groups
+   * nulls together). A null-heavy input would hot-spot that task, so both
+   * sides' null-key rows are counted like any other key (null-safe count
+   * key) and, when they exceed `hotThreshold`, routed to the salted
+   * branch explicitly — the salted window on (key, bucket) spreads them
+   * across time buckets.
    *
    * @param hotThreshold combined (left + right) row count above which a
    *        key's window no longer fits one task comfortably. The default
@@ -123,18 +140,23 @@ object AsofJoin {
                        rightCols: Seq[String], rightOrd: Column,
                        hotThreshold: Long = 1000000L)
                       (bucketOf: Column => Column): DataFrame = {
-    val hot = left.select(col(key)).unionByName(right.select(col(key)))
-      .groupBy(key).agg(count(lit(1)).as("__kc"))
-      .filter(col("__kc") > hotThreshold)
-      .select(col(key))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cold = asofJoin(
-      left.join(broadcast(hot), Seq(key), "left_anti"),
-      right.join(broadcast(hot), Seq(key), "left_anti"),
+    // null-SAFE routing throughout (`<=>`): a plain equi semi/anti would
+    // send null-key rows to the cold branch no matter how many there are
+    // (null never equi-matches), silently bypassing the hot-key
+    // protection for a null-heavy input. groupBy already treats null as
+    // one group, so the count side needs no change.
+    val hot = Caching.register(
+      left.select(col(key)).unionByName(right.select(col(key)))
+        .groupBy(key).agg(count(lit(1)).as("__kc"))
+        .filter(col("__kc") > hotThreshold)
+        .select(col(key).as("__hk")))
+    def anti(df: DataFrame) =
+      df.join(broadcast(hot), col(key) <=> col("__hk"), "left_anti")
+    def semi(df: DataFrame) =
+      df.join(broadcast(hot), col(key) <=> col("__hk"), "left_semi")
+    val cold = asofJoin(anti(left), anti(right),
       key, leftTime, rightTime, rightCols, rightOrd)
-    val salted = asofJoinSalted(
-      left.join(broadcast(hot), Seq(key), "left_semi"),
-      right.join(broadcast(hot), Seq(key), "left_semi"),
+    val salted = asofJoinSalted(semi(left), semi(right),
       key, leftTime, rightTime, rightCols, rightOrd)(bucketOf)
     // the semi/anti joins move `key` to the front — restore the caller's
     // column order so all three variants are drop-in interchangeable

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -93,6 +95,13 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // bounded checkpoint storage: round N-1's files are deleted as soon
+    // as round N materializes, so after a multi-round run exactly ONE
+    // label-table checkpoint remains (the final round's, which the
+    // returned DataFrame reads from) — not one per iteration
+    val remaining = java.nio.file.Files.walk(ckpt).iterator().asScala
+      .count(_.getFileName.toString.startsWith("rdd-"))
+    assert(remaining == 1, s"expected 1 surviving checkpoint, saw $remaining")
   }
 
   test("simhash blocks and verifies hamming distance") {
@@ -179,6 +188,13 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
     val recall = ivf.count(brute.contains).toDouble / brute.size
     assert(recall >= 0.9, s"loaded-index recall@5 $recall")
+  }
+
+  test("declared ext_ann_recall query certifies recall@5 >= 0.9") {
+    val row = graft.SparkEntry.queries("ext_ann_recall")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(0) == 50L, "10 queries × k=5 brute rows")
+    assert(row.getDouble(2) >= 0.9, s"recall ${row.getDouble(2)}")
   }
 
   test("chunking covers the text with the declared overlap") {
@@ -461,6 +477,20 @@ class ExtSpec extends SparkSpec {
       Array.fill[Byte](413)(0x55) // 144·128000/44100 = 417 total
     id3 ++ frame ++ frame ++ frame ++
       ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+  }
+
+  test("multimodal: ID3v2 footer flag shifts the MP3 frame walk by 10 bytes") {
+    // ID3v2.4 tag with the footer flag (header byte 5, bit 4): the
+    // syncsafe size covers only the 10-byte body, and a 10-byte footer
+    // sits between the body and the first audio frame
+    val id3Footered = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0x10, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0) ++ // tag body (syncsafe size = 10)
+      ("3DI".getBytes("ISO-8859-1") ++ Array.fill[Byte](7)(0)) // footer
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](413)(0x55)
+    val m = Multimodal.parseMp3Meta(id3Footered ++ frame ++ frame).get
+    assert(m.codec == "mp3" && m.sample_rate == 44100 && m.frames == 2L)
   }
 
   test("multimodal: FLAC and MP3 header walks extract real audio metadata") {

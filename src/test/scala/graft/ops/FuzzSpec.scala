@@ -56,6 +56,44 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinAdaptive null-key rows: hot-routed when heavy, result-identical") {
+    val rnd = new Random(4321)
+    // null is a windowable key value for the plain variant (partitionBy
+    // groups nulls together), so every variant must agree on it — and a
+    // null-HEAVY input must reach the salted branch (null-safe routing),
+    // not silently bypass the hot-key protection via equi-join semantics.
+    val right = Seq.tabulate(40)(i =>
+      (if (i % 4 == 0) "a" else null, rnd.nextInt(40).toLong, i.toLong))
+    val left = Seq.tabulate(60)(i =>
+      (if (i % 5 == 0) "a" else null, rnd.nextInt(50).toLong, i.toLong))
+
+    val expect = left.map { case (k, lt, lid) =>
+      val m = right.filter(r => r._1 == k && r._2 <= lt)
+      (lid, if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+
+    val lDf = left.toDF("k", "lt", "lid")
+    val rDf = right.toDF("k", "rt", "rid")
+    def got(out: org.apache.spark.sql.DataFrame) = out.select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    val plain = got(AsofJoin.asofJoin(lDf, rDf, "k", col("lt"), col("rt"),
+      Seq("rid"), rightOrd = col("rid")))
+    assert(plain == expect)
+    // thr=30: ~78 null rows vs ~22 'a' rows — ONLY the null key is hot;
+    // thr=0: everything (incl. nulls) salted; thr=999: everything cold
+    Seq(0L, 30L, 999L).foreach { thr =>
+      val adaptive = got(AsofJoin.asofJoinAdaptive(lDf, rDf, "k",
+        col("lt"), col("rt"), Seq("rid"), rightOrd = col("rid"),
+        hotThreshold = thr)(t => floor(t / 7).cast("long")))
+      assert(adaptive == expect, s"thr=$thr")
+    }
+    // and the salted variant alone handles null keys (null-safe carry-in)
+    val salted = got(AsofJoin.asofJoinSalted(lDf, rDf, "k", col("lt"),
+      col("rt"), Seq("rid"), rightOrd = col("rid"))(
+      t => floor(t / 7).cast("long")))
+    assert(salted == expect)
+  }
+
   test("bucketed percentiles equal a naive sorted-interpolation reference") {
     val rnd = new Random(99)
     for (round <- 1 to 5) {
