@@ -214,12 +214,14 @@ object Queries {
     * the LSH-accelerated and the exact n-gram dedup (the LSH band config
     * 128 hashes / 32 bands has ~1-5e-8 recall loss at j≥0.8, verified
     * equal on the driver's documents table). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private def jaccardPairsSql(threshold: Double,
+                              pairFilter: String = "TRUE"): String =
     s"""WITH ${jaccardCtes("documents")}
        |SELECT id_a, id_b,
        |  CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
        |FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-       |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= $threshold
+       |  AND ($pairFilter)""".stripMargin
 
   // DuckDB mirrors of the TextAnalysis feature expressions (identical
   // double ops in identical order → identical values).
@@ -783,6 +785,24 @@ object Queries {
       Dedup.connectedComponents(docs,
         Dedup.minhashLshPairs(docs, numHashes = 128, bands = 32,
           shingleWords = 3, threshold = 0.8))
+    }),
+
+    // Incremental dedup — the 100 TB operating mode "dedup this week's
+    // crawl against the existing corpus": the corpus (doc_id % 5 != 0) is
+    // signed+banded ONCE per session into a persisted index (bucket-sorted
+    // band lists + shingle sets, see Dedup.buildDedupIndex); the query
+    // then bands ONLY the new docs (doc_id % 5 == 0) and probes the stored
+    // lists. Oracle: exact Jaccard over the FULL table restricted to pairs
+    // touching a new doc — ExtSpec pins the incremental ≡ full-run
+    // equivalence as a property, and the same 128/32-band recall argument
+    // as ext_dedup_minhash_pairs makes LSH lossless at j >= 0.8 here.
+    "ext_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = sessionIndex("dedup", dir)(p =>
+        Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), p,
+          numHashes = 128, bands = 32, shingleWords = 3))
+      Dedup.minhashLshPairsAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        path, threshold = 0.8)
     }),
 
     // SimHash near-dup (oracle: bit-exact DuckDB kernel mirror).
@@ -1451,6 +1471,11 @@ object Queries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
 
     "ext_dedup_minhash_pairs" -> jaccardPairsSql(0.8),
+
+    // full-corpus exact Jaccard, restricted to pairs touching a "new"
+    // (doc_id % 5 = 0) document — what the incremental index probe must equal
+    "ext_dedup_incremental" ->
+      jaccardPairsSql(0.8, "id_a % 5 = 0 OR id_b % 5 = 0"),
 
     // Reachability closure over the exact-Jaccard pair graph; min
     // reachable id per node = cluster id.

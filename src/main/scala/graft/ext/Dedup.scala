@@ -170,9 +170,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", numHashes: Int = 128,
                       bands: Int = 16, shingleWords: Int = 3,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // One scan computes shingle set + signature via codegen'd kernels;
     // persisted because the pipeline consumes it three times (banding +
@@ -185,34 +185,159 @@ object Dedup {
     // candidate ids behind a semi-join — measured ~1 s slower here
     // (extra stages dominate at bench scale), so the cached-index form
     // stays the default.
-    val shingled = df.select(
+    val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
+      .transform(df => Caching.register(df))
+
+    val cand = bucketPairs(bandKeys(shingled, numHashes, bands),
+      Seq("band", "bkey"), maxBucket)
+
+    verifyJaccard(cand, shingled.select(col("id"), col("shingles")), threshold)
+  }
+
+  /** One corpus scan → (id, shingles, sig): distinct k-word shingle set +
+    * MinHash signature, both codegen kernels. Shared by the in-session
+    * pipeline and the persisted-index build/probe paths (which must band
+    * identically for incremental results to equal a full run). */
+  private def shingleSig(df: DataFrame, textCol: String, idCol: String,
+                         numHashes: Int, shingleWords: Int): DataFrame =
+    df.select(
       col(idCol).as("id"),
       GraftFunctions.shingle_set(
         GraftFunctions.tokens_lc(col(textCol)), shingleWords).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("id"), col("shingles"),
         GraftFunctions.minhash_sig(col("shingles"), numHashes).as("sig"))
-      .transform(df => Caching.register(df))
 
-    // band keys: hash each R-slice of the signature together with the band
-    // index; posexplode → one (band, key) row per band per doc.
-    val banded = shingled
+  /** Band keys from signatures: hash each R-slice of the signature
+    * together with the band index; posexplode → one (id, band, bkey) row
+    * per band per doc. */
+  private def bandKeys(shingled: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    shingled
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows), b))")))
       .toDF("id", "band", "bkey")
+  }
 
-    val cand = bucketPairs(banded, Seq("band", "bkey"))
-
-    val sets = shingled.select(col("id"), col("shingles"))
-    val withSets = cand
+  /** Exact-Jaccard verification of candidate pairs: fetch both shingle
+    * sets by id (candidates only — never the full corpus squared) and keep
+    * pairs at or above `threshold`. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
       .join(sets.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sets.toDF("id_b", "sh_b"), Seq("id_b"))
-
-    withSets
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /**
+   * Build a persisted MinHash/LSH dedup index — the build-once half of
+   * the 100 TB operating mode "dedup this week's crawl against the
+   * existing corpus". Signatures and band keys for the corpus are
+   * computed ONCE and stored; incremental passes
+   * ([[minhashLshPairsAgainstIndex]]) then band only the new documents
+   * and probe the stored lists instead of re-shingling 100 TB per crawl.
+   *
+   * Layout under `path` (all parquet):
+   *   `params/`   — one row (num_hashes, bands, shingle_words): the probe
+   *                 derives its banding from here, so an index can never
+   *                 be probed with a mismatched LSH configuration.
+   *   `bands/`    — (id, band, bkey), range-partitioned AND sorted by
+   *                 (band, bkey) ([[graft.io.Tables.writeSortedBy]]) so
+   *                 per-file min/max are disjoint and bucket-key lookups
+   *                 skip files.
+   *   `shingles/` — (id, shingles), sorted by id: the exact-Jaccard
+   *                 verify fetches old-doc shingle sets for candidate ids
+   *                 only.
+   */
+  def buildDedupIndex(df: DataFrame, path: String, textCol: String = "text",
+                      idCol: String = "doc_id", numHashes: Int = 128,
+                      bands: Int = 32, shingleWords: Int = 3,
+                      indexFiles: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleWords))
+      .toDF("num_hashes", "bands", "shingle_words")
+      .repartition(1) // one row — model metadata
+      .write.mode("overwrite").parquet(s"$path/params")
+    Caching.scoped { // the shared scan is released once both writes land
+      val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
+        .transform(df => Caching.register(df))
+      graft.io.Tables.writeSortedBy(shingled.select("id", "shingles"),
+        s"$path/shingles", indexFiles, "id")
+      graft.io.Tables.writeSortedBy(bandKeys(shingled, numHashes, bands),
+        s"$path/bands", indexFiles, "band", "bkey")
+    }
+  }
+
+  /**
+   * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)
+   * that INVOLVE at least one document of `newDocs`, against a corpus
+   * indexed by [[buildDedupIndex]]. Equivalent to running
+   * [[minhashLshPairs]] over (indexed corpus ∪ newDocs) and keeping the
+   * pairs touching a new doc — without re-shingling the corpus (ExtSpec
+   * pins the equivalence as a property, including under the bucket cap:
+   * both paths keep the same `maxBucket` smallest ids per bucket).
+   *
+   * Plan shape, scan-of-new-docs-sized where possible:
+   *  1. shingle+sign the NEW docs only (one scan, shared by banding and
+   *     verification);
+   *  2. semi-join the stored band lists to the new docs' distinct band
+   *     keys — buckets no new doc touches never leave the parquet scan,
+   *     and AQE broadcasts the key set when the crawl is small relative
+   *     to the corpus;
+   *  3. enumerate candidate pairs inside the touched buckets with the
+   *     same capped [[bucketPairs]] as the full run, drop pairs where
+   *     both sides are old;
+   *  4. verify with exact Jaccard — new-doc shingles from the in-session
+   *     scan, old-doc shingles fetched from `shingles/` for candidate ids
+   *     only.
+   *
+   * Contract: `newDocs` ids must be disjoint from the indexed corpus ids
+   * (an id on both sides would double its shingle rows in the verify
+   * join). LSH parameters come from the index's `params/`, so the caller
+   * cannot band inconsistently.
+   */
+  def minhashLshPairsAgainstIndex(newDocs: DataFrame, path: String,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id",
+                                  threshold: Double = 0.8,
+                                  maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val p = spark.read.parquet(s"$path/params").collect()(0) // one row
+    val (numHashes, bands, shingleWords) =
+      (p.getInt(0), p.getInt(1), p.getInt(2))
+
+    val shingledNew =
+      shingleSig(newDocs, textCol, idCol, numHashes, shingleWords)
+        .transform(df => Caching.register(df))
+    val bandedNew = bandKeys(shingledNew, numHashes, bands)
+
+    val touched = spark.read.parquet(s"$path/bands")
+      .join(bandedNew.select("band", "bkey").distinct(),
+        Seq("band", "bkey"), "left_semi")
+
+    val cand = bucketPairs(touched.unionByName(bandedNew),
+      Seq("band", "bkey"), maxBucket)
+
+    // keep pairs touching a new id (old-old pairs inside a shared bucket
+    // are not this pass's job — the corpus was deduped when indexed)
+    val newIds = shingledNew.select(col("id"))
+    val candNew = cand
+      .join(newIds.select(col("id").as("id_a"), lit(true).as("is_new_a")),
+        Seq("id_a"), "left")
+      .join(newIds.select(col("id").as("id_b"), lit(true).as("is_new_b")),
+        Seq("id_b"), "left")
+      .filter(col("is_new_a").isNotNull || col("is_new_b").isNotNull)
+      .select("id_a", "id_b")
+
+    val sets = shingledNew.select(col("id"), col("shingles"))
+      .unionByName(spark.read.parquet(s"$path/shingles"))
+    verifyJaccard(candNew, sets, threshold)
   }
 
   /** Near-dedup survivors: drop any doc that has a similar doc with a

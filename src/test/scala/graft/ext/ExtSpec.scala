@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.ops.Caching
 
 /** Dedup / similarity / text / multimodal operators (extension layer). */
 class ExtSpec extends SparkSpec {
@@ -102,6 +103,72 @@ class ExtSpec extends SparkSpec {
     val remaining = java.nio.file.Files.walk(ckpt).iterator().asScala
       .count(_.getFileName.toString.startsWith("rdd-"))
     assert(remaining == 1, s"expected 1 surviving checkpoint, saw $remaining")
+  }
+
+  test("incremental dedup against a persisted index equals the full run " +
+    "restricted to pairs touching a new doc") {
+    // seeded corpus of duplicate "families": 20-word base sentences, each
+    // member mutates one word (~0.7 Jaccard vs base), ids interleave so
+    // the % 4 split yields old-old, old-new, and new-new dup pairs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliett", "kilo", "lima",
+      "mike", "november", "oscar", "papa")
+    def sentence(): Array[String] =
+      Array.fill(20)(vocab(rnd.nextInt(vocab.length)))
+    val corpus = (for {
+      fam <- 0 until 12
+      base = sentence()
+      member <- 0 until (2 + rnd.nextInt(4))
+    } yield {
+      val words = base.clone()
+      if (member > 0) words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      words.mkString(" ")
+    }).zipWithIndex.map { case (text, i) => (i.toLong, text) }
+    val all = corpus.toDF("doc_id", "text")
+    val old = all.filter(col("doc_id") % 4 =!= 0)
+    val fresh = all.filter(col("doc_id") % 4 === 0)
+    val freshIds = corpus.map(_._1).filter(_ % 4 == 0).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
+    try {
+      Dedup.buildDedupIndex(old, idx.toString, numHashes = 128, bands = 32)
+      val inc = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(fresh, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val full = Caching.scoped {
+        Dedup.minhashLshPairs(all, numHashes = 128, bands = 32,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val expected = full.filter(p => freshIds(p._1) || freshIds(p._2))
+      assert(inc == expected)
+      // the property is non-vacuous: new-new AND new-old pairs both occur,
+      // and the full run has old-old pairs the incremental pass must skip
+      assert(expected.exists(p => freshIds(p._1) && freshIds(p._2)))
+      assert(expected.exists(p => freshIds(p._1) ^ freshIds(p._2)))
+      assert(full.size > expected.size)
+
+      // cap-equality: with a tiny bucket cap, both paths keep the same
+      // maxBucket smallest ids per bucket, so results still coincide
+      val incCap = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(fresh, idx.toString,
+          threshold = 0.5, maxBucket = 3)
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val fullCap = Caching.scoped {
+        Dedup.minhashLshPairs(all, numHashes = 128, bands = 32,
+          threshold = 0.5, maxBucket = 3)
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      assert(incCap == fullCap.filter(p => freshIds(p._1) || freshIds(p._2)))
+      assert(fullCap != full, "cap must bind for the cap case to mean anything")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   test("simhash blocks and verifies hamming distance") {
