@@ -149,6 +149,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join: a forced-skew key (one key = half the rows) is " +
+    "split at runtime (skew=true in the final plan) with results " +
+    "identical to the unsplit join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // left: 40k rows, HALF on key 0, ~192 B of hash text per row so the
+    // skewed shuffle partition dwarfs the median; right: small enough to
+    // be broadcast normally, so broadcast is forced off to get the
+    // sort-merge shape whose skew handling the fact-fact joins (j3,
+    // ext_salient_terms df join) rely on at scale
+    def left = spark.range(40000).select(
+      when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+      concat(sha2(col("id").cast("string"), 256),
+        sha2((col("id") + 1).cast("string"), 256),
+        sha2((col("id") + 2).cast("string"), 256)).as("pay"))
+    def right = spark.range(200).select(col("id").as("k"), (col("id") * 7).as("v"))
+    // order-independent full-content checksum of the join output
+    def run() = left.join(right, Seq("k")).agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(k, pay, v))").as("h"))
+
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB")
+    val toggles = confs.map(_._1) :+ "spark.sql.adaptive.skewJoin.enabled"
+    val saved = toggles.map(c => c -> spark.conf.getOption(c))
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val skewed = run()
+      // collect on the SAME Dataset whose plan is inspected (a typed .as
+      // copy would execute its own QueryExecution, leaving this one
+      // un-finalized)
+      val skewedResult = skewed.collect().head.toSeq
+      val p = skewed.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"),
+        s"skew-join split did not activate on a 50%-of-rows key:\n$p")
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = run()
+      val plainResult = plain.collect().head.toSeq
+      assert(!plain.queryExecution.executedPlan.toString.contains("skew=true"))
+      assert(skewedResult == plainResult,
+        s"skew split changed the join result: $skewedResult vs $plainResult")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
+
   test("weighted sample is a shuffle-free narrow scan") {
     val p = plan("ext_sample_weighted")
     assert(!p.contains("Exchange"), p)
