@@ -30,8 +30,9 @@ object Bench {
     "ext_mixture_sample",
     // round 5: incremental dedup probe — the index builds once per session
     // (pass 1), so the median of 3 reports the steady-state probe cost,
-    // which is this operator's 100 TB operating mode
-    "ext_dedup_incremental")
+    // which is this operator's 100 TB operating mode — and the BPE encode
+    // kernel (shuffle-free corpus scan)
+    "ext_dedup_incremental", "ext_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ops.{Csv, Transforms}
 
@@ -209,6 +209,38 @@ object Queries {
        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  /** Fixed BPE merge table for `ext_bpe_encode` (rank order), learned once
+    * from the sf0.01 documents table by `tools/ProbeBpe` (numMerges=24,
+    * minFreq=2). Baked as a constant so the Spark kernel and the DuckDB
+    * oracle replay the identical model. ProbeBpe also verifies the
+    * safety property the SQL mirror needs: with this table, canonical
+    * (lowest-rank-first) encode equals in-order single-pass replay on
+    * every document at every SF. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** DuckDB mirror of BPE encode-and-count under [[BpeMerges]]: wrap each
+    * char of a token as {c}, replay each merge in rank order as a global
+    * `replace('{a}{b}' -> '{ab}')` (leftmost-first, non-overlapping —
+    * replace()'s scan order IS the per-rule merge order), then recover the
+    * subword count arithmetically from the wrapped length. */
+  private lazy val bpeEncodeSql: String = {
+    val wrapped = "regexp_replace(t, '(.)', '{\\1}', 'g')"
+    val replaced = BpeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, '{$a}{$b}', '{$a$b}')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform($tokSql, t ->
+       |    (length($replaced) - length(t)) // 2)), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+  }
 
   /** Exact 3-word-shingle Jaccard pairs in DuckDB — the oracle for both
     * the LSH-accelerated and the exact n-gram dedup (the LSH band config
@@ -1139,6 +1171,38 @@ object Queries {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 3)),
 
+    // BPE tokenizer TRAINING (Sennrich 2016): the full iterative
+    // merge-learning loop — per round one partial-aggregable pair count
+    // over the vocabulary-sized word-frequency table plus a one-row argmax
+    // collect. The learned table is model metadata, emitted as (rank, a,
+    // b) rows. No DuckDB oracle (an iterated argmax-and-rewrite isn't
+    // SQL-expressible) — rows-only here; exactness is pinned by BpeSpec's
+    // fuzz property against a naive in-memory trainer (argmax +
+    // tie-breaks reproduced exactly), and merge APPLICATION is oracled
+    // end-to-end by ext_bpe_encode below.
+    "ext_bpe_learn" -> ((s, dir) => {
+      val merges = Bpe.learnMerges(t(s, dir, "documents"), numMerges = 16,
+        minFreq = 2)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "pair_a", "pair_b")
+    }),
+
+    // BPE ENCODE with a FIXED merge table (learned once from the sf0.01
+    // documents by tools/ProbeBpe — rank order) → per-doc exact subword
+    // counts. Shuffle-free: tokenize + canonical lowest-rank-first encode
+    // are codegen projections (functions/Expressions.scala BpeEncode).
+    // Oracle: DuckDB replays the same merges as nested replace() over
+    // {c}-wrapped chars — replace() scans leftmost-first non-overlapping,
+    // exactly the per-rule application order — valid because for THIS
+    // table canonical == in-order replay on every document at every SF
+    // (ProbeBpe checks; BpeSpec pins at sf0.001). Token counts fall out
+    // arithmetically: each merge shortens the wrapped string by one "}{",
+    // so n_subwords = (len(wrapped) - len(token)) / 2.
+    "ext_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeCounts(t(s, dir, "documents"), BpeMerges)),
+
     // Per-document salient terms (keyword extraction): top-5 terms per
     // doc by an integer tf-idf proxy `tf * 1e6 DIV df` — floor division
     // over exact counts, so the ranking is bit-identical across engines
@@ -1820,6 +1884,8 @@ object Queries {
          |  FROM toks WHERE len(tk) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
          |FROM pr GROUP BY pair HAVING count(*) >= 3""".stripMargin,
+
+    "ext_bpe_encode" -> bpeEncodeSql,
 
     "ext_salient_terms" ->
       s"""WITH toks AS (

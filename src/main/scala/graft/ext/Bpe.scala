@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/**
+ * Byte-pair-encoding tokenizer training + inference (extension layer,
+ * SURVEY.md §7.3) — the full tokenizer-training shape (Sennrich et al.,
+ * "Neural Machine Translation of Rare Words with Subword Units", ACL
+ * 2016): learn merges by iterated most-frequent-adjacent-pair counting
+ * over a word-frequency table, then encode documents by replaying the
+ * merges lowest-rank-first.
+ *
+ * Scale design:
+ *  - training state is the WORD-FREQUENCY table (one corpus scan + one
+ *    groupBy), vocabulary-sized, never corpus-sized — the classic BPE
+ *    trainer shape;
+ *  - each round is one partial-aggregable pair count over that table plus
+ *    a ONE-ROW collect (the argmax pair) — model state, not data;
+ *  - per-round lineage truncates through [[RoundCheckpointer]] (reliable
+ *    checkpoint mode for cluster fault tolerance, same contract as
+ *    [[Dedup.connectedComponents]]);
+ *  - the learned table is metadata-sized and is baked into the
+ *    [[graft.functions.BpeEncode]] codegen expression, so encoding is a
+ *    pure shuffle-free projection over the corpus scan.
+ *
+ * Round count: this is the EXACT algorithm — one distributed round per
+ * merge. Production tokenizers learn 30k+ merges; at that scale the
+ * standard engineering trade (not taken here) is to batch non-conflicting
+ * merges per round or train on a frequency-capped vocabulary sample.
+ */
+object Bpe {
+
+  /** Ordered merge table: element i is the pair merged at rank i. */
+  type Merges = Seq[(String, String)]
+
+  /**
+   * Learn `numMerges` BPE merges from the corpus. Deterministic: the
+   * per-round argmax breaks count ties on (pair_left, pair_right)
+   * ascending, so any run over the same corpus learns the same table.
+   * Stops early when the best remaining pair occurs fewer than `minFreq`
+   * times (weighted by word frequency).
+   */
+  def learnMerges(df: DataFrame, textCol: String = "text",
+                  numMerges: Int = 32, minFreq: Long = 2,
+                  checkpointDir: Option[String] = None): Merges = {
+    val ck = new RoundCheckpointer(df.sparkSession.sparkContext, checkpointDir)
+    // word-frequency table + initial character symbols (1-based substring
+    // over non-empty tokens; tokens_lc never emits empty strings)
+    var words = ck.snap(
+      df.select(explode(GraftFunctions.tokens_lc(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")))
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // ONE row — the argmax pair is model state
+      if (best.isEmpty || best(0).getLong(2) < minFreq) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        words = ck.snap(words.select(col("freq"),
+          GraftFunctions.bpe_merge_pair(col("syms"), a, b).as("syms")))
+        // snap is eager, so round N-1's snapshot has no later reader —
+        // release it now (unlike connectedComponents, whose fixpoint
+        // count still reads the previous round after snapping)
+        ck.releasePrevious()
+      }
+    }
+    // the result is driver-side model state — no DataFrame over the last
+    // snapshot escapes, so ALL loop storage (checkpoint files or pinned
+    // localCheckpoint blocks) can be released before returning
+    ck.releaseAll()
+    merges.toSeq
+  }
+
+  /** Subword stream of a document's token array under `merges` —
+    * canonical lowest-rank-first inference, a codegen kernel. */
+  def encode(tokens: Column, merges: Merges): Column =
+    GraftFunctions.bpe_encode(tokens, merges)
+
+  /** (id, n_tokens, n_bpe_tokens) per document — the count form used for
+    * corpus budgeting. Shuffle-free: tokenize + encode are projections. */
+  def encodeCounts(df: DataFrame, merges: Merges, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      GraftFunctions.tokens_lc(col(textCol)).as("tk"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(encode(col("tk"), merges)).cast("long").as("n_bpe_tokens"))
+}

@@ -397,37 +397,14 @@ object Dedup {
                           idCol: String = "doc_id",
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    // the per-context checkpoint root (dir/<uuid> — setCheckpointDir
-    // appends the UUID), for round-N-1 file cleanup
-    val ckptRoot = checkpointDir.flatMap(_ => sc.getCheckpointDir)
-      .map(new org.apache.hadoop.fs.Path(_))
-    val fs = ckptRoot.map(_.getFileSystem(sc.hadoopConfiguration))
-    def rddDirs(): Set[String] = (for {
-      root <- ckptRoot; f <- fs
-      st <- Option(f.globStatus(new org.apache.hadoop.fs.Path(root, "rdd-*")))
-    } yield st.map(_.getPath.toString).toSet).getOrElse(Set.empty)
-    // snap + the checkpoint dirs the snapped DF owns (empty for local)
-    def snapTracked(df: DataFrame): (DataFrame, Set[String]) =
-      if (checkpointDir.isDefined) {
-        val before = rddDirs()
-        val out = df.checkpoint() // eager — materializes the round
-        (out, rddDirs() -- before)
-      } else (df.localCheckpoint(true), Set.empty)
-    def deleteCkpt(dirs: Set[String]): Unit =
-      for (f <- fs; d <- dirs) f.delete(new org.apache.hadoop.fs.Path(d), true)
+    val ck = new RoundCheckpointer(nodes.sparkSession.sparkContext,
+      checkpointDir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .transform(df => Caching.register(df))
-    // checkpoint (NOT persist) per iteration: an iterative loop
-    // doubles the logical plan every round — caching materializes the
-    // data but the plan still nests, and analysis/stringification blows
-    // up exponentially after ~15 rounds. Checkpointing truncates the
-    // lineage to the materialized partitions, keeping every round O(1)
-    // in plan size (found by the FuzzSpec random-graph property).
-    var (labels, labelsCkpt) =
-      snapTracked(nodes.select(col(idCol).as("v"), col(idCol).as("lbl")))
+    // checkpoint (NOT persist) per iteration — see RoundCheckpointer for
+    // why lineage must truncate and how storage stays ≤ 2 label tables
+    var labels = ck.snap(nodes.select(col(idCol).as("v"), col(idCol).as("lbl")))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -442,16 +419,14 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-      val (snapped, snappedCkpt) = snapTracked(halved)
+      val snapped = ck.snap(halved)
       val changed = snapped
         .join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
       // the fixpoint check above was the LAST reader of round N-1's
-      // labels — its checkpoint files can go now, keeping storage at
-      // ≤ 2 label-table copies for the whole run
-      deleteCkpt(labelsCkpt)
+      // labels — its checkpoint files can go now
+      ck.releasePrevious()
       labels = snapped
-      labelsCkpt = snappedCkpt
       done = changed == 0
       iter += 1
     }

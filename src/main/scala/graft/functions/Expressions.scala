@@ -330,6 +330,135 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
 }
 
+object BpeKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Merge-rank lookup key for an adjacent symbol pair. NUL can't occur in
+    * symbols (they come from [a-z0-9] tokens), so the key is injective. */
+  def pairKey(a: String, b: String): String = a + " " + b
+
+  /** Rank map for [[bpeEncode]] from an ordered merge list (rank = learn
+    * order; lower merges first) — built once per plan and baked into the
+    * expression as model state, like the IVF centroid matrix. */
+  def ranksOf(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(pairKey(a, b), i) }
+    m
+  }
+
+  /** One BPE training step applied to one word's symbol array: merge every
+    * occurrence of the adjacent pair (a, b) into a+b, leftmost-first,
+    * non-overlapping (the Sennrich 2016 update; "aaa" under (a,a) →
+    * ["aa", "a"]). */
+  def mergePair(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2) return syms
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && syms.getUTF8String(i).equals(a) &&
+          syms.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(syms.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Canonical BPE encode of one word (chars → subwords): repeatedly find
+    * the LOWEST-rank adjacent pair present and merge all its occurrences
+    * (leftmost-first), until no learned pair applies — the standard
+    * inference loop of subword tokenizers. */
+  def encodeWordInto(w: String, ranks: java.util.HashMap[String, Integer],
+                     out: java.util.ArrayList[UTF8String]): Unit = {
+    var parts = new Array[String](w.length)
+    var c = 0
+    while (c < w.length) { parts(c) = String.valueOf(w.charAt(c)); c += 1 }
+    var done = parts.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = ranks.get(pairKey(parts(i), parts(i + 1)))
+        if (r != null && r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val a = parts(bestAt)
+        val b = parts(bestAt + 1)
+        val merged = new java.util.ArrayList[String](parts.length)
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+            merged.add(a + b); j += 2
+          } else { merged.add(parts(j)); j += 1 }
+        }
+        parts = merged.toArray(new Array[String](merged.size()))
+        done = parts.length < 2
+      }
+    }
+    var k = 0
+    while (k < parts.length) { out.add(UTF8String.fromString(parts(k))); k += 1 }
+  }
+
+  /** Encode every token of a document and concatenate the subword streams
+    * — one doc-level array in, one subword array out, shuffle-free. */
+  def encodeTokens(tokens: ArrayData,
+                   ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        encodeWordInto(tokens.getUTF8String(i).toString, ranks, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** bpe_merge_pair(array<string>) -> array<string>: one training-step merge
+  * of the constant pair (a, b), leftmost-first non-overlapping. */
+case class BpeMergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+  private lazy val ua = UTF8String.fromString(a)
+  private lazy val ub = UTF8String.fromString(b)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.mergePair(v.asInstanceOf[ArrayData], ua, ub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("bpeA", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val refB = ctx.addReferenceObj("bpeB", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.mergePair($c, $refA, $refB)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergePair =
+    copy(child = c)
+}
+
+/** bpe_encode(array<string>) -> array<string>: canonical BPE inference
+  * with the learned merge table baked in as model state. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  private lazy val ranks = BpeKernel.ranksOf(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.encodeTokens(v.asInstanceOf[ArrayData], ranks)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.encodeTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions + SQL registration. */
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -349,6 +478,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
   def fingerprint64(tokens: Column): Column = col(Fingerprint64(ex(tokens)))
+  def bpe_merge_pair(syms: Column, a: String, b: String): Column =
+    col(BpeMergePair(ex(syms), a, b))
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncode(ex(tokens), merges))
 
   /** Register SQL names so `spark.sql("SELECT simhash64(...)")` works on
     * an already-created session (the extension path is

@@ -1,0 +1,172 @@
+package graft.ext
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** BPE training + inference vs a naive in-memory reference implementation
+  * (same semantics, no Spark): the distributed learner must reproduce the
+  * reference merge table exactly (including count tie-breaks), and the
+  * encode kernel must reproduce the reference subword streams. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- naive reference implementation (Sennrich 2016, in-memory) ---
+
+  private def mergeSeq(syms: Vector[String], a: String,
+                       b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def naiveLearn(wordFreq: Map[String, Long], numMerges: Int,
+                         minFreq: Long): Seq[(String, String)] = {
+    var vocab = wordFreq.map { case (w, f) =>
+      w.map(_.toString).toVector -> f
+    }.toSeq // distinct words stay distinct symbol vectors under merging
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minFreq) done = true
+        else {
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, f) => mergeSeq(syms, a, b) -> f }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def naiveEncode(w: String,
+                          merges: Seq[(String, String)]): Vector[String] = {
+    val ranks = merges.zipWithIndex.toMap
+    var parts = w.map(_.toString).toVector
+    var done = parts.length < 2
+    while (!done) {
+      val ranked = (0 until parts.length - 1)
+        .flatMap(i => ranks.get((parts(i), parts(i + 1))))
+      if (ranked.isEmpty) done = true
+      else {
+        val (a, b) = merges(ranked.min)
+        parts = mergeSeq(parts, a, b)
+        done = parts.length < 2
+      }
+    }
+    parts
+  }
+
+  private def randomDocs(rnd: Random, n: Int): Seq[String] = {
+    val alphabet = "abc"
+    def word() = (1 to (1 + rnd.nextInt(5)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to n).map(_ => (1 to (3 + rnd.nextInt(6))).map(_ => word()).mkString(" "))
+  }
+
+  test("distributed merge learning reproduces the naive trainer exactly " +
+    "(argmax + tie-breaks) on random corpora") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val docs = randomDocs(rnd, 30)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val learned = Bpe.learnMerges(df, numMerges = 12, minFreq = 2)
+      val wordFreq = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val expected = naiveLearn(wordFreq, 12, 2)
+      assert(learned == expected, s"trial $trial: $learned vs $expected")
+      assert(learned.nonEmpty, s"trial $trial learned nothing")
+
+      // the encode kernel replays the learned merges canonically
+      // (lowest-rank-first) — must equal the naive encoder per document
+      val got = df.select(col("doc_id"),
+        Bpe.encode(GraftFunctions.tokens_lc(col("text")), learned))
+        .as[(Long, Seq[String])].collect().toMap
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val want = text.split(" ").filter(_.nonEmpty)
+          .flatMap(naiveEncode(_, learned)).toSeq
+        assert(got(i.toLong) == want, s"trial $trial doc $i")
+      }
+    }
+  }
+
+  test("merge learning with a reliable checkpoint dir returns the same " +
+    "table (the cluster-fault-tolerant mode) and bounds its storage") {
+    val rnd = new Random(11)
+    val docs = randomDocs(rnd, 25)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val plain = Bpe.learnMerges(df, numMerges = 10, minFreq = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bpe_ckpt")
+    try {
+      val ckpted = Bpe.learnMerges(df, numMerges = 10, minFreq = 2,
+        checkpointDir = Some(ckpt.toString))
+      assert(ckpted == plain)
+      // round N-1's files are deleted once round N materializes, and the
+      // result is driver-side model state, so NO snapshot survives the run
+      import scala.jdk.CollectionConverters._
+      val remaining = java.nio.file.Files.walk(ckpt).iterator().asScala
+        .count(_.getFileName.toString.startsWith("rdd-"))
+      assert(remaining == 0, s"leaked checkpoint storage: $remaining dirs")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(ckpt)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("fixed ext_bpe_encode table: canonical kernel encode equals " +
+    "in-order single-pass replay on the real documents table — the " +
+    "property the nested-replace DuckDB oracle depends on") {
+    val merges = graft.Queries.BpeMerges
+    def inOrder(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (parts, (a, b)) =>
+        mergeSeq(parts, a, b)
+      }
+    val docs = spark.read.parquet(sf("documents"))
+    val kernel = docs.select(col("doc_id"),
+      Bpe.encode(GraftFunctions.tokens_lc(col("text")), merges))
+      .as[(Long, Seq[String])].collect()
+    val words = docs.select(col("doc_id"),
+      GraftFunctions.tokens_lc(col("text"))).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(kernel.nonEmpty)
+    kernel.foreach { case (id, enc) =>
+      assert(enc == words(id).flatMap(inOrder), s"doc $id")
+    }
+    // ...and the canonical kernel itself equals the canonical reference
+    kernel.foreach { case (id, enc) =>
+      assert(enc == words(id).flatMap(naiveEncode(_, merges)), s"doc $id")
+    }
+  }
+
+  test("encodeCounts: n_bpe_tokens between word count and char count; " +
+    "zero-token docs yield zero") {
+    val docs = Seq((0L, "aba aba cab"), (1L, ""), (2L, "!!!"),
+      (3L, "abababab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val got = Bpe.encodeCounts(docs, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "aba" -> [ab, a]; "cab" -> [c, ab]: 3 words -> 2+2+2 subwords
+    assert(got(0L) == (3L, 6L))
+    assert(got(1L) == (0L, 0L) && got(2L) == (0L, 0L))
+    // "abababab" -> ab ab ab ab -> abab abab -> 2 subwords
+    assert(got(3L) == (1L, 2L))
+  }
+}
