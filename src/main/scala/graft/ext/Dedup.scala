@@ -275,6 +275,41 @@ object Dedup {
   }
 
   /**
+   * Append already-deduped documents to a persisted dedup index — the
+   * maintenance half of the weekly-crawl loop: probe the crawl with
+   * [[minhashLshPairsAgainstIndex]], drop the duplicates, then append the
+   * survivors here so the NEXT crawl dedups against them too. Signatures
+   * are computed once from the index's own `params/` (an append can never
+   * band inconsistently) and written as new range-sorted parquet files
+   * under the same layout. File key ranges are disjoint within one append
+   * but overlap across appends (LSM-style); if probe-side file skipping
+   * degrades after many small appends, compact with
+   * [[graft.io.Tables.compact]].
+   *
+   * Contract: `df` ids must be disjoint from ids already in the index.
+   */
+  def appendToDedupIndex(df: DataFrame, path: String,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         indexFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val p = spark.read.parquet(s"$path/params").collect()(0) // one row
+    val (numHashes, bands, shingleWords) =
+      (p.getInt(0), p.getInt(1), p.getInt(2))
+    Caching.scoped { // the shared scan releases once both appends land
+      val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
+        .transform(df => Caching.register(df))
+      shingled.select("id", "shingles")
+        .repartitionByRange(indexFiles, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("append").parquet(s"$path/shingles")
+      bandKeys(shingled, numHashes, bands)
+        .repartitionByRange(indexFiles, col("band"), col("bkey"))
+        .sortWithinPartitions("band", "bkey")
+        .write.mode("append").parquet(s"$path/bands")
+    }
+  }
+
+  /**
    * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)
    * that INVOLVE at least one document of `newDocs`, against a corpus
    * indexed by [[buildDedupIndex]]. Equivalent to running

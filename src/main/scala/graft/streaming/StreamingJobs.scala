@@ -249,4 +249,59 @@ object StreamingJobs {
                   trigger: Trigger = Trigger.ProcessingTime(0L)) =
     df.writeStream.format("memory").queryName(queryName)
       .outputMode(mode).trigger(trigger).start()
+
+  /**
+   * Continuous incremental near-dedup against a persisted dedup index —
+   * the streaming form of the weekly-crawl mode. Each micro-batch reuses
+   * the BATCH operators through `foreachBatch` (the idiomatic bridge for
+   * logic Structured Streaming's stateful operators can't express):
+   *
+   *  1. probe the batch against the stored MinHash band lists
+   *     ([[graft.ext.Dedup.minhashLshPairsAgainstIndex]] — bands only the
+   *     batch, never re-shingles the corpus);
+   *  2. hand the flagged duplicate pairs to `onDupPairs` (write to a
+   *     table, a metrics sink, …);
+   *  3. drop the batch's duplicates — a doc drops if it pairs with an
+   *     indexed doc (the index member was there first) or with a
+   *     smaller-id doc of the SAME batch (keep-first tie-break) — and
+   *     append the survivors to the index, so later batches dedup against
+   *     earlier ones as well as the base corpus.
+   *
+   * State lives in the INDEX (bounded, queryable parquet), not in Spark's
+   * state store — restarts resume from the checkpoint with the corpus
+   * seen so far already persisted. Exactly-once caveat: a batch replayed
+   * after a crash between the append and the checkpoint commit would
+   * append twice; ids must be unique per doc (the probe contract), so
+   * replayed appends only duplicate rows in the band lists, which at most
+   * re-flags the same pairs — results stay correct, storage is the cost
+   * (compact to reclaim).
+   *
+   * Contract: incoming ids are globally unique and disjoint from the
+   * index (same as the probe).
+   */
+  def streamingIncrementalDedup(docs: DataFrame, indexPath: String,
+                                threshold: Double = 0.8,
+                                idCol: String = "doc_id",
+                                onDupPairs: (DataFrame, Long) => Unit) =
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      graft.ops.Caching.scoped {
+        import graft.ext.Dedup
+        val pairs = Dedup
+          .minhashLshPairsAgainstIndex(batch, indexPath, threshold = threshold)
+          .transform(df => graft.ops.Caching.register(df)) // emit + drop set
+        onDupPairs(pairs, epoch)
+        val ids = batch.select(col(idCol))
+        val drops = pairs
+          .join(ids.select(col(idCol).as("id_a"), lit(true).as("na")),
+            Seq("id_a"), "left")
+          .join(ids.select(col(idCol).as("id_b"), lit(true).as("nb")),
+            Seq("id_b"), "left")
+          .select(when(col("na").isNotNull && col("nb").isNotNull, col("id_b"))
+            .when(col("na").isNotNull, col("id_a")) // new-old: new drops
+            .otherwise(col("id_b")).as(idCol))
+          .distinct()
+        val survivors = batch.join(drops, Seq(idCol), "left_anti")
+        Dedup.appendToDedupIndex(survivors, indexPath, idCol = idCol)
+      }
+    }
 }

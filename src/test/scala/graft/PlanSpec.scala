@@ -245,6 +245,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: signatures are computed over the NEW docs only " +
+    "and the stored band lists are semi-join-filtered before pair " +
+    "enumeration — the corpus is never re-shingled") {
+    val p = plan("ext_dedup_incremental")
+    // every documents scan in the probe carries the new-docs filter — a
+    // scan without it would mean the full corpus is being re-signed
+    val docScans = p.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty, p)
+    docScans.foreach(l => assert(l.contains("% 5"), l))
+    // the stored lists come from the persisted index and pass through a
+    // semi join on the new docs' band keys (AQE broadcasts the key set
+    // when the crawl is small)
+    assert(p.contains("/bands"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("bpe encode is a shuffle-free projection (tokenize + canonical " +
+    "encode stay in one scan)") {
+    val p = plan("ext_bpe_encode")
+    assert(!p.contains("Exchange"), p)
+    assert(p.toLowerCase.contains("bpeencode"), p)
+  }
+
   test("minhash candidates: bucket cap is a partial (map-side) bounded aggregate") {
     val p = plan("ext_dedup_minhash_pairs").toLowerCase
     // partial + final boundedminids around the bucket shuffle — at most

@@ -171,6 +171,55 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("appending to the index makes later probes dedup against the " +
+    "appended docs too (the weekly-crawl maintenance loop)") {
+    val rnd = new scala.util.Random(123)
+    val vocab = Vector("red", "orange", "yellow", "green", "blue", "indigo",
+      "violet", "cyan", "magenta", "teal", "maroon", "olive")
+    def sentence(): Array[String] =
+      Array.fill(20)(vocab(rnd.nextInt(vocab.length)))
+    val corpus = (for {
+      fam <- 0 until 10
+      base = sentence()
+      member <- 0 until (2 + rnd.nextInt(3))
+    } yield {
+      val words = base.clone()
+      if (member > 0) words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      words.mkString(" ")
+    }).zipWithIndex.map { case (text, i) => (i.toLong, text) }
+    val all = corpus.toDF("doc_id", "text")
+    val old = all.filter(col("doc_id") % 4 < 2)
+    val crawl1 = all.filter(col("doc_id") % 4 === 2)
+    val crawl2 = all.filter(col("doc_id") % 4 === 3)
+    val c2Ids = corpus.map(_._1).filter(_ % 4 == 3).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_app")
+    try {
+      Dedup.buildDedupIndex(old, idx.toString, numHashes = 128, bands = 32)
+      Dedup.appendToDedupIndex(crawl1, idx.toString)
+      val inc = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(crawl2, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val full = Caching.scoped {
+        Dedup.minhashLshPairs(all, numHashes = 128, bands = 32,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val expected = full.filter(p => c2Ids(p._1) || c2Ids(p._2))
+      assert(inc == expected)
+      // non-vacuous: some crawl2 pair must reach a doc that exists only
+      // via the APPEND (a crawl1 doc), or the test proves nothing
+      val c1Ids = corpus.map(_._1).filter(_ % 4 == 2).toSet
+      assert(expected.exists(p => c1Ids(p._1) || c1Ids(p._2)),
+        "no crawl2-crawl1 pair — regenerate the corpus")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("simhash blocks and verifies hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b) -> h }.toMap

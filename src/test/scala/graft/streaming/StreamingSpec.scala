@@ -378,4 +378,53 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Int, Float, Float)].collect()
     assert(out.toSeq == Seq(("ABB", 2010, 19.19f, 19.19f)))
   }
+
+  test("streaming incremental dedup: batches probe the persisted index, " +
+    "flag dups, and append survivors so later batches dedup against " +
+    "earlier ones") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Dedup
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sdedup_idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt")
+    try {
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      val in = MemoryStream[(Long, String)]
+      val flagged = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = StreamingJobs.streamingIncrementalDedup(
+        in.toDF().toDF("doc_id", "text"), idx.toString, threshold = 0.5,
+        onDupPairs = (pairs, epoch) =>
+          pairs.collect().foreach(r =>
+            flagged += ((epoch, r.getLong(0), r.getLong(1)))))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        in.addData(
+          (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+          (11L, "completely novel text about streaming incremental dedup pipelines"))
+        q.processAllAvailable()
+        // 10 flagged against the BASE corpus; 11 survives and is appended
+        assert(flagged.map(p => (p._2, p._3)).toSet == Set((0L, 10L)))
+
+        in.addData(
+          (20L, "completely novel text about streaming incremental dedup pipelines"), // dup of APPENDED 11
+          (21L, "another genuinely fresh document mentioning nothing seen before"))
+        q.processAllAvailable()
+        // 20 can only be flagged if batch 1's survivor reached the index
+        assert(flagged.map(p => (p._2, p._3)).toSet ==
+          Set((0L, 10L), (11L, 20L)))
+        // dropped docs must NOT poison the index: 10 was a dup, so a
+        // later dup of 10 pairs only with 0 (asserted above — no (10, 20))
+      } finally q.stop()
+    } finally {
+      import java.util.Comparator
+      Seq(idx, ckpt).foreach(d =>
+        java.nio.file.Files.walk(d)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+    }
+  }
 }
