@@ -64,12 +64,23 @@ object Bench {
     // comparison unreadable; the median of 3 interleaved passes is stable
     // while still charging each query its steady-state cost.
     val names = headline.filter(SparkEntry.queries.contains)
-    val passes = (1 to 3).map { _ =>
+    def runPass(): Map[String, Double] =
       names.map { name =>
         name -> (try runOnce(name) catch { case _: Throwable => -1.0 })
       }.toMap
+    var passes = (1 to 3).map(_ => runPass())
+    // Machine-load guard: the median of 3 protects against one bad pass,
+    // not a bad WINDOW (round 4 recorded all three passes inflated ~2×).
+    // If the steady-state pass totals disagree by >1.5× — pass 1 is
+    // excluded, it legitimately pays the one-time index builds — the
+    // window was contended: run up to 2 extra passes so the per-query
+    // median reflects steady state.
+    def steadyTotals = passes.drop(1).map(_.values.filter(_ >= 0).sum)
+    while (passes.size < 5 &&
+        steadyTotals.max > steadyTotals.min * 1.5) {
+      passes = passes :+ runPass()
     }
-    def median3(vs: Seq[Double]): Double = {
+    def medianOf(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
       // even survivor count (a failed pass): mean of the two middle
@@ -78,7 +89,7 @@ object Bench {
       else if (ok.size % 2 == 0) (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
       else ok(ok.size / 2)
     }
-    val results = names.map(n => n -> median3(passes.map(_(n))))
+    val results = names.map(n => n -> medianOf(passes.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -375,6 +375,38 @@ object Dedup {
     verifyJaccard(candNew, sets, threshold)
   }
 
+  /** Crawl docs to DROP given the incremental pair set: a new doc drops if
+    * it pairs with an indexed doc (the index member was there first) or
+    * with a smaller-id doc of the same crawl (keep-first tie-break).
+    * `ids` = the crawl's ids. Shared by the batch survivors helper and the
+    * streaming incremental loop. */
+  private[graft] def incrementalDropIds(pairs: DataFrame, ids: DataFrame,
+                                        idCol: String): DataFrame =
+    pairs
+      .join(ids.select(col(idCol).as("id_a"), lit(true).as("new_a")),
+        Seq("id_a"), "left")
+      .join(ids.select(col(idCol).as("id_b"), lit(true).as("new_b")),
+        Seq("id_b"), "left")
+      .select(when(col("new_a").isNotNull && col("new_b").isNotNull, col("id_b"))
+        .when(col("new_a").isNotNull, col("id_a")) // new-old: the new side drops
+        .otherwise(col("id_b")).as(idCol))
+      .distinct()
+
+  /** Incremental survivors: the crawl minus its near-duplicates (of the
+    * indexed corpus, or keep-first within the crawl). Pair generation and
+    * verification as in [[minhashLshPairsAgainstIndex]]. Typically
+    * followed by [[appendToDedupIndex]] on the result. */
+  def minhashLshSurvivorsAgainstIndex(newDocs: DataFrame, path: String,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id",
+                                      threshold: Double = 0.8,
+                                      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashLshPairsAgainstIndex(newDocs, path, textCol, idCol,
+      threshold, maxBucket)
+    val drops = incrementalDropIds(pairs, newDocs.select(col(idCol)), idCol)
+    newDocs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup survivors: drop any doc that has a similar doc with a
     * smaller id (standard keep-first policy). */
   def minhashLshSurvivors(df: DataFrame, textCol: String = "text",

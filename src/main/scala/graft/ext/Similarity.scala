@@ -190,6 +190,26 @@ object Similarity {
     (cents, dim)
   }
 
+  /** Append new vectors to a persisted IVF index: assign cells with the
+    * STORED quantizer (centroids are model state — appends never retrain,
+    * so existing assignments stay valid) and add bucket-sorted
+    * inverted-list files. Like the dedup index, file bucket ranges are
+    * disjoint per append and overlap across appends (LSM-style); rebuild
+    * when quantizer drift matters, compact when file skipping degrades.
+    * Contract: new ids are disjoint from ids already in the index. */
+  def appendToIvfIndex(newVecs: DataFrame, path: String, indexFiles: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    val (cents, dim) = loadIvfCentroids(newVecs.sparkSession, path)
+    newVecs
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+      .repartitionByRange(indexFiles, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("append").parquet(s"$path/assignments")
+  }
+
   /** Query a persisted IVF index: same probe plan as [[ivfTopK]], but the
     * corpus side is the stored, bucket-sorted inverted lists — no
     * re-training, no re-assignment, parquet file skipping on the probed

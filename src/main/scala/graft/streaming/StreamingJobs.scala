@@ -290,16 +290,8 @@ object StreamingJobs {
           .minhashLshPairsAgainstIndex(batch, indexPath, threshold = threshold)
           .transform(df => graft.ops.Caching.register(df)) // emit + drop set
         onDupPairs(pairs, epoch)
-        val ids = batch.select(col(idCol))
-        val drops = pairs
-          .join(ids.select(col(idCol).as("id_a"), lit(true).as("na")),
-            Seq("id_a"), "left")
-          .join(ids.select(col(idCol).as("id_b"), lit(true).as("nb")),
-            Seq("id_b"), "left")
-          .select(when(col("na").isNotNull && col("nb").isNotNull, col("id_b"))
-            .when(col("na").isNotNull, col("id_a")) // new-old: new drops
-            .otherwise(col("id_b")).as(idCol))
-          .distinct()
+        val drops = Dedup.incrementalDropIds(pairs,
+          batch.select(col(idCol)), idCol)
         val survivors = batch.join(drops, Seq(idCol), "left_anti")
         Dedup.appendToDedupIndex(survivors, indexPath, idCol = idCol)
       }

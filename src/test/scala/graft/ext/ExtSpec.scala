@@ -306,6 +306,62 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"loaded-index recall@5 $recall")
   }
 
+  test("IVF index append: appended vectors are probe-visible, and with " +
+    "all cells probed the appended index is EXACTLY brute force") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_").toString
+    Similarity.buildIvfIndex(old, dir, numCentroids = 8, kmeansIters = 2,
+      indexFiles = 4)
+    Similarity.appendToIvfIndex(fresh, dir)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    assert(assigned.count() == emb.count())
+    val qs = emb.filter(col("vec_id") < 10) // mixes old and appended ids
+    // nprobe = numCentroids → every inverted list is scanned → the index
+    // result must equal exact brute force over old ∪ appended, row-set
+    // identical (same cosine kernel, same bounded top-k tie-breaks)
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, dir, qs, 5, nprobe = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == brute)
+    // and an exact duplicate of an APPENDED vector is found in its cell
+    // with a realistic nprobe
+    val probe1 = Similarity.ivfTopKFromIndex(spark, dir,
+      fresh.filter(col("vec_id") === 1), 5, nprobe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(probe1.nonEmpty, "appended vector's own cell must have neighbors")
+  }
+
+  test("incremental survivors: crawl minus dups of the index and " +
+    "keep-first within the crawl") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_surv_idx")
+    try {
+      val base = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "an utterly unrelated document about spark engines today"))
+        .toDF("doc_id", "text")
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      val crawl = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of indexed 0
+        (11L, "completely novel text about streaming incremental dedup pipelines"),
+        (12L, "completely novel text about streaming incremental dedup pipelines"), // in-crawl dup of 11
+        (13L, "another genuinely fresh document mentioning nothing seen before"))
+        .toDF("doc_id", "text")
+      val kept = Caching.scoped {
+        Dedup.minhashLshSurvivorsAgainstIndex(crawl, idx.toString,
+          threshold = 0.5).select("doc_id").as[Long].collect().toSet
+      }
+      assert(kept == Set(11L, 13L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("declared ext_ann_recall query certifies recall@5 >= 0.9") {
     val row = graft.SparkEntry.queries("ext_ann_recall")(
       spark, "/root/testdata/sf0.001").collect().head
