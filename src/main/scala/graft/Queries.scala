@@ -837,6 +837,21 @@ object Queries {
         path, threshold = 0.8)
     }),
 
+    // The survivors form of the incremental pass (what a pipeline actually
+    // consumes): the crawl minus near-dups of the indexed corpus, with
+    // keep-first inside the crawl. Same session index as
+    // ext_dedup_incremental. Oracle mirrors the drop policy in SQL over
+    // the exact-Jaccard pair set.
+    "ext_dedup_inc_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = sessionIndex("dedup", dir)(p =>
+        Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), p,
+          numHashes = 128, bands = 32, shingleWords = 3))
+      Dedup.minhashLshSurvivorsAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), path, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // SimHash near-dup (oracle: bit-exact DuckDB kernel mirror).
     "ext_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
@@ -1540,6 +1555,19 @@ object Queries {
     // (doc_id % 5 = 0) document — what the incremental index probe must equal
     "ext_dedup_incremental" ->
       jaccardPairsSql(0.8, "id_a % 5 = 0 OR id_b % 5 = 0"),
+
+    // SQL mirror of the incremental drop policy: a new doc drops if it
+    // pairs with an indexed (old) doc, or is the larger id of a new-new
+    // pair; survivors = the crawl minus the drop set
+    "ext_dedup_inc_survivors" ->
+      s"""WITH pairs AS (${jaccardPairsSql(0.8, "id_a % 5 = 0 OR id_b % 5 = 0")}),
+         |drops AS (
+         |  SELECT CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN id_b
+         |              WHEN id_a % 5 = 0 THEN id_a
+         |              ELSE id_b END AS doc_id
+         |  FROM pairs)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
     // Reachability closure over the exact-Jaccard pair graph; min
     // reachable id per node = cluster id.

@@ -220,6 +220,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incremental probe/append tolerate empty and sub-shingle crawls " +
+    "(the empty-micro-batch shape of the streaming loop)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_edge_idx")
+    try {
+      val base = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      assert(Dedup.minhashLshPairsAgainstIndex(empty, idx.toString).count() == 0)
+      Dedup.appendToDedupIndex(empty, idx.toString) // must not corrupt
+      val tiny = Seq((100L, "one two")).toDF("doc_id", "text") // < 3 words
+      assert(Dedup.minhashLshPairsAgainstIndex(tiny, idx.toString).count() == 0)
+      assert(Dedup.minhashLshSurvivorsAgainstIndex(tiny, idx.toString)
+        .select("doc_id").as[Long].collect().toSeq == Seq(100L))
+      // the index still answers correctly after the no-op appends
+      val dup = Seq((200L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      val got = Dedup.minhashLshPairsAgainstIndex(dup, idx.toString,
+        threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((0L, 200L, 1.0)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("simhash blocks and verifies hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
