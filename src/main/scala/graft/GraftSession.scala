@@ -29,6 +29,12 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** name → (usage, builder) for every custom expression. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("tokens_lc", "tokens_lc(text) - lowercase alphanumeric tokens",
@@ -42,7 +48,10 @@ object GraftExtensions {
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors",
       es => CosineSimilarity(es(0), es(1))),
     ("fingerprint64", "fingerprint64(tokens) - positional rolling-hash fingerprint",
-      es => Fingerprint64(es.head)))
+      es => Fingerprint64(es.head)),
+    ("bpe_merge_pair",
+      "bpe_merge_pair(syms, a, b) - one BPE training-step merge of the literal pair (a, b)",
+      es => BpeMergePair(es.head, strArg(es(1), "a"), strArg(es(2), "b"))))
 
   def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

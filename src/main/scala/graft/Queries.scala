@@ -230,17 +230,30 @@ object Queries {
     * `replace('{a}{b}' -> '{ab}')` (leftmost-first, non-overlapping —
     * replace()'s scan order IS the per-rule merge order), then recover the
     * subword count arithmetically from the wrapped length. */
-  private lazy val bpeEncodeSql: String = {
-    val wrapped = "regexp_replace(t, '(.)', '{\\1}', 'g')"
-    val replaced = BpeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
-      s"replace($acc, '{$a}{$b}', '{$a$b}')"
+  /** The wrapped-and-merged form of a token `t` under [[BpeMerges]]:
+    * each char wrapped as {c}, then every merge replayed in rank order as
+    * a global leftmost-first replace. */
+  private lazy val bpeReplacedSql: String =
+    BpeMerges.foldLeft("regexp_replace(t, '(.)', '{\\1}', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '{$a}{$b}', '{$a$b}')"
     }
+
+  private lazy val bpeEncodeSql: String =
     s"""SELECT doc_id,
        |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
        |  CAST(coalesce(list_sum(list_transform($tokSql, t ->
-       |    (length($replaced) - length(t)) // 2)), 0) AS BIGINT) AS n_bpe_tokens
+       |    (length($bpeReplacedSql) - length(t)) // 2)), 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents""".stripMargin
-  }
+
+  /** BPE-subword vocabulary: unwrap the merged form back into subword
+    * strings (trim the outer braces, split on the inner "}{" seams) and
+    * count corpus-wide. */
+  private lazy val bpeVocabSql: String =
+    s"""WITH toks AS (SELECT unnest($tokSql) AS t FROM documents),
+       |sw AS (SELECT unnest(string_split(trim($bpeReplacedSql, '{}'), '}{')) AS subword
+       |       FROM toks)
+       |SELECT subword, CAST(count(*) AS BIGINT) AS cnt FROM sw
+       |GROUP BY subword ORDER BY cnt DESC, subword LIMIT 50""".stripMargin
 
   /** Exact 3-word-shingle Jaccard pairs in DuckDB — the oracle for both
     * the LSH-accelerated and the exact n-gram dedup (the LSH band config
@@ -1204,6 +1217,18 @@ object Queries {
         .toDF("rank", "pair_a", "pair_b")
     }),
 
+    // BPE-subword vocabulary: encode (codegen kernel) → explode → one
+    // partial-aggregable count → exact top-50 by (cnt desc, subword) via
+    // TakeOrdered — tokenizer-vocabulary construction composed from the
+    // encode kernel, never a full sort.
+    "ext_bpe_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Bpe.encode(
+          GraftFunctions.tokens_lc(col("text")), BpeMerges)).as("subword"))
+        .groupBy("subword").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("subword"))
+        .limit(50)),
+
     // BPE ENCODE with a FIXED merge table (learned once from the sf0.01
     // documents by tools/ProbeBpe — rank order) → per-doc exact subword
     // counts. Shuffle-free: tokenize + canonical lowest-rank-first encode
@@ -1914,6 +1939,8 @@ object Queries {
          |FROM pr GROUP BY pair HAVING count(*) >= 3""".stripMargin,
 
     "ext_bpe_encode" -> bpeEncodeSql,
+
+    "ext_bpe_vocab" -> bpeVocabSql,
 
     "ext_salient_terms" ->
       s"""WITH toks AS (

@@ -129,4 +129,13 @@ class FunctionsSpec extends SparkSpec {
       .count()
     assert(n == 1)
   }
+
+  test("bpe_merge_pair is SQL-callable with literal pair args and merges " +
+    "leftmost-first non-overlapping") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT bpe_merge_pair(ARRAY('a','a','a','b'), 'a', 'a') AS m")
+      .as[Seq[String]].collect().head
+    assert(got == Seq("aa", "a", "b"))
+  }
 }
