@@ -881,6 +881,18 @@ object Queries {
     "ext_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)),
 
+    // Semantic eval-set decontamination: corpus vectors (vec_id % 5 != 0)
+    // too close (cosine >= 0.4) to ANY held-out vector (vec_id % 5 == 0)
+    // are dropped. Exact — the held-out side broadcasts (eval sets are
+    // small by construction), one corpus scan, no LSH recall caveat.
+    "ext_embed_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0), threshold = 0.4)
+        .select("vec_id")
+    }),
+
     // ANN: brute-force cosine top-k (the exactness baseline)…
     "ext_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1618,6 +1630,13 @@ object Queries {
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    // survivors = corpus vectors with NO held-out vector at cosine >= 0.4
+    "ext_embed_decontam" ->
+      s"""SELECT c.vec_id FROM embeddings c
+         |WHERE c.vec_id % 5 <> 0 AND NOT EXISTS (
+         |  SELECT 1 FROM embeddings h WHERE h.vec_id % 5 = 0
+         |  AND ${cosSql("c.embedding", "h.embedding")} >= 0.4)""".stripMargin,
 
     "ext_embed_neardup_lsh" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -190,6 +190,26 @@ object Similarity {
     (cents, dim)
   }
 
+  /**
+   * Semantic eval-set decontamination: drop every corpus vector whose
+   * cosine to ANY held-out vector reaches `threshold`. The held-out side
+   * is an eval set — small by construction — so it broadcasts and the
+   * corpus is read in ONE scan with a codegen cosine per (row, held)
+   * pair; no shuffle of corpus vectors, no LSH recall loss (exact). For
+   * a held-out side too large to broadcast, block both sides with
+   * [[Dedup.embeddingNearDupPairs]]-style SRP bands instead and accept
+   * the measured recall.
+   *
+   * Returns the SURVIVING corpus rows (all columns).
+   */
+  def semanticDecontaminate(corpus: DataFrame, heldOut: DataFrame,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val h = heldOut.select(col(vecCol).as("__h_vec"))
+    corpus.join(broadcast(h),
+      cosine_sim(col(vecCol), col("__h_vec")) >= threshold, "left_anti")
+  }
+
   /** Append new vectors to a persisted IVF index: assign cells with the
     * STORED quantizer (centroids are model state — appends never retrain,
     * so existing assignments stay valid) and add bucket-sorted

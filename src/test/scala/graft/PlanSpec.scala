@@ -269,6 +269,13 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("bpeencode"), p)
   }
 
+  test("embed decontam: the held-out side broadcasts and the corpus is " +
+    "never shuffled (one scan, exact cosine, anti join)") {
+    val p = plan("ext_embed_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("minhash candidates: bucket cap is a partial (map-side) bounded aggregate") {
     val p = plan("ext_dedup_minhash_pairs").toLowerCase
     // partial + final boundedminids around the bucket shuffle — at most

@@ -391,6 +391,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination drops corpus vectors near ANY held-out " +
+    "vector and keeps the rest") {
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val held = Seq((100L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    // cos(e1, h) ≈ 0.994 → dropped; cos(e3, h) ≈ 0.861 → dropped at 0.8;
+    // cos(e2, h) ≈ 0.110 → survives
+    val kept = Similarity.semanticDecontaminate(corpus, held, threshold = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("declared ext_ann_recall query certifies recall@5 >= 0.9") {
     val row = graft.SparkEntry.queries("ext_ann_recall")(
       spark, "/root/testdata/sf0.001").collect().head
