@@ -850,6 +850,19 @@ object Queries {
         path, threshold = 0.8)
     }),
 
+    // Exact-dedup against a persisted digest index — the cheap first pass
+    // of the weekly-crawl pipeline: 40-byte digest rows, no shingling.
+    // Keep-first within the crawl; drop anything byte-identical to the
+    // indexed corpus.
+    "ext_dedup_exact_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = sessionIndex("xdedup", dir)(p =>
+        Dedup.buildExactIndex(docs.filter(col("doc_id") % 5 =!= 0), p))
+      Dedup.exactSurvivorsAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), path)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // The survivors form of the incremental pass (what a pipeline actually
     // consumes): the crawl minus near-dups of the indexed corpus, with
     // keep-first inside the crawl. Same session index as
@@ -1592,6 +1605,15 @@ object Queries {
     // (doc_id % 5 = 0) document — what the incremental index probe must equal
     "ext_dedup_incremental" ->
       jaccardPairsSql(0.8, "id_a % 5 = 0 OR id_b % 5 = 0"),
+
+    // byte-identical dedup vs the old split + keep-first within the crawl
+    "ext_dedup_exact_incremental" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents d
+         |WHERE doc_id % 5 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM documents o
+         |                  WHERE o.doc_id % 5 <> 0 AND o.text = d.text)
+         |  AND doc_id = (SELECT min(doc_id) FROM documents x
+         |                WHERE x.doc_id % 5 = 0 AND x.text = d.text)""".stripMargin,
 
     // SQL mirror of the incremental drop policy: a new doc drops if it
     // pairs with an indexed (old) doc, or is the larger id of a new-new

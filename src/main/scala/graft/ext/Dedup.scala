@@ -275,6 +275,47 @@ object Dedup {
   }
 
   /**
+   * Exact-dedup digest index: the lightweight sibling of
+   * [[buildDedupIndex]] for byte-identical dedup only — stores the
+   * DISTINCT content digests of the corpus (40-byte rows, digest-sorted
+   * parquet for file skipping), no shingles or signatures. Use when the
+   * crawl pipeline runs exact dedup as a cheap first pass before the
+   * near-dup machinery.
+   */
+  def buildExactIndex(df: DataFrame, path: String, textCol: String = "text",
+                      indexFiles: Int = 32): Unit =
+    graft.io.Tables.writeSortedBy(
+      df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct(),
+      s"$path/digests", indexFiles, "digest")
+
+  /** Crawl docs that are byte-identical to NOTHING in the indexed corpus,
+    * with keep-first (smallest id) inside the crawl. The index side joins
+    * on the fixed-width digest — shuffle rows are ~40 bytes regardless of
+    * document size, and AQE broadcasts whichever side is small. */
+  def exactSurvivorsAgainstIndex(newDocs: DataFrame, path: String,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val withDigest = newDocs.withColumn("__digest",
+      sha2(col(textCol).cast("binary"), 256))
+    val fresh = withDigest.join(spark.read.parquet(s"$path/digests"),
+      col("__digest") === col("digest"), "left_anti")
+    val keep = fresh.groupBy("__digest").agg(min(idCol).as(idCol))
+      .select(idCol)
+    fresh.join(keep, Seq(idCol), "left_semi").drop("__digest")
+  }
+
+  /** Append the crawl's survivor digests to an exact-dedup index
+    * (LSM-style sorted append, like [[appendToDedupIndex]]). */
+  def appendToExactIndex(df: DataFrame, path: String,
+                         textCol: String = "text",
+                         indexFiles: Int = 4): Unit =
+    df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct()
+      .repartitionByRange(indexFiles, col("digest"))
+      .sortWithinPartitions("digest")
+      .write.mode("append").parquet(s"$path/digests")
+
+  /**
    * Append already-deduped documents to a persisted dedup index — the
    * maintenance half of the weekly-crawl loop: probe the crawl with
    * [[minhashLshPairsAgainstIndex]], drop the duplicates, then append the

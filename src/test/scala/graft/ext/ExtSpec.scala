@@ -220,6 +220,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("exact-dedup digest index: probe drops corpus-identical and " +
+    "in-crawl duplicate docs; append extends the corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_xidx")
+    try {
+      Dedup.buildExactIndex(docs, idx.toString) // the 5 base docs
+      val crawl = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog"), // = doc 0
+        (101L, "something genuinely new"),
+        (102L, "something genuinely new"), // in-crawl dup of 101
+        (103L, "another new one")).toDF("doc_id", "text")
+      val kept = Dedup.exactSurvivorsAgainstIndex(crawl, idx.toString)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(101L, 103L))
+      Dedup.appendToExactIndex(
+        crawl.filter(col("doc_id").isin(101L, 103L)), idx.toString)
+      val crawl2 = Seq(
+        (200L, "something genuinely new"), // dup of APPENDED 101
+        (201L, "fresh again")).toDF("doc_id", "text")
+      assert(Dedup.exactSurvivorsAgainstIndex(crawl2, idx.toString)
+        .select("doc_id").as[Long].collect().toSeq == Seq(201L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("incremental probe/append tolerate empty and sub-shingle crawls " +
     "(the empty-micro-batch shape of the streaming loop)") {
     val idx = java.nio.file.Files.createTempDirectory("graft_edge_idx")
