@@ -25,10 +25,16 @@ import graft.functions.GraftFunctions
  *    [[graft.functions.BpeEncode]] codegen expression, so encoding is a
  *    pure shuffle-free projection over the corpus scan.
  *
- * Round count: this is the EXACT algorithm — one distributed round per
- * merge. Production tokenizers learn 30k+ merges; at that scale the
- * standard engineering trade (not taken here) is to batch non-conflicting
- * merges per round or train on a frequency-capped vocabulary sample.
+ * Round count: with `batchSize = 1` (default) this is the EXACT
+ * algorithm — one distributed round per merge. Production tokenizers
+ * learn 30k+ merges; for that scale `batchSize > 1` takes the standard
+ * engineering trade: each round selects up to `batchSize`
+ * NON-CONFLICTING pairs (no shared symbols, no pair consuming another's
+ * output token) from the round's count table and applies them together.
+ * Disjointness makes the within-round application order-independent —
+ * but a batch is an approximation of exact BPE: a round's 2nd-best pair
+ * is taken against counts that ignore the 1st merge's newly-created
+ * adjacencies. batchSize = 1 recovers exactness (pinned by BpeSpec).
  */
 object Bpe {
 
@@ -44,7 +50,9 @@ object Bpe {
    */
   def learnMerges(df: DataFrame, textCol: String = "text",
                   numMerges: Int = 32, minFreq: Long = 2,
-                  checkpointDir: Option[String] = None): Merges = {
+                  checkpointDir: Option[String] = None,
+                  batchSize: Int = 1): Merges = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     val ck = new RoundCheckpointer(df.sparkSession.sparkContext, checkpointDir)
     // word-frequency table + initial character symbols (1-based substring
     // over non-empty tokens; tokens_lc never emits empty strings)
@@ -56,20 +64,38 @@ object Bpe {
     val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
-      val best = words.filter(size(col("syms")) >= 2)
+      // top pairs of the round — a bounded TakeOrdered collect (model
+      // state): exactly the argmax for batchSize = 1, a small candidate
+      // pool for the greedy non-conflicting selection otherwise
+      val top = words.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1)," +
             " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect() // ONE row — the argmax pair is model state
-      if (best.isEmpty || best(0).getLong(2) < minFreq) done = true
+        .limit(math.max(batchSize * 4, 1)).collect()
+      // greedy selection: a pair conflicts if it shares a symbol with an
+      // already-selected pair or touches one's output token — the
+      // disjointness that makes within-round application commute
+      val used = collection.mutable.Set.empty[String]
+      val selected = collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (r <- top
+           if selected.length < math.min(batchSize, numMerges - merges.length)
+             && r.getLong(2) >= minFreq) {
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!used(a) && !used(b) && !used(a + b)) {
+          selected += ((a, b))
+          used ++= Seq(a, b, a + b)
+        }
+      }
+      if (selected.isEmpty) done = true // best pair below minFreq (or none)
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
+        merges ++= selected
         words = ck.snap(words.select(col("freq"),
-          GraftFunctions.bpe_merge_pair(col("syms"), a, b).as("syms")))
+          selected.foldLeft(col("syms")) { case (c, (a, b)) =>
+            GraftFunctions.bpe_merge_pair(c, a, b)
+          }.as("syms")))
         // snap is eager, so round N-1's snapshot has no later reader —
         // release it now (unlike connectedComponents, whose fixpoint
         // count still reads the previous round after snapping)

@@ -105,6 +105,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched merge learning: disjoint pairs batch together, " +
+    "conflicting pairs defer a round, batch=1 stays exact") {
+    // two independent duplicate families: (a,b) and (c,d) never share a
+    // symbol, so one batched round learns both — same table as exact
+    val disjoint = Seq((0L, "ab ab ab ab ab"), (1L, "cd cd cd cd"))
+      .toDF("doc_id", "text")
+    val exact = Bpe.learnMerges(disjoint, numMerges = 2, minFreq = 2)
+    val batched = Bpe.learnMerges(disjoint, numMerges = 2, minFreq = 2,
+      batchSize = 2)
+    assert(batched == exact && exact == Seq(("a", "b"), ("c", "d")))
+
+    // "abc": (a,b) and (b,c) tie on count but CONFLICT on b — the batch
+    // must take only (a,b), then learn (ab,c) the next round, exactly as
+    // the sequential algorithm does
+    val conflict = Seq((0L, "abc abc abc abc")).toDF("doc_id", "text")
+    val exactC = Bpe.learnMerges(conflict, numMerges = 2, minFreq = 2)
+    val batchedC = Bpe.learnMerges(conflict, numMerges = 2, minFreq = 2,
+      batchSize = 2)
+    assert(batchedC == exactC && exactC == Seq(("a", "b"), ("ab", "c")))
+
+    // a random corpus: batch=1 goes through the same selection code and
+    // must equal the default path (the exactness pin)
+    val rnd = new Random(31)
+    val docs = randomDocs(rnd, 20)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(Bpe.learnMerges(df, numMerges = 8, batchSize = 1) ==
+      Bpe.learnMerges(df, numMerges = 8))
+  }
+
   test("merge learning with a reliable checkpoint dir returns the same " +
     "table (the cluster-fault-tolerant mode) and bounds its storage") {
     val rnd = new Random(11)
