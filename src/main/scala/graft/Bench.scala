@@ -75,8 +75,15 @@ object Bench {
     // excluded, it legitimately pays the one-time index builds — the
     // window was contended: run up to 2 extra passes so the per-query
     // median reflects steady state.
-    def steadyTotals = passes.drop(1).map(_.values.filter(_ >= 0).sum)
-    while (passes.size < 5 &&
+    // totals restricted to queries that succeeded in EVERY steady pass —
+    // a query failing in just one pass would otherwise skew that pass's
+    // total by its whole runtime and false-trigger the guard
+    def steadyTotals = {
+      val steady = passes.drop(1)
+      val common = names.filter(n => steady.forall(_(n) >= 0))
+      steady.map(p => common.map(p).sum)
+    }
+    while (passes.size < 5 && steadyTotals.min > 0 &&
         steadyTotals.max > steadyTotals.min * 1.5) {
       passes = passes :+ runPass()
     }

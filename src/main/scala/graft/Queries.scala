@@ -58,8 +58,13 @@ object Queries {
   private def sessionIndex(kind: String, dir: String)
                           (build: String => Unit): String =
     indexCache.computeIfAbsent(s"$kind|$dir", _ => {
-      val path = indexTmpRoot.resolve(
-        kind + "_" + Integer.toHexString(dir.hashCode)).toString
+      // path from a STRONG short digest of the dir, not String.hashCode:
+      // two dirs with colliding 32-bit hashCodes would share (and
+      // overwrite) one index; kept short so plan strings (truncated
+      // InMemoryFileIndex paths) stay readable
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val path = indexTmpRoot.resolve(kind + "_" + digest).toString
       build(path)
       path
     })

@@ -67,11 +67,26 @@ private[ext] final class RoundCheckpointer(sc: SparkContext,
       curDirs = rddDirs() -- before
       out
     } else {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
       prevRdds = prevRdds ++ curRdds
-      curRdds = (sc.getPersistentRDDs.keySet -- before).toSet
+      // track EXACTLY the RDD the localCheckpoint pinned — the snapped
+      // plan is a LogicalRDD over it. Diffing sc.getPersistentRDDs here
+      // would over-capture: operator caches (Caching.register'd LSH
+      // stages, CC edges) first materialize DURING this eager action and
+      // would be unpersisted mid-loop — forcing recomputation every
+      // later round and double-firing the dedup cap accumulators.
+      curRdds = logicalRddId(out)
       out
+    }
+
+  /** The persisted RDD backing an eagerly localCheckpointed DataFrame
+    * (its analyzed plan is a LogicalRDD over it). Empty on an unexpected
+    * plan shape — then nothing is tracked and the snapshot is left to GC,
+    * the pre-tracking behavior. */
+  private def logicalRddId(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Set(l.rdd.id)
+      case _ => Set.empty
     }
 
   private def release(dirs: Set[String], rdds: Set[Int]): Unit = {

@@ -203,7 +203,7 @@ object Similarity {
    * Returns the SURVIVING corpus rows (all columns).
    */
   def semanticDecontaminate(corpus: DataFrame, heldOut: DataFrame,
-                            threshold: Double, idCol: String = "vec_id",
+                            threshold: Double,
                             vecCol: String = "embedding"): DataFrame = {
     val h = heldOut.select(col(vecCol).as("__h_vec"))
     corpus.join(broadcast(h),

@@ -335,7 +335,7 @@ object BpeKernel {
 
   /** Merge-rank lookup key for an adjacent symbol pair. NUL can't occur in
     * symbols (they come from [a-z0-9] tokens), so the key is injective. */
-  def pairKey(a: String, b: String): String = a + " " + b
+  def pairKey(a: String, b: String): String = a + "\u0000" + b
 
   /** Rank map for [[bpeEncode]] from an ordered merge list (rank = learn
     * order; lower merges first) — built once per plan and baked into the
@@ -356,7 +356,11 @@ object BpeKernel {
     val out = new java.util.ArrayList[UTF8String](n)
     var i = 0
     while (i < n) {
-      if (i < n - 1 && syms.getUTF8String(i).equals(a) &&
+      // null elements (possible via the SQL-registered form) are skipped,
+      // matching encodeTokens — the declared element type is non-null
+      if (syms.isNullAt(i)) { i += 1 }
+      else if (i < n - 1 && !syms.isNullAt(i + 1) &&
+          syms.getUTF8String(i).equals(a) &&
           syms.getUTF8String(i + 1).equals(b)) {
         out.add(UTF8String.concat(a, b))
         i += 2

@@ -281,19 +281,21 @@ object StreamingJobs {
    */
   def streamingIncrementalDedup(docs: DataFrame, indexPath: String,
                                 threshold: Double = 0.8,
+                                textCol: String = "text",
                                 idCol: String = "doc_id",
                                 onDupPairs: (DataFrame, Long) => Unit) =
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       graft.ops.Caching.scoped {
         import graft.ext.Dedup
         val pairs = Dedup
-          .minhashLshPairsAgainstIndex(batch, indexPath, threshold = threshold)
+          .minhashLshPairsAgainstIndex(batch, indexPath, textCol, idCol,
+            threshold)
           .transform(df => graft.ops.Caching.register(df)) // emit + drop set
         onDupPairs(pairs, epoch)
         val drops = Dedup.incrementalDropIds(pairs,
           batch.select(col(idCol)), idCol)
         val survivors = batch.join(drops, Seq(idCol), "left_anti")
-        Dedup.appendToDedupIndex(survivors, indexPath, idCol = idCol)
+        Dedup.appendToDedupIndex(survivors, indexPath, textCol, idCol)
       }
     }
 }

@@ -291,6 +291,44 @@ class ExtSpec extends SparkSpec {
     assert(ng((0L, 1L)) == 1.0 && ng((0L, 3L)) == 0.75)
   }
 
+  test("connected components' round snapshots evict ONLY their own " +
+    "storage: the LSH counting cache survives the loop and the cap " +
+    "counters fire once across the whole clusters pipeline") {
+    // near-dup CHAIN (doc i overlaps doc i+1) so the pair graph is a long
+    // path — min-label propagation needs several rounds, and each round's
+    // releasePrevious() must not evict the Caching.register'd stages that
+    // first materialized during round 1's eager snapshot
+    val base = (0 until 60).map(i => s"w$i")
+    val chain = (0 until 12).map { i =>
+      (i.toLong, base.slice(i * 3, i * 3 + 18).mkString(" "))
+    }.toDF("doc_id", "text")
+    def pipeline() = Dedup.minhashLshPairs(chain, numHashes = 128,
+      bands = 32, threshold = 0.5) // 32×4: ~0 recall loss at j≈0.7 links
+
+    // baseline: one clean materialization of the pair pipeline
+    spark.catalog.clearCache()
+    Dedup.capStatsReset(spark)
+    pipeline().count()
+    val expected = Dedup.capStats(spark)
+    assert(expected.buckets > 0)
+
+    // now let the FIRST materialization happen inside CC's round-1
+    // snapshot action — the exact window where over-eager snapshot
+    // tracking (a persistent-RDD registry diff instead of the precise
+    // LogicalRDD id) captures the operator caches and evicts them
+    // mid-loop; the eviction is async, so the recompute/re-fire it causes
+    // is timing-dependent — this pin asserts the stable contract
+    spark.catalog.clearCache()
+    Dedup.capStatsReset(spark)
+    val labels = Dedup.connectedComponents(chain, pipeline())
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), "the chain is one cluster")
+    assert(Dedup.capStats(spark) == expected,
+      s"cap counters re-fired across CC rounds: " +
+        s"${Dedup.capStats(spark)} vs $expected")
+    spark.catalog.clearCache()
+  }
+
   test("connected components: chains close transitively, singletons stay") {
     // path 1-2-3-4-5 (diameter 4, needs >1 round), pair 10-11, loner 20
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
