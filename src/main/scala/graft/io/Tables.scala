@@ -82,4 +82,62 @@ object Tables {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Z-ordered (Morton-curve) two-column layout: rows are range-partitioned
+   * and sorted by the interleaved bits of BOTH key columns, so every
+   * parquet file covers a small RECTANGLE of the (a, b) key space — its
+   * min/max stats are narrow on BOTH columns, and predicates on EITHER
+   * column (or both) skip files/row-groups. A single-column sort gives
+   * perfect skipping on that column and none on the second; Z-ordering
+   * trades a little of the first column's locality for skipping on both
+   * (the standard lakehouse layout for two-dimensional predicates).
+   *
+   * Both columns are min/max-scaled to 32-bit fractions of their observed
+   * range (one metadata-sized agg: 4 numbers) and bit-interleaved into a
+   * 64-bit Morton code — pure Column bit arithmetic, fully codegen'd, no
+   * UDF. Ties (degenerate ranges) degrade gracefully to the other column's
+   * order. The z column is dropped before writing.
+   */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val Array(minA, maxA, minB, maxB) =
+      df.agg(min(colA).cast("double"), max(colA).cast("double"),
+        min(colB).cast("double"), max(colB).cast("double"))
+        .collect()(0).toSeq.map(v => Option(v).fold(0.0)(_.toString.toDouble))
+        .toArray
+    // value → 32-bit fraction of the observed range (clamped; constant
+    // range → 0, the interleave then follows the other column alone)
+    def frac(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(4294967295L), greatest(lit(0L),
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(4294967295.0))
+          .cast("long")))
+    // Morton spread: insert a 0 bit between each of the low 32 bits
+    // (standard mask-shift ladder, 5 steps)
+    def spread(c: Column): Column = {
+      val s1 = (c.bitwiseOR(shiftleft(c, 16)))
+        .bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 8)))
+        .bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 4)))
+        .bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s4 = (s3.bitwiseOR(shiftleft(s3, 2)))
+        .bitwiseAND(lit(0x3333333333333333L))
+      (s4.bitwiseOR(shiftleft(s4, 1)))
+        .bitwiseAND(lit(0x5555555555555555L))
+    }
+    // interleave the HIGH 16 bits of each fraction (32 z-bits carry the
+    // file-level ordering; parquet stats do the intra-file work)
+    val za = spread(shiftright(frac(col(colA), minA, maxA), 16))
+    val zb = spread(shiftright(frac(col(colB), minB, maxB), 16))
+    val z = za.bitwiseOR(shiftleft(zb, 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

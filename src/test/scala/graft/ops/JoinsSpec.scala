@@ -103,6 +103,45 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout bounds per-file ranges on BOTH columns — a " +
+    "single-column sort cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // two independent uniform keys: sorted-by-a gives each file the FULL
+    // b range; z-order gives every file a small rectangle of (a, b)
+    val df = spark.range(20000).toDF("i")
+      .withColumn("a", xxhash64($"i") % 100000)
+      .withColumn("b", xxhash64($"i" + 7) % 100000)
+      .select("a", "b")
+    Tables.writeSortedBy(df, s"$tmp/by_a", numFiles = 16, "a")
+    Tables.writeZOrdered(df, s"$tmp/z", numFiles = 16, "a", "b")
+
+    // Z-order conserves TOTAL bounding area (a k-file Morton grid and a
+    // k-file single-column sort tile the same plane); its value is that
+    // every file is narrow on BOTH columns, so a predicate on EITHER
+    // column skips most files. Measure per-file extents: median is robust
+    // to the few files that straddle Morton cell boundaries.
+    def medianRanges(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a")).cast("double").as("ra"),
+          (max("b") - min("b")).cast("double").as("rb"))
+      (r.stat.approxQuantile("ra", Array(0.5), 0.0).head,
+        r.stat.approxQuantile("rb", Array(0.5), 0.0).head)
+    }
+    val span = 200000.0 // keys are ~uniform in [-1e5, 1e5]
+    val (za, zb) = medianRanges(s"$tmp/z")
+    val (_, sb) = medianRanges(s"$tmp/by_a")
+    // single-column sort: every file spans ~the full b range
+    assert(sb > 0.8 * span, s"sorted-by-a median b-range $sb")
+    // z-order: the typical file is narrow on BOTH columns
+    assert(za < 0.4 * span, s"z median a-range $za")
+    assert(zb < 0.4 * span, s"z median b-range $zb")
+    // lossless
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == 20000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
