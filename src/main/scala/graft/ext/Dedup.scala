@@ -351,6 +351,30 @@ object Dedup {
   }
 
   /**
+   * Re-sort an appended dedup index back into globally disjoint per-file
+   * key ranges. Appends are LSM-style — each batch's files are sorted but
+   * ranges overlap ACROSS batches, so probe-side file skipping degrades
+   * as appends accumulate; compaction rewrites each component as one
+   * fresh sorted run (read → range-sort → atomic directory swap).
+   * Results are unchanged (ExtSpec pins probe equality); run it when
+   * append count grows, like any LSM maintenance job.
+   */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, indexFiles: Int = 32): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("bands" -> Seq("band", "bkey"), "shingles" -> Seq("id")).foreach {
+      case (sub, cols) =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
+        val fs = src.getFileSystem(conf)
+        graft.io.Tables.writeSortedBy(
+          spark.read.parquet(src.toString), tmp.toString, indexFiles, cols: _*)
+        fs.delete(src, true)
+        require(fs.rename(tmp, src), s"compaction swap failed for $src")
+    }
+  }
+
+  /**
    * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)
    * that INVOLVE at least one document of `newDocs`, against a corpus
    * indexed by [[buildDedupIndex]]. Equivalent to running

@@ -212,6 +212,15 @@ class ExtSpec extends SparkSpec {
       val c1Ids = corpus.map(_._1).filter(_ % 4 == 2).toSet
       assert(expected.exists(p => c1Ids(p._1) || c1Ids(p._2)),
         "no crawl2-crawl1 pair — regenerate the corpus")
+
+      // LSM maintenance: compaction re-sorts the appended (overlapping)
+      // runs into fresh disjoint files — probe results must not change
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 4)
+      val incAfter = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(crawl2, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      assert(incAfter == expected, "compaction changed probe results")
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(idx)

@@ -379,6 +379,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ABB", 2010, 19.19f, 19.19f)))
   }
 
+  test("semantic decontamination runs unchanged on a stream (stateless " +
+    "stream-static broadcast anti-join, T5 unified batch/stream)") {
+    implicit val sc = spark.sqlContext
+    val held = Seq((100L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.startMemory(
+      graft.ext.Similarity.semanticDecontaminate(
+        in.toDF().toDF("vec_id", "embedding"), held, threshold = 0.8),
+      "sdecon_test", OutputMode.Append())
+    try {
+      in.addData((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.8f, 0.6f)))
+      q.processAllAvailable()
+      val kept = spark.table("sdecon_test").select("vec_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(2L)) // same survivors as the batch twin in ExtSpec
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: batches probe the persisted index, " +
     "flag dups, and append survivors so later batches dedup against " +
     "earlier ones") {
