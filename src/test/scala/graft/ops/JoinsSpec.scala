@@ -142,6 +142,25 @@ class JoinsSpec extends SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("z-order degrades gracefully on degenerate inputs: a constant " +
+    "column falls back to the other column's order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zconst").toString
+    val df = spark.range(4000).toDF("b").withColumn("a", lit(42L))
+      .orderBy(rand(7)).select("a", "b")
+    Tables.writeZOrdered(df, s"$tmp/z", numFiles = 4, "a", "b")
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == 4000)
+    // constant a contributes zero z-bits, so files are disjoint in b —
+    // exactly what writeSortedBy(b) would give
+    val ranges = back.groupBy(input_file_name())
+      .agg(min("b").as("lo"), max("b").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
