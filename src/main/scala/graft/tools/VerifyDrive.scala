@@ -77,6 +77,49 @@ object VerifyDrive {
       .groupBy("modality", "decode_ok").count().show()
     Multimodal.extractVideoMeta(media).groupBy("decode_ok").count().show()
 
+    // ------------------------------------------------ round-5 operators
+    val r5 = java.nio.file.Files.createTempDirectory("graft_drive_r5").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val crawl = docs.filter(col("doc_id") % 5 === 0)
+
+    println("== incremental dedup: build → probe → survivors → append → compact ==")
+    Dedup.buildDedupIndex(corpus, s"$r5/mh", numHashes = 128, bands = 32)
+    println("probe pairs: " +
+      Dedup.minhashLshPairsAgainstIndex(crawl, s"$r5/mh", threshold = 0.5).count())
+    val surv = Dedup.minhashLshSurvivorsAgainstIndex(crawl, s"$r5/mh",
+      threshold = 0.5)
+    println(s"survivors: ${surv.count()} of ${crawl.count()}")
+    Dedup.appendToDedupIndex(surv, s"$r5/mh")
+    Dedup.compactDedupIndex(spark, s"$r5/mh", indexFiles = 4)
+    println("post-compaction probe of an empty crawl: " +
+      Dedup.minhashLshPairsAgainstIndex(crawl.limit(0), s"$r5/mh").count())
+
+    println("== exact-digest index: build → survivors → append ==")
+    Dedup.buildExactIndex(corpus, s"$r5/x")
+    val xs = Dedup.exactSurvivorsAgainstIndex(crawl, s"$r5/x")
+    println(s"exact survivors: ${xs.count()} of ${crawl.count()}")
+    Dedup.appendToExactIndex(xs, s"$r5/x")
+
+    println("== IVF append + semantic decontam ==")
+    Similarity.appendToIvfIndex( // fresh ids — appends must be disjoint
+      emb.limit(50).withColumn("vec_id", col("vec_id") + 1000000L), ivfDir)
+    println("decontam survivors: " + Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0), threshold = 0.4).count())
+
+    println("== BPE: learn (exact + batched) → encode ==")
+    val merges = Bpe.learnMerges(docs, numMerges = 8)
+    println("merges: " + merges.mkString(" "))
+    println("batched(4): " +
+      Bpe.learnMerges(docs, numMerges = 8, batchSize = 4).mkString(" "))
+    Bpe.encodeCounts(docs, merges).show(5)
+
+    println("== z-ordered layout ==")
+    graft.io.Tables.writeZOrdered(
+      docs.select(col("doc_id").as("a"), col("n_chars").as("b")),
+      s"$r5/z", 4, "a", "b")
+    println("z rows: " + spark.read.parquet(s"$r5/z").count())
+
     spark.stop()
   }
 }
