@@ -81,6 +81,49 @@ class JobsIntegrationSpec extends SparkSpec {
     assert(math.abs(s1.temp - (35.8f + 36.3f)) < 1e-4)
     assert(FakeDb.table.get("sensor_6").iteration == 1)
   }
+
+  test("IncrementalDedupJob runs the weekly-crawl loop end-to-end: " +
+    "bootstrap, probe, survivors + cap stats next to results, append") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incjob")
+    def p(s: String) = s"$root/$s"
+    try {
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "an utterly unrelated document about spark engines today"))
+        .toDF("doc_id", "text").write.parquet(p("corpus"))
+      Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+        (11L, "completely novel text about streaming incremental dedup pipelines"))
+        .toDF("doc_id", "text").write.parquet(p("crawl1"))
+      Seq(
+        (20L, "completely novel text about streaming incremental dedup pipelines"), // dup of survivor 11
+        (21L, "another genuinely fresh document mentioning nothing seen before"))
+        .toDF("doc_id", "text").write.parquet(p("crawl2"))
+
+      IncrementalDedupJob.run(spark, p("corpus"), p("crawl1"), p("idx"),
+        p("out1"), threshold = 0.5)
+      assert(spark.read.parquet(p("out1/dup_pairs"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((0L, 10L)))
+      assert(spark.read.parquet(p("out1/survivors"))
+        .select("doc_id").as[Long].collect().toSet == Set(11L))
+      // the cap counters were recorded as a table next to the results
+      val cap = spark.read.parquet(p("out1/cap_stats")).collect().head
+      assert(cap.getLong(0) > 0 && cap.getLong(2) == 0) // buckets, no drops
+
+      // run 2: crawl2's dup of crawl1's APPENDED survivor is caught
+      IncrementalDedupJob.run(spark, p("corpus"), p("crawl2"), p("idx"),
+        p("out2"), threshold = 0.5)
+      assert(spark.read.parquet(p("out2/dup_pairs"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((11L, 20L)))
+      assert(spark.read.parquet(p("out2/survivors"))
+        .select("doc_id").as[Long].collect().toSet == Set(21L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
 
 /** Minimal java.sql.Driver returning the reflective FakeDb connection for
