@@ -269,6 +269,26 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("bpeencode"), p)
   }
 
+  test("incremental dedup degrades to shuffle joins when broadcast is " +
+    "off (the huge-crawl shape), with identical results") {
+    val run = () => SparkEntry.queries("ext_dedup_incremental")(spark, dir)
+    val expected = graft.ops.Caching.scoped { run().collect().toSet }
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    try {
+      confs.foreach(spark.conf.set(_, "-1"))
+      val df = run()
+      val got = graft.ops.Caching.scoped { df.collect().toSet }
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p) // no forced broadcast anywhere
+      assert(got == expected)
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
+
   test("embed decontam: the held-out side broadcasts and the corpus is " +
     "never shuffled (one scan, exact cosine, anti join)") {
     val p = plan("ext_embed_decontam")
