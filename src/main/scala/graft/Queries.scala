@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ext.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ops.{Csv, Transforms}
 
@@ -93,6 +93,17 @@ object Queries {
       s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
+
+  /** DuckDB mirror of [[graft.ext.Similarity.semanticClusters]]'s score
+    * array under the fixed [[SemCentroids]] model: one [[cosSql]] per
+    * centroid, each literal printed as the exact double value of the
+    * trained float (Double.toString round-trips, and the kernel widens
+    * float→double before accumulating — identical arithmetic). */
+  private lazy val semScoresSql: String =
+    "[" + SemCentroids.map(c =>
+      cosSql("embedding",
+        "[" + c.map(v => v.toDouble.toString).mkString(", ") + "]"))
+      .mkString(", ") + "]"
 
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val tokSql =
@@ -229,6 +240,22 @@ object Queries {
     ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
     ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** Fixed SemDeDup centroid table (spherical k-means, k=8, 2 Lloyd
+    * iterations over the sf0.01 embeddings — tools/ProbeSemCentroids).
+    * Baked as model state so the Spark assignment and the DuckDB oracle
+    * replay the identical clusterer, exactly like [[BpeMerges]]; re-run
+    * the probe if the model is ever regenerated. Cluster sizes stay
+    * balanced at every SF (sf0.1: 229-282 of 2000). */
+  private[graft] val SemCentroids: Array[Array[Float]] = Array(
+    Array(0.018819032f, 0.038753252f, 0.0019123041f, 0.007504902f, -0.01628309f, 0.019150253f, 0.0640758f, 0.016818294f, 0.013734556f, -0.061966024f, 0.07153599f, -0.0110067725f, 0.0019505259f, -0.011032788f, 0.012584861f, 0.03550741f, 0.056387715f, 0.040025134f, -0.034936268f, -0.033957366f, -0.014068494f, -0.020881565f, 0.016121915f, -7.797273E-4f, -0.014126784f, 0.027141107f, -0.021320123f, 0.019264434f, 0.033910364f, 0.00937307f, 0.053962957f, -0.02090398f, 7.394986E-4f, 0.006872981f, -0.028322889f, 0.018119387f, -0.035821877f, -0.01720682f, 0.009927786f, 0.016791727f, -0.008183061f, 0.007322397f, -0.03796144f, -0.047340613f, -0.020214496f, 0.002966116f, 0.035810776f, 0.02509177f, -0.011653701f, -0.010997336f, -0.046182748f, 0.023766622f, -0.04850446f, -0.023134999f, 0.030655153f, 5.1432796E-4f, -0.035988495f, -0.023763238f, -0.023792142f, -0.07495271f, -0.025720432f, -0.04342231f, 0.012328755f, -0.053453136f),
+    Array(0.012412449f, -0.0064690327f, -0.01716738f, 0.030954521f, 0.06352532f, 0.0058896025f, -0.047829337f, -0.015940826f, -0.012429992f, -0.037117496f, 0.009946297f, -0.023788365f, -0.00612441f, 0.035163544f, 0.013980463f, -0.0054789404f, 0.031716045f, 0.010989073f, -0.003857934f, -0.028318392f, 0.02697492f, 0.0529085f, 0.07486588f, -0.099347286f, -0.032363903f, -0.030749539f, 0.053836424f, 0.051883806f, -0.05151065f, -0.0015025833f, 0.022885246f, -0.0304567f, -0.022547394f, -0.018274892f, 0.02505122f, 0.006668432f, 0.050121754f, -0.001190219f, 0.032210764f, 0.06832462f, 0.0052424553f, 0.027156333f, 0.027374119f, -0.020546103f, -0.027183626f, -0.022920143f, -0.022069257f, 0.0031489406f, -0.025600733f, 0.030230105f, -0.008584629f, -0.029959187f, 0.006903715f, 0.014178838f, 0.0084726475f, -0.008865299f, 0.0010010911f, -0.030943114f, -0.014996739f, 0.037534926f, -0.024266994f, 0.028802667f, 0.05456365f, -0.023155719f),
+    Array(0.004638019f, -0.041132197f, 0.02650605f, 0.0067730076f, -0.0132561745f, -0.06374816f, -0.014028353f, 0.07768988f, -0.031934503f, 0.05141258f, -0.0041062026f, 0.010897709f, 0.051415015f, 0.04024726f, 0.0077728303f, 0.0028829747f, -0.032789487f, -0.026833564f, -0.04755076f, 0.0296176f, 0.0011663042f, -0.017228352f, 0.01949614f, 0.0019384575f, 0.015682718f, 0.01816578f, -0.037685037f, 0.0173944f, -0.019850887f, 0.051475886f, 0.018514616f, -0.02323091f, 0.060716555f, 0.07047392f, 0.032053333f, 0.0029784485f, -0.0061659664f, 0.03436611f, -0.024392463f, 0.001684744f, -0.04585867f, -0.017788852f, -0.028483247f, 0.01890054f, -0.031682726f, -0.010657049f, -0.05717193f, -1.6958645E-4f, 0.01755828f, -0.026950961f, 0.0886586f, 0.042487834f, 0.0144464f, 0.018810246f, 0.0014025441f, -0.0041280664f, -0.010459029f, -0.03007507f, -0.010064988f, 0.00922717f, 1.5926127E-4f, -0.0049998867f, -0.015576721f, -0.049400993f),
+    Array(-0.045284193f, -0.026736794f, 0.039999653f, 0.0050225207f, -0.023704268f, 0.054610215f, -0.030025369f, 0.024569945f, -0.015667453f, 0.07180524f, -0.069697686f, 0.015858436f, 0.020747399f, -0.07622035f, 0.029974697f, 0.00847195f, 0.03856652f, -0.004756401f, 0.010402813f, -0.0019465779f, -0.030211324f, -0.0064701526f, -0.0092304945f, -0.0055565154f, -0.004429101f, 0.07136117f, 0.031096285f, -0.013026694f, 0.017746616f, -0.060367227f, -0.031020204f, 0.023013292f, 0.024581f, -0.009695871f, 0.005399437f, 0.045390394f, -0.02424922f, -0.047877032f, 9.357631E-4f, -0.029677615f, 0.042493254f, -0.010855087f, 0.012385178f, 0.051645476f, -0.02751675f, -0.02239012f, 0.010751519f, 0.035402413f, -0.043880623f, -0.027658308f, -0.040097285f, 0.0019017755f, 0.020982685f, -0.009966387f, -1.3956823E-4f, 0.035145212f, 0.03017009f, 0.05137848f, -0.030103654f, -0.030043535f, -0.055098977f, 0.013458883f, -0.04283706f, -0.0040965863f),
+    Array(0.025766255f, 0.024998905f, -0.021933224f, -0.005630731f, 0.019340709f, 0.02759319f, -0.056176703f, 0.012936822f, 0.027214054f, 0.004523601f, -0.016141959f, 0.0428635f, -0.035785336f, 0.029839013f, -0.014843144f, -0.019896982f, -0.028297177f, -0.04476437f, 0.013426443f, -0.038590364f, -0.04221033f, 0.06435032f, -0.019631127f, 0.028067177f, 0.049247872f, 0.07614907f, 0.060102146f, -0.029588763f, -0.0019212344f, -0.023330536f, 0.006114708f, 0.04728584f, -0.06569552f, -0.013596276f, -0.009000944f, -0.022969807f, -0.028372375f, 0.07293908f, -0.004939061f, -0.013695288f, -0.04824806f, -0.047850862f, -0.0459158f, 0.010599448f, -0.0077333604f, 0.019637253f, 0.026670633f, -0.0059111244f, -0.032898232f, -0.010154359f, 0.025318777f, 0.03040967f, -0.026034227f, 4.5947856E-4f, -0.04311726f, -0.0045282166f, 0.055789392f, 0.025972776f, 0.0013151834f, 0.011508531f, 0.027100649f, -0.044848595f, 9.691157E-4f, -0.03384349f),
+    Array(0.011059418f, 0.006192314f, 0.022325413f, -0.0138419485f, 0.039941102f, 0.002712508f, -0.0030505846f, 0.005965163f, 0.0097082015f, -0.046170756f, 0.03636924f, -0.040764462f, 0.018659515f, -0.019997273f, -0.020824406f, 0.0118434355f, -0.051427815f, 0.048054166f, 0.041539926f, 0.05326925f, 2.9237563E-5f, -0.023570618f, -0.025131522f, -0.005482632f, -0.07183293f, 0.058770783f, -0.0081143975f, 0.007880404f, 0.02174466f, 0.06158985f, -0.05302611f, -0.039968066f, 0.013836153f, -0.021601364f, -7.8674604E-4f, -0.039687842f, -0.028218795f, -0.029459434f, -0.014351451f, 0.03214376f, 0.028187864f, -0.05464803f, 0.027178342f, -0.009122234f, 0.019283859f, 0.0345027f, -0.019676542f, 0.009288648f, 0.02756711f, 0.02352907f, 0.02777828f, -0.06093993f, 0.011010532f, -0.017054139f, -0.0085085f, -0.042640835f, 0.044851713f, 0.008095343f, 0.06326021f, -0.00632544f, 0.040152736f, 0.025029982f, -0.054414555f, -0.016740536f),
+    Array(0.003334887f, -0.04438463f, -8.8108255E-4f, -0.031755246f, -0.027663829f, -0.01600805f, -0.014502582f, -0.04622544f, 0.006841621f, 0.0034621228f, 0.015136238f, -0.009151792f, -0.05773292f, 0.012632513f, -0.029896932f, -0.0082002785f, 0.049975436f, 0.003925649f, 0.007024328f, 0.0306444f, 0.007068431f, 0.029432861f, -0.0334511f, 0.061067916f, 0.011794167f, -0.042803243f, -0.024049958f, 0.012927033f, -0.017174019f, -0.03487869f, -0.023355272f, 0.027702393f, 0.02024462f, -0.057469137f, 0.020851294f, 0.017772654f, 0.015781134f, -0.018498361f, 0.0021612458f, -0.0027798216f, 0.013320755f, 0.018872371f, 0.038153745f, -0.029806705f, 0.019021258f, 0.037313364f, 0.034654908f, -0.014888051f, -0.0181965f, -0.02063724f, 0.014216275f, 0.014915666f, 0.08148429f, -0.05385798f, 0.014830797f, -0.0023391417f, -0.008717029f, -0.014514872f, 0.035634212f, -0.02719551f, 0.0032377422f, 0.050532773f, 0.016366066f, 0.032814134f),
+    Array(-0.013098073f, 0.022795657f, -0.027031792f, -0.035200488f, 0.04847287f, 0.048406895f, -0.051830992f, -0.0116515765f, -0.012550379f, 5.14758E-4f, 0.006211409f, 0.044837076f, -0.022950765f, 0.0028963645f, 0.0015721761f, 0.021314422f, -0.033236995f, 0.021484274f, 0.017391685f, -0.014531404f, 0.019230584f, -0.05168804f, 0.015522539f, -0.05707111f, 0.031309273f, -0.07566472f, -0.05180363f, 0.017704023f, 0.007616752f, -0.010179155f, 0.054864075f, -0.026807165f, 0.018744184f, -0.020679757f, -0.008917853f, -0.019981664f, 0.017159142f, -0.005671086f, -0.0028899189f, -0.081607565f, 0.0026892368f, -0.015812531f, 0.01084828f, 0.020829199f, -0.017314542f, -0.010630919f, -0.0062606055f, -0.003439735f, 0.051070563f, -0.035011787f, -0.0013471222f, -0.042167075f, -0.0065658432f, 0.042340804f, 0.032422896f, -2.6359936E-4f, -0.034285635f, -5.554595E-4f, -0.06680202f, 0.014125382f, 0.03052616f, 0.01259434f, 0.027111748f, 0.04460344f))
 
   /** DuckDB mirror of BPE encode-and-count under [[BpeMerges]]: wrap each
     * char of a token as {c}, replay each merge in rank order as a global
@@ -1187,6 +1214,48 @@ object Queries {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // Exact decontamination again, but with the 100 TB probe shape: a
+    // Bloom filter over the held-out digests rides to executors as a
+    // literal bitset and rules out almost every document with a codegen
+    // predicate — only Bloom hits pay the exact verify join, and the
+    // corpus never shuffles. Result is EXACT (false positives removed by
+    // the verify), so the oracle is the same anti-join as
+    // ext_decontaminate.
+    "ext_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bloomDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        expectedItems = 100000L, fpp = 0.01)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Repeated-chunk boilerplate stripping (RefinedWeb/C4 line-dedup
+    // adapted to unstructured text): 10-word windows, drop any chunk
+    // shared by >= 2 documents, reassemble in order.
+    "ext_chunk_dedup" -> ((s, dir) =>
+      Curation.repeatedChunkStrip(t(s, dir, "documents"),
+        chunkWords = 10, maxDf = 2)),
+
+    // Reference-corpus bigram fit (the CCNet quality-bucketing signal in
+    // exact integer arithmetic): held-out docs (doc_id % 10 == 0) are the
+    // reference model; every other doc is scored by its bigram hit mass.
+    "ext_bigram_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bigramRefScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
+    // SemDeDup-shaped semantic near-dup pairs: nearest-centroid
+    // assignment under the FIXED SemCentroids model, then within-cluster
+    // exact cosine pairs — the clusters block the quadratic comparison.
+    // The oracle replays the identical model, so this is fully oracled
+    // (assignment and cosine are the same double-precision arithmetic).
+    "ext_semdedup_pairs" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(t(s, dir, "embeddings"),
+        SemCentroids, threshold = 0.4)),
+
     // Batch packing for training: assign documents to fixed-budget bins
     // (4000 chars) via an exact two-level prefix sum (see [[packBins]]) —
     // deterministic at any parallelism, and no window ever serializes a
@@ -1921,6 +1990,66 @@ object Queries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 10 <> 0
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+
+    // Bloom prefilter + exact verify ≡ plain exact anti-join.
+    "ext_bloom_decontam" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+
+    "ext_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |nn AS (SELECT doc_id, tk,
+         |         CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n FROM toks),
+         |ch AS (SELECT doc_id, unnest(range(0, n)) AS pos, tk FROM nn),
+         |cs AS (SELECT doc_id, pos,
+         |         array_to_string(list_slice(tk, pos*10 + 1, pos*10 + 10), ' ')
+         |           AS chunk FROM ch),
+         |fr AS (SELECT chunk FROM cs
+         |       GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+         |mk AS (SELECT doc_id, pos, chunk,
+         |         chunk IN (SELECT chunk FROM fr) AS rep FROM cs),
+         |re AS (SELECT doc_id,
+         |    coalesce(string_agg(chunk, ' ' ORDER BY pos)
+         |      FILTER (WHERE NOT rep), '') AS text_clean,
+         |    CAST(count(*) FILTER (WHERE NOT rep) AS BIGINT) AS n_kept,
+         |    CAST(count(*) FILTER (WHERE rep) AS BIGINT) AS n_dropped
+         |  FROM mk GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(re.text_clean, '') AS text_clean,
+         |  coalesce(re.n_kept, 0) AS n_kept,
+         |  coalesce(re.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
+
+    "ext_bigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |         range(1, greatest(len(tk) - 1, 0) + 1),
+         |         i -> tk[i] || ' ' || tk[i + 1])) AS b FROM toks),
+         |model AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM bg
+         |          WHERE doc_id % 10 = 0 GROUP BY b),
+         |sc AS (SELECT bg.doc_id,
+         |         CAST(coalesce(sum(model.cnt), 0) AS BIGINT) AS ref_hits,
+         |         CAST(count(*) AS BIGINT) AS n_bigrams
+         |       FROM bg LEFT JOIN model USING (b)
+         |       WHERE bg.doc_id % 10 <> 0 GROUP BY bg.doc_id)
+         |SELECT d.doc_id, coalesce(sc.ref_hits, 0) AS ref_hits,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(sc.ref_hits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+         |  END AS ref_score
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    "ext_semdedup_pairs" ->
+      s"""WITH cl AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(ls, list_max(ls)) AS BIGINT) AS cluster
+         |  FROM (SELECT vec_id, embedding, $semScoresSql AS ls
+         |        FROM embeddings))
+         |SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
 
     "ext_pack_bins" ->
       """WITH base AS (

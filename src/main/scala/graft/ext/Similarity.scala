@@ -242,4 +242,64 @@ object Similarity {
     val assigned = spark.read.parquet(s"$path/assignments")
     probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
   }
+
+  /** Train spherical-k-means centroids and return them row-major
+    * (`k × dim`). Deterministic given the input (hash-ordered init and
+    * sample) up to floating-point reduction order in the per-cell means —
+    * train ONCE and persist/bake the result as model state (the
+    * [[semanticClusters]] contract), exactly like a stored IVF
+    * quantizer. */
+  def trainCentroids(corpus: DataFrame, numCentroids: Int,
+                     kmeansIters: Int = 2, sampleFactor: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Float]] = {
+    val (flat, dim) = trainQuantizer(corpus, numCentroids, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    flat.grouped(dim).toArray
+  }
+
+  /**
+   * Cluster assignment against FIXED centroids (model state, e.g. from
+   * [[trainCentroids]]): appends a 1-based `cluster` column — the first
+   * centroid of maximal cosine similarity (`array_position` of the max,
+   * so ties break toward the lowest centroid id). A narrow, shuffle-free
+   * map with one codegen cosine kernel per centroid; the centroids ride
+   * along as literals like a broadcast dim.
+   */
+  def semanticClusters(vecs: DataFrame, centroids: Array[Array[Float]],
+                       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scores = array(centroids.map(c =>
+      cosine_sim(col(vecCol), typedlit(c.toSeq))): _*)
+    vecs.withColumn("cluster",
+      array_position(scores, array_max(scores)))
+  }
+
+  /**
+   * SemDeDup-shaped semantic near-duplicate pairs: assign every vector
+   * to its nearest fixed centroid, then emit within-cluster pairs with
+   * cosine >= `threshold`. The clusters BLOCK the quadratic comparison —
+   * the all-pairs join runs per cluster, never corpus-wide (the scale
+   * contract; size `centroids.length` so the largest cluster's pair
+   * count fits a task, and cap/salt oversized cells like
+   * [[Dedup.bucketPairs]] when real data skews). Cross-cluster
+   * near-duplicates are NOT found — that recall trade-off is the
+   * SemDeDup design point, and the oracle mirrors the same restriction
+   * exactly.
+   */
+  def semanticDedupPairs(vecs: DataFrame, centroids: Array[Array[Float]],
+                         threshold: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val assigned = semanticClusters(
+      vecs.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cosine"))
+  }
 }

@@ -120,6 +120,28 @@ object VerifyDrive {
       s"$r5/z", 4, "a", "b")
     println("z rows: " + spark.read.parquet(s"$r5/z").count())
 
+    // ------------------------------------------- round-5 curation layer
+    println("== Curation.repeatedChunkStrip ==")
+    val stripped = Curation.repeatedChunkStrip(docs, chunkWords = 10, maxDf = 2)
+    stripped.agg(sum("n_dropped"), count(when(col("n_kept") === 0, 1))).show()
+
+    println("== Curation.bloomDecontaminate vs exact ==")
+    val bl = Curation.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), expectedItems = 10000L)
+    println(s"bloom survivors: ${bl.count()} of ${docs.filter(col("doc_id") % 10 =!= 0).count()}")
+
+    println("== Curation.bigramRefScore ==")
+    Curation.bigramRefScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .orderBy(desc("ref_score")).show(5)
+
+    println("== Similarity.semanticDedupPairs (trained-here centroids) ==")
+    val cents = Similarity.trainCentroids(emb, numCentroids = 8)
+    println("semdedup pairs: " +
+      Similarity.semanticDedupPairs(emb, cents, threshold = 0.4).count())
+
     spark.stop()
   }
 }
