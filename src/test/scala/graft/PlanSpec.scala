@@ -309,4 +309,52 @@ class PlanSpec extends SparkSpec {
     assert("partial_topkbyscore|partial.*TopKByScore|topkbyscore".r
       .findAllIn(p.toLowerCase).nonEmpty, p)
   }
+
+  test("bloom decontam: corpus probes a literal bitset — the clean branch " +
+    "is a pure filter scan with no shuffle at all") {
+    val p = plan("ext_bloom_decontam")
+    assert(p.contains("might_contain"), p)
+    // the non-candidate branch of the union: a filtered parquet scan with
+    // the negated bloom probe and NO exchange between scan and union
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+    val heldOut = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val clean = graft.ext.Curation.bloomDecontaminate(docs, heldOut,
+      expectedItems = 1000L)
+    val branch = clean.queryExecution.executedPlan.toString
+    // exactly one exchange pair in the whole query — the verify join of
+    // the candidate branch; the clean branch contributes none
+    assert(!branch.substring(0, branch.indexOf("might_contain"))
+      .contains("Exchange hashpartitioning"), branch)
+  }
+
+  test("chunk dedup: frequency join is on the fixed-width chunk hash and " +
+    "nothing plans a cartesian or row-level global window") {
+    val p = plan("ext_chunk_dedup")
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // reassembly is a groupBy, not a sort window
+  }
+
+  test("semdedup: the pair join is keyed by cluster (blocked), never a " +
+    "corpus-wide cartesian") {
+    val p = plan("ext_semdedup_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).nonEmpty, p)
+    assert(p.contains("cluster"), p)
+  }
+
+  test("bigram lm score: model and corpus join on the fixed-width bigram " +
+    "hash; per-doc reduction is partial-aggregable") {
+    val p = plan("ext_bigram_lm_score")
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // partial + final aggregate around the doc_id shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

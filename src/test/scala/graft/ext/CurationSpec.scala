@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Caching
+
+/** Curation layer: repeated-chunk stripping, Bloom-prefiltered
+  * decontamination, bigram reference scoring, SemDeDup pairs. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-word chunks: doc 0/1 share their first chunk verbatim (aligned),
+  // doc 2 is unique, doc 3 is empty, doc 4 is ALL boilerplate (both its
+  // chunks also open docs 0 and 1 — df 3).
+  private lazy val chunkDocs: DataFrame = Seq(
+    (0L, "alpha beta gamma delta one two three four"),
+    (1L, "alpha beta gamma delta five six seven eight"),
+    (2L, "nine ten eleven twelve thirteen"),
+    (3L, ""),
+    (4L, "alpha beta gamma delta")
+  ).toDF("doc_id", "text")
+
+  test("repeatedChunkStrip drops shared chunks, keeps order, covers " +
+    "empty and fully-stripped docs") {
+    spark.catalog.clearCache() // leftovers from other suites
+    val out = Caching.scoped {
+      val df = Curation.repeatedChunkStrip(chunkDocs, chunkWords = 4, maxDf = 2)
+      df.as[(Long, String, Long, Long)].collect().toList
+    }.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == (("one two three four", 1L, 1L)))
+    assert(out(1L) == (("five six seven eight", 1L, 1L)))
+    assert(out(2L) == (("nine ten eleven twelve thirteen", 2L, 0L)))
+    assert(out(3L) == (("", 0L, 0L))) // zero chunks, still present
+    assert(out(4L) == (("", 0L, 1L))) // fully stripped
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scoped chunk cache must be released")
+  }
+
+  test("repeatedChunkStrip only drops at the declared df threshold") {
+    val out = Caching.scoped {
+      Curation.repeatedChunkStrip(chunkDocs, chunkWords = 4, maxDf = 4)
+        .agg(sum("n_dropped")).as[Long].head()
+    }
+    assert(out == 0L) // max df in the corpus is 3 < 4
+  }
+
+  test("bloomDecontaminate is exactly the anti-join, even with a " +
+    "saturated filter (false positives verified away)") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val heldOut = docs.filter(col("doc_id") % 10 === 0)
+    val exact = corpus
+      .join(heldOut.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // generous filter: FP rate ~fpp
+    val loose = Curation.bloomDecontaminate(corpus, heldOut,
+      expectedItems = 10000L).select("doc_id").as[Long].collect().toSet
+    assert(loose == exact)
+    // deliberately undersized filter: most probes are false positives,
+    // the verify join must still produce the exact result
+    val tight = Curation.bloomDecontaminate(corpus, heldOut,
+      expectedItems = 2L, fpp = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(tight == exact)
+  }
+
+  test("bloom mightContain has no false negatives on the held-out set") {
+    val docs = spark.read.parquet(sf("documents")).select("text")
+    val heldOut = docs.limit(50)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(1000L, 0.01)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        org.apache.spark.sql.graftbridge.Bridge.expression(xxhash64(col("text"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(1000L),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    val bytes = heldOut
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(agg))
+      .head().getAs[Array[Byte]](0)
+    val misses = heldOut
+      .filter(!Curation.mightContain(bytes, col("text"))).count()
+    assert(misses == 0L)
+  }
+
+  test("bigramRefScore matches a naive in-memory bigram model") {
+    val corpus = Seq(
+      (1L, "a b c a b"), // bigrams: "a b" x2, "b c", "c a"
+      (2L, "zz yy"), // unseen bigram
+      (3L, "a") // fewer than two tokens
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, "a b c"), // model: "a b" -> 1, "b c" -> 1
+      (20L, "a b a b") // model: "a b" -> +2, "b a" -> 1
+    ).toDF("doc_id", "text")
+    val out = Curation.bigramRefScore(corpus, ref)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: "a b" hits 3 twice, "b c" hits 1, "c a" hits 0 → 7 / 4
+    assert(out(1L) == ((7L, 4L, 7.0 / 4.0)))
+    assert(out(2L) == ((0L, 1L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  // Orthogonal-ish centroids; vectors engineered so assignment and the
+  // within-cluster pairs are hand-checkable.
+  private val semCentroids: Array[Array[Float]] = Array(
+    Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+  private lazy val semVecs: DataFrame = Seq(
+    (1L, Seq(1f, 0.1f, 0f, 0f)),
+    (2L, Seq(0.9f, 0.2f, 0f, 0f)),
+    (3L, Seq(0.1f, 1f, 0f, 0f)),
+    (4L, Seq(0f, 1f, 0.1f, 0f)),
+    (5L, Seq(1f, 1f, 0f, 0f)) // exact tie → first max → cluster 1
+  ).toDF("vec_id", "embedding")
+
+  test("semanticClusters assigns nearest centroid, ties to the first") {
+    val cl = Similarity.semanticClusters(semVecs, semCentroids)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L)
+    assert(cl(3L) == 2L && cl(4L) == 2L)
+    assert(cl(5L) == 1L)
+  }
+
+  test("semanticDedupPairs emits exactly the within-cluster pairs over " +
+    "the threshold") {
+    val pairs = Similarity.semanticDedupPairs(semVecs, semCentroids,
+      threshold = 0.9)
+      .select("cluster", "id_a", "id_b").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1L, 1L, 2L), (2L, 3L, 4L)))
+  }
+
+  test("semanticDedupPairs ≡ brute-force pairs restricted to cluster " +
+    "co-membership (real embeddings, trained centroids)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val cents = Similarity.trainCentroids(emb, numCentroids = 4)
+    val sem = Similarity.semanticDedupPairs(emb, cents, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cl = Similarity.semanticClusters(emb, cents)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val brute = Dedup.embeddingNearDupBrute(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cl(a) == cl(b) }.toSet
+    assert(sem == brute)
+    assert(sem.nonEmpty, "test corpus should produce at least one pair")
+  }
+}
