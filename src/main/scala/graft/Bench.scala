@@ -32,7 +32,11 @@ object Bench {
     // (pass 1), so the median of 3 reports the steady-state probe cost,
     // which is this operator's 100 TB operating mode — and the BPE encode
     // kernel (shuffle-free corpus scan)
-    "ext_dedup_incremental", "ext_bpe_encode")
+    "ext_dedup_incremental", "ext_bpe_encode",
+    // round 5 curation layer: repeated-chunk strip (two corpus-wide
+    // aggregations), Bloom-prefiltered decontam (filter-scan union),
+    // SemDeDup (cluster-blocked pair join)
+    "ext_chunk_dedup", "ext_bloom_decontam", "ext_semdedup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
