@@ -125,9 +125,16 @@ object Curation {
     // driver-transfer class as the IVF quantizer (Similarity.scala:84).
     val bloomBytes = heldOut.select(Bridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // Empty held-out set → the aggregate returns null (no filter was
+    // built) → nothing is contaminated. Without this guard the null
+    // predicate would silently drop the WHOLE corpus from both branches.
+    if (bloomBytes == null) return corpus
     val mc = mightContain(bloomBytes, col(textCol))
-    val clean = corpus.filter(!mc)
-    val verified = corpus.filter(mc)
+    // null text hashes to null → mc is null; coalesce so null-text rows
+    // stay in the clean branch (null never equals a held-out text, which
+    // is also the exact anti-join's semantics).
+    val clean = corpus.filter(!coalesce(mc, lit(false)))
+    val verified = corpus.filter(coalesce(mc, lit(false)))
       .join(heldOut.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
     clean.unionByName(verified)
   }

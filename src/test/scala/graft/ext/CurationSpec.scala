@@ -66,6 +66,19 @@ class CurationSpec extends SparkSpec {
     assert(tight == exact)
   }
 
+  test("bloomDecontaminate keeps everything when the held-out set is " +
+    "empty, and null texts survive as never-contaminated") {
+    val corpus = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("doc_id", "text")
+    val emptyHeld = corpus.filter(lit(false))
+    assert(Curation.bloomDecontaminate(corpus, emptyHeld,
+      expectedItems = 10L).count() == 3L)
+    val held = Seq((10L, "b")).toDF("doc_id", "text")
+    val kept = Curation.bloomDecontaminate(corpus, held,
+      expectedItems = 10L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L)) // "b" dropped; the null-text row survives
+  }
+
   test("bloom mightContain has no false negatives on the held-out set") {
     val docs = spark.read.parquet(sf("documents")).select("text")
     val heldOut = docs.limit(50)
