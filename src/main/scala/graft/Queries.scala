@@ -368,22 +368,24 @@ object Queries {
    * 100 TB); the output stays deterministic for any value.
    */
   def packBins(documents: DataFrame, budget: Long = 4000L,
-               numSubs: Int = 16): DataFrame = {
-    val base = documents.select(col("doc_id"), col("lang"), col("n_chars"),
+               numSubs: Int = 16, measure: Column = col("n_chars"),
+               measureName: String = "n_chars"): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"),
+      measure.as(measureName),
       pmod(col("doc_id"), lit(numSubs.toLong)).as("sub"))
     val wLocal = Window.partitionBy("lang", "sub").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.select(col("doc_id"), col("lang"), col("sub"),
-      col("n_chars"),
-      coalesce(sum(col("n_chars")).over(wLocal), lit(0L)).as("local_before"))
+      col(measureName),
+      coalesce(sum(col(measureName)).over(wLocal), lit(0L)).as("local_before"))
     val wOff = Window.partitionBy("lang").orderBy("sub")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("lang", "sub")
-      .agg(sum(col("n_chars")).as("sub_total"))
+      .agg(sum(col(measureName)).as("sub_total"))
       .select(col("lang"), col("sub"),
         coalesce(sum(col("sub_total")).over(wOff), lit(0L)).as("sub_offset"))
     local.join(broadcast(offsets), Seq("lang", "sub"))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+      .select(col("doc_id"), col("lang"), col(measureName),
         expr(s"(local_before + sub_offset) DIV $budget").as("bin"))
   }
 
@@ -1263,6 +1265,37 @@ object Queries {
     "ext_pack_bins" -> ((s, dir) =>
       packBins(t(s, dir, "documents"))),
 
+    // Context-window packing: the same exact two-level prefix sum, but
+    // budgeted in TOKENS (BPE-ish pre-tokenizer count, 512 per sequence)
+    // — the form a training loader actually consumes.
+    "ext_pack_tokens" -> ((s, dir) =>
+      packBins(t(s, dir, "documents"), budget = 512L,
+        measure = TextAnalysis.bpeishTokenCount(col("text")),
+        measureName = "n_tokens")),
+
+    // Cluster-quality observability for the SemDeDup model: per-cluster
+    // member count and mean cosine-to-own-centroid. The mean goes through
+    // the integer-nanos pattern (per-row round, exact integer sum, ONE
+    // division) so it hash-matches at any parallelism — same rule as
+    // [[cents]].
+    "ext_cluster_profile" -> ((s, dir) => {
+      val scores = array(SemCentroids.map(c =>
+        GraftFunctions.cosine_sim(col("embedding"), typedLit(c.toSeq))): _*)
+      t(s, dir, "embeddings")
+        .select(scores.as("ls"))
+        .select(array_position(col("ls"), array_max(col("ls"))).as("cluster"),
+          element_at(col("ls"),
+            array_position(col("ls"), array_max(col("ls"))).cast("int"))
+            .as("cos"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("cos") * 1000000000L + 0.5).cast("long"))
+            .as("cos_nanos"))
+        .select(col("cluster"), col("n_vecs"), col("cos_nanos"),
+          (col("cos_nanos").cast("double") /
+            (col("n_vecs").cast("double") * 1000000000.0)).as("mean_cosine"))
+    }),
+
     "ext_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, dir, "documents")))),
 
@@ -2050,6 +2083,44 @@ object Queries {
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    "ext_pack_tokens" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |    doc_id % 16 AS sub FROM documents),
+         |loc AS (
+         |  SELECT doc_id, lang, sub, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang, sub ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS local_before
+         |  FROM base),
+         |tot AS (
+         |  SELECT lang, sub, sum(n_tokens) AS sub_total
+         |  FROM base GROUP BY lang, sub),
+         |off AS (
+         |  SELECT lang, sub,
+         |    coalesce(sum(sub_total) OVER (
+         |      PARTITION BY lang ORDER BY sub
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS sub_offset
+         |  FROM tot)
+         |SELECT l.doc_id, l.lang, l.n_tokens,
+         |  CAST((l.local_before + o.sub_offset) // 512 AS BIGINT) AS bin
+         |FROM loc l JOIN off o USING (lang, sub)""".stripMargin,
+
+    "ext_cluster_profile" ->
+      s"""WITH sc AS (SELECT $semScoresSql AS ls FROM embeddings),
+         |cl AS (SELECT
+         |    CAST(list_position(ls, list_max(ls)) AS BIGINT) AS cluster,
+         |    ls[list_position(ls, list_max(ls))] AS cos FROM sc)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CAST(floor(cos * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS cos_nanos,
+         |  CAST(sum(CAST(floor(cos * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_cosine
+         |FROM cl GROUP BY cluster""".stripMargin,
 
     "ext_pack_bins" ->
       """WITH base AS (

@@ -397,6 +397,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom decontamination runs unchanged on a stream (literal bitset " +
+    "probe + stateless stream-static anti-join, T5 unified batch/stream)") {
+    implicit val sc = spark.sqlContext
+    val held = Seq((100L, "drop me"), (101L, "also drop"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.startMemory(
+      graft.ext.Curation.bloomDecontaminate(
+        in.toDF().toDF("doc_id", "text"), held, expectedItems = 10L),
+      "bloom_test", OutputMode.Append())
+    try {
+      in.addData((1L, "keep me"), (2L, "drop me"), (3L, "also keep"))
+      q.processAllAvailable()
+      val kept = spark.table("bloom_test").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 3L)) // same survivors as the batch form
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: batches probe the persisted index, " +
     "flag dups, and append survivors so later batches dedup against " +
     "earlier ones") {
