@@ -1,0 +1,116 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, TextAnalysis}
+import graft.ops.Caching
+
+/**
+ * The full training-data preparation pipeline as ONE runnable job — the
+ * production composition of the curation layer (each stage is also a
+ * declared, individually-oracled query):
+ *
+ *   crawl → repeated-chunk boilerplate strip → quality gate →
+ *   Bloom-prefiltered exact decontamination vs a held-out set →
+ *   near-dup removal vs the persisted MinHash index (bootstrap on first
+ *   run, probe + append after) → token-budget context-window packing
+ *
+ * Writes under `outDir`:
+ *   - `curated/`   (doc_id, lang, text, n_tokens, bin) — loader-ready
+ *   - `funnel/`    one row of per-stage survivor counts (the curation
+ *                  funnel is the first thing an operator asks for)
+ *   - `cap_stats/` the LSH candidate-cap counters for THIS run
+ *
+ * Stage outputs are cached via [[Caching.register]] (spillable, released
+ * on exit) because the funnel counts and the next stage both consume
+ * them — observability costs one cached pass, not a recompute chain.
+ */
+object CurationJob {
+
+  /** args: crawlParquet heldOutParquet indexDir outDir [minQuality] [threshold] */
+  def main(args: Array[String]): Unit = {
+    val Array(crawlPath, heldOutPath, indexDir, outDir) = args.take(4)
+    val minQuality = args.lift(4).map(_.toDouble).getOrElse(0.1)
+    val threshold = args.lift(5).map(_.toDouble).getOrElse(0.8)
+    val spark = graft.GraftSession.create("graft-curation")
+    try run(spark, crawlPath, heldOutPath, indexDir, outDir,
+      minQuality, threshold)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, crawlPath: String, heldOutPath: String,
+          indexDir: String, outDir: String, minQuality: Double = 0.1,
+          threshold: Double = 0.8, chunkWords: Int = 10, maxDf: Int = 2,
+          tokenBudget: Long = 512L): Unit = {
+    val crawl = spark.read.parquet(crawlPath)
+    val heldOut = spark.read.parquet(heldOutPath)
+    val withLang = crawl.columns.contains("lang")
+
+    Caching.scoped {
+      Dedup.capStatsReset(spark)
+      val nCrawl = crawl.count()
+
+      // 1. boilerplate strip; fully-stripped docs leave the pipeline
+      val meta = crawl.select(col("doc_id"),
+        (if (withLang) col("lang") else lit("all").as("lang")))
+      val cleaned = Caching.register(
+        Curation.repeatedChunkStrip(crawl, chunkWords, maxDf)
+          .filter(col("n_kept") > 0)
+          .join(meta, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("text_clean").as("text")))
+      val nStripped = cleaned.count()
+
+      // 2. quality gate on the CLEANED text
+      val toks = TextAnalysis.tokens(col("text"))
+      val quality = Caching.register(cleaned.filter(
+        TextAnalysis.qualityScoreOf(col("text"), toks) >= minQuality))
+      val nQuality = quality.count()
+
+      // 3. exact decontamination, Bloom-prefiltered
+      val decon = Caching.register(
+        Curation.bloomDecontaminate(quality, heldOut))
+      val nDecon = decon.count()
+
+      // 4. near-dup removal against the persisted corpus index:
+      //    bootstrap (within-crawl dedup, then the survivors found the
+      //    index) on first run; probe + append afterwards
+      val params = new org.apache.hadoop.fs.Path(s"$indexDir/params")
+      val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val survivors = Caching.register(
+        if (!fs.exists(params)) Dedup.minhashLshSurvivors(decon, threshold = threshold)
+        else {
+          val pairs = Dedup.minhashLshPairsAgainstIndex(decon, indexDir,
+            threshold = threshold)
+          val drops = Dedup.incrementalDropIds(pairs,
+            decon.select(col("doc_id")), "doc_id")
+          decon.join(drops, Seq("doc_id"), "left_anti")
+        })
+      val nDedup = survivors.count()
+
+      // 5. context-window packing by token budget
+      val packed = graft.Queries.packBins(survivors, budget = tokenBudget,
+        measure = TextAnalysis.bpeishTokenCount(col("text")),
+        measureName = "n_tokens")
+      survivors.join(packed.select("doc_id", "n_tokens", "bin"), Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/curated")
+
+      import spark.implicits._
+      Seq((nCrawl, nStripped, nQuality, nDecon, nDedup))
+        .toDF("n_crawl", "n_after_strip", "n_after_quality",
+          "n_after_decontam", "n_after_dedup")
+        .write.mode("overwrite").parquet(s"$outDir/funnel")
+      // snapshot AFTER the dedup actions it describes
+      Dedup.capStatsDf(spark).write.mode("overwrite")
+        .parquet(s"$outDir/cap_stats")
+
+      // index maintenance LAST, from the written output (one re-read, no
+      // recompute): first run creates the index, later runs append
+      val written = spark.read.parquet(s"$outDir/curated")
+        .select(col("doc_id"), col("text"))
+      if (!fs.exists(params))
+        Dedup.buildDedupIndex(written, indexDir, numHashes = 128, bands = 32)
+      else Dedup.appendToDedupIndex(written, indexDir)
+    }
+  }
+}

@@ -124,6 +124,61 @@ class JobsIntegrationSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  test("CurationJob runs the whole prep pipeline: strip → quality → " +
+    "decontam → dedup-vs-index → pack, with a per-stage funnel, and " +
+    "run 2 dedups against run 1's appended survivors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_curjob")
+    def p(s: String) = s"$root/$s"
+    spark.catalog.clearCache() // leftovers from other suites
+    try {
+      // all texts lowercase single-space so the chunk-strip reassembly is
+      // the identity on untouched docs
+      Seq(
+        (1L, "the alpha machine dances beside eleven crimson theorem meadows tonight"), // survives everything
+        (2L, "every winter the violet harbor collects seventeen quiet copper lanterns"), // exact copy of held-out → decontam
+        (3L, "breaking news subscribe now"), // pure boilerplate (= d4's first chunk) → fully stripped
+        (4L, "breaking news subscribe now genuine fresh insight appears amid the quiet valley floor tonight"), // keeps its tail
+        (5L, "oh the alpha machine dances beside eleven crimson theorem meadows tonight"), // near-dup of 1, chunk-shifted
+        (6L, "zz qq xx")) // survives strip, fails the quality gate
+        .toDF("doc_id", "text").write.parquet(p("crawl1"))
+      Seq((100L, "every winter the violet harbor collects seventeen quiet copper lanterns"))
+        .toDF("doc_id", "text").write.parquet(p("held"))
+
+      CurationJob.run(spark, p("crawl1"), p("held"), p("idx"), p("out1"),
+        minQuality = 0.8, threshold = 0.5, chunkWords = 4)
+      val curated1 = spark.read.parquet(p("out1/curated"))
+      assert(curated1.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+      // doc 4 exits with ONLY its non-boilerplate tail, token-counted and binned
+      val d4 = curated1.filter($"doc_id" === 4L)
+        .select("text", "n_tokens", "bin").as[(String, Long, Long)].head()
+      assert(d4 == (("genuine fresh insight appears amid the quiet valley floor tonight", 10L, 0L)))
+      val funnel = spark.read.parquet(p("out1/funnel"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(funnel == ((6L, 5L, 4L, 3L, 2L))) // one doc out per stage
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "the job's scoped caches must be released")
+
+      // run 2: a near-dup of run 1's APPENDED survivor is caught by the
+      // index probe; the fresh doc survives
+      Seq(
+        (30L, "ah the alpha machine dances beside eleven crimson theorem meadows tonight"),
+        (31L, "completely original closing statement about the silver meridian harbor lights"))
+        .toDF("doc_id", "text").write.parquet(p("crawl2"))
+      CurationJob.run(spark, p("crawl2"), p("held"), p("idx"), p("out2"),
+        minQuality = 0.8, threshold = 0.5, chunkWords = 4)
+      assert(spark.read.parquet(p("out2/curated"))
+        .select("doc_id").as[Long].collect().toSet == Set(31L))
+      val funnel2 = spark.read.parquet(p("out2/funnel"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(funnel2 == ((2L, 2L, 2L, 2L, 1L)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
 
 /** Minimal java.sql.Driver returning the reflective FakeDb connection for
