@@ -912,6 +912,15 @@ object Queries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // Within-corpus near-dup survivors (the CurationJob bootstrap path):
+    // drop every doc that is the LARGER id of a verified pair — same LSH
+    // geometry as the persisted index (128 × 32). Oracle mirrors the
+    // drop policy over the exact-Jaccard pair set.
+    "ext_dedup_near_survivors" -> ((s, dir) =>
+      Dedup.minhashLshSurvivors(t(s, dir, "documents"),
+        numHashes = 128, bands = 32, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")),
+
     // SimHash near-dup (oracle: bit-exact DuckDB kernel mirror).
     "ext_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
@@ -1284,9 +1293,7 @@ object Queries {
       t(s, dir, "embeddings")
         .select(scores.as("ls"))
         .select(array_position(col("ls"), array_max(col("ls"))).as("cluster"),
-          element_at(col("ls"),
-            array_position(col("ls"), array_max(col("ls"))).cast("int"))
-            .as("cos"))
+          array_max(col("ls")).as("cos")) // the element AT the argmax IS the max
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vecs"),
           sum(floor(col("cos") * 1000000000L + 0.5).cast("long"))
@@ -1735,6 +1742,11 @@ object Queries {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
+    "ext_dedup_near_survivors" ->
+      s"""WITH pairs AS (${jaccardPairsSql(0.8)})
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+
     // Reachability closure over the exact-Jaccard pair graph; min
     // reachable id per node = cluster id.
     "ext_dedup_clusters" ->
@@ -2019,16 +2031,21 @@ object Queries {
         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS vocab_id
         |FROM wc QUALIFY vocab_id <= 32768""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: the operators' pinned null-text semantics
+    // (anti-join keeps null-text rows) — a NULL anywhere in a NOT IN
+    // list silently drops every row.
     "ext_decontaminate" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0
-        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+      """SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 10 = 0 AND h.text = d.text)""".stripMargin,
 
     // Bloom prefilter + exact verify ≡ plain exact anti-join.
     "ext_bloom_decontam" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0
-        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+      """SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 10 = 0 AND h.text = d.text)""".stripMargin,
 
     "ext_chunk_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
@@ -2114,7 +2131,7 @@ object Queries {
       s"""WITH sc AS (SELECT $semScoresSql AS ls FROM embeddings),
          |cl AS (SELECT
          |    CAST(list_position(ls, list_max(ls)) AS BIGINT) AS cluster,
-         |    ls[list_position(ls, list_max(ls))] AS cos FROM sc)
+         |    list_max(ls) AS cos FROM sc)
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CAST(floor(cos * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
          |    AS cos_nanos,

@@ -130,11 +130,13 @@ object Curation {
     // predicate would silently drop the WHOLE corpus from both branches.
     if (bloomBytes == null) return corpus
     val mc = mightContain(bloomBytes, col(textCol))
-    // null text hashes to null → mc is null; coalesce so null-text rows
-    // stay in the clean branch (null never equals a held-out text, which
-    // is also the exact anti-join's semantics).
-    val clean = corpus.filter(!coalesce(mc, lit(false)))
-    val verified = corpus.filter(coalesce(mc, lit(false)))
+    // Null-text rows survive exactly: `xxhash64(null)` is the SEED (42),
+    // not null, so `mc` is always a real boolean — a null-text corpus row
+    // either misses the filter (clean branch) or, when a held-out
+    // null-text row inserted 42 into it, lands in the verify branch where
+    // the null join key matches nothing and the left_anti keeps it.
+    val clean = corpus.filter(!mc)
+    val verified = corpus.filter(mc)
       .join(heldOut.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
     clean.unionByName(verified)
   }

@@ -77,15 +77,16 @@ object CurationJob {
       //    index) on first run; probe + append afterwards
       val params = new org.apache.hadoop.fs.Path(s"$indexDir/params")
       val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // bootstrap MUST use the same LSH geometry the index is built with
+      // (128 hashes × 32 bands) — the survivors-function default of 16
+      // bands would give run 1 measurably lower candidate recall than
+      // every indexed run after it
       val survivors = Caching.register(
-        if (!fs.exists(params)) Dedup.minhashLshSurvivors(decon, threshold = threshold)
-        else {
-          val pairs = Dedup.minhashLshPairsAgainstIndex(decon, indexDir,
+        if (!fs.exists(params))
+          Dedup.minhashLshSurvivors(decon, numHashes = 128, bands = 32,
             threshold = threshold)
-          val drops = Dedup.incrementalDropIds(pairs,
-            decon.select(col("doc_id")), "doc_id")
-          decon.join(drops, Seq("doc_id"), "left_anti")
-        })
+        else Dedup.minhashLshSurvivorsAgainstIndex(decon, indexDir,
+          threshold = threshold))
       val nDedup = survivors.count()
 
       // 5. context-window packing by token budget
