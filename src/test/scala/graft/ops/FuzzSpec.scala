@@ -324,4 +324,70 @@ class FuzzSpec extends SparkSpec {
       assert(derived == builtin, s"n=$n")
     }
   }
+
+  test("repeatedChunkStrip equals a naive in-memory reference on random " +
+    "small-vocab corpora (forced chunk collisions, varied window/df)") {
+    val vocab = Array("ax", "by", "cz", "dw")
+    val rnd = new Random(777)
+    for (round <- 1 to 6) {
+      val w = 1 + rnd.nextInt(4) // chunk window 1..4
+      val maxDf = 2 + rnd.nextInt(2) // 2..3
+      val docs = Seq.tabulate(20) { i =>
+        val n = rnd.nextInt(12) // includes empty docs
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // naive: chunk -> distinct-doc df -> strip -> reassemble
+      def chunksOf(text: String): Seq[String] = {
+        val tk = text.split(" ").filter(_.nonEmpty)
+        tk.grouped(w).map(_.mkString(" ")).toSeq
+      }
+      val df = docs.flatMap { case (id, t) => chunksOf(t).distinct.map((_, id)) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.size }
+      val expect = docs.map { case (id, t) =>
+        val kept = chunksOf(t).filter(c => df(c) < maxDf)
+        val dropped = chunksOf(t).size - kept.size
+        id -> ((kept.mkString(" "), kept.size.toLong, dropped.toLong))
+      }.toMap
+
+      val got = Caching.scoped {
+        graft.ext.Curation.repeatedChunkStrip(
+          docs.toDF("doc_id", "text"), chunkWords = w, maxDf = maxDf)
+          .as[(Long, String, Long, Long)].collect()
+      }.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expect, s"round $round w=$w maxDf=$maxDf")
+    }
+  }
+
+  test("bigramRefScore equals a naive in-memory bigram model on random " +
+    "corpora (shared and unseen bigrams, short docs)") {
+    val vocab = Array("p", "q", "r", "s", "t")
+    val rnd = new Random(4242)
+    for (round <- 1 to 5) {
+      def mkDocs(base: Long, k: Int) = Seq.tabulate(k) { i =>
+        val n = rnd.nextInt(9) // includes 0- and 1-token docs
+        (base + i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val corpus = mkDocs(0L, 15)
+      val ref = mkDocs(100L, 6)
+      def bigrams(t: String): Seq[String] = {
+        val tk = t.split(" ").filter(_.nonEmpty)
+        if (tk.length < 2) Seq.empty
+        else tk.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      val model = ref.flatMap(d => bigrams(d._2))
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      val expect = corpus.map { case (id, t) =>
+        val bs = bigrams(t)
+        val hits = bs.map(b => model.getOrElse(b, 0L)).sum
+        val score = if (bs.isEmpty) 0.0 else hits.toDouble / bs.size
+        id -> ((hits, bs.size.toLong, score))
+      }.toMap
+
+      val got = graft.ext.Curation.bigramRefScore(
+        corpus.toDF("doc_id", "text"), ref.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expect, s"round $round")
+    }
+  }
 }
