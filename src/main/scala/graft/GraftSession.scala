@@ -51,7 +51,14 @@ object GraftExtensions {
       es => Fingerprint64(es.head)),
     ("bpe_merge_pair",
       "bpe_merge_pair(syms, a, b) - one BPE training-step merge of the literal pair (a, b)",
-      es => BpeMergePair(es.head, strArg(es(1), "a"), strArg(es(2), "b"))))
+      es => BpeMergePair(es.head, strArg(es(1), "a"), strArg(es(2), "b"))),
+    ("ngram_hash64",
+      "ngram_hash64(tokens, n) - mix64-fnv1a hashes of every word k-gram, k = 1..n",
+      es => NgramHash64(es.head, intArg(es(1), "n"))),
+    ("hash_buckets",
+      "hash_buckets(hashes, buckets, distinct) - feature-hash bucket ids (buckets a power of two; distinct = 0/1)",
+      es => HashBuckets(es.head, intArg(es(1), "buckets"),
+        intArg(es(2), "distinct") != 0)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

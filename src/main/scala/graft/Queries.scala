@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ext.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Curation, Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ops.{Csv, Transforms}
 
@@ -208,6 +208,51 @@ object Queries {
        |      coalesce(sum(CASE WHEN v > 0 THEN CAST(2.0 ** b AS HUGEINT)
        |                   ELSE 0 END), 0) AS fpu
        |    FROM votes GROUP BY doc_id) f ON d.doc_id = f.doc_id)""".stripMargin
+
+  /**
+   * CTE chain mirroring the DSIR pipeline ([[graft.ext.Dsir]]): hashed
+   * 1..2-gram buckets (`dbk`: doc_id, b), the per-bucket count table
+   * (`dcnt`), the millinat λ-table (`dlam`), and raw-doc scores (`dsc`:
+   * doc_id, dsir_score — zero-gram docs score 0). The k-gram hash is the
+   * same continued-FNV + SplitMix64 the Spark kernel computes (bigram =
+   * fnv over "t1 t2"); bucket = low 12 bits, identical in the signed and
+   * unsigned domains because 4096 | 2^64. λ quantizes each ln to
+   * millinats BEFORE any sum, so everything downstream is exact integer
+   * math in both engines.
+   */
+  private def dsirCtes: String =
+    s"""dtk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |dgrams AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, unnest(tk) AS g FROM dtk
+       |    UNION ALL
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(tk) - 1, 0) + 1),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS g FROM dtk)),
+       |dg0 AS (SELECT doc_id, ${fnv1aSql("g")} AS z0 FROM dgrams),
+       |${mix64Ctes("dg", "doc_id", "dh")},
+       |dbk AS (SELECT doc_id, CAST(dh % 4096 AS INTEGER) AS b FROM dg6),
+       |dcnt AS (SELECT b,
+       |    count(*) FILTER (WHERE doc_id % 10 = 0) AS t_cnt,
+       |    count(*) FILTER (WHERE doc_id % 10 <> 0) AS r_cnt
+       |  FROM dbk GROUP BY b),
+       |dtot AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS tt,
+       |    CAST(sum(r_cnt) AS BIGINT) AS rr FROM dcnt),
+       |dlam AS (SELECT b, CAST(t_cnt AS BIGINT) AS t_cnt,
+       |    CAST(r_cnt AS BIGINT) AS r_cnt,
+       |    (CAST(floor(ln(CAST(t_cnt + 1 AS DOUBLE)) * 1000) AS BIGINT)
+       |      - CAST(floor(ln(CAST(tt + 4096 AS DOUBLE)) * 1000) AS BIGINT))
+       |    - (CAST(floor(ln(CAST(r_cnt + 1 AS DOUBLE)) * 1000) AS BIGINT)
+       |      - CAST(floor(ln(CAST(rr + 4096 AS DOUBLE)) * 1000) AS BIGINT))
+       |      AS lam
+       |  FROM dcnt, dtot),
+       |dsc AS (SELECT d.doc_id,
+       |    CAST(coalesce(s.sc, 0) AS BIGINT) AS dsir_score
+       |  FROM documents d LEFT JOIN (
+       |    SELECT dbk.doc_id, sum(dlam.lam) AS sc
+       |    FROM dbk JOIN dlam USING (b) GROUP BY dbk.doc_id) s
+       |    ON d.doc_id = s.doc_id
+       |  WHERE d.doc_id % 10 <> 0)""".stripMargin
 
   /** CTE chain computing exact 3-word-shingle overlap counts over `src`
     * (inverted-index join) — building block for the Jaccard oracles. */
@@ -1403,6 +1448,59 @@ object Queries {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select("doc_id", "term", "tf", "df", "salience", "rk")
+    }),
+
+    // DSIR importance model (Xie et al. 2023): hashed 1..2-gram bucket
+    // counts over the TARGET (doc_id%10=0) and RAW corpora, smoothed
+    // log-likelihood-ratio λ per bucket in integer MILLINATS —
+    // floor(1000·ln) once per count, integer arithmetic everywhere after,
+    // so the table is engine-exact. One exploded scan, one fixed-width
+    // groupBy (≤4096 rows out), totals broadcast back.
+    "ext_dsir_model" -> ((s, dir) => {
+      val bk = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dsir.bucketIds(col("text"))).as("b"))
+      val cnts = bk.groupBy("b").agg(
+        count(when(col("doc_id") % 10 === 0, 1)).as("t_cnt"),
+        count(when(col("doc_id") % 10 =!= 0, 1)).as("r_cnt"))
+      val tots = cnts.agg(sum("t_cnt").as("tt"), sum("r_cnt").as("rr"))
+      cnts.crossJoin(broadcast(tots))
+        .select(col("b").cast("long").as("b"), col("t_cnt"), col("r_cnt"),
+          ((floor(log(col("t_cnt") + 1) * 1000)
+            - floor(log(col("tt") + 4096) * 1000))
+            - (floor(log(col("r_cnt") + 1) * 1000)
+              - floor(log(col("rr") + 4096) * 1000)))
+            .cast("long").as("lam"))
+    }),
+
+    // DSIR document scores: the λ-table is fitted driver-side
+    // (model-state-sized, like the IVF quantizer) and baked into the
+    // codegen'd bucket_dot expression, so scoring the raw corpus is a
+    // ZERO-SHUFFLE projection — the plan a 100 TB selection pass needs
+    // (plan-guarded in PlanSpec).
+    "ext_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = Dsir.fit(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      Dsir.score(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"), m)
+        .select("doc_id", "dsir_score")
+    }),
+
+    // DSIR Gumbel top-k selection: key = score + deterministic Gumbel
+    // millinats from the limb hash of doc_id (sampling without
+    // replacement w.p. ∝ the importance weight, reproducible across
+    // engines); orderBy.limit plans as a distributed TakeOrdered.
+    "ext_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = Dsir.fit(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      val scored = Dsir.score(
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"), m)
+      Dsir.selectTopK(scored, 200)
+        .select("doc_id", "dsir_score", "sel_key")
     })
   )
 
@@ -2218,6 +2316,26 @@ object Queries {
          |  CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tf * 1000000 // df DESC, term) AS BIGINT) AS rk
          |FROM tf JOIN dfx USING (term)
-         |QUALIFY rk <= 5""".stripMargin
+         |QUALIFY rk <= 5""".stripMargin,
+
+    // Full mirror of the DSIR hash → bucket → λ pipeline (see dsirCtes):
+    // the custom ngram-hash kernel is oracle-checked bit-for-bit, and the
+    // millinat quantization makes λ/score/selection exact integers.
+    "ext_dsir_model" ->
+      s"""WITH $dsirCtes
+         |SELECT CAST(b AS BIGINT) AS b, t_cnt, r_cnt, lam FROM dlam""".stripMargin,
+
+    "ext_dsir_score" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, dsir_score FROM dsc""".stripMargin,
+
+    "ext_dsir_select" ->
+      s"""WITH $dsirCtes,
+         |dsel AS (SELECT doc_id, dsir_score,
+         |  dsir_score + CAST(floor(-1000 * ln(-ln(
+         |    (($limbHashDuck) + 0.5) / 4294967296))) AS BIGINT) AS sel_key
+         |  FROM dsc)
+         |SELECT doc_id, dsir_score, sel_key FROM dsel
+         |ORDER BY sel_key DESC, doc_id LIMIT 200""".stripMargin
   )
 }

@@ -164,6 +164,108 @@ object ExprKernels {
     }
     mix64(h)
   }
+
+  private def fnvContinue(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /**
+   * Hashes of every word k-gram for k = 1..n (the hashed bag-of-ngrams
+   * feature map of DSIR, Xie et al. 2023): the k-gram starting at i is the
+   * space-joined `tokens[i..i+k)`, hashed as mix64(fnv1a(bytes)) — exactly
+   * the hash a caller would get from the joined string, but computed by
+   * CONTINUING the FNV state across ' ' + next token, so an n-gram sweep
+   * is one pass over the bytes instead of building n(n+1)/2 strings.
+   * Null tokens hash as empty strings (cannot occur from tokens_lc).
+   */
+  def ngramHash64(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    var total = 0
+    var i = 0
+    while (i < m) { total += math.min(n, m - i); i += 1 }
+    val out = new Array[Long](total)
+    var idx = 0
+    i = 0
+    while (i < m) {
+      var h = FnvOffset
+      var j = i
+      val jEnd = math.min(i + n, m)
+      while (j < jEnd) {
+        if (j > i) { h ^= ' '.toLong; h *= FnvPrime }
+        if (!tokens.isNullAt(j)) h = fnvContinue(h, tokens.getUTF8String(j).getBytes)
+        out(idx) = mix64(h)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Feature-hash bucket ids for an array of 64-bit hashes: bucket =
+   * hash mod 2^k (the low k bits — two's complement makes this identical
+   * for the signed and unsigned readings of the hash, which is what lets
+   * the DuckDB oracle mirror it as `h % buckets` in the unsigned domain).
+   * `distinct = true` returns each bucket once, ascending (presence
+   * features, classifier-style); false keeps multiplicity (count
+   * features, DSIR-style).
+   */
+  def hashBuckets(hashes: ArrayData, buckets: Int, distinct: Boolean): ArrayData = {
+    val mask = buckets - 1
+    val n = hashes.numElements()
+    if (!distinct) {
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (hashes.isNullAt(i)) 0 else (hashes.getLong(i) & mask).toInt
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new Array[Boolean](buckets)
+      var cnt = 0
+      var i = 0
+      while (i < n) {
+        val b = if (hashes.isNullAt(i)) 0 else (hashes.getLong(i) & mask).toInt
+        if (!seen(b)) { seen(b) = true; cnt += 1 }
+        i += 1
+      }
+      val out = new Array[Int](cnt)
+      var b = 0
+      var k = 0
+      while (b < buckets) {
+        if (seen(b)) { out(k) = b; k += 1 }
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Integer dot product of bucket-id features against a baked model
+    * table: sum of `table(id)` over the ids (ids out of range contribute
+    * 0, defensively). Model state lives in the plan like the IVF coarse
+    * quantizer — scoring is a pure projection: no join, no shuffle. */
+  def bucketDot(ids: ArrayData, table: Array[Long]): Long = {
+    val n = ids.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val b = ids.getInt(i)
+        if (b >= 0 && b < table.length) s += table(b)
+      }
+      i += 1
+    }
+    s
+  }
 }
 
 object SrpKernel {
@@ -330,6 +432,49 @@ case class Fingerprint64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
 }
 
+/** ngram_hash64(array<string>, n) -> array<long>: mix64∘fnv1a of every
+  * space-joined word k-gram, k = 1..n (hashed bag-of-ngrams features). */
+case class NgramHash64(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 8, "n in (0, 8]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.ngramHash64(v.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.ngramHash64($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramHash64 = copy(child = c)
+}
+
+/** hash_buckets(array<long>, buckets, distinct) -> array<int>: feature-hash
+  * bucket ids (hash mod 2^k). Power-of-two bucket counts only, so the
+  * signed/unsigned readings agree and the SQL mirror is a plain `%`. */
+case class HashBuckets(child: Expression, buckets: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 24),
+    "buckets must be a power of two in (0, 2^24]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.hashBuckets(v.asInstanceOf[ArrayData], buckets, distinct)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.hashBuckets($c, $buckets, $distinct)")
+  override protected def withNewChildInternal(c: Expression): HashBuckets = copy(child = c)
+}
+
+/** bucket_dot(array<int>) -> long: integer dot product of bucket-id
+  * features against a model table baked into the plan (the DSIR λ-table /
+  * classifier weight vector) — scoring is a narrow projection. */
+case class BucketDot(child: Expression, table: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bucketDot(v.asInstanceOf[ArrayData], table)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("table", table, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.bucketDot($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BucketDot = copy(child = c)
+}
+
 object BpeKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -482,6 +627,11 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
   def fingerprint64(tokens: Column): Column = col(Fingerprint64(ex(tokens)))
+  def ngram_hash64(tokens: Column, n: Int): Column = col(NgramHash64(ex(tokens), n))
+  def hash_buckets(hashes: Column, buckets: Int, distinct: Boolean = false): Column =
+    col(HashBuckets(ex(hashes), buckets, distinct))
+  def bucket_dot(ids: Column, table: Array[Long]): Column =
+    col(BucketDot(ex(ids), table))
   def bpe_merge_pair(syms: Column, a: String, b: String): Column =
     col(BpeMergePair(ex(syms), a, b))
   def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =

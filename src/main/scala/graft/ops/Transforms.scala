@@ -71,4 +71,19 @@ object Transforms {
     * SURVEY.md §7.4 item 2). */
   def wordCount(df: DataFrame, textCol: String = "value"): DataFrame =
     tokenize(df, textCol).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Overflow-safe multiplicative 32-bit limb hash of a NON-NEGATIVE id —
+   * the Column form of the `limbHash` used by the samplers and the split
+   * assigner (21-bit limbs × 32-bit odd constants; every intermediate
+   * ≤ 2^54, so nothing wraps and the DuckDB mirror is plain integer
+   * arithmetic). For id ≥ 0 the bit ops below are exactly
+   * `pmod(id, 2^21)` / `id DIV 2^21` in the SQL-string variant.
+   */
+  def limbHash32(id: Column): Column =
+    pmod(
+      id.bitwiseAND(lit(2097151L)) * lit(2654435761L)
+        + shiftright(id, 21).bitwiseAND(lit(2097151L)) * lit(2246822519L)
+        + shiftright(id, 42) * lit(3266489917L),
+      lit(4294967296L))
 }

@@ -142,6 +142,17 @@ object VerifyDrive {
     println("semdedup pairs: " +
       Similarity.semanticDedupPairs(emb, cents, threshold = 0.4).count())
 
+    println("== Dsir: fit → score (narrow scan) → gumbel top-k ==")
+    val dsirTarget = docs.filter(col("doc_id") % 10 === 0)
+    val dsirRaw = docs.filter(col("doc_id") % 10 =!= 0)
+    val dsirModel = Dsir.fit(dsirTarget, dsirRaw)
+    println(s"model: target grams=${dsirModel.targetTotal} " +
+      s"raw grams=${dsirModel.rawTotal} " +
+      s"nonzero λ=${dsirModel.lambda.count(_ != 0L)}/${dsirModel.buckets}")
+    val dsirScored = Dsir.score(dsirRaw, dsirModel)
+    dsirScored.orderBy(desc("dsir_score")).select("doc_id", "dsir_score").show(5)
+    Dsir.selectTopK(dsirScored, 10).select("doc_id", "dsir_score", "sel_key").show(10)
+
     spark.stop()
   }
 }

@@ -89,6 +89,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir: scoring is a zero-shuffle narrow scan (λ-table baked into " +
+    "the projection); selection is a distributed TakeOrdered") {
+    val p = plan("ext_dsir_score")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val ps = plan("ext_dsir_select")
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
+  }
+
   test("stratified sample: one hash exchange (the per-lang window), pruned scan") {
     val p = plan("ext_sample_stratified")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
