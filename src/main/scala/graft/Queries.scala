@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ext.{Bpe, Curation, Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Curation, Dedup, Dsir, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.ops.{Csv, Transforms}
 
@@ -220,18 +220,27 @@ object Queries {
    * millinats BEFORE any sum, so everything downstream is exact integer
    * math in both engines.
    */
-  private def dsirCtes: String =
-    s"""dtk AS (SELECT doc_id, $tokSql AS tk FROM documents),
-       |dgrams AS (
+  /** CTE chain `${p}tk → ${p}gr → mix64 → ${p}bk` mapping every document
+    * to its hashed 1..2-gram bucket ids (multiplicity kept): the SQL
+    * mirror of `Dsir.bucketIds` — continued-FNV over "t1 t2" bigrams,
+    * SplitMix64, low 12 bits. Shared by the DSIR and classifier oracles. */
+  private def gramBucketCtes(p: String): String =
+    s"""${p}tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |${p}gr AS (
        |  SELECT doc_id, g FROM (
-       |    SELECT doc_id, unnest(tk) AS g FROM dtk
+       |    SELECT doc_id, unnest(tk) AS g FROM ${p}tk
        |    UNION ALL
        |    SELECT doc_id, unnest(list_transform(
        |      range(1, greatest(len(tk) - 1, 0) + 1),
-       |      i -> tk[i] || ' ' || tk[i + 1])) AS g FROM dtk)),
-       |dg0 AS (SELECT doc_id, ${fnv1aSql("g")} AS z0 FROM dgrams),
-       |${mix64Ctes("dg", "doc_id", "dh")},
-       |dbk AS (SELECT doc_id, CAST(dh % 4096 AS INTEGER) AS b FROM dg6),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS g FROM ${p}tk)),
+       |${p}0 AS (SELECT doc_id, ${fnv1aSql("g")} AS z0 FROM ${p}gr),
+       |${mix64Ctes(p, "doc_id", p + "h")},
+       |${p}bk AS (SELECT doc_id, CAST(${p}h % 4096 AS INTEGER) AS b FROM ${p}6)"""
+      .stripMargin
+
+  private def dsirCtes: String =
+    s"""${gramBucketCtes("dg")},
+       |dbk AS (SELECT doc_id, b FROM dgbk),
        |dcnt AS (SELECT b,
        |    count(*) FILTER (WHERE doc_id % 10 = 0) AS t_cnt,
        |    count(*) FILTER (WHERE doc_id % 10 <> 0) AS r_cnt
@@ -1501,6 +1510,36 @@ object Queries {
         docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"), m)
       Dsir.selectTopK(scored, 200)
         .select("doc_id", "dsir_score", "sel_key")
+    }),
+
+    // Hashed-feature quality classifier, SCORING path (fastText-shaped,
+    // Joulin 2017): integer micro-unit margins over distinct 1..2-gram
+    // presence buckets, weight table baked into the codegen'd projection
+    // — zero shuffle. The fixed pseudo-random model (w = mix64(b) mod
+    // 2000001 − 1e6, bias 0) lets the oracle recompute the identical
+    // table from the bucket ids, so the whole path is hash-checked; the
+    // TRAINER is exercised by ext_qclf_train below and fuzz-pinned.
+    "ext_qclf_score" -> ((s, dir) =>
+      QualityClassifier.score(
+        t(s, dir, "documents").select("doc_id", "text"),
+        QualityClassifier.fixedModel(4096))
+        .select("doc_id", "margin_micro", "keep")),
+
+    // Classifier TRAINING on silver labels (quality heuristic ≥ 0.75):
+    // 5 full-batch GD passes, gradients quantized to integer micro-units
+    // per document BEFORE the cross-document sum — bit-identical weights
+    // at any parallelism (fuzz-pinned vs an in-memory trainer). Iterated
+    // argmax-free GD isn't SQL-expressible → no oracle (rows-only), like
+    // ext_bpe_learn.
+    "ext_qclf_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val m = QualityClassifier.train(docs,
+        TextAnalysis.qualityScore(col("text")) >= 0.75,
+        buckets = 1024, iters = 5)
+      m.weights.zipWithIndex
+        .map { case (w, b) => (b.toLong, w) }.toSeq
+        .toDF("b", "w_micro")
     })
   )
 
@@ -2336,6 +2375,25 @@ object Queries {
          |    (($limbHashDuck) + 0.5) / 4294967296))) AS BIGINT) AS sel_key
          |  FROM dsc)
          |SELECT doc_id, dsir_score, sel_key FROM dsel
-         |ORDER BY sel_key DESC, doc_id LIMIT 200""".stripMargin
+         |ORDER BY sel_key DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Fixed-model classifier scoring: recompute the pseudo-random weight
+    // table from the DISTINCT bucket ids via the mirrored mix64 chain
+    // (unsigned mod 2000001 − 1e6), then an exact integer margin sum.
+    // Bias is 0, so gram-less documents fall out of the join as margin 0
+    // on both sides.
+    "ext_qclf_score" ->
+      s"""WITH ${gramBucketCtes("qg")},
+         |qdb AS (SELECT DISTINCT doc_id, b FROM qgbk),
+         |qw0 AS (SELECT b, CAST(b AS HUGEINT) AS z0
+         |        FROM (SELECT DISTINCT b FROM qdb)),
+         |${mix64Ctes("qw", "b", "wh")},
+         |qwt AS (SELECT b, CAST(wh % 2000001 AS BIGINT) - 1000000 AS w
+         |        FROM qw6),
+         |qm AS (SELECT qdb.doc_id, CAST(sum(qwt.w) AS BIGINT) AS m
+         |       FROM qdb JOIN qwt USING (b) GROUP BY qdb.doc_id)
+         |SELECT d.doc_id, coalesce(qm.m, 0) AS margin_micro,
+         |  coalesce(qm.m, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN qm ON d.doc_id = qm.doc_id""".stripMargin
   )
 }

@@ -153,6 +153,15 @@ object VerifyDrive {
     dsirScored.orderBy(desc("dsir_score")).select("doc_id", "dsir_score").show(5)
     Dsir.selectTopK(dsirScored, 10).select("doc_id", "dsir_score", "sel_key").show(10)
 
+    println("== QualityClassifier: train on silver labels → score ==")
+    val qm = QualityClassifier.train(docs,
+      TextAnalysis.qualityScore(col("text")) >= 0.75,
+      buckets = 1024, iters = 5)
+    println(s"bias=${qm.bias} nonzero w=${qm.weights.count(_ != 0L)}/${qm.weights.length}")
+    val qs = QualityClassifier.score(docs, qm)
+    qs.groupBy("keep").count().show()
+    qs.orderBy(desc("margin_micro")).select("doc_id", "margin_micro", "keep").show(5)
+
     spark.stop()
   }
 }

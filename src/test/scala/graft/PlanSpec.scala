@@ -99,6 +99,13 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("SortMergeJoin"), ps)
   }
 
+  test("qclf: fixed-model scoring is a zero-shuffle narrow scan (weight " +
+    "table baked into the projection)") {
+    val p = plan("ext_qclf_score")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("stratified sample: one hash exchange (the per-lang window), pruned scan") {
     val p = plan("ext_sample_stratified")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
