@@ -1540,7 +1540,14 @@ object Queries {
       m.weights.zipWithIndex
         .map { case (w, b) => (b.toLong, w) }.toSeq
         .toDF("b", "w_micro")
-    })
+    }),
+
+    // Gopher-style rule flags (Rae 2021): per-rule booleans + composite
+    // keep, one narrow tokenize scan over engine-exact metrics (every
+    // underlying metric is independently oracled elsewhere — this is the
+    // composite pre-training filter with auditable rule-level output).
+    "ext_gopher_flags" -> ((s, dir) =>
+      TextAnalysis.gopherFlags(t(s, dir, "documents")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2394,6 +2401,40 @@ object Queries {
          |       FROM qdb JOIN qwt USING (b) GROUP BY qdb.doc_id)
          |SELECT d.doc_id, coalesce(qm.m, 0) AS margin_micro,
          |  coalesce(qm.m, 0) > 0 AS keep
-         |FROM documents d LEFT JOIN qm ON d.doc_id = qm.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN qm ON d.doc_id = qm.doc_id""".stripMargin,
+
+    // Gopher rule flags: identical double metrics (mirrored formulas) →
+    // identical threshold booleans.
+    "ext_gopher_flags" ->
+      s"""WITH gtk AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+         |      CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) END AS mean_len,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter(tk, t -> t IN ($stopSql))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) END AS stop_ratio,
+         |    ($punctSql) AS punct,
+         |    greatest(len(tk) - 2, 0) AS n_sh,
+         |    len(list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 2, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])))
+         |      AS n_distinct
+         |  FROM gtk),
+         |gf AS (SELECT doc_id, n_words,
+         |    n_words >= 50 AND n_words <= 100000 AS words_ok,
+         |    mean_len >= 3.0 AND mean_len <= 10.0 AS mean_len_ok,
+         |    stop_ratio >= 0.02 AS stop_ok,
+         |    punct <= 0.1 AS symbol_ok,
+         |    (CASE WHEN n_sh = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         |      1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_sh AS DOUBLE) END)
+         |      <= 0.3 AS rep_ok
+         |  FROM gm)
+         |SELECT doc_id, n_words, words_ok, mean_len_ok, stop_ok,
+         |  symbol_ok, rep_ok,
+         |  words_ok AND mean_len_ok AND stop_ok AND symbol_ok AND rep_ok
+         |    AS keep
+         |FROM gf""".stripMargin
   )
 }

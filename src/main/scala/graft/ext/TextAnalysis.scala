@@ -117,6 +117,54 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style quality rule flags (Rae et al. 2021, table A1, adapted
+   * to this engine's mirrored metrics): per-document booleans for each
+   * rule plus the composite `keep` — the standard pre-training filter
+   * applied BEFORE dedup in a curation pipeline. Emitting per-rule flags
+   * (not just the verdict) is deliberate: rule-level pass rates are the
+   * first thing a curation run audits.
+   *
+   * Rules: word count in [minWords, maxWords]; mean word length in
+   * [minMeanLen, maxMeanLen]; stopword ratio ≥ minStopRatio; symbol
+   * (non-alphanumeric) character ratio ≤ maxPunctRatio; duplicate
+   * 3-shingle fraction ≤ maxRepRatio.
+   *
+   * One narrow tokenize scan — no shuffle; every metric reuses the
+   * engine-exact kernels the individual queries already oracle-check.
+   */
+  def gopherFlags(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStopRatio: Double = 0.02, maxPunctRatio: Double = 0.1,
+                  maxRepRatio: Double = 0.3): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_words"),
+        avgTokenLenOf(col("__tk")).as("__mean_len"),
+        stopwordRatioOf(col("__tk")).as("__stop"),
+        punctRatio(col("__text")).as("__punct"),
+        greatest(size(col("__tk")) - 2, lit(0)).cast("long").as("__n_sh"),
+        size(GraftFunctions.shingle_set(col("__tk"), 3)).cast("long")
+          .as("__n_distinct"))
+    val repRatio = when(col("__n_sh") > 0,
+      lit(1.0) - col("__n_distinct").cast("double") /
+        col("__n_sh").cast("double")).otherwise(0.0)
+    base.select(col(idCol), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("words_ok"),
+        (col("__mean_len") >= minMeanLen && col("__mean_len") <= maxMeanLen)
+          .as("mean_len_ok"),
+        (col("__stop") >= minStopRatio).as("stop_ok"),
+        (col("__punct") <= maxPunctRatio).as("symbol_ok"),
+        (repRatio <= maxRepRatio).as("rep_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("mean_len_ok") && col("stop_ok") &&
+          col("symbol_ok") && col("rep_ok"))
+  }
+
+  /**
    * Fixed-window character chunking with overlap — the standard prep step
    * before tokenization/embedding of long documents. Chunk k covers
    * chars [k·stride, k·stride + chunkSize); the chunk count

@@ -153,6 +153,16 @@ object VerifyDrive {
     dsirScored.orderBy(desc("dsir_score")).select("doc_id", "dsir_score").show(5)
     Dsir.selectTopK(dsirScored, 10).select("doc_id", "dsir_score", "sel_key").show(10)
 
+    println("== TextAnalysis.gopherFlags (rule-level pass rates) ==")
+    val gf = TextAnalysis.gopherFlags(docs)
+    gf.agg(count(lit(1)).as("docs"),
+      sum(col("words_ok").cast("long")).as("words_ok"),
+      sum(col("mean_len_ok").cast("long")).as("mean_len_ok"),
+      sum(col("stop_ok").cast("long")).as("stop_ok"),
+      sum(col("symbol_ok").cast("long")).as("symbol_ok"),
+      sum(col("rep_ok").cast("long")).as("rep_ok"),
+      sum(col("keep").cast("long")).as("keep")).show()
+
     println("== QualityClassifier: train on silver labels → score ==")
     val qm = QualityClassifier.train(docs,
       TextAnalysis.qualityScore(col("text")) >= 0.75,

@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text ops are shuffle-free narrow scans reading only (doc_id, text)") {
-    Seq("ext_scrub_pii", "ext_chunk_docs", "ext_repetition").foreach { q =>
+    Seq("ext_scrub_pii", "ext_chunk_docs", "ext_repetition",
+        "ext_gopher_flags").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q:\n$p")
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q:\n$p")

@@ -540,6 +540,31 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[String]("lang_pred") == "en")
   }
 
+  test("gopher flags: each rule trips on its crafted violator and the " +
+    "composite keep requires all") {
+    val goodText = (0 until 60).map(i => s"the word$i value")
+      .mkString(" ") // 180 words, 1/3 stopwords, all shingles distinct
+    val out = TextAnalysis.gopherFlags(Seq(
+      (1L, goodText),                        // passes everything
+      (2L, "too short to pass"),             // words_ok fails (4 words)
+      (3L, (0 until 60).map(i => s"the a$i supercalifragilistic" +
+        "expialidocious")                    // mean token len > 10
+        .mkString(" ")),
+      (4L, (0 until 60).map(i => s"w$i x$i z$i").mkString(" ")), // no stopwords
+      (5L, (0 until 60).map(i => s"the w$i!!!???##@@").mkString(" ")), // symbols
+      (6L, "the quick brown fox " * 50)      // repeated 3-shingles
+    ).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("words_ok") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("mean_len_ok") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("stop_ok") && !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("symbol_ok") && !out(5L).getAs[Boolean]("keep"))
+    assert(!out(6L).getAs[Boolean]("rep_ok") && !out(6L).getAs[Boolean]("keep"))
+    // violators fail ONLY their targeted rule (plus keep) where crafted so
+    assert(out(6L).getAs[Boolean]("words_ok") && out(6L).getAs[Boolean]("stop_ok"))
+  }
+
   test("language ID unicode branches") {
     val preds = TextAnalysis.qualityFeatures(Seq(
       (1L, "中文文本处理"), (2L, "日本語のテキスト"), (3L, "русский текст"),
