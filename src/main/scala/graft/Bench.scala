@@ -36,7 +36,11 @@ object Bench {
     // round 5 curation layer: repeated-chunk strip (two corpus-wide
     // aggregations), Bloom-prefiltered decontam (filter-scan union),
     // SemDeDup (cluster-blocked pair join)
-    "ext_chunk_dedup", "ext_bloom_decontam", "ext_semdedup_pairs")
+    "ext_chunk_dedup", "ext_bloom_decontam", "ext_semdedup_pairs",
+    // round 5 selection layer: DSIR fit+score+Gumbel-top-k (model fit is
+    // part of the measured cost — two bucket aggregations — scoring is a
+    // zero-shuffle scan) and the Gopher rule-flag filter (narrow scan)
+    "ext_dsir_select", "ext_gopher_flags")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,4 +122,30 @@ object Dsir {
       .withColumn(keyCol, col(scoreCol) + gumbelKey(col(idCol)))
       .orderBy(col(keyCol).desc, col(idCol))
       .limit(k)
+
+  /**
+   * Persist a fitted model (fit ONCE on this quarter's target/raw
+   * sample, score every weekly crawl against it — the same
+   * build-once/query-many contract as the dedup and IVF indexes). The
+   * λ-table is `buckets` rows of exact integers, so a reloaded model
+   * scores bit-identically.
+   */
+  def saveModel(spark: SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.lambda.zipWithIndex
+      .map { case (l, b) => (b, l, m.buckets, m.targetTotal, m.rawTotal) }
+      .toSeq
+      .toDF("b", "lam", "buckets", "target_total", "raw_total")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("b", "lam", "buckets", "target_total", "raw_total").collect()
+    require(rows.nonEmpty, s"empty DSIR model at $path")
+    val buckets = rows.head.getInt(2)
+    val lambda = new Array[Long](buckets)
+    rows.foreach(r => lambda(r.getInt(0)) = r.getLong(1))
+    Model(lambda, buckets, rows.head.getLong(3), rows.head.getLong(4))
+  }
 }

@@ -125,4 +125,26 @@ object QualityClassifier {
     }
     Model(w, buckets)
   }
+
+  /** Persist / reload a trained model (train once on the labeled sample,
+    * score every crawl — integer weights reload bit-identically). Slot
+    * `buckets` is the bias. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, m: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    m.weights.zipWithIndex
+      .map { case (w, b) => (b, w, m.buckets) }.toSeq
+      .toDF("b", "w_micro", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("b", "w_micro", "buckets").collect()
+    require(rows.nonEmpty, s"empty classifier model at $path")
+    val buckets = rows.head.getInt(2)
+    val w = new Array[Long](buckets + 1)
+    rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    Model(w, buckets)
+  }
 }

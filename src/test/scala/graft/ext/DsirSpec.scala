@@ -123,4 +123,25 @@ class DsirSpec extends SparkSpec {
       assert(gv == math.floor(-1000.0 * math.log(-math.log(u))).toLong)
     }
   }
+
+  test("model save/load round-trips bit-identically (fit once, score " +
+    "every crawl)") {
+    val target = docs.filter(col("doc_id") % 10 === 0)
+    val raw = docs.filter(col("doc_id") % 10 =!= 0)
+    val m = Dsir.fit(target, raw, buckets = 256)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_m").toString
+    try {
+      Dsir.saveModel(spark, m, dir)
+      val m2 = Dsir.loadModel(spark, dir)
+      assert(m2.lambda.toSeq == m.lambda.toSeq)
+      assert(m2.buckets == m.buckets)
+      assert(m2.targetTotal == m.targetTotal && m2.rawTotal == m.rawTotal)
+      val a = Dsir.score(raw, m).select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().toMap
+      val b = Dsir.score(raw, m2).select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().toMap
+      assert(a == b)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

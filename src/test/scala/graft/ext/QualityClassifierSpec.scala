@@ -47,6 +47,9 @@ class QualityClassifierSpec extends SparkSpec {
 
   test("train ≡ in-memory reference: bit-identical weights on random " +
     "corpora, at two parallelisms") {
+    // other suites share this session and may hold caches — assert train
+    // leaves no NEW persistent RDDs, not that the session is empty
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val rnd = new Random(41)
     for (trial <- 0 until 3) {
       val rows = (0 until 60).map { i =>
@@ -66,7 +69,7 @@ class QualityClassifierSpec extends SparkSpec {
         assert(m.weights.toSeq == expect.toSeq,
           s"trial $trial parts $parts")
       }
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      assert(spark.sparkContext.getPersistentRDDs.keySet == before,
         "train must release its feature cache")
     }
   }
@@ -108,5 +111,19 @@ class QualityClassifierSpec extends SparkSpec {
       "beta gamma").map(h).distinct
     assert(out(1L) == bks.map(m.weights(_)).sum)
     assert(out(2L) == 0L)
+  }
+
+  test("model save/load round-trips bit-identically, bias included") {
+    val rows = (0 until 20).map(i => ((i % 2).toLong, s"tok$i the word$i"))
+    val m = QualityClassifier.train(rows.toDF("y", "text"),
+      col("y") === 1, buckets = 64, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qclf_m").toString
+    try {
+      QualityClassifier.saveModel(spark, m, dir)
+      val m2 = QualityClassifier.loadModel(spark, dir)
+      assert(m2.weights.toSeq == m.weights.toSeq)
+      assert(m2.buckets == m.buckets && m2.bias == m.bias)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -416,6 +416,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir scoring runs unchanged on a stream (λ-table baked into the " +
+    "stateless projection, T5 unified batch/stream)") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Dsir
+    val target = Seq((0L, "curated clean prose here"),
+      (10L, "more curated clean text")).toDF("doc_id", "text")
+    val raw = Seq((1L, "curated clean prose here"),
+      (2L, "zzz spam junk noise")).toDF("doc_id", "text")
+    val m = Dsir.fit(target, raw, buckets = 256)
+    val batchScores = Dsir.score(raw, m).select("doc_id", "dsir_score")
+      .as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.startMemory(
+      Dsir.score(in.toDF().toDF("doc_id", "text"), m)
+        .select("doc_id", "dsir_score"),
+      "dsir_test", OutputMode.Append())
+    try {
+      in.addData((1L, "curated clean prose here"), (2L, "zzz spam junk noise"))
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_test").select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batchScores) // bit-identical to the batch form
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: batches probe the persisted index, " +
     "flag dups, and append survivors so later batches dedup against " +
     "earlier ones") {
