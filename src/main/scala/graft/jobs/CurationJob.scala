@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, TextAnalysis}
+import graft.ext.{Curation, Dedup, Dsir, TextAnalysis}
 import graft.ops.Caching
 
 /**
@@ -11,15 +11,24 @@ import graft.ops.Caching
  * production composition of the curation layer (each stage is also a
  * declared, individually-oracled query):
  *
- *   crawl → repeated-chunk boilerplate strip → quality gate →
- *   Bloom-prefiltered exact decontamination vs a held-out set →
- *   near-dup removal vs the persisted MinHash index (bootstrap on first
- *   run, probe + append after) → token-budget context-window packing
+ *   crawl → repeated-chunk boilerplate strip → quality gate
+ *   [→ Gopher rule flags] → Bloom-prefiltered exact decontamination vs a
+ *   held-out set → near-dup removal vs the persisted MinHash index
+ *   (bootstrap on first run, probe + append after) [→ DSIR importance
+ *   selection vs a target corpus] → token-budget context-window packing
+ *
+ * The two bracketed stages are opt-in: `applyGopherRules` adds the
+ * rule-flag gate after the quality score; a non-empty `dsirTargetPath` +
+ * `dsirKeep > 0` fits a DSIR model (target vs this crawl's dedup
+ * survivors) and keeps the Gumbel top-k. The survivors appended to the
+ * dedup index are the FINAL kept set — the index mirrors the corpus you
+ * actually retained.
  *
  * Writes under `outDir`:
  *   - `curated/`   (doc_id, lang, text, n_tokens, bin) — loader-ready
  *   - `funnel/`    one row of per-stage survivor counts (the curation
- *                  funnel is the first thing an operator asks for)
+ *                  funnel is the first thing an operator asks for);
+ *                  disabled stages repeat the previous count
  *   - `cap_stats/` the LSH candidate-cap counters for THIS run
  *
  * Stage outputs are cached via [[Caching.register]] (spillable, released
@@ -28,21 +37,27 @@ import graft.ops.Caching
  */
 object CurationJob {
 
-  /** args: crawlParquet heldOutParquet indexDir outDir [minQuality] [threshold] */
+  /** args: crawlParquet heldOutParquet indexDir outDir [minQuality]
+    * [threshold] [gopherRules=0/1] [dsirTargetParquet] [dsirKeep] */
   def main(args: Array[String]): Unit = {
     val Array(crawlPath, heldOutPath, indexDir, outDir) = args.take(4)
     val minQuality = args.lift(4).map(_.toDouble).getOrElse(0.1)
     val threshold = args.lift(5).map(_.toDouble).getOrElse(0.8)
+    val gopher = args.lift(6).exists(_.toInt != 0)
+    val dsirTarget = args.lift(7).getOrElse("")
+    val dsirKeep = args.lift(8).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.create("graft-curation")
     try run(spark, crawlPath, heldOutPath, indexDir, outDir,
-      minQuality, threshold)
+      minQuality, threshold, applyGopherRules = gopher,
+      dsirTargetPath = dsirTarget, dsirKeep = dsirKeep)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, crawlPath: String, heldOutPath: String,
           indexDir: String, outDir: String, minQuality: Double = 0.1,
           threshold: Double = 0.8, chunkWords: Int = 10, maxDf: Int = 2,
-          tokenBudget: Long = 512L): Unit = {
+          tokenBudget: Long = 512L, applyGopherRules: Boolean = false,
+          dsirTargetPath: String = "", dsirKeep: Int = 0): Unit = {
     val crawl = spark.read.parquet(crawlPath)
     val heldOut = spark.read.parquet(heldOutPath)
     val withLang = crawl.columns.contains("lang")
@@ -67,9 +82,18 @@ object CurationJob {
         TextAnalysis.qualityScoreOf(col("text"), toks) >= minQuality))
       val nQuality = quality.count()
 
+      // 2b. optional Gopher rule-flag gate (one extra narrow scan; the
+      // per-rule pass rates stay auditable through the declared query)
+      val ruled =
+        if (!applyGopherRules) quality
+        else Caching.register(quality.join(
+          TextAnalysis.gopherFlags(quality).filter(col("keep"))
+            .select("doc_id"), Seq("doc_id")))
+      val nRuled = if (applyGopherRules) ruled.count() else nQuality
+
       // 3. exact decontamination, Bloom-prefiltered
       val decon = Caching.register(
-        Curation.bloomDecontaminate(quality, heldOut))
+        Curation.bloomDecontaminate(ruled, heldOut))
       val nDecon = decon.count()
 
       // 4. near-dup removal against the persisted corpus index:
@@ -89,17 +113,33 @@ object CurationJob {
           threshold = threshold))
       val nDedup = survivors.count()
 
+      // 4b. optional DSIR importance selection: fit target-vs-survivors,
+      // keep the Gumbel top-k (zero-shuffle scoring + TakeOrdered)
+      val selected =
+        if (dsirTargetPath.isEmpty || dsirKeep <= 0) survivors
+        else {
+          val target = spark.read.parquet(dsirTargetPath)
+          val model = Dsir.fit(target, survivors)
+          Caching.register(survivors.join(
+            Dsir.selectTopK(Dsir.score(survivors, model), dsirKeep)
+              .select("doc_id"), Seq("doc_id")))
+        }
+      val nSelected =
+        if (dsirTargetPath.isEmpty || dsirKeep <= 0) nDedup
+        else selected.count()
+
       // 5. context-window packing by token budget
-      val packed = graft.Queries.packBins(survivors, budget = tokenBudget,
+      val packed = graft.Queries.packBins(selected, budget = tokenBudget,
         measure = TextAnalysis.bpeishTokenCount(col("text")),
         measureName = "n_tokens")
-      survivors.join(packed.select("doc_id", "n_tokens", "bin"), Seq("doc_id"))
+      selected.join(packed.select("doc_id", "n_tokens", "bin"), Seq("doc_id"))
         .write.mode("overwrite").parquet(s"$outDir/curated")
 
       import spark.implicits._
-      Seq((nCrawl, nStripped, nQuality, nDecon, nDedup))
+      Seq((nCrawl, nStripped, nQuality, nRuled, nDecon, nDedup, nSelected))
         .toDF("n_crawl", "n_after_strip", "n_after_quality",
-          "n_after_decontam", "n_after_dedup")
+          "n_after_rules", "n_after_decontam", "n_after_dedup",
+          "n_selected")
         .write.mode("overwrite").parquet(s"$outDir/funnel")
       // snapshot AFTER the dedup actions it describes
       Dedup.capStatsDf(spark).write.mode("overwrite")

@@ -124,6 +124,50 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: fit + score ≡ the in-memory model on random corpora " +
+    "(empty docs, repeated tokens, numerics, long runs)") {
+    val rnd = new scala.util.Random(1735)
+    val vocab = (0 until 40).map(i => s"w$i") ++
+      Seq("the", "a", "42", "x", "", "longtokenxxxxxxxxxxxxxxxxxx")
+    for (trial <- 0 until 3) {
+      val rows = (0L until 50L).map { id =>
+        val len = rnd.nextInt(30)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text").repartition(1 + trial * 3)
+      val target = df.filter(col("doc_id") % 5 === 0)
+      val raw = df.filter(col("doc_id") % 5 =!= 0)
+      val B = 128
+      val m = Dsir.fit(target, raw, buckets = B)
+      def grams(text: String): Seq[Int] = {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        toks.indices.flatMap { i =>
+          (i until math.min(i + 2, toks.length)).map { j =>
+            (HashFns.mix64(HashFns.fnv1a(
+              toks.slice(i, j + 1).mkString(" ").getBytes("UTF-8"))) &
+              (B - 1)).toInt
+          }
+        }
+      }
+      val t = new Array[Long](B)
+      val r = new Array[Long](B)
+      rows.foreach { case (id, tx) =>
+        val c = if (id % 5 == 0) t else r
+        grams(tx).foreach(b => c(b) += 1)
+      }
+      def iL(x: Long) = math.floor(math.log(x.toDouble) * 1000.0).toLong
+      val lamRef = Array.tabulate(B)(b =>
+        (iL(t(b) + 1) - iL(t.sum + B)) - (iL(r(b) + 1) - iL(r.sum + B)))
+      assert(m.lambda.toSeq == lamRef.toSeq, s"trial $trial")
+      val scored = Dsir.score(raw, m).select("doc_id", "dsir_score")
+        .as[(Long, Long)].collect().toMap
+      rows.filter(_._1 % 5 != 0).foreach { case (id, tx) =>
+        assert(scored(id) == grams(tx).map(lamRef(_)).sum,
+          s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("model save/load round-trips bit-identically (fit once, score " +
     "every crawl)") {
     val target = docs.filter(col("doc_id") % 10 === 0)

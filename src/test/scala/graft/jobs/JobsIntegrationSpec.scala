@@ -154,8 +154,10 @@ class JobsIntegrationSpec extends SparkSpec {
         .select("text", "n_tokens", "bin").as[(String, Long, Long)].head()
       assert(d4 == (("genuine fresh insight appears amid the quiet valley floor tonight", 10L, 0L)))
       val funnel = spark.read.parquet(p("out1/funnel"))
-        .as[(Long, Long, Long, Long, Long)].head()
-      assert(funnel == ((6L, 5L, 4L, 3L, 2L))) // one doc out per stage
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      // one doc out per active stage; the disabled rule/DSIR stages
+      // repeat the preceding count
+      assert(funnel == ((6L, 5L, 4L, 4L, 3L, 2L, 2L)))
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         "the job's scoped caches must be released")
 
@@ -170,8 +172,51 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(spark.read.parquet(p("out2/curated"))
         .select("doc_id").as[Long].collect().toSet == Set(31L))
       val funnel2 = spark.read.parquet(p("out2/funnel"))
-        .as[(Long, Long, Long, Long, Long)].head()
-      assert(funnel2 == ((2L, 2L, 2L, 2L, 1L)))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(funnel2 == ((2L, 2L, 2L, 2L, 2L, 1L, 1L)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("CurationJob optional stages: the Gopher rule gate drops its " +
+    "violator and DSIR selection keeps the top-k nearest the target " +
+    "distribution") {
+    val root = java.nio.file.Files.createTempDirectory("graft_curjob_sel")
+    def p(s: String) = s"$root/$s"
+    spark.catalog.clearCache()
+    try {
+      // ≥ 50 distinct-shingle words with stopwords so the Gopher defaults
+      // pass; doc 3 is a 200-word exact-repetition loop → rep_ok fails
+      def prose(seed: Int): String =
+        (0 until 60).map(i => s"the item$seed$i value").mkString(" ")
+      Seq(
+        (1L, prose(1) + " curated reference style phrasing here"),
+        (2L, prose(2) + " utterly different vocabulary altogether domain"),
+        (3L, ("the quick brown fox " * 50).trim)) // fails rep_ok
+        .toDF("doc_id", "text").write.parquet(p("crawl"))
+      Seq((100L, "no overlap with the held out corpus whatsoever"))
+        .toDF("doc_id", "text").write.parquet(p("held"))
+      // target distribution shares doc 1's distinctive suffix vocabulary
+      Seq((200L, "curated reference style phrasing here"),
+          (201L, "more curated reference style phrasing"))
+        .toDF("doc_id", "text").write.parquet(p("target"))
+
+      CurationJob.run(spark, p("crawl"), p("held"), p("idx"), p("out"),
+        minQuality = 0.1, threshold = 0.5, chunkWords = 4,
+        applyGopherRules = true, dsirTargetPath = p("target"), dsirKeep = 1)
+      val funnel = spark.read.parquet(p("out/funnel"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      // 3 in; strip/quality keep 3; rules drop doc 3; decontam/dedup keep
+      // 2; DSIR keeps the 1 doc closest to the target distribution
+      assert(funnel == ((3L, 3L, 3L, 2L, 2L, 2L, 1L)))
+      assert(spark.read.parquet(p("out/curated"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L))
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "the job's scoped caches must be released")
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(root)
