@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test JVM runs every suite in parallel against one shared session —
+// peak heap is the SUM of the heaviest concurrent suites, and an OOM
+// surfaces as a spurious "suite aborted" (fatal Throwables abort the
+// suite in ScalaTest) rather than a test failure. Give it real headroom.
+Test / javaOptions := (Test / javaOptions).value
+  .filterNot(_.startsWith("-Xmx")) :+ "-Xmx24g"

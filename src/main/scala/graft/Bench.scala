@@ -40,7 +40,11 @@ object Bench {
     // round 5 selection layer: DSIR fit+score+Gumbel-top-k (model fit is
     // part of the measured cost — two bucket aggregations — scoring is a
     // zero-shuffle scan) and the Gopher rule-flag filter (narrow scan)
-    "ext_dsir_select", "ext_gopher_flags")
+    "ext_dsir_select", "ext_gopher_flags",
+    // round 5: IVF-PQ probe + exact re-rank (the index builds once per
+    // session, like ext_dedup_incremental — steady-state = ADC probe over
+    // 16-byte codes, shortlist re-rank, recall emitted as the result row)
+    "ext_ann_pq_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

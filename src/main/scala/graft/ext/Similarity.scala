@@ -243,6 +243,279 @@ object Similarity {
     probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the memory side of the 100 TB ANN story.
+  // IVF-Flat stores the full vector per posting (dim × 4 bytes); PQ
+  // stores an m-byte code (m = 8 here → 32× smaller at dim 64), so the
+  // inverted lists of a 100 TB embedding corpus fit a cluster's disks
+  // and a probe's scan is m table lookups per candidate instead of a
+  // dim-float dot. Jégou et al., TPAMI 2011. Divergence from the paper's
+  // IVFADC: codes quantize the normalized vector directly, NOT the
+  // residual to the coarse centroid — one shared codebook, appends never
+  // depend on the coarse cell, and the recall cost at our scale is
+  // pinned by PqSpec (residual encoding is a drop-in refinement: train
+  // the same codebooks on `vec - centroid(bucket)`).
+  // ---------------------------------------------------------------------
+
+  /**
+   * Train PQ codebooks: per subspace `sub` of size `dsub = dim / m`,
+   * k-means with `ksub` sub-centroids over the L2-NORMALIZED corpus
+   * vectors (cosine via unit-vector L2, see [[graft.functions.PqKernel]]).
+   * Same bounded-model-state contract as [[trainQuantizer]]: init is a
+   * hash-ordered `limit(ksub)` collect, Lloyd refinement runs on a
+   * bounded hash-ordered sample that stays distributed, and only the
+   * (m × ksub × dsub) mean matrix reaches the driver per iteration.
+   * Returns the flat row-major codebook matrix + dim.
+   */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                       kmeansIters: Int = 2, sampleFactor: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): (Array[Float], Int) = {
+    import graft.functions.PqFunctions.pq_assign
+    val initRows = corpus
+      .select(col(idCol), normalized(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(ksub)
+      .collect()
+    require(initRows.nonEmpty, "corpus is empty — no PQ codebooks")
+    val dim = initRows.head.getSeq[Float](1).length
+    require(m > 0 && dim % m == 0, s"dim $dim must be a multiple of m=$m")
+    val dsub = dim / m
+    var cb = new Array[Float](m * ksub * dsub)
+    initRows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](1)
+      var sub = 0
+      while (sub < m) {
+        var t = 0
+        while (t < dsub) {
+          cb(sub * ksub * dsub + c * dsub + t) = v(sub * dsub + t)
+          t += 1
+        }
+        sub += 1
+      }
+    }
+    // fewer init rows than ksub: the remaining sub-centroids stay zero —
+    // harmless (they only ever win for near-zero subvectors)
+
+    if (kmeansIters > 0) {
+      val sample = corpus
+        .select(col(idCol), normalized(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(math.max(ksub * sampleFactor, ksub))
+        .cache()
+      try {
+        for (_ <- 1 to kmeansIters) {
+          val means = sample
+            .select(pq_assign(col(vecCol), cb, dim, m, ksub).as("codes"),
+              posexplode(col(vecCol)).as(Seq("pos", "x")))
+            .select(
+              (col("pos") / lit(dsub)).cast("int").as("sub"),
+              (col("pos") % lit(dsub)).as("t"), col("codes"), col("x"))
+            .select(col("sub"), col("t"),
+              element_at(col("codes"), col("sub") + 1).as("c"), col("x"))
+            .groupBy("sub", "c", "t").agg(avg("x").as("mean"))
+            .collect() // ≤ m × ksub × dsub rows — metadata-sized
+          val next = cb.clone() // empty cells keep their old sub-centroid
+          means.foreach { r =>
+            next(r.getInt(0) * ksub * dsub + r.getInt(1) * dsub +
+              r.getInt(2)) = r.getDouble(3).toFloat
+          }
+          cb = next
+        }
+      } finally sample.unpersist()
+    }
+    (cb, dim)
+  }
+
+  /** L2-normalize `vecCol` (float array), keeping the column name. Zero
+    * vectors pass through unchanged — same degenerate handling as the
+    * kernels. */
+  private def normalized(vecCol: String): org.apache.spark.sql.Column = {
+    val n2 = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    when(n2 > 0.0d, transform(col(vecCol),
+      x => (x.cast("double") / sqrt(n2)).cast("float")))
+      .otherwise(col(vecCol)).as(vecCol)
+  }
+
+  /** Shared ADC probe tail: compressed candidates (`cand_id`, `code`)
+    * against queries carrying a precomputed distance table; bounded
+    * top-k, queries broadcast. `joinCols` non-empty adds the IVF bucket
+    * equi-key. */
+  private def adcTopK(codes: DataFrame, probes: DataFrame, k: Int,
+                      joinCols: Seq[String]): DataFrame = {
+    import graft.functions.PqFunctions.pq_adc
+    val joined =
+      if (joinCols.isEmpty)
+        codes.join(broadcast(probes), col("cand_id") =!= col("query_id"))
+      else codes.join(broadcast(probes), joinCols)
+        .filter(col("cand_id") =!= col("query_id"))
+    joined
+      .select(col("query_id"), col("cand_id"),
+        pq_adc(col("__tbl"), col("code")).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by(col("score"), col("cand_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"))
+  }
+
+  /** In-session PQ brute scan: every candidate is scored (no IVF cells),
+    * but each candidate costs m table lookups on an m-byte code — the
+    * compressed flat-scan baseline. Scores are APPROXIMATE cosines
+    * (quantization error bounded by the codebook fit; recall pinned in
+    * PqSpec). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, kmeansIters: Int = 2,
+             sampleFactor: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions.{pq_dist_table, pq_encode}
+    val (cb, dim) = trainPqCodebooks(corpus, m, ksub, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      pq_encode(col(vecCol), cb, dim, m, ksub).as("code"))
+    val probes = queries.select(col(idCol).as("query_id"),
+      pq_dist_table(col(vecCol), cb, dim, m, ksub).as("__tbl"))
+    adcTopK(codes, probes, k, Nil)
+  }
+
+  /**
+   * Persisted IVF-PQ index — [[buildIvfIndex]]'s layout with codes in
+   * place of vectors:
+   *   `centroids/`     — coarse quantizer, (cell, centroid)
+   *   `pq_codebooks/`  — (sub, c, subcentroid), m × ksub rows
+   *   `codes/`         — (bucket, cand_id, code binary), bucket-sorted
+   *                      parquet with per-file range skipping
+   * The codes table is ~`m + 12` bytes per vector — the piece that must
+   * scale to 100 TB — while both models stay metadata-sized.
+   */
+  def buildPqIndex(corpus: DataFrame, path: String,
+                   numCentroids: Int = 256, m: Int = 8, ksub: Int = 16,
+                   kmeansIters: Int = 2, sampleFactor: Int = 64,
+                   indexFiles: Int = 32, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    import graft.functions.PqFunctions.pq_encode
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cents, dim) = trainQuantizer(corpus, numCentroids, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    (0 until cents.length / dim)
+      .map(c => (c, cents.slice(c * dim, (c + 1) * dim).toSeq))
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val (cb, _) = trainPqCodebooks(corpus, m, ksub, kmeansIters,
+      sampleFactor, idCol, vecCol)
+    val dsub = dim / m
+    (0 until m).flatMap { sub =>
+      (0 until ksub).map { c =>
+        (sub, c, cb.slice(sub * ksub * dsub + c * dsub,
+          sub * ksub * dsub + (c + 1) * dsub).toSeq)
+      }
+    }.toDF("sub", "c", "subcentroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      pq_encode(col(vecCol), cb, dim, m, ksub).as("code"),
+      nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    graft.io.Tables.writeSortedBy(codes, s"$path/codes", indexFiles, "bucket")
+  }
+
+  /** Load the metadata-sized PQ codebook matrix of a persisted index. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Array[Float], Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .orderBy("sub", "c").collect() // m × ksub rows — metadata-sized
+    require(rows.nonEmpty, s"no PQ codebooks at $path/pq_codebooks")
+    val dsub = rows.head.getSeq[Float](2).length
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.length / m
+    val cb = new Array[Float](m * ksub * dsub)
+    rows.foreach { r =>
+      val off = (r.getInt(0) * ksub + r.getInt(1)) * dsub
+      val v = r.getSeq[Float](2)
+      var t = 0
+      while (t < dsub) { cb(off + t) = v(t); t += 1 }
+    }
+    (cb, m, ksub, dsub)
+  }
+
+  /** Query a persisted IVF-PQ index: probe the `nprobe` nearest coarse
+    * cells, ADC-score their stored codes, bounded top-k. Same plan shape
+    * as [[ivfTopKFromIndex]] with the inverted-list payload 32× smaller
+    * and the per-candidate arithmetic m lookups instead of a dim-dot. */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    import graft.functions.PqFunctions.pq_dist_table
+    val (cents, dim) = loadIvfCentroids(spark, path)
+    val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val probes = queries.select(col(idCol).as("query_id"),
+      pq_dist_table(col(vecCol), cb, dim, m, ksub).as("__tbl"),
+      explode(nearest_centroids(col(vecCol), cents, dim, nprobe)).as("bucket"))
+    adcTopK(codes, probes, k, Seq("bucket"))
+  }
+
+  /**
+   * Two-stage PQ search with exact re-rank (the FAISS-style shortlist
+   * pattern): the ADC scan — m byte-lookups per candidate over the
+   * compressed codes — picks a `rerank × k` shortlist per query, then
+   * ONLY the shortlist rows fetch their full vectors (an id-equi-join
+   * against the corpus, shortlist side broadcast: `queries × rerank × k`
+   * rows — metadata-sized by construction) for exact cosine ordering.
+   * Quantization error then costs recall only when a true neighbor falls
+   * outside the shortlist, not whenever codes mis-order two candidates —
+   * the difference between ~0.3 and ~1.0 recall@5 on unclustered
+   * embeddings (tools/ProbePq).
+   */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                   rerank: Int = 10, m: Int = 8, ksub: Int = 16,
+                   kmeansIters: Int = 2, sampleFactor: Int = 64,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val shortlist = pqTopK(corpus, queries, k * rerank, m, ksub,
+      kmeansIters, sampleFactor, idCol, vecCol)
+    exactRerank(shortlist, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** [[pqTopKRerank]] against a persisted IVF-PQ index: probe cells, ADC
+    * shortlist, exact re-rank from the ORIGINAL vectors (`corpus` — the
+    * index stores only codes; at 100 TB the full vectors live in the
+    * source table and the re-rank join touches `queries × rerank × k`
+    * of them). */
+  def pqTopKFromIndexRerank(spark: org.apache.spark.sql.SparkSession,
+                            path: String, corpus: DataFrame,
+                            queries: DataFrame, k: Int, rerank: Int = 10,
+                            nprobe: Int = 4, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val shortlist = pqTopKFromIndex(spark, path, queries, k * rerank,
+      nprobe, idCol, vecCol)
+    exactRerank(shortlist, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist: fetch
+    * both vectors, score exactly, keep top-k. The shortlist is the small
+    * side by construction and broadcasts; the corpus join is an
+    * equi-join on the id (pointwise fetch, no corpus shuffle). */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int, idCol: String,
+                          vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    c.join(broadcast(shortlist.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("__qv"), col("__cv")).as("score"))
+      .groupBy("query_id")
+      .agg(top_k_by(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+        col("hit.score").as("score"))
+  }
+
   /** Train spherical-k-means centroids and return them row-major
     * (`k × dim`). Deterministic given the input (hash-ordered init and
     * sample) up to floating-point reduction order in the per-cell means —

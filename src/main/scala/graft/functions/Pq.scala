@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * Product-quantization kernels (Jégou, Douze, Schmid, "Product
+ * Quantization for Nearest Neighbor Search", TPAMI 2011): compress a
+ * `dim`-float vector into `m` byte codes (one sub-quantizer index per
+ * `dsub = dim / m` subspace) and score compressed candidates against an
+ * uncompressed query with an asymmetric distance computation (ADC) —
+ * `m` table lookups per candidate instead of `dim` multiplies.
+ *
+ * Cosine via L2: vectors are L2-NORMALIZED inside the kernels, so
+ * squared L2 distance and cosine are affinely related
+ * (`cos = 1 - d²/2` on unit vectors) and the standard L2 PQ machinery
+ * ranks by cosine. All-zero vectors stay zero (score pins to -1, sorted
+ * last, matching `CosineSimilarity`'s degenerate handling).
+ *
+ * Arithmetic is fixed-order double accumulation in subscript order —
+ * deterministic across partitioning, so codes and scores are stable
+ * under any cluster layout.
+ *
+ * Codebook layout: flat row-major `m × ksub × dsub`
+ * (`codebooks(sub*ksub*dsub + c*dsub + t)`), model state baked into the
+ * plan exactly like [[NearestCentroidsKernel]]'s centroid matrix.
+ */
+object PqKernel {
+
+  /** Normalized copy of `vec` as doubles (zero vector stays zero). */
+  private def unit(vec: ArrayData, dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; v(i) = x; n2 += x * x; i += 1 }
+    if (n2 > 0.0) {
+      val inv = 1.0 / math.sqrt(n2)
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
+  /** Per-subspace nearest sub-centroid indices (argmin squared L2, ties
+    * toward the lowest index). Empty array when the vector's length
+    * disagrees with `dim`. */
+  def assign(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
+             ksub: Int): ArrayData = {
+    if (vec.numElements() != dim) return new GenericArrayData(new Array[Int](0))
+    val v = unit(vec, dim)
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * ksub * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = base + c * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v(sub * dsub + t) - codebooks(off + t).toDouble
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Byte-packed PQ code: [[assign]] with each index stored in one byte
+    * (`ksub` ≤ 256, indices 0-255 as unsigned). Empty code on length
+    * mismatch. */
+  def encode(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
+             ksub: Int): Array[Byte] = {
+    val idx = assign(vec, codebooks, dim, m, ksub)
+    val n = idx.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (idx.getInt(i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** ADC lookup table for one query: `m × ksub` floats where
+    * `table(sub*ksub + c)` = squared L2 distance from the normalized
+    * query's subvector to sub-centroid `c`. Computed once per query row
+    * (the broadcast small side); every candidate then costs `m` lookups. */
+  def distTable(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
+                ksub: Int): ArrayData = {
+    if (vec.numElements() != dim) return new GenericArrayData(new Array[Float](0))
+    val v = unit(vec, dim)
+    val dsub = dim / m
+    val out = new Array[Float](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * ksub * dsub
+      var c = 0
+      while (c < ksub) {
+        val off = base + c * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v(sub * dsub + t) - codebooks(off + t).toDouble
+          d += diff * diff
+          t += 1
+        }
+        out(sub * ksub + c) = d.toFloat
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: approximate cosine `1 - d²/2` where `d²` is the summed
+    * table distance of the candidate's code. `ksub` is table.len / m.
+    * Degenerate inputs (empty code or table) pin to -1.0 — sorted last,
+    * like a zero vector under [[ExprKernels.cosineFloat]]. */
+  def adcScore(table: ArrayData, code: Array[Byte]): Double = {
+    val m = code.length
+    if (m == 0 || table.numElements() == 0 || table.numElements() % m != 0)
+      return -1.0
+    val ksub = table.numElements() / m
+    var d2 = 0.0
+    var sub = 0
+    while (sub < m) {
+      d2 += table.getFloat(sub * ksub + (code(sub) & 0xff)).toDouble
+      sub += 1
+    }
+    1.0 - d2 / 2.0
+  }
+}
+
+/** pq_assign(vec) -> array<int>: per-subspace sub-centroid indices. */
+case class PqAssign(child: Expression, codebooks: Array[Float], dim: Int,
+                    m: Int, ksub: Int) extends UnaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.assign(v.asInstanceOf[ArrayData], codebooks, dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.assign($c, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqAssign =
+    copy(child = c)
+}
+
+/** pq_encode(vec) -> binary: m-byte PQ code. */
+case class PqEncode(child: Expression, codebooks: Array[Float], dim: Int,
+                    m: Int, ksub: Int) extends UnaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], codebooks, dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.encode($c, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** pq_dist_table(vec) -> array<float>: the query-side ADC table. */
+case class PqDistTable(child: Expression, codebooks: Array[Float], dim: Int,
+                       m: Int, ksub: Int) extends UnaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.distTable(v.asInstanceOf[ArrayData], codebooks, dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.distTable($c, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqDistTable =
+    copy(child = c)
+}
+
+/** pq_adc(table, code) -> double: approximate cosine of a compressed
+  * candidate against an uncompressed query. */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(t: Any, c: Any): Any =
+    PqKernel.adcScore(t.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c) =>
+      s"graft.functions.PqKernel.adcScore($t, $c)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcScore = copy(left = l, right = r)
+}
+
+/** Column-level API for the PQ expressions. */
+object PqFunctions {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def pq_assign(vec: Column, codebooks: Array[Float], dim: Int, m: Int,
+                ksub: Int): Column = col(PqAssign(ex(vec), codebooks, dim, m, ksub))
+  def pq_encode(vec: Column, codebooks: Array[Float], dim: Int, m: Int,
+                ksub: Int): Column = col(PqEncode(ex(vec), codebooks, dim, m, ksub))
+  def pq_dist_table(vec: Column, codebooks: Array[Float], dim: Int, m: Int,
+                    ksub: Int): Column =
+    col(PqDistTable(ex(vec), codebooks, dim, m, ksub))
+  def pq_adc(table: Column, code: Column): Column =
+    col(PqAdcScore(ex(table), ex(code)))
+}

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Dev probe: PQ recall@5 vs brute force across (m, ksub) and, for the
+  * persisted IVF-PQ index, across nprobe — picks the declared-query
+  * config and the PqSpec pin thresholds. */
+object ProbePq {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val qs = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      for (ksub <- Seq(16, 64); rr <- Seq(20, 30)) {
+        val idx = java.nio.file.Files.createTempDirectory("probe_pq").toString
+        Similarity.buildPqIndex(emb, idx, numCentroids = 8, m = 16, ksub = ksub)
+        for (np <- Seq(7, 8)) {
+          val pq = Similarity.pqTopKFromIndexRerank(spark, idx, emb, qs, 5,
+            rerank = rr, nprobe = np)
+            .as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
+          val recall = pq.count(brute.contains).toDouble / brute.size
+          println(f"dir=$dir n=$n ivfpq+rr m=16 ksub=$ksub nc=8 np=$np rr=$rr recall@5=$recall%.3f")
+        }
+        import java.util.Comparator
+        java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -54,6 +54,13 @@ object VerifyDrive {
     Similarity.ivfTopKFromIndex(spark, ivfDir, queries, 3)
       .orderBy("query_id", "score").show(20)
 
+    println("== IVF-PQ: build → reload → ADC probe → exact re-rank ==")
+    val pqDir = java.nio.file.Files.createTempDirectory("drive_pq_").toString
+    Similarity.buildPqIndex(emb, pqDir, numCentroids = 8, m = 16, ksub = 64,
+      indexFiles = 4)
+    Similarity.pqTopKFromIndexRerank(spark, pqDir, emb, queries, 3,
+      rerank = 20, nprobe = 7).orderBy("query_id", "score").show(20)
+
     println("== Dedup.capStats (observable LSH candidate cap) ==")
     Dedup.capStatsReset(spark)
     Dedup.minhashLshPairs(docs, threshold = 0.5)

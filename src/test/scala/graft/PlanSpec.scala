@@ -280,6 +280,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("ivf-pq probe: stored codes stream into a broadcast join with the " +
+    "probe side (no code-table shuffle before scoring) and the re-rank " +
+    "fetch is an equi-join with the shortlist broadcast") {
+    val p = plan("ext_ann_pq_recall")
+    // the ADC scan: codes parquet joins the broadcast probes on bucket —
+    // the code table must never be exchanged ahead of its join
+    assert(p.contains("/codes"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // re-rank + recall: embeddings rejoin by id; nothing plans a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    // bounded shortlist: the top-k aggregate runs partial before any
+    // exchange of scored candidates
+    assert(p.toLowerCase.contains("topkbyscore"), p)
+  }
+
   test("bpe encode is a shuffle-free projection (tokenize + canonical " +
     "encode stay in one scan)") {
     val p = plan("ext_bpe_encode")
