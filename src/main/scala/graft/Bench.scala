@@ -44,7 +44,11 @@ object Bench {
     // round 5: IVF-PQ probe + exact re-rank (the index builds once per
     // session, like ext_dedup_incremental — steady-state = ADC probe over
     // 16-byte codes, shortlist re-rank, recall emitted as the result row)
-    "ext_ann_pq_recall")
+    "ext_ann_pq_recall",
+    // round 5 composition layer: per-source quality cap (WindowGroupLimit
+    // around one exchange) and the deterministic training-order shard
+    // (one shard exchange + per-shard row_number)
+    "ext_source_cap", "ext_shuffle_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

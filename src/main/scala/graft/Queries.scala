@@ -423,7 +423,8 @@ object Queries {
    */
   def packBins(documents: DataFrame, budget: Long = 4000L,
                numSubs: Int = 16, measure: Column = col("n_chars"),
-               measureName: String = "n_chars"): DataFrame = {
+               measureName: String = "n_chars",
+               withOffset: Boolean = false): DataFrame = {
     val base = documents.select(col("doc_id"), col("lang"),
       measure.as(measureName),
       pmod(col("doc_id"), lit(numSubs.toLong)).as("sub"))
@@ -438,9 +439,16 @@ object Queries {
       .agg(sum(col(measureName)).as("sub_total"))
       .select(col("lang"), col("sub"),
         coalesce(sum(col("sub_total")).over(wOff), lit(0L)).as("sub_offset"))
-    local.join(broadcast(offsets), Seq("lang", "sub"))
-      .select(col("doc_id"), col("lang"), col(measureName),
-        expr(s"(local_before + sub_offset) DIV $budget").as("bin"))
+    val packed = local.join(broadcast(offsets), Seq("lang", "sub"))
+    // a doc's bin is where its PREFIX position falls; its offset within
+    // that bin is the position modulo the budget — both fall out of the
+    // same exact two-level prefix sum, no extra window
+    val cols = Seq(col("doc_id"), col("lang"), col(measureName),
+      expr(s"(local_before + sub_offset) DIV $budget").as("bin")) ++
+      (if (withOffset)
+        Seq(expr(s"(local_before + sub_offset) % $budget").as("offset"))
+      else Nil)
+    packed.select(cols: _*)
   }
 
   // ---------------------------------------------------------------- queries
@@ -1360,6 +1368,52 @@ object Queries {
       packBins(t(s, dir, "documents"), budget = 512L,
         measure = TextAnalysis.bpeishTokenCount(col("text")),
         measureName = "n_tokens")),
+
+    // Loader manifest: packing plus each document's START OFFSET inside
+    // its context window (position % budget — free from the same prefix
+    // sum). (bin, offset, n_tokens) is exactly the index a training
+    // loader seeks by.
+    "ext_pack_offsets" -> ((s, dir) =>
+      packBins(t(s, dir, "documents"), budget = 512L,
+        measure = TextAnalysis.bpeishTokenCount(col("text")),
+        measureName = "n_tokens", withOffset = true)),
+
+    // Per-source quality cap: keep the best 40 docs of every source by
+    // quality score (C4/RefinedWeb domain-frequency rule, quality-ranked).
+    // WindowGroupLimit keeps ≤ 40 rows per source per task BEFORE the
+    // exchange (plan-guarded) — no whole-domain window materialization.
+    "ext_source_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.sourceQualityCap(
+        d.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScoreOf(col("text"),
+            TextAnalysis.tokens(col("text"))).as("q")),
+        quality = col("q"), maxPerSource = 40)
+    }),
+
+    // Temperature-flattened mixture (α = 0.5): expected share per lang
+    // ∝ √n_lang — the multilingual rebalancing rule, with the same
+    // deterministic limb-hash keep decision as the other samplers.
+    "ext_temp_mixture" -> ((s, dir) =>
+      Curation.temperatureMixture(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        hash = expr(limbHashSpark), targetDocs = 200.0)
+        .select("doc_id", "lang", "n_chars")),
+
+    // Deterministic global shuffle for training order: shard =
+    // limb-hash mod S, order within shard = (hash, id) — the seeded
+    // permutation a training run replays identically on any cluster
+    // layout. S bounds every shard window to n/S rows (pick S so a
+    // shard fits a task at the target scale); the one exchange is the
+    // shard partition itself.
+    "ext_shuffle_shards" -> ((s, dir) => {
+      val h = expr(limbHashSpark)
+      val w = Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), h.as("hv"), pmod(h, lit(8L)).as("shard"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "ord")
+    }),
 
     // Cluster-quality observability for the SemDeDup model: per-cluster
     // member count and mean cosine-to-own-centroid. The mean goes through
@@ -2295,6 +2349,67 @@ object Queries {
          |SELECT l.doc_id, l.lang, l.n_tokens,
          |  CAST((l.local_before + o.sub_offset) // 512 AS BIGINT) AS bin
          |FROM loc l JOIN off o USING (lang, sub)""".stripMargin,
+
+    "ext_pack_offsets" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |    doc_id % 16 AS sub FROM documents),
+         |loc AS (
+         |  SELECT doc_id, lang, sub, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang, sub ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS local_before
+         |  FROM base),
+         |tot AS (
+         |  SELECT lang, sub, sum(n_tokens) AS sub_total
+         |  FROM base GROUP BY lang, sub),
+         |off AS (
+         |  SELECT lang, sub,
+         |    coalesce(sum(sub_total) OVER (
+         |      PARTITION BY lang ORDER BY sub
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS sub_offset
+         |  FROM tot)
+         |SELECT l.doc_id, l.lang, l.n_tokens,
+         |  CAST((l.local_before + o.sub_offset) // 512 AS BIGINT) AS bin,
+         |  CAST((l.local_before + o.sub_offset) % 512 AS BIGINT) AS offset
+         |FROM loc l JOIN off o USING (lang, sub)""".stripMargin,
+
+    "ext_source_cap" ->
+      s"""SELECT doc_id, source, quality, rank_in_source FROM (
+         |  SELECT doc_id, source, q AS quality,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT)
+         |      AS rank_in_source
+         |  FROM (SELECT doc_id, source, ($qualitySql) AS q FROM documents))
+         |WHERE rank_in_source <= 40""".stripMargin,
+
+    "ext_temp_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+         |      AS BIGINT) AS w_g
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(w_g) AS BIGINT) AS sum_w FROM counts),
+         |rates AS (
+         |  SELECT lang, least(CAST(1.0 AS DOUBLE),
+         |    CAST(200.0 AS DOUBLE) * CAST(w_g AS DOUBLE)
+         |      / CAST(sum_w AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate
+         |  FROM counts, tot)
+         |SELECT doc_id, d.lang, n_chars
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE $limbHashDuck <
+         |  CAST(floor(rate * 4294967296) AS BIGINT)""".stripMargin,
+
+    "ext_shuffle_shards" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY hv, doc_id) AS BIGINT) AS ord
+         |FROM (SELECT doc_id, $limbHashDuck AS hv,
+         |        ($limbHashDuck) % 8 AS shard
+         |      FROM documents)""".stripMargin,
 
     "ext_cluster_profile" ->
       s"""WITH sc AS (SELECT $semScoresSql AS ls FROM embeddings),

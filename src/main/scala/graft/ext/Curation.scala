@@ -187,4 +187,74 @@ object Curation {
           .otherwise(col("ref_hits").cast("double") /
             col("n_bigrams").cast("double")).as("ref_score"))
   }
+
+  /**
+   * Per-source quality cap (the C4/RefinedWeb domain-frequency rule
+   * generalized to "keep the BEST `maxPerSource` documents of every
+   * source"): rank each source's documents by `quality` descending
+   * (ties by ascending id — fully deterministic at any parallelism) and
+   * keep the top `maxPerSource`. A single hash exchange on the source
+   * key; the rank filter plans as WindowGroupLimit, so each task keeps
+   * at most `maxPerSource` rows per source BEFORE the shuffle — the
+   * window never materializes a whole mega-domain (the Zipf-head
+   * blogspot/wordpress case that makes naive per-domain windows fall
+   * over at crawl scale).
+   *
+   * Returns (idCol, sourceCol, quality, rank_in_source) for the kept
+   * rows.
+   */
+  def sourceQualityCap(docs: DataFrame, quality: Column, maxPerSource: Int,
+                       idCol: String = "doc_id",
+                       sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol), col(sourceCol), quality.as("quality"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= maxPerSource)
+  }
+
+  /**
+   * Temperature-flattened mixture sampling (the multilingual/domain
+   * rebalancing rule of multilingual-LM training — sampling probability
+   * ∝ n_g^α with α = 0.5, i.e. `sqrt`): each group g of size n_g gets an
+   * expected share of `targetDocs` proportional to √n_g, so head groups
+   * are downweighted and tail groups upweighted relative to their raw
+   * frequency. Per-document keep rate:
+   *
+   *   rate_g = min(1, targetDocs · √n_g / Σ_h √n_h / n_g)
+   *
+   * The keep decision is the overflow-safe limb hash of the id against
+   * `floor(rate · 2^32)` — deterministic at any parallelism, no RNG
+   * state, reproducible across engines (α is FIXED at 0.5 because
+   * `sqrt` is IEEE-exact in both Spark and the DuckDB oracle; a general
+   * `pow(n, α)` is not). The per-group weight √n_g is rounded to exact
+   * integer micro-units BEFORE the cross-group sum: a double Σ√n_g
+   * depends on reduction order (different per engine and per partition
+   * layout), while the integer sum is order-free — the same rule as the
+   * integer-nanos means elsewhere in this codebase. Scale shape: one
+   * metadata-sized group-count aggregate broadcast back; the data path
+   * is a narrow filter scan.
+   *
+   * `hash` must be the precomputed keep-decision hash column (the
+   * caller's limb hash of its id column, value in [0, 2^32)).
+   */
+  def temperatureMixture(docs: DataFrame, hash: Column, targetDocs: Double,
+                         groupCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_g"))
+      .select(col(groupCol), col("n_g"),
+        floor(sqrt(col("n_g").cast("double")) * 1000000L + 0.5)
+          .cast("long").as("w_g"))
+    val tot = counts.agg(sum(col("w_g")).as("sum_w"))
+    val rates = counts.crossJoin(tot)
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(targetDocs) * col("w_g").cast("double") /
+            col("sum_w").cast("double") / col("n_g").cast("double"))
+          .as("__rate"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hash < floor(col("__rate") * 4294967296L).cast("long"))
+      .drop("__rate")
+  }
 }

@@ -61,6 +61,22 @@ object VerifyDrive {
     Similarity.pqTopKFromIndexRerank(spark, pqDir, emb, queries, 3,
       rerank = 20, nprobe = 7).orderBy("query_id", "score").show(20)
 
+    println("== Curation.sourceQualityCap / temperatureMixture ==")
+    Curation.sourceQualityCap(
+      docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreOf(col("text"),
+          TextAnalysis.tokens(col("text"))).as("q")),
+      quality = col("q"), maxPerSource = 5)
+      .groupBy("source").count().orderBy("source").show(5)
+    Curation.temperatureMixture(
+      docs.select("doc_id", "lang", "n_chars"),
+      hash = expr("""pmod(pmod(doc_id, 2097152) * 2654435761L
+        |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+        |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+        .stripMargin),
+      targetDocs = 100.0)
+      .groupBy("lang").count().orderBy("lang").show(10)
+
     println("== Dedup.capStats (observable LSH candidate cap) ==")
     Dedup.capStatsReset(spark)
     Dedup.minhashLshPairs(docs, threshold = 0.5)

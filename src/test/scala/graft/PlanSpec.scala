@@ -107,6 +107,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("source cap: rank filter plans as WindowGroupLimit on both sides " +
+    "of the one source exchange — no whole-domain materialization") {
+    val p = plan("ext_source_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("temperature mixture: metadata-sized rates broadcast back; the " +
+    "data path never sort-merges") {
+    val p = plan("ext_temp_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("shuffle shards: the only row-level exchange is the shard " +
+    "partition itself") {
+    val p = plan("ext_shuffle_shards")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("stratified sample: one hash exchange (the per-lang window), pruned scan") {
     val p = plan("ext_sample_stratified")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

@@ -129,6 +129,76 @@ class CurationSpec extends SparkSpec {
     (5L, Seq(1f, 1f, 0f, 0f)) // exact tie → first max → cluster 1
   ).toDF("vec_id", "embedding")
 
+  test("fuzz: sourceQualityCap keeps exactly the top-N per source by " +
+    "(quality desc, id) — ties, singleton sources, N larger than a " +
+    "source all covered") {
+    val rnd = new scala.util.Random(8421)
+    for (trial <- 0 until 3) {
+      val n = 50 + rnd.nextInt(100)
+      val rows = (0L until n.toLong).map { id =>
+        // few distinct quality values → plenty of ties
+        (id, s"src${rnd.nextInt(6)}", rnd.nextInt(4) * 0.25)
+      }
+      val cap = 1 + rnd.nextInt(8)
+      val got = Curation.sourceQualityCap(
+          rows.toDF("doc_id", "source", "q").repartition(3 + trial),
+          quality = col("q"), maxPerSource = cap)
+        .select("doc_id", "source", "quality", "rank_in_source")
+        .as[(Long, String, Double, Long)].collect().toSet
+      val expect = rows.groupBy(_._2).flatMap { case (src, docs) =>
+        docs.sortBy { case (id, _, q) => (-q, id) }.take(cap)
+          .zipWithIndex.map { case ((id, _, q), i) =>
+            (id, src, q, (i + 1).toLong)
+          }
+      }.toSet
+      assert(got == expect, s"trial $trial cap $cap")
+    }
+  }
+
+  test("fuzz: temperatureMixture keeps exactly the docs whose limb hash " +
+    "clears the √n-proportional rate, and flattens head vs tail") {
+    def limbHash(id: Long): Long =
+      ((id % 2097152L) * 2654435761L
+        + ((id / 2097152L) % 2097152L) * 2246822519L
+        + (id / 4398046511104L) * 3266489917L) % 4294967296L
+    val limbHashExpr = expr(
+      """pmod(pmod(doc_id, 2097152) * 2654435761L
+        |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+        |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+        .stripMargin)
+    val rnd = new scala.util.Random(1001)
+    for (trial <- 0 until 3) {
+      // one head group, several tails — sizes differ by ~an order
+      val sizes = Map("head" -> (400 + rnd.nextInt(200)),
+        "t1" -> (20 + rnd.nextInt(20)), "t2" -> (10 + rnd.nextInt(10)))
+      val rows = sizes.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        (0 until m).map(_ => g)
+      }.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      val target = 100.0
+      val got = Curation.temperatureMixture(
+          rows.toDF("doc_id", "lang").repartition(4),
+          hash = limbHashExpr, targetDocs = target, groupCol = "lang")
+        .select("doc_id").as[Long].collect().toSet
+
+      // in-memory mirror: integer micro-unit weights, exact same doubles
+      val nOf = rows.groupBy(_._2).map { case (g, d) => g -> d.size.toLong }
+      val wOf = nOf.map { case (g, n) =>
+        g -> math.floor(math.sqrt(n.toDouble) * 1000000L + 0.5).toLong
+      }
+      val sumW = wOf.values.sum
+      val rateOf = nOf.map { case (g, n) =>
+        g -> math.min(1.0,
+          target * wOf(g).toDouble / sumW.toDouble / n.toDouble)
+      }
+      val expect = rows.filter { case (id, g) =>
+        limbHash(id) < math.floor(rateOf(g) * 4294967296L).toLong
+      }.map(_._1).toSet
+      assert(got == expect, s"trial $trial")
+      // flattening: a tail group's keep RATE must exceed the head's
+      assert(rateOf("t2") > rateOf("head"), s"trial $trial rates $rateOf")
+    }
+  }
+
   test("semanticClusters assigns nearest centroid, ties to the first") {
     val cl = Similarity.semanticClusters(semVecs, semCentroids)
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap

@@ -234,6 +234,73 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("packBins offsets: (bin, offset) equals the in-memory prefix sum " +
+    "over the pack order on random corpora, at any parallelism") {
+    val rnd = new Random(6060)
+    for (trial <- 0 until 3) {
+      val n = 30 + rnd.nextInt(120)
+      val budget = 50L + rnd.nextInt(100)
+      val rows = (0L until n.toLong).map { id =>
+        (id, s"l${rnd.nextInt(3)}", rnd.nextInt(60).toLong)
+      }
+      val got = graft.Queries.packBins(
+          rows.toDF("doc_id", "lang", "n_chars").repartition(2 + trial * 5),
+          budget = budget, withOffset = true)
+        .select("doc_id", "bin", "offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // in-memory: pack order within lang is (sub = id % 16, id)
+      val expect = rows.groupBy(_._2).flatMap { case (_, docs) =>
+        var pos = 0L
+        docs.sortBy { case (id, _, _) => (id % 16, id) }.map {
+          case (id, _, m) =>
+            val out = id -> (pos / budget, pos % budget)
+            pos += m
+            out
+        }
+      }
+      assert(got == expect, s"trial $trial budget $budget")
+    }
+  }
+
+  test("shuffle shards: dense per-shard order, hash-determined shard, " +
+    "identical across partition layouts") {
+    def limbHash(id: Long): Long =
+      ((id % 2097152L) * 2654435761L
+        + ((id / 2097152L) % 2097152L) * 2246822519L
+        + (id / 4398046511104L) * 3266489917L) % 4294967296L
+    def run(parts: Int): Map[Long, (Long, Long)] = {
+      // same expressions as the declared ext_shuffle_shards query, with
+      // the input laid out differently
+      val h = expr(
+        """pmod(pmod(doc_id, 2097152) * 2654435761L
+          |   + pmod(doc_id DIV 2097152, 2097152) * 2246822519L
+          |   + (doc_id DIV 4398046511104) * 3266489917L, 4294967296L)"""
+          .stripMargin)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("hv"), col("doc_id"))
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .repartition(parts)
+        .select(col("doc_id"), h.as("hv"), pmod(h, lit(8L)).as("shard"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "ord")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val got = run(1)
+    assert(got == run(7)) // layout-independent
+    got.foreach { case (id, (shard, _)) =>
+      assert(shard == limbHash(id) % 8L, s"doc $id")
+    }
+    // per-shard orders are dense 1..count and follow (hash, id)
+    got.groupBy(_._2._1).foreach { case (shard, docs) =>
+      val ords = docs.values.map(_._2).toSeq.sorted
+      assert(ords == (1L to docs.size.toLong), s"shard $shard")
+      val byOrd = docs.toSeq.sortBy(_._2._2).map(_._1)
+      val expected = docs.keys.toSeq.sortBy(id => (limbHash(id), id))
+      assert(byOrd == expected, s"shard $shard order")
+    }
+  }
+
   test("split assignment is invariant under repartitioning") {
     val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
       concat(lit("l"), pmod(col("id"), lit(4))).as("lang"))
