@@ -48,7 +48,11 @@ object Bench {
     // round 5 composition layer: per-source quality cap (WindowGroupLimit
     // around one exchange) and the deterministic training-order shard
     // (one shard exchange + per-shard row_number)
-    "ext_source_cap", "ext_shuffle_shards")
+    "ext_source_cap", "ext_shuffle_shards",
+    // round 5: probe-only decontamination against the persisted Bloom
+    // index (the weekly-crawl steady state; the in-session twin
+    // ext_bloom_decontam above measures build+probe)
+    "ext_bloom_decontam_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

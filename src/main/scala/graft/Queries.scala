@@ -1328,6 +1328,35 @@ object Queries {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // The build-once/probe-many decontamination path: the Bloom filter +
+    // held-out digest table persist ONCE (the eval set is static); each
+    // crawl probes the stored bitset and exact-verifies hits against the
+    // stored 32-byte digests. Same result as ext_bloom_decontam — the
+    // oracle is identical.
+    "ext_bloom_decontam_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = sessionIndex("bloom", dir)(p =>
+        Curation.buildBloomIndex(docs.filter(col("doc_id") % 10 === 0), p,
+          expectedItems = 100000L, fpp = 0.01))
+      Curation.bloomDecontaminateFromIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), path)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Corpus snapshot diff (the release-gate audit of a versioned
+    // training set): per-status document counts between the previous
+    // snapshot (doc_id % 7 ≠ 0) and the current one (doc_id % 5 ≠ 0,
+    // with every ninth document's content revised).
+    "ext_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val newer = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.corpusDiff(old, newer)
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Repeated-chunk boilerplate stripping (RefinedWeb/C4 line-dedup
     // adapted to unstructured text): 10-word windows, drop any chunk
     // shared by >= 2 documents, reassemble in order.
@@ -2269,6 +2298,28 @@ object Queries {
         |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id % 10 = 0 AND h.text = d.text)""".stripMargin,
+
+    "ext_bloom_decontam_indexed" ->
+      """SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 10 = 0 AND h.text = d.text)""".stripMargin,
+
+    "ext_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.text = n.text THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY status""".stripMargin,
 
     "ext_chunk_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),

@@ -189,6 +189,60 @@ object Curation {
   }
 
   /**
+   * Persist the decontamination model: the serialized Bloom filter over
+   * `xxhash64(text)` plus the DISTINCT sha2-256 digests of the held-out
+   * texts. The held-out set is static (an eval benchmark changes
+   * rarely); every weekly crawl probes the STORED filter instead of
+   * re-aggregating it — the same build-once/probe-many contract as the
+   * dedup and IVF indexes. Layout under `path`:
+   *   `bloom/`   — one row, the filter bytes (model-state-sized)
+   *   `digests/` — (digest) parquet, one row per distinct held-out text
+   * An EMPTY held-out set writes no bloom row; probes then return the
+   * corpus unchanged (nothing can be contaminated).
+   */
+  def buildBloomIndex(heldOut: DataFrame, path: String,
+                      textCol: String = "text",
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    val spark = heldOut.sparkSession
+    import spark.implicits._
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col(textCol))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = heldOut.select(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (if (bloomBytes == null) Seq.empty[Array[Byte]] else Seq(bloomBytes))
+      .toDF("bf").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    heldOut.select(sha2(col(textCol), 256).as("digest")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+  }
+
+  /** [[bloomDecontaminate]] against a persisted filter: probe the STORED
+    * bitset (still a codegen predicate over one corpus scan — the bytes
+    * load once, metadata-sized), and exact-verify Bloom hits against the
+    * STORED digest table — a fixed-width 32-byte anti-join, never a
+    * raw-text join. Exact up to sha2-256 collisions, the same digest
+    * contract as the declared `ext_decontaminate`. */
+  def bloomDecontaminateFromIndex(corpus: DataFrame, path: String,
+                                  textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bloomRows = spark.read.parquet(s"$path/bloom").collect()
+    if (bloomRows.isEmpty) return corpus
+    val bloomBytes = bloomRows.head.getAs[Array[Byte]](0)
+    val mc = mightContain(bloomBytes, col(textCol))
+    val digests = spark.read.parquet(s"$path/digests")
+    val clean = corpus.filter(!mc)
+    val verified = corpus.filter(mc)
+      .withColumn("__dg", sha2(col(textCol), 256))
+      .join(digests.withColumnRenamed("digest", "__dg"), Seq("__dg"), "left_anti")
+      .drop("__dg")
+    clean.unionByName(verified)
+  }
+
+  /**
    * Per-source quality cap (the C4/RefinedWeb domain-frequency rule
    * generalized to "keep the BEST `maxPerSource` documents of every
    * source"): rank each source's documents by `quality` descending
@@ -212,6 +266,29 @@ object Curation {
     docs.select(col(idCol), col(sourceCol), quality.as("quality"))
       .withColumn("rank_in_source", row_number().over(w).cast("long"))
       .filter(col("rank_in_source") <= maxPerSource)
+  }
+
+  /**
+   * Snapshot diff between two corpus versions keyed by id: per-document
+   * status `added` (id only in `newer`), `removed` (only in `old`),
+   * `changed` (both, content digest differs), `unchanged`. The compare
+   * is on sha2-256 digests, never raw text — a full-outer join on the
+   * fixed-width id with 32-byte payloads, so the diff of two 100 TB
+   * snapshots shuffles ~40 bytes per document. The release-gate audit
+   * ("what changed since the last training set?") every versioned-corpus
+   * pipeline needs.
+   */
+  def corpusDiff(old: DataFrame, newer: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val o = old.select(col(idCol), sha2(col(textCol), 256).as("__od"))
+    val n = newer.select(col(idCol), sha2(col(textCol), 256).as("__nd"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") === col("__nd"), "unchanged")
+          .otherwise("changed").as("status"))
   }
 
   /**

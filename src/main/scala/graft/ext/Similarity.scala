@@ -439,6 +439,29 @@ object Similarity {
     (cb, m, ksub, dsub)
   }
 
+  /** Append new vectors to a persisted IVF-PQ index: encode with the
+    * STORED codebooks and assign cells with the STORED coarse quantizer
+    * (both are model state — appends never retrain, so existing codes
+    * stay comparable), then add bucket-sorted code files (LSM-style,
+    * like [[appendToIvfIndex]]). Contract: new ids are disjoint from
+    * ids already in the index. */
+  def appendToPqIndex(newVecs: DataFrame, path: String, indexFiles: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    import graft.functions.PqFunctions.pq_encode
+    val spark = newVecs.sparkSession
+    val (cents, dim) = loadIvfCentroids(spark, path)
+    val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
+    newVecs
+      .select(col(idCol).as("cand_id"),
+        pq_encode(col(vecCol), cb, dim, m, ksub).as("code"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+      .repartitionByRange(indexFiles, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Query a persisted IVF-PQ index: probe the `nprobe` nearest coarse
     * cells, ADC-score their stored codes, bounded top-k. Same plan shape
     * as [[ivfTopKFromIndex]] with the inverted-list payload 32× smaller

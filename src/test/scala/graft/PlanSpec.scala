@@ -107,6 +107,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("indexed bloom decontam: the stored bitset probes as a literal " +
+    "codegen predicate and the verify branch joins the stored digests") {
+    val p = plan("ext_bloom_decontam_indexed")
+    assert(p.contains("might_contain"), p)
+    // the verify branch anti-joins the stored digest table (its scan
+    // reads exactly the one digest column; tmp paths truncate in plan
+    // strings, so pin the schema, not the location)
+    assert(p.contains("ReadSchema: struct<digest:string>"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus diff: digest compare joins on the id key — no raw-text " +
+    "join key anywhere in the plan") {
+    val p = plan("ext_corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    // join keys are doc_id, payloads are the 32-byte sha2 digests
+    assert(!p.toLowerCase.contains("join [text"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source cap: rank filter plans as WindowGroupLimit on both sides " +
     "of the one source exchange — no whole-domain materialization") {
     val p = plan("ext_source_cap")

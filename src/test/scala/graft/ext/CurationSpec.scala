@@ -129,6 +129,68 @@ class CurationSpec extends SparkSpec {
     (5L, Seq(1f, 1f, 0f, 0f)) // exact tie → first max → cluster 1
   ).toDF("vec_id", "embedding")
 
+  test("persisted bloom index: probing the stored filter+digests equals " +
+    "the in-session bloomDecontaminate and the plain anti-join; an " +
+    "empty held-out index passes everything") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "zeta eta"),
+      (3L, "theta iota kappa"), (4L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val held = Seq((100L, "delta epsilon"), (101L, "unseen text"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bloom_idx")
+    try {
+      Curation.buildBloomIndex(held, s"$idx/h", expectedItems = 100L)
+      val fromIdx = Curation.bloomDecontaminateFromIndex(corpus, s"$idx/h")
+        .select("doc_id").as[Long].collect().toSet
+      val inSession = Curation.bloomDecontaminate(corpus, held,
+          expectedItems = 100L)
+        .select("doc_id").as[Long].collect().toSet
+      val anti = corpus.join(held.select("text").distinct(),
+          Seq("text"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(fromIdx == anti && inSession == anti)
+      assert(fromIdx == Set(0L, 2L, 3L))
+
+      Curation.buildBloomIndex(held.limit(0), s"$idx/e", expectedItems = 100L)
+      val empty = Curation.bloomDecontaminateFromIndex(corpus, s"$idx/e")
+        .select("doc_id").as[Long].collect().toSet
+      assert(empty == Set(0L, 1L, 2L, 3L, 4L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("fuzz: corpusDiff statuses equal an in-memory snapshot compare " +
+    "on random id/content overlaps") {
+    val rnd = new scala.util.Random(7341)
+    for (trial <- 0 until 3) {
+      val n = 40 + rnd.nextInt(80)
+      val oldRows = (0L until n.toLong).filter(_ => rnd.nextBoolean())
+        .map(id => (id, s"text $id v${rnd.nextInt(2)}"))
+      val newRows = (0L until n.toLong).filter(_ => rnd.nextBoolean())
+        .map(id => (id, s"text $id v${rnd.nextInt(2)}"))
+      val got = Curation.corpusDiff(
+          oldRows.toDF("doc_id", "text").repartition(3),
+          newRows.toDF("doc_id", "text").repartition(2))
+        .as[(Long, String)].collect().toMap
+      val om = oldRows.toMap
+      val nm = newRows.toMap
+      val expect = (om.keySet ++ nm.keySet).map { id =>
+        id -> ((om.get(id), nm.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("fuzz: sourceQualityCap keeps exactly the top-N per source by " +
     "(quality desc, id) — ties, singleton sources, N larger than a " +
     "source all covered") {

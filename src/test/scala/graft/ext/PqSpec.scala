@@ -193,6 +193,49 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("appendToPqIndex encodes with the STORED models: probes find the " +
+    "appended vectors and their codes equal a direct encode under the " +
+    "reloaded codebooks") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val extra = emb.filter(col("vec_id") % 4 === 0)
+    val qs = emb.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_app")
+    try {
+      Similarity.buildPqIndex(base, idx.toString, numCentroids = 8,
+        m = 16, ksub = 64)
+      Similarity.appendToPqIndex(extra, idx.toString)
+      // the appended codes are byte-identical to a direct encode under
+      // the reloaded codebooks (appends never retrain)
+      val (cb, m, ksub, _) = Similarity.loadPqCodebooks(spark, idx.toString)
+      val stored = spark.read.parquet(s"$idx/codes")
+        .as[(Long, Array[Byte], Int)]
+        .collect().map(r => r._1 -> r._2.toSeq).toMap
+      assert(stored.size == emb.count())
+      val direct = extra.select(col("vec_id"),
+          pq_encode(col("embedding"), cb, 64, m, ksub).as("c"))
+        .as[(Long, Array[Byte])].collect()
+      direct.foreach { case (id, code) =>
+        assert(stored(id) == code.toSeq, s"vec $id")
+      }
+      // and the appended index still clears the recall pin. This test
+      // pins INDEX INTEGRITY, not cell pruning (that's the build test):
+      // probe every cell so a lost appended vector — not an unprobed
+      // cell — is the only thing that could cost recall.
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val pq = Similarity.pqTopKFromIndexRerank(spark, idx.toString, emb,
+        qs, 5, rerank = 30, nprobe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      val recall = pq.count(brute.contains).toDouble / brute.size
+      assert(recall >= 0.9, s"recall@5 after append = $recall")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("ADC shortlist ordering is deterministic: two runs of the same " +
     "query batch return identical rows") {
     val qs = emb.filter(col("vec_id") < 5)
