@@ -270,10 +270,35 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
                        kmeansIters: Int = 2, sampleFactor: Int = 64,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): (Array[Float], Int) = {
+                       vecCol: String = "embedding"): (Array[Float], Int) =
+    trainPqCore(corpus.select(col(idCol), normalized(vecCol)), m, ksub,
+      kmeansIters, sampleFactor, idCol, vecCol, kernelNormalize = true)
+
+  /** Residual codebooks (the TPAMI IVFADC refinement): k-means per
+    * subspace over `v̂ - centroid(cell)` — residual magnitudes are a
+    * fraction of the unit sphere's, so the same `m × ksub` budget
+    * quantizes much finer. Assignment during Lloyd must NOT re-normalize
+    * (residuals are already code-space), hence the `normalize = false`
+    * kernel path. */
+  def trainPqCodebooksResidual(corpus: DataFrame, cents: Array[Float],
+                               dim: Int, m: Int = 8, ksub: Int = 16,
+                               kmeansIters: Int = 2, sampleFactor: Int = 64,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Array[Float] = {
+    import graft.functions.PqFunctions.residual_vec
+    trainPqCore(
+      corpus.select(col(idCol),
+        residual_vec(col(vecCol), cents, dim).as(vecCol)),
+      m, ksub, kmeansIters, sampleFactor, idCol, vecCol,
+      kernelNormalize = false)._1
+  }
+
+  private def trainPqCore(prepared: DataFrame, m: Int, ksub: Int,
+                          kmeansIters: Int, sampleFactor: Int,
+                          idCol: String, vecCol: String,
+                          kernelNormalize: Boolean): (Array[Float], Int) = {
     import graft.functions.PqFunctions.pq_assign
-    val initRows = corpus
-      .select(col(idCol), normalized(vecCol))
+    val initRows = prepared
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(ksub)
       .collect()
@@ -298,15 +323,15 @@ object Similarity {
     // harmless (they only ever win for near-zero subvectors)
 
     if (kmeansIters > 0) {
-      val sample = corpus
-        .select(col(idCol), normalized(vecCol))
+      val sample = prepared
         .orderBy(xxhash64(col(idCol)), col(idCol))
         .limit(math.max(ksub * sampleFactor, ksub))
         .cache()
       try {
         for (_ <- 1 to kmeansIters) {
           val means = sample
-            .select(pq_assign(col(vecCol), cb, dim, m, ksub).as("codes"),
+            .select(pq_assign(col(vecCol), cb, dim, m, ksub,
+                normalize = kernelNormalize).as("codes"),
               posexplode(col(vecCol)).as(Seq("pos", "x")))
             .select(
               (col("pos") / lit(dsub)).cast("int").as("sub"),
@@ -392,10 +417,9 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, path: String,
                    numCentroids: Int = 256, m: Int = 8, ksub: Int = 16,
                    kmeansIters: Int = 2, sampleFactor: Int = 64,
-                   indexFiles: Int = 32, idCol: String = "vec_id",
+                   indexFiles: Int = 32, residual: Boolean = false,
+                   idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
-    import graft.functions.GraftFunctions.nearest_centroids
-    import graft.functions.PqFunctions.pq_encode
     val spark = corpus.sparkSession
     import spark.implicits._
     val (cents, dim) = trainQuantizer(corpus, numCentroids, kmeansIters,
@@ -404,8 +428,11 @@ object Similarity {
       .map(c => (c, cents.slice(c * dim, (c + 1) * dim).toSeq))
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val (cb, _) = trainPqCodebooks(corpus, m, ksub, kmeansIters,
-      sampleFactor, idCol, vecCol)
+    val cb =
+      if (residual) trainPqCodebooksResidual(corpus, cents, dim, m, ksub,
+        kmeansIters, sampleFactor, idCol, vecCol)
+      else trainPqCodebooks(corpus, m, ksub, kmeansIters, sampleFactor,
+        idCol, vecCol)._1
     val dsub = dim / m
     (0 until m).flatMap { sub =>
       (0 until ksub).map { c =>
@@ -414,10 +441,35 @@ object Similarity {
       }
     }.toDF("sub", "c", "subcentroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    val codes = corpus.select(col(idCol).as("cand_id"),
-      pq_encode(col(vecCol), cb, dim, m, ksub).as("code"),
+    Seq(residual).toDF("residual")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.io.Tables.writeSortedBy(
+      encodeCodes(corpus, cents, cb, dim, m, ksub, residual, idCol, vecCol),
+      s"$path/codes", indexFiles, "bucket")
+  }
+
+  /** (cand_id, code, bucket) under either encoding mode. */
+  private def encodeCodes(vecs: DataFrame, cents: Array[Float],
+                          cb: Array[Float], dim: Int, m: Int, ksub: Int,
+                          residual: Boolean, idCol: String,
+                          vecCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.nearest_centroids
+    import graft.functions.PqFunctions.{pq_encode, pq_encode_res}
+    val code =
+      if (residual) pq_encode_res(col(vecCol), cents, cb, dim, m, ksub)
+      else pq_encode(col(vecCol), cb, dim, m, ksub)
+    vecs.select(col(idCol).as("cand_id"), code.as("code"),
       nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
-    graft.io.Tables.writeSortedBy(codes, s"$path/codes", indexFiles, "bucket")
+  }
+
+  /** Read the index's encoding mode (raw-vector PQ for indexes written
+    * before the residual option existed). */
+  private def pqIndexResidual(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      spark.read.parquet(s"$path/params").head().getBoolean(0)
   }
 
   /** Load the metadata-sized PQ codebook matrix of a persisted index. */
@@ -448,15 +500,11 @@ object Similarity {
   def appendToPqIndex(newVecs: DataFrame, path: String, indexFiles: Int = 4,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
-    import graft.functions.GraftFunctions.nearest_centroids
-    import graft.functions.PqFunctions.pq_encode
     val spark = newVecs.sparkSession
     val (cents, dim) = loadIvfCentroids(spark, path)
     val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
-    newVecs
-      .select(col(idCol).as("cand_id"),
-        pq_encode(col(vecCol), cb, dim, m, ksub).as("code"),
-        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    encodeCodes(newVecs, cents, cb, dim, m, ksub,
+        pqIndexResidual(spark, path), idCol, vecCol)
       .repartitionByRange(indexFiles, col("bucket"))
       .sortWithinPartitions("bucket")
       .write.mode("append").parquet(s"$path/codes")
@@ -471,13 +519,24 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.GraftFunctions.nearest_centroids
-    import graft.functions.PqFunctions.pq_dist_table
+    import graft.functions.PqFunctions.{pq_dist_table, pq_dist_table_res}
     val (cents, dim) = loadIvfCentroids(spark, path)
     val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
-    val probes = queries.select(col(idCol).as("query_id"),
-      pq_dist_table(col(vecCol), cb, dim, m, ksub).as("__tbl"),
-      explode(nearest_centroids(col(vecCol), cents, dim, nprobe)).as("bucket"))
+    val probes =
+      if (pqIndexResidual(spark, path))
+        // residual tables are PER (query, probed cell) — computed after
+        // the explode, still queries × nprobe rows on the broadcast side
+        queries.select(col(idCol).as("query_id"), col(vecCol),
+            explode(nearest_centroids(col(vecCol), cents, dim, nprobe))
+              .as("bucket"))
+          .select(col("query_id"), col("bucket"),
+            pq_dist_table_res(col(vecCol), col("bucket"), cents, cb,
+              dim, m, ksub).as("__tbl"))
+      else queries.select(col(idCol).as("query_id"),
+        pq_dist_table(col(vecCol), cb, dim, m, ksub).as("__tbl"),
+        explode(nearest_centroids(col(vecCol), cents, dim, nprobe))
+          .as("bucket"))
     adcTopK(codes, probes, k, Seq("bucket"))
   }
 

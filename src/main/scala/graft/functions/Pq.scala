@@ -47,11 +47,18 @@ object PqKernel {
 
   /** Per-subspace nearest sub-centroid indices (argmin squared L2, ties
     * toward the lowest index). Empty array when the vector's length
-    * disagrees with `dim`. */
+    * disagrees with `dim`. `normalize = false` treats the input as
+    * already in code space (the residual-training path — residuals must
+    * NOT be re-normalized). */
   def assign(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
-             ksub: Int): ArrayData = {
+             ksub: Int, normalize: Boolean): ArrayData = {
     if (vec.numElements() != dim) return new GenericArrayData(new Array[Int](0))
-    val v = unit(vec, dim)
+    val v = if (normalize) unit(vec, dim) else {
+      val raw = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { raw(i) = vec.getFloat(i).toDouble; i += 1 }
+      raw
+    }
     val dsub = dim / m
     val out = new Array[Int](m)
     var sub = 0
@@ -83,12 +90,112 @@ object PqKernel {
     * mismatch. */
   def encode(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
              ksub: Int): Array[Byte] = {
-    val idx = assign(vec, codebooks, dim, m, ksub)
+    val idx = assign(vec, codebooks, dim, m, ksub, true)
+    pack(idx)
+  }
+
+  private def pack(idx: ArrayData): Array[Byte] = {
     val n = idx.numElements()
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) { out(i) = (idx.getInt(i) & 0xff).toByte; i += 1 }
     out
+  }
+
+  /** Normalized residual to the nearest coarse centroid (cosine-nearest,
+    * ties to the lowest cell — IDENTICAL cell choice to
+    * [[NearestCentroidsKernel.nearest]] with nprobe 1, so stored bucket
+    * and encoded residual always agree): `v̂ - centroid(cell)`. Empty on
+    * length mismatch. */
+  def residual(vec: ArrayData, cents: Array[Float], dim: Int): Array[Double] = {
+    val v = unit(vec, dim)
+    val cell = NearestCentroidsKernel
+      .nearest(vec, cents, dim, 1).getInt(0)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { out(i) = v(i) - cents(cell * dim + i).toDouble; i += 1 }
+    out
+  }
+
+  /** Residual as a float array column (the residual-codebook TRAINING
+    * input — downstream assign/encode must not re-normalize it). */
+  def residualVec(vec: ArrayData, cents: Array[Float], dim: Int): ArrayData = {
+    if (vec.numElements() != dim) return new GenericArrayData(new Array[Float](0))
+    val r = residual(vec, cents, dim)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { out(i) = r(i).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Residual-encoded PQ code (the TPAMI IVFADC form): quantize
+    * `v̂ - centroid(cell)` — residuals are small, so the same codebook
+    * budget spends its resolution near the data. One kernel does
+    * normalize → cell → residual → assign, so nothing double-normalizes. */
+  def encodeResidual(vec: ArrayData, cents: Array[Float],
+                     codebooks: Array[Float], dim: Int, m: Int,
+                     ksub: Int): Array[Byte] = {
+    if (vec.numElements() != dim) return new Array[Byte](0)
+    val r = residual(vec, cents, dim)
+    val dsub = dim / m
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * ksub * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = base + c * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = r(sub * dsub + t) - codebooks(off + t).toDouble
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = (best & 0xff).toByte
+      sub += 1
+    }
+    out
+  }
+
+  /** ADC table for one (query, probed cell) pair under residual codes:
+    * distances from the QUERY's residual to that cell
+    * (`q̂ - centroid(bucket)`) to every sub-centroid. Exact identity
+    * `‖q̂-x̂‖² = ‖(q̂-c) - (x̂-c)‖²` keeps the score meaning unchanged. */
+  def distTableResidual(vec: ArrayData, bucket: Int, cents: Array[Float],
+                        codebooks: Array[Float], dim: Int, m: Int,
+                        ksub: Int): ArrayData = {
+    if (vec.numElements() != dim || bucket < 0)
+      return new GenericArrayData(new Array[Float](0))
+    val v = unit(vec, dim)
+    val dsub = dim / m
+    val out = new Array[Float](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * ksub * dsub
+      var c = 0
+      while (c < ksub) {
+        val off = base + c * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val i = sub * dsub + t
+          val diff = (v(i) - cents(bucket * dim + i).toDouble) -
+            codebooks(off + t).toDouble
+          d += diff * diff
+          t += 1
+        }
+        out(sub * ksub + c) = d.toFloat
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** ADC lookup table for one query: `m × ksub` floats where
@@ -141,21 +248,83 @@ object PqKernel {
   }
 }
 
-/** pq_assign(vec) -> array<int>: per-subspace sub-centroid indices. */
+/** pq_assign(vec) -> array<int>: per-subspace sub-centroid indices.
+  * `normalize = false` is the residual-training path (input already in
+  * code space). */
 case class PqAssign(child: Expression, codebooks: Array[Float], dim: Int,
-                    m: Int, ksub: Int) extends UnaryExpression {
+                    m: Int, ksub: Int, normalize: Boolean = true)
+    extends UnaryExpression {
   require(m > 0 && dim % m == 0, "dim must be a multiple of m")
   require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    PqKernel.assign(v.asInstanceOf[ArrayData], codebooks, dim, m, ksub)
+    PqKernel.assign(v.asInstanceOf[ArrayData], codebooks, dim, m, ksub, normalize)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqKernel.assign($c, $ref, $dim, $m, $ksub)")
+      s"graft.functions.PqKernel.assign($c, $ref, $dim, $m, $ksub, $normalize)")
   }
   override protected def withNewChildInternal(c: Expression): PqAssign =
     copy(child = c)
+}
+
+/** residual_vec(vec) -> array<float>: v̂ minus its nearest coarse
+  * centroid (residual-codebook training input). */
+case class ResidualVec(child: Expression, cents: Array[Float], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0, "dim must be positive")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.residualVec(v.asInstanceOf[ArrayData], cents, dim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coarseCents", cents, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.residualVec($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): ResidualVec =
+    copy(child = c)
+}
+
+/** pq_encode_res(vec) -> binary: residual-encoded m-byte PQ code. */
+case class PqEncodeRes(child: Expression, cents: Array[Float],
+                       codebooks: Array[Float], dim: Int, m: Int, ksub: Int)
+    extends UnaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.encodeResidual(v.asInstanceOf[ArrayData], cents, codebooks,
+      dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("coarseCents", cents, "float[]")
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.encodeResidual($c, $cref, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeRes =
+    copy(child = c)
+}
+
+/** pq_dist_table_res(vec, bucket) -> array<float>: per-(query, probed
+  * cell) ADC table under residual codes. */
+case class PqDistTableRes(left: Expression, right: Expression,
+                          cents: Array[Float], codebooks: Array[Float],
+                          dim: Int, m: Int, ksub: Int)
+    extends BinaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any, b: Any): Any =
+    PqKernel.distTableResidual(v.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], cents, codebooks, dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("coarseCents", cents, "float[]")
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.PqKernel.distTableResidual($v, $b, $cref, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqDistTableRes = copy(left = l, right = r)
 }
 
 /** pq_encode(vec) -> binary: m-byte PQ code. */
@@ -212,7 +381,17 @@ object PqFunctions {
   private def ex(c: Column): Expression = Bridge.expression(c)
 
   def pq_assign(vec: Column, codebooks: Array[Float], dim: Int, m: Int,
-                ksub: Int): Column = col(PqAssign(ex(vec), codebooks, dim, m, ksub))
+                ksub: Int, normalize: Boolean = true): Column =
+    col(PqAssign(ex(vec), codebooks, dim, m, ksub, normalize))
+  def residual_vec(vec: Column, cents: Array[Float], dim: Int): Column =
+    col(ResidualVec(ex(vec), cents, dim))
+  def pq_encode_res(vec: Column, cents: Array[Float], codebooks: Array[Float],
+                    dim: Int, m: Int, ksub: Int): Column =
+    col(PqEncodeRes(ex(vec), cents, codebooks, dim, m, ksub))
+  def pq_dist_table_res(vec: Column, bucket: Column, cents: Array[Float],
+                        codebooks: Array[Float], dim: Int, m: Int,
+                        ksub: Int): Column =
+    col(PqDistTableRes(ex(vec), ex(bucket), cents, codebooks, dim, m, ksub))
   def pq_encode(vec: Column, codebooks: Array[Float], dim: Int, m: Int,
                 ksub: Int): Column = col(PqEncode(ex(vec), codebooks, dim, m, ksub))
   def pq_dist_table(vec: Column, codebooks: Array[Float], dim: Int, m: Int,

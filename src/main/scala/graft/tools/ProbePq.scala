@@ -21,15 +21,20 @@ object ProbePq {
       val qs = emb.filter(col("vec_id") < 10)
       val brute = Similarity.bruteForceTopK(emb, qs, 5)
         .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
-      for (ksub <- Seq(16, 64); rr <- Seq(20, 30)) {
+      for (ksub <- Seq(16, 64); res <- Seq(false, true)) {
         val idx = java.nio.file.Files.createTempDirectory("probe_pq").toString
-        Similarity.buildPqIndex(emb, idx, numCentroids = 8, m = 16, ksub = ksub)
-        for (np <- Seq(7, 8)) {
+        Similarity.buildPqIndex(emb, idx, numCentroids = 8, m = 16,
+          ksub = ksub, residual = res)
+        // bare ADC ordering (no re-rank) isolates the quantization error
+        val bare = Similarity.pqTopKFromIndex(spark, idx, qs, 5, nprobe = 8)
+          .as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
+        val bareRec = bare.count(brute.contains).toDouble / brute.size
+        for (rr <- Seq(10, 20)) {
           val pq = Similarity.pqTopKFromIndexRerank(spark, idx, emb, qs, 5,
-            rerank = rr, nprobe = np)
+            rerank = rr, nprobe = 7)
             .as[(Long, Long, Double)].collect().map(r => (r._1, r._2))
           val recall = pq.count(brute.contains).toDouble / brute.size
-          println(f"dir=$dir n=$n ivfpq+rr m=16 ksub=$ksub nc=8 np=$np rr=$rr recall@5=$recall%.3f")
+          println(f"dir=$dir n=$n ivfpq res=$res m=16 ksub=$ksub bare=$bareRec%.3f np=7 rr=$rr recall@5=$recall%.3f")
         }
         import java.util.Comparator
         java.nio.file.Files.walk(java.nio.file.Paths.get(idx))

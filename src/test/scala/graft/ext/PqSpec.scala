@@ -193,6 +193,114 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: residual encode and residual dist-table kernels match an " +
+    "in-memory mirror bit-for-bit (cell choice ≡ NearestCentroids)") {
+    val rnd = new scala.util.Random(9182)
+    val dim = 16; val m = 4; val ksub = 8; val nc = 4
+    val cents = Array.fill(nc * dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val cb = Array.fill(m * ksub * (dim / m))((rnd.nextDouble() * 0.5 - 0.25).toFloat)
+    def refCell(v: Array[Double]): Int = {
+      // cosine argmax, ties toward the lowest index — the
+      // NearestCentroidsKernel contract
+      var vn = 0.0; v.foreach(x => vn += x * x)
+      var best = 0; var bestS = Double.NegativeInfinity
+      for (c <- 0 until nc) {
+        var dot = 0.0; var cn = 0.0
+        for (j <- 0 until dim) {
+          dot += v(j) * cents(c * dim + j).toDouble
+          cn += cents(c * dim + j).toDouble * cents(c * dim + j).toDouble
+        }
+        val s = if (vn == 0.0 || cn == 0.0) Double.NegativeInfinity
+                else dot / (math.sqrt(vn) * math.sqrt(cn))
+        if (s > bestS) { bestS = s; best = c }
+      }
+      best
+    }
+    def refResidual(raw: Array[Float]): Array[Double] = {
+      val v = Ref.unit(raw)
+      val cell = refCell(raw.map(_.toDouble))
+      Array.tabulate(dim)(i => v(i) - cents(cell * dim + i).toDouble)
+    }
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(3)
+    val got = df.select(col("vec_id"),
+        pq_encode_res(col("embedding"), cents, cb, dim, m, ksub).as("code"),
+        pq_dist_table_res(col("embedding"),
+          lit(2), cents, cb, dim, m, ksub).as("tbl"))
+      .as[(Long, Array[Byte], Seq[Float])].collect()
+      .map(r => r._1 -> (r._2.toSeq, r._3)).toMap
+    val dsub = dim / m
+    vecs.foreach { case (id, v) =>
+      val r = refResidual(v.toArray)
+      // reference residual-encode: plain argmin L2 per subspace
+      val refCode = Array.tabulate(m) { sub =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until ksub) {
+          var d = 0.0
+          for (t <- 0 until dsub) {
+            val diff = r(sub * dsub + t) -
+              cb(sub * ksub * dsub + c * dsub + t).toDouble
+            d += diff * diff
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        (best & 0xff).toByte
+      }
+      assert(got(id)._1 == refCode.toSeq, s"residual code, vec $id")
+      // reference residual table vs FIXED bucket 2
+      val vu = Ref.unit(v.toArray)
+      val refTbl = new Array[Float](m * ksub)
+      for (sub <- 0 until m; c <- 0 until ksub) {
+        var d = 0.0
+        for (t <- 0 until dsub) {
+          val i = sub * dsub + t
+          val diff = (vu(i) - cents(2 * dim + i).toDouble) -
+            cb(sub * ksub * dsub + c * dsub + t).toDouble
+          d += diff * diff
+        }
+        refTbl(sub * ksub + c) = d.toFloat
+      }
+      assert(got(id)._2 == refTbl.toSeq, s"residual table, vec $id")
+    }
+  }
+
+  test("residual-mode index: stored codes ≡ direct residual encode, the " +
+    "mode flag survives reload (appends stay residual), and recall@5 " +
+    "≥ 0.9 with re-rank") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val extra = emb.filter(col("vec_id") % 4 === 0)
+    val qs = emb.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_res")
+    try {
+      Similarity.buildPqIndex(base, idx.toString, numCentroids = 8,
+        m = 16, ksub = 64, residual = true)
+      Similarity.appendToPqIndex(extra, idx.toString)
+      val (cents, dim) = Similarity.loadIvfCentroids(spark, idx.toString)
+      val (cb, m, ksub, _) = Similarity.loadPqCodebooks(spark, idx.toString)
+      val stored = spark.read.parquet(s"$idx/codes")
+        .select("cand_id", "code").as[(Long, Array[Byte])]
+        .collect().map(r => r._1 -> r._2.toSeq).toMap
+      val direct = emb.select(col("vec_id"),
+          pq_encode_res(col("embedding"), cents, cb, dim, m, ksub).as("c"))
+        .as[(Long, Array[Byte])].collect().map(r => r._1 -> r._2.toSeq).toMap
+      assert(stored == direct) // appended rows included → flag respected
+      val brute = Similarity.bruteForceTopK(emb, qs, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val pq = Similarity.pqTopKFromIndexRerank(spark, idx.toString, emb,
+        qs, 5, rerank = 20, nprobe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      val recall = pq.count(brute.contains).toDouble / brute.size
+      assert(recall >= 0.9, s"residual IVF-PQ recall@5 = $recall")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("appendToPqIndex encodes with the STORED models: probes find the " +
     "appended vectors and their codes equal a direct encode under the " +
     "reloaded codebooks") {
