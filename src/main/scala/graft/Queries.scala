@@ -1157,6 +1157,59 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Contamination REPORT (the observability twin of the decontam
+    // filters): for every held-out document, how many distinct corpus
+    // documents share at least one 5-shingle with it — the number that
+    // decides whether an eval set is usable at all, and which thresholds
+    // decontamination needs. Shuffle keys are the 8-byte shingle hashes.
+    "ext_contam_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(GraftFunctions.shingle_set(
+          GraftFunctions.tokens_lc(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      val heldSh = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("h_id"), col("shk"))
+      val corpusSh = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("c_id"), col("shk"))
+      val counts = heldSh.join(corpusSh, Seq("shk"))
+        .groupBy("h_id")
+        .agg(count_distinct(col("c_id")).as("n_contaminating"))
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("h_id"))
+        .join(counts, Seq("h_id"), "left")
+        .select(col("h_id").as("doc_id"),
+          coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"))
+    }),
+
+    // Duplicate-cluster size histogram (how much of the corpus is
+    // copies?): exact-digest cluster sizes → count of clusters per size.
+    // First aggregate keys on the 32-byte digest; the histogram is
+    // metadata-sized.
+    "ext_dup_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("dg"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
+
+    // Embedding-table profiling (the ext_profile_stats twin for vectors):
+    // per-label counts, dim bounds, zero-vector count, and the mean-norm
+    // numerator through the integer-nanos pattern (per-row round, exact
+    // integer sum — engine- and layout-exact).
+    "ext_embed_profile" -> ((s, dir) => {
+      val n2 = aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      t(s, dir, "embeddings")
+        .select(col("label"), n2.as("n2"), size(col("embedding")).as("dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("dim").cast("long").as("min_dim"),
+          max("dim").cast("long").as("max_dim"),
+          sum(floor(sqrt(col("n2")) * 1000000000L + 0.5).cast("long"))
+            .as("norm_nanos"),
+          sum(when(col("n2") === 0.0d, 1L).otherwise(0L)).as("n_zero"))
+    }),
+
     // Quality-weighted deterministic sampling (importance resampling):
     // keep each doc with probability = its quality score, decided by the
     // overflow-safe limb hash of doc_id against floor(q · 2^32) — pure
@@ -2261,6 +2314,47 @@ object Queries {
          |    ($qualitySql) AS q
          |  FROM documents)
          |WHERE hv < CAST(floor(q * 4294967296) AS BIGINT)""".stripMargin,
+
+    "ext_contam_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |shx AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 4, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+         |           || ' ' || tk[i + 3] || ' ' || tk[i + 4]))) AS s
+         |  FROM toks WHERE len(tk) >= 5),
+         |counts AS (
+         |  SELECT h.doc_id AS h_id,
+         |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n
+         |  FROM shx h JOIN shx c ON h.s = c.s
+         |  WHERE h.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |  GROUP BY h.doc_id)
+         |SELECT d.doc_id, coalesce(counts.n, 0) AS n_contaminating
+         |FROM documents d LEFT JOIN counts ON d.doc_id = counts.h_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
+
+    "ext_dup_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM documents GROUP BY text)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM c GROUP BY cluster_size""".stripMargin,
+
+    "ext_embed_profile" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    len(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS BIGINT) AS min_dim,
+        |  CAST(max(dim) AS BIGINT) AS max_dim,
+        |  CAST(sum(CAST(floor(sqrt(n2) * 1000000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS norm_nanos,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM e GROUP BY label""".stripMargin,
 
     "ext_mixture_sample" ->
       s"""WITH totals AS (

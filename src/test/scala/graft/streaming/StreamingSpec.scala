@@ -416,6 +416,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination against the PERSISTED bloom index runs unchanged " +
+    "on a stream (the weekly-crawl steady state: stored bitset probe + " +
+    "stateless anti-join vs the stored digest table)") {
+    implicit val sc = spark.sqlContext
+    val held = Seq((100L, "drop me"), (101L, "also drop"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bloom_stream")
+    try {
+      graft.ext.Curation.buildBloomIndex(held, s"$idx/h", expectedItems = 10L)
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingJobs.startMemory(
+        graft.ext.Curation.bloomDecontaminateFromIndex(
+          in.toDF().toDF("doc_id", "text"), s"$idx/h"),
+        "bloom_idx_test", OutputMode.Append())
+      try {
+        in.addData((1L, "keep me"), (2L, "drop me"), (3L, "also keep"))
+        q.processAllAvailable()
+        val kept = spark.table("bloom_idx_test").select("doc_id").as[Long]
+          .collect().toSet
+        assert(kept == Set(1L, 3L)) // same survivors as the batch form
+      } finally q.stop()
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("dsir scoring runs unchanged on a stream (λ-table baked into the " +
     "stateless projection, T5 unified batch/stream)") {
     implicit val sc = spark.sqlContext
