@@ -1162,6 +1162,10 @@ object Queries {
     // documents share at least one 5-shingle with it — the number that
     // decides whether an eval set is usable at all, and which thresholds
     // decontamination needs. Shuffle keys are the 8-byte shingle hashes.
+    // Scale note: unlike the decontam SEMI join (no fan-out), this inner
+    // join fans out per shared shingle — but only by the HELD-side
+    // multiplicity, which is bounded by the eval-set size (small by
+    // construction), never by corpus df.
     "ext_contam_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = docs.select(col("doc_id"),

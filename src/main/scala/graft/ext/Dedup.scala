@@ -360,19 +360,19 @@ object Dedup {
    * append count grows, like any LSM maintenance job.
    */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, indexFiles: Int = 32): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+                        path: String, indexFiles: Int = 32): Unit =
     Seq("bands" -> Seq("band", "bkey"), "shingles" -> Seq("id")).foreach {
       case (sub, cols) =>
-        val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
-        val fs = src.getFileSystem(conf)
-        graft.io.Tables.writeSortedBy(
-          spark.read.parquet(src.toString), tmp.toString, indexFiles, cols: _*)
-        fs.delete(src, true)
-        require(fs.rename(tmp, src), s"compaction swap failed for $src")
+        graft.io.Tables.compactSorted(spark, s"$path/$sub", indexFiles,
+          dedupe = false, cols: _*)
     }
-  }
+
+  /** Compact an exact-digest index: restore disjoint per-file digest
+    * ranges and drop duplicate digests accumulated across appends. */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, indexFiles: Int = 32): Unit =
+    graft.io.Tables.compactSorted(spark, s"$path/digests", indexFiles,
+      dedupe = true, "digest")
 
   /**
    * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)

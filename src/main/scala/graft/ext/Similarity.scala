@@ -230,6 +230,21 @@ object Similarity {
       .write.mode("append").parquet(s"$path/assignments")
   }
 
+  /** Compact a persisted IVF index's inverted lists back to disjoint
+    * per-file bucket ranges (appends overlap earlier files LSM-style and
+    * degrade file skipping until compaction). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, indexFiles: Int = 32): Unit =
+    graft.io.Tables.compactSorted(spark, s"$path/assignments", indexFiles,
+      dedupe = false, "bucket")
+
+  /** Compact a persisted IVF-PQ index's code lists (same contract as
+    * [[compactIvfIndex]]). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, indexFiles: Int = 32): Unit =
+    graft.io.Tables.compactSorted(spark, s"$path/codes", indexFiles,
+      dedupe = false, "bucket")
+
   /** Query a persisted IVF index: same probe plan as [[ivfTopK]], but the
     * corpus side is the stored, bucket-sorted inverted lists — no
     * re-training, no re-assignment, parquet file skipping on the probed

@@ -84,6 +84,31 @@ object Tables {
   }
 
   /**
+   * Rewrite an append-accumulated table back into `numFiles` files with
+   * DISJOINT per-file ranges on `sortCols` — LSM-style compaction for
+   * the persisted index family: each `appendTo*Index` adds files whose
+   * key ranges overlap earlier ones, degrading parquet file skipping
+   * until a compaction restores it. Write-to-temp-then-swap, so a
+   * concurrent reader sees either the old or the new layout, never a
+   * partial mix. `dedupe = true` additionally drops exact-duplicate rows
+   * (the exact-digest index, where re-appending an already-indexed
+   * digest is harmless but wasteful).
+   */
+  def compactSorted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    numFiles: Int, dedupe: Boolean, sortCols: String*): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      src.getParent, "." + src.getName + "_compacting")
+    val fs = src.getFileSystem(conf)
+    val df0 = spark.read.parquet(dir)
+    val df = if (dedupe) df0.distinct() else df0
+    writeSortedBy(df, tmp.toString, numFiles, sortCols: _*)
+    fs.delete(src, true)
+    require(fs.rename(tmp, src), s"compaction swap failed for $src")
+  }
+
+  /**
    * Z-ordered (Morton-curve) two-column layout: rows are range-partitioned
    * and sorted by the interleaved bits of BOTH key columns, so every
    * parquet file covers a small RECTANGLE of the (a, b) key space — its

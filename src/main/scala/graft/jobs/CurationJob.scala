@@ -38,7 +38,8 @@ import graft.ops.Caching
 object CurationJob {
 
   /** args: crawlParquet heldOutParquet indexDir outDir [minQuality]
-    * [threshold] [gopherRules=0/1] [dsirTargetParquet] [dsirKeep] */
+    * [threshold] [gopherRules=0/1] [dsirTargetParquet] [dsirKeep]
+    * [bloomIndexDir] */
   def main(args: Array[String]): Unit = {
     val Array(crawlPath, heldOutPath, indexDir, outDir) = args.take(4)
     val minQuality = args.lift(4).map(_.toDouble).getOrElse(0.1)
@@ -46,10 +47,12 @@ object CurationJob {
     val gopher = args.lift(6).exists(_.toInt != 0)
     val dsirTarget = args.lift(7).getOrElse("")
     val dsirKeep = args.lift(8).map(_.toInt).getOrElse(0)
+    val bloomIdx = args.lift(9).getOrElse("")
     val spark = graft.GraftSession.create("graft-curation")
     try run(spark, crawlPath, heldOutPath, indexDir, outDir,
       minQuality, threshold, applyGopherRules = gopher,
-      dsirTargetPath = dsirTarget, dsirKeep = dsirKeep)
+      dsirTargetPath = dsirTarget, dsirKeep = dsirKeep,
+      bloomIndexDir = bloomIdx)
     finally spark.stop()
   }
 
@@ -57,7 +60,8 @@ object CurationJob {
           indexDir: String, outDir: String, minQuality: Double = 0.1,
           threshold: Double = 0.8, chunkWords: Int = 10, maxDf: Int = 2,
           tokenBudget: Long = 512L, applyGopherRules: Boolean = false,
-          dsirTargetPath: String = "", dsirKeep: Int = 0): Unit = {
+          dsirTargetPath: String = "", dsirKeep: Int = 0,
+          bloomIndexDir: String = ""): Unit = {
     val crawl = spark.read.parquet(crawlPath)
     val heldOut = spark.read.parquet(heldOutPath)
     val withLang = crawl.columns.contains("lang")
@@ -91,9 +95,21 @@ object CurationJob {
             .select("doc_id"), Seq("doc_id")))
       val nRuled = if (applyGopherRules) ruled.count() else nQuality
 
-      // 3. exact decontamination, Bloom-prefiltered
+      // 3. exact decontamination, Bloom-prefiltered. With a
+      // `bloomIndexDir`, the filter + digest table persist across runs
+      // (the eval set is static): run 1 builds, every later run probes
+      // the stored index — the same bootstrap-then-probe contract as the
+      // dedup index below.
       val decon = Caching.register(
-        Curation.bloomDecontaminate(ruled, heldOut))
+        if (bloomIndexDir.isEmpty)
+          Curation.bloomDecontaminate(ruled, heldOut)
+        else {
+          val marker = new org.apache.hadoop.fs.Path(s"$bloomIndexDir/digests")
+          val bfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!bfs.exists(marker))
+            Curation.buildBloomIndex(heldOut, bloomIndexDir)
+          Curation.bloomDecontaminateFromIndex(ruled, bloomIndexDir)
+        })
       val nDecon = decon.count()
 
       // 4. near-dup removal against the persisted corpus index:

@@ -123,9 +123,11 @@ object VerifyDrive {
     println(s"exact survivors: ${xs.count()} of ${crawl.count()}")
     Dedup.appendToExactIndex(xs, s"$r5/x")
 
-    println("== IVF append + semantic decontam ==")
+    println("== IVF append + compaction + semantic decontam ==")
     Similarity.appendToIvfIndex( // fresh ids — appends must be disjoint
       emb.limit(50).withColumn("vec_id", col("vec_id") + 1000000L), ivfDir)
+    Similarity.compactIvfIndex(spark, ivfDir, indexFiles = 4)
+    Similarity.compactPqIndex(spark, pqDir, indexFiles = 4)
     println("decontam survivors: " + Similarity.semanticDecontaminate(
       emb.filter(col("vec_id") % 5 =!= 0),
       emb.filter(col("vec_id") % 5 === 0), threshold = 0.4).count())

@@ -293,6 +293,18 @@ class PqSpec extends SparkSpec {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       val recall = pq.count(brute.contains).toDouble / brute.size
       assert(recall >= 0.9, s"residual IVF-PQ recall@5 = $recall")
+
+      // compaction rewrites the append-fragmented code lists without
+      // changing a single row, and the probe result is identical
+      Similarity.compactPqIndex(spark, idx.toString, indexFiles = 3)
+      val storedAfter = spark.read.parquet(s"$idx/codes")
+        .select("cand_id", "code").as[(Long, Array[Byte])]
+        .collect().map(r => r._1 -> r._2.toSeq).toMap
+      assert(storedAfter == stored)
+      val pq2 = Similarity.pqTopKFromIndexRerank(spark, idx.toString, emb,
+        qs, 5, rerank = 20, nprobe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      assert(pq2.toSet == pq.toSet)
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(idx)

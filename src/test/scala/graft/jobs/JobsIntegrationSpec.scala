@@ -146,7 +146,13 @@ class JobsIntegrationSpec extends SparkSpec {
         .toDF("doc_id", "text").write.parquet(p("held"))
 
       CurationJob.run(spark, p("crawl1"), p("held"), p("idx"), p("out1"),
-        minQuality = 0.8, threshold = 0.5, chunkWords = 4)
+        minQuality = 0.8, threshold = 0.5, chunkWords = 4,
+        bloomIndexDir = p("bidx"))
+      // run 1 persisted the decontamination model (filter + digests)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p("bidx/digests"))))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p("bidx/bloom"))))
       val curated1 = spark.read.parquet(p("out1/curated"))
       assert(curated1.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
       // doc 4 exits with ONLY its non-boilerplate tail, token-counted and binned
@@ -167,13 +173,63 @@ class JobsIntegrationSpec extends SparkSpec {
         (30L, "ah the alpha machine dances beside eleven crimson theorem meadows tonight"),
         (31L, "completely original closing statement about the silver meridian harbor lights"))
         .toDF("doc_id", "text").write.parquet(p("crawl2"))
+      // run 2 probes the STORED bloom index (build-once/probe-many)
       CurationJob.run(spark, p("crawl2"), p("held"), p("idx"), p("out2"),
-        minQuality = 0.8, threshold = 0.5, chunkWords = 4)
+        minQuality = 0.8, threshold = 0.5, chunkWords = 4,
+        bloomIndexDir = p("bidx"))
       assert(spark.read.parquet(p("out2/curated"))
         .select("doc_id").as[Long].collect().toSet == Set(31L))
       val funnel2 = spark.read.parquet(p("out2/funnel"))
         .as[(Long, Long, Long, Long, Long, Long, Long)].head()
       assert(funnel2 == ((2L, 2L, 2L, 2L, 2L, 1L, 1L)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("AuditJob writes the full audit bundle with exact counts and " +
+    "releases its caches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit")
+    def p(s: String) = s"$root/$s"
+    spark.catalog.clearCache()
+    try {
+      Seq(
+        (1L, "en", "a.com", "the quick brown fox jumps over the lazy dog"),
+        (2L, "en", "a.com", "the quick brown fox jumps over the lazy dog"),
+        (3L, "de", "b.de", "ein ganz anderes dokument hier"))
+        .toDF("doc_id", "lang", "source", "text").write.parquet(p("docs"))
+      Seq((0L, Seq(3.0f, 4.0f), 1), (1L, Seq(0.0f, 0.0f), 1),
+          (2L, Seq(1.0f, 0.0f), 2))
+        .toDF("vec_id", "embedding", "label").write.parquet(p("emb"))
+
+      AuditJob.run(spark, p("docs"), p("out"), p("emb"))
+
+      val stats = spark.read.parquet(p("out/corpus_stats"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(stats._1 == 3L && stats._2 == 2L && stats._3 == 2L)
+      val langs = spark.read.parquet(p("out/lang_dist"))
+        .select("lang", "n_docs").as[(String, Long)].collect().toMap
+      assert(langs == Map("en" -> 2L, "de" -> 1L))
+      val srcs = spark.read.parquet(p("out/source_dist"))
+        .as[(String, Long)].collect().toMap
+      assert(srcs == Map("a.com" -> 2L, "b.de" -> 1L))
+      val hist = spark.read.parquet(p("out/dup_histogram"))
+        .as[(Long, Long)].collect().toMap
+      assert(hist == Map(2L -> 1L, 1L -> 1L)) // docs 1≡2 dup, doc 3 unique
+      val rates = spark.read.parquet(p("out/quality_rates"))
+      assert(rates.columns.contains("n_keep") &&
+        rates.select("docs").as[Long].head() == 3L)
+      val ep = spark.read.parquet(p("out/embed_profile"))
+        .select("label", "n_vecs", "norm_nanos", "n_zero")
+        .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // label 1: norms 5.0 (3-4-5 triangle) + 0.0 with one zero vector
+      assert(ep(1) == ((1, 2L, 5000000000L, 1L)))
+      assert(ep(2) == ((2, 1L, 1000000000L, 0L)))
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "the job's scoped caches must be released")
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(root)
