@@ -1191,27 +1191,38 @@ object Queries {
     // First aggregate keys on the 32-byte digest; the histogram is
     // metadata-sized.
     "ext_dup_histogram" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(sha2(col("text"), 256).as("dg"))
-        .agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
+      ext.Profile.dupHistogram(t(s, dir, "documents"))),
 
     // Embedding-table profiling (the ext_profile_stats twin for vectors):
     // per-label counts, dim bounds, zero-vector count, and the mean-norm
     // numerator through the integer-nanos pattern (per-row round, exact
     // integer sum — engine- and layout-exact).
-    "ext_embed_profile" -> ((s, dir) => {
-      val n2 = aggregate(col("embedding"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double"))
-      t(s, dir, "embeddings")
-        .select(col("label"), n2.as("n2"), size(col("embedding")).as("dim"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"),
-          min("dim").cast("long").as("min_dim"),
-          max("dim").cast("long").as("max_dim"),
-          sum(floor(sqrt(col("n2")) * 1000000000L + 0.5).cast("long"))
-            .as("norm_nanos"),
-          sum(when(col("n2") === 0.0d, 1L).otherwise(0L)).as("n_zero"))
+    "ext_embed_profile" -> ((s, dir) =>
+      ext.Profile.embedProfile(t(s, dir, "embeddings"))),
+
+    // Quality calibration deciles: exact decile assignment over the
+    // quality score via the same two-level bucketed global rank as s19
+    // (bucket = the discrete score value — no single-task total sort),
+    // then per-decile doc counts + the mean-quality numerator in exact
+    // integer micro-units. The table that says whether a quality
+    // threshold at 0.x keeps 10% or 90% of the corpus.
+    "ext_quality_deciles" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScoreOf(col("text"),
+        TextAnalysis.tokens(col("text")))
+      graft.ops.Ranks.withGlobalRank(
+        t(s, dir, "documents").select(col("doc_id"), q.as("q")),
+        order = Seq(col("q"), col("doc_id")),
+        bucket = floor(col("q") * 100).cast("long"))
+        .selectExpr("q",
+          """CAST(CASE WHEN __r <= (__n % 10) * (__n DIV 10 + 1)
+            |  THEN (__r - 1) DIV (__n DIV 10 + 1) + 1
+            |  ELSE __n % 10
+            |    + (__r - 1 - (__n % 10) * (__n DIV 10 + 1))
+            |      DIV greatest(__n DIV 10, 1) + 1
+            |END AS BIGINT) AS decile""".stripMargin)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(floor(col("q") * 1000000L + 0.5).cast("long")).as("q_micro"))
     }),
 
     // Quality-weighted deterministic sampling (importance resampling):
@@ -2319,6 +2330,29 @@ object Queries {
          |  FROM documents)
          |WHERE hv < CAST(floor(q * 4294967296) AS BIGINT)""".stripMargin,
 
+    "ext_quality_deciles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ($qualitySql) AS q FROM documents),
+         |r AS (
+         |  SELECT doc_id, q,
+         |    CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM q),
+         |d AS (
+         |  SELECT q,
+         |    CASE WHEN r <= (n % 10) * (n // 10 + 1)
+         |      THEN (r - 1) // (n // 10 + 1) + 1
+         |      ELSE n % 10
+         |        + (r - 1 - (n % 10) * (n // 10 + 1))
+         |          // greatest(n // 10, 1) + 1
+         |    END AS decile
+         |  FROM r)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS q_micro
+         |FROM d GROUP BY decile""".stripMargin,
+
     "ext_contam_report" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),
@@ -2348,8 +2382,8 @@ object Queries {
     "ext_embed_profile" ->
       """WITH e AS (
         |  SELECT label,
-        |    list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0) AS n2,
         |    len(embedding) AS dim
         |  FROM embeddings)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,

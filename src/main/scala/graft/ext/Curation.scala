@@ -281,12 +281,18 @@ object Curation {
   def corpusDiff(old: DataFrame, newer: DataFrame,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val o = old.select(col(idCol), sha2(col(textCol), 256).as("__od"))
-    val n = newer.select(col(idCol), sha2(col(textCol), 256).as("__nd"))
+    // presence markers, NOT digest-nullness: sha2(null text) is null, and
+    // inferring absence from it would misclassify a null-text document as
+    // added/removed. A null digest on either side of a present-present
+    // pair compares as not-equal → "changed" (conservative: re-process).
+    val o = old.select(col(idCol), sha2(col(textCol), 256).as("__od"),
+      lit(true).as("__op"))
+    val n = newer.select(col(idCol), sha2(col(textCol), 256).as("__nd"),
+      lit(true).as("__np"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__od").isNull, "added")
-          .when(col("__nd").isNull, "removed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
           .when(col("__od") === col("__nd"), "unchanged")
           .otherwise("changed").as("status"))
   }
@@ -325,13 +331,17 @@ object Curation {
           .cast("long").as("w_g"))
     val tot = counts.agg(sum(col("w_g")).as("sum_w"))
     val rates = counts.crossJoin(tot)
-      .select(col(groupCol),
+      .select(col(groupCol).as("__g"),
         least(lit(1.0),
           lit(targetDocs) * col("w_g").cast("double") /
             col("sum_w").cast("double") / col("n_g").cast("double"))
           .as("__rate"))
-    docs.join(broadcast(rates), Seq(groupCol))
+    // null-SAFE join: groupBy above keeps a null group (it holds weight
+    // in sum_w), so the rate join must match it too — a plain equi-join
+    // would silently drop every null-group document while still charging
+    // that group's weight against the budget
+    docs.join(broadcast(rates), docs(groupCol) <=> rates("__g"))
       .filter(hash < floor(col("__rate") * 4294967296L).cast("long"))
-      .drop("__rate")
+      .drop("__g", "__rate")
   }
 }

@@ -324,21 +324,29 @@ object Similarity {
     var cb = new Array[Float](m * ksub * dsub)
     initRows.zipWithIndex.foreach { case (r, c) =>
       val v = r.getSeq[Float](1)
-      var sub = 0
-      while (sub < m) {
-        var t = 0
-        while (t < dsub) {
-          cb(sub * ksub * dsub + c * dsub + t) = v(sub * dsub + t)
-          t += 1
+      // wrong-length rows leave their init slot zero rather than throwing
+      // — the same tolerance the encode/assign kernels document
+      if (v.length == dim) {
+        var sub = 0
+        while (sub < m) {
+          var t = 0
+          while (t < dsub) {
+            cb(sub * ksub * dsub + c * dsub + t) = v(sub * dsub + t)
+            t += 1
+          }
+          sub += 1
         }
-        sub += 1
       }
     }
     // fewer init rows than ksub: the remaining sub-centroids stay zero —
     // harmless (they only ever win for near-zero subvectors)
 
     if (kmeansIters > 0) {
+      // wrong-length vectors must not reach the Lloyd update: pq_assign
+      // gives them an EMPTY code, element_at on it yields null, and the
+      // driver-side getInt would NPE — filter them out of the sample
       val sample = prepared
+        .filter(size(col(vecCol)) === dim)
         .orderBy(xxhash64(col(idCol)), col(idCol))
         .limit(math.max(ksub * sampleFactor, ksub))
         .cache()
@@ -463,18 +471,25 @@ object Similarity {
       s"$path/codes", indexFiles, "bucket")
   }
 
-  /** (cand_id, code, bucket) under either encoding mode. */
+  /** (cand_id, code, bucket) under either encoding mode. The residual
+    * path pulls both fields from ONE struct-returning kernel so the
+    * coarse `numCentroids × dim` scan runs once per row (subexpression
+    * elimination), not once for the bucket and again inside the encode. */
   private def encodeCodes(vecs: DataFrame, cents: Array[Float],
                           cb: Array[Float], dim: Int, m: Int, ksub: Int,
                           residual: Boolean, idCol: String,
                           vecCol: String): DataFrame = {
     import graft.functions.GraftFunctions.nearest_centroids
-    import graft.functions.PqFunctions.{pq_encode, pq_encode_res}
-    val code =
-      if (residual) pq_encode_res(col(vecCol), cents, cb, dim, m, ksub)
-      else pq_encode(col(vecCol), cb, dim, m, ksub)
-    vecs.select(col(idCol).as("cand_id"), code.as("code"),
-      nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    import graft.functions.PqFunctions.{pq_encode, pq_encode_res_row}
+    if (residual) {
+      val bc = pq_encode_res_row(col(vecCol), cents, cb, dim, m, ksub)
+      vecs.select(col(idCol).as("cand_id"),
+        bc.getField("code").as("code"),
+        bc.getField("bucket").as("bucket"))
+    } else
+      vecs.select(col(idCol).as("cand_id"),
+        pq_encode(col(vecCol), cb, dim, m, ksub).as("code"),
+        nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
   }
 
   /** Read the index's encoding mode (raw-vector PQ for indexes written

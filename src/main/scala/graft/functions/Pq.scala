@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -134,9 +135,27 @@ object PqKernel {
     * normalize → cell → residual → assign, so nothing double-normalizes. */
   def encodeResidual(vec: ArrayData, cents: Array[Float],
                      codebooks: Array[Float], dim: Int, m: Int,
-                     ksub: Int): Array[Byte] = {
-    if (vec.numElements() != dim) return new Array[Byte](0)
-    val r = residual(vec, cents, dim)
+                     ksub: Int): Array[Byte] =
+    encodeResidualWithBucket(vec, cents, codebooks, dim, m, ksub)
+      .getBinary(1)
+
+  /** [[encodeResidual]] plus the coarse cell it used, as one struct —
+    * the index-build projection needs BOTH, and returning them together
+    * lets codegen's subexpression elimination run the coarse
+    * `numCentroids × dim` scan ONCE per row instead of once for the
+    * bucket column and again inside the encode (the dominant per-row
+    * cost of a residual index build). Wrong-length vectors get
+    * (bucket = -1, empty code) — a bucket no probe ever matches. */
+  def encodeResidualWithBucket(vec: ArrayData, cents: Array[Float],
+                               codebooks: Array[Float], dim: Int, m: Int,
+                               ksub: Int): InternalRow = {
+    if (vec.numElements() != dim)
+      return InternalRow(-1, new Array[Byte](0))
+    val v = unit(vec, dim)
+    val cell = NearestCentroidsKernel.nearest(vec, cents, dim, 1).getInt(0)
+    val r = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { r(i) = v(i) - cents(cell * dim + i).toDouble; i += 1 }
     val dsub = dim / m
     val out = new Array[Byte](m)
     var sub = 0
@@ -160,7 +179,7 @@ object PqKernel {
       out(sub) = (best & 0xff).toByte
       sub += 1
     }
-    out
+    InternalRow(cell, out)
   }
 
   /** ADC table for one (query, probed cell) pair under residual codes:
@@ -305,6 +324,30 @@ case class PqEncodeRes(child: Expression, cents: Array[Float],
     copy(child = c)
 }
 
+/** pq_encode_res_row(vec) -> struct<bucket:int, code:binary>: residual
+  * code plus its coarse cell from ONE kernel call — extract both fields
+  * and subexpression elimination runs the coarse scan once per row. */
+case class PqEncodeResRow(child: Expression, cents: Array[Float],
+                          codebooks: Array[Float], dim: Int, m: Int,
+                          ksub: Int) extends UnaryExpression {
+  require(m > 0 && dim % m == 0, "dim must be a multiple of m")
+  require(ksub > 0 && ksub <= 256, "ksub in (0, 256]")
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("code", BinaryType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.encodeResidualWithBucket(v.asInstanceOf[ArrayData], cents,
+      codebooks, dim, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("coarseCents", cents, "float[]")
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.encodeResidualWithBucket($c, $cref, $ref, $dim, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeResRow =
+    copy(child = c)
+}
+
 /** pq_dist_table_res(vec, bucket) -> array<float>: per-(query, probed
   * cell) ADC table under residual codes. */
 case class PqDistTableRes(left: Expression, right: Expression,
@@ -388,6 +431,10 @@ object PqFunctions {
   def pq_encode_res(vec: Column, cents: Array[Float], codebooks: Array[Float],
                     dim: Int, m: Int, ksub: Int): Column =
     col(PqEncodeRes(ex(vec), cents, codebooks, dim, m, ksub))
+  def pq_encode_res_row(vec: Column, cents: Array[Float],
+                        codebooks: Array[Float], dim: Int, m: Int,
+                        ksub: Int): Column =
+    col(PqEncodeResRow(ex(vec), cents, codebooks, dim, m, ksub))
   def pq_dist_table_res(vec: Column, bucket: Column, cents: Array[Float],
                         codebooks: Array[Float], dim: Int, m: Int,
                         ksub: Int): Column =

@@ -88,11 +88,17 @@ object Tables {
    * DISJOINT per-file ranges on `sortCols` — LSM-style compaction for
    * the persisted index family: each `appendTo*Index` adds files whose
    * key ranges overlap earlier ones, degrading parquet file skipping
-   * until a compaction restores it. Write-to-temp-then-swap, so a
-   * concurrent reader sees either the old or the new layout, never a
-   * partial mix. `dedupe = true` additionally drops exact-duplicate rows
-   * (the exact-digest index, where re-appending an already-indexed
-   * digest is harmless but wasteful).
+   * until a compaction restores it. The rewrite goes to a temp dir and
+   * swaps in via delete + rename. NOT safe against a CONCURRENT reader:
+   * between the delete and the rename the path is briefly absent, and a
+   * reader that listed the old files errors on the deleted parts — run
+   * compaction in the maintenance window that owns the index (the same
+   * contract as the appends, whose added files a mid-scan reader also
+   * must not race). True reader-concurrent swaps need a versioned
+   * manifest (a table format), out of scope here. `dedupe = true`
+   * additionally drops exact-duplicate rows (the exact-digest index,
+   * where re-appending an already-indexed digest is harmless but
+   * wasteful).
    */
   def compactSorted(spark: org.apache.spark.sql.SparkSession, dir: String,
                     numFiles: Int, dedupe: Boolean, sortCols: String*): Unit = {

@@ -80,26 +80,12 @@ object AuditJob {
             sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")): _*)
         .write.mode("overwrite").parquet(s"$outDir/quality_rates")
 
-      base.groupBy(sha2(col("text"), 256).as("dg"))
-        .agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      graft.ext.Profile.dupHistogram(base)
         .write.mode("overwrite").parquet(s"$outDir/dup_histogram")
 
-      if (embPath.nonEmpty) {
-        val n2 = aggregate(col("embedding"), lit(0.0d),
-          (a, x) => a + x.cast("double") * x.cast("double"))
-        spark.read.parquet(embPath)
-          .select(col("label"), n2.as("n2"),
-            size(col("embedding")).as("dim"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_vecs"),
-            min("dim").cast("long").as("min_dim"),
-            max("dim").cast("long").as("max_dim"),
-            sum(floor(sqrt(col("n2")) * 1000000000L + 0.5).cast("long"))
-              .as("norm_nanos"),
-            sum(when(col("n2") === 0.0d, 1L).otherwise(0L)).as("n_zero"))
+      if (embPath.nonEmpty)
+        graft.ext.Profile.embedProfile(spark.read.parquet(embPath))
           .write.mode("overwrite").parquet(s"$outDir/embed_profile")
-      }
     }
   }
 }

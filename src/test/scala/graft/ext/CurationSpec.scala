@@ -164,6 +164,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("edge inputs: null text and null source flow through the new " +
+    "composition operators without dropping or throwing") {
+    // null source forms its own window partition; null text scores a
+    // deterministic quality and digests to sha2(NULL) = null
+    val docs = Seq[(java.lang.Long, String, String)](
+      (1L, null, "real text here"), (2L, "a.com", null),
+      (3L, "a.com", "more real text")
+    ).toDF("doc_id", "source", "text")
+    val capped = Curation.sourceQualityCap(
+        docs.select(col("doc_id"), col("source"),
+          coalesce(length(col("text")).cast("double"), lit(0.0)).as("q")),
+        quality = col("q"), maxPerSource = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 2L, 3L))
+
+    // corpusDiff: null text digests to null → "changed" when compared to
+    // a real digest, "unchanged" only when BOTH sides are null? sha2 of
+    // null is null and null === null is false in SQL → classified
+    // "changed" (conservative: re-process rather than silently keep)
+    val diff = Curation.corpusDiff(
+        docs.select("doc_id", "text"), docs.select("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(diff(1L) == "unchanged" && diff(3L) == "unchanged")
+    assert(diff(2L) == "changed")
+
+    // temperatureMixture with a single group: rate = min(1, target/n)
+    val one = Seq((0L, "x"), (1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    val kept = Curation.temperatureMixture(one,
+      hash = pmod(col("doc_id") * 1000000007L, lit(4294967296L)),
+      targetDocs = 1000.0).count()
+    assert(kept == 3L) // rate clamps to 1.0 → everything kept
+
+    // temperatureMixture treats a NULL group as a real group (null-safe
+    // join): with a generous target nothing is dropped, including the
+    // null-lang docs a plain equi-join would silently lose
+    val withNull = Seq[(java.lang.Long, String)](
+      (0L, "x"), (1L, "x"), (2L, null), (3L, null), (4L, null))
+      .toDF("doc_id", "lang")
+    val keptNull = Curation.temperatureMixture(withNull,
+      hash = pmod(col("doc_id") * 1000000007L, lit(4294967296L)),
+      targetDocs = 1000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("fuzz: corpusDiff statuses equal an in-memory snapshot compare " +
     "on random id/content overlaps") {
     val rnd = new scala.util.Random(7341)

@@ -41,10 +41,8 @@ class ExtSpec extends SparkSpec {
   test("duplicate-cluster histogram counts clusters per size (the " +
     "declared ext_dup_histogram shape, exercised WITH real duplicates — " +
     "the driver corpus has none)") {
-    val hist = docs // doc 0≡1 exact dup; 2,3,4 unique → sizes {2:1, 1:3}
-      .groupBy(sha2(col("text"), 256).as("dg"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val hist = Profile.dupHistogram(docs)
+      // doc 0≡1 exact dup; 2,3,4 unique → sizes {2:1, 1:3}
       .as[(Long, Long)].collect().toMap
     assert(hist == Map(2L -> 1L, 1L -> 3L))
   }
