@@ -190,6 +190,51 @@ class JobsIntegrationSpec extends SparkSpec {
     }
   }
 
+  test("PackJob writes a loader-ready shard layout: every context " +
+    "window lives wholly inside one shard, offsets are the exact prefix " +
+    "sums, and the manifest matches the data") {
+    val root = java.nio.file.Files.createTempDirectory("graft_packjob")
+    def p(s: String) = s"$root/$s"
+    try {
+      // two langs, small budget → several bins per lang
+      val docs = (0L until 40L).map { id =>
+        (id, if (id % 3 == 0) "de" else "en",
+          Seq.fill(3 + (id % 5).toInt)(s"w$id").mkString(" "))
+      }
+      docs.toDF("doc_id", "lang", "text").write.parquet(p("curated"))
+
+      PackJob.run(spark, p("curated"), p("out"), tokenBudget = 20L,
+        numShards = 4)
+
+      val ds = spark.read.parquet(p("out/dataset"))
+        .select("doc_id", "lang", "bin", "offset", "n_tokens", "shard")
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+      assert(ds.length == 40)
+      // bin-wholeness: one shard per (lang, bin)
+      ds.groupBy(r => (r._2, r._3)).foreach { case (key, rows) =>
+        assert(rows.map(_._6).distinct.length == 1, s"split window $key")
+      }
+      // offsets are the within-(lang) running prefix sums mod budget and
+      // each doc's bin is its start position DIV budget
+      ds.groupBy(_._2).foreach { case (_, rows) =>
+        var pos = 0L
+        rows.sortBy(r => (r._1 % 16, r._1)).foreach { r =>
+          assert(r._3 == pos / 20L && r._4 == pos % 20L, s"doc ${r._1}")
+          pos += r._5
+        }
+      }
+      val manifest = spark.read.parquet(p("out/manifest"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(manifest.map(_._2).sum == 40L)
+      assert(manifest.map(_._4).sum == ds.map(_._5).sum)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("AuditJob writes the full audit bundle with exact counts and " +
     "releases its caches") {
     val root = java.nio.file.Files.createTempDirectory("graft_audit")
