@@ -992,6 +992,14 @@ object Queries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), shingleWords = 3,
         threshold = 0.8, dfCut = 1000)),
 
+    // Containment near-dup (the wrapper/quote detector): shared shingles
+    // over the SMALLER set — 1.0 when one document embeds the other
+    // verbatim, where Jaccard degrades to |short| / |long|. Same
+    // inverted-index machinery as the Jaccard scorer.
+    "ext_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), shingleWords = 3,
+        threshold = 0.9, dfCut = 1000)),
+
     "ext_embed_neardup_brute" -> ((s, dir) =>
       Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), threshold = 0.4)),
 
@@ -2085,6 +2093,14 @@ object Queries {
          |FROM reach GROUP BY v""".stripMargin,
 
     "ext_dedup_ngram_jaccard" -> jaccardPairsSql(0.8),
+
+    "ext_dedup_containment" ->
+      s"""WITH ${jaccardCtes("documents")}
+         |SELECT id_a, id_b,
+         |  CAST(c AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) AS containment
+         |FROM co JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |WHERE CAST(c AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+         |  >= 0.9""".stripMargin,
 
     "ext_embed_neardup_brute" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

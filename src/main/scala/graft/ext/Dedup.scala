@@ -600,6 +600,43 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleWords: Int = 3,
                         threshold: Double = 0.5, dfCut: Int = 1000): DataFrame = {
+    val (co, sizes) = ngramSharedCounts(df, textCol, idCol, shingleWords, dfCut)
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Directional overlap scored symmetrically: `shared / min(|A|, |B|)` —
+   * 1.0 whenever one document's shingle set CONTAINS the other's, no
+   * matter how much longer the container is. This is the wrapper/quote
+   * detector Jaccard structurally cannot be: a short document embedded
+   * verbatim in a long one has Jaccard ≈ |short| / |long| (arbitrarily
+   * small) but containment 1.0. Same inverted-index + df-cut machinery
+   * and the same candidate contract as [[ngramJaccardPairs]].
+   */
+  def ngramContainmentPairs(df: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", shingleWords: Int = 3,
+                            threshold: Double = 0.9,
+                            dfCut: Int = 1000): DataFrame = {
+    val (co, sizes) = ngramSharedCounts(df, textCol, idCol, shingleWords, dfCut)
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Shared inverted-index core of the n-gram pair scorers: exact
+    * per-pair shared-shingle counts (map-side-bounded df-cut, see the
+    * inline notes) plus per-doc set sizes. */
+  private def ngramSharedCounts(df: DataFrame, textCol: String,
+                                idCol: String, shingleWords: Int,
+                                dfCut: Int): (DataFrame, DataFrame) = {
     // kernel-computed shingle sets, persisted: consumed by the posting
     // list and by both size-lookup joins.
     val shingled = df.select(
@@ -633,12 +670,7 @@ object Dedup {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
 
-    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (co, sizes)
   }
 
   /**

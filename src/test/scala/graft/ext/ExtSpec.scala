@@ -38,6 +38,25 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("containment pairs catch a verbatim quote Jaccard misses: short " +
+    "doc embedded in a long one scores containment 1.0") {
+    val quoted = Seq(
+      (0L, "alpha beta gamma delta"), // 2 distinct 3-shingles
+      // doc 0 embedded verbatim inside a much longer doc: containment 1.0
+      (1L, "one two three four five six seven eight nine ten " +
+        "alpha beta gamma delta eleven twelve thirteen fourteen fifteen"),
+      (2L, "totally unrelated content with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(quoted, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(cont.head._3 == 1.0)
+    // the same pair is invisible to Jaccard at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(quoted, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("duplicate-cluster histogram counts clusters per size (the " +
     "declared ext_dup_histogram shape, exercised WITH real duplicates — " +
     "the driver corpus has none)") {
