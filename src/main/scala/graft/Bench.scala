@@ -63,7 +63,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec's metadata-sized "No Partition Defined"
+    // advisories (all adjudicated aggregate-fed, PlanSpec-guarded) spam
+    // dozens of lines and bury real problems in the bench log.
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Self-qualification probes: OS load at pass start and JVM GC time
+    // accumulated during each pass, so a slow pass is attributable from
+    // the artifact alone (loaded window vs heap pressure vs regression).
+    def loadavg: Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -83,11 +99,27 @@ object Bench {
     // runs carry ±20 % machine-load noise that made round-over-round
     // comparison unreadable; the median of 3 interleaved passes is stable
     // while still charging each query its steady-state cost.
+    // Dev-only subset filter (comma-separated names, or "prefix20" for the
+    // cross-round 20-query baseline prefix): lets a profiling run time the
+    // prefix WITHOUT the session-index builds and extension queries in the
+    // same JVM, to attribute cross-round drift to session state vs code.
+    // The driver never sets this; default = full headline set.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some("prefix20") => headline.take(20).toSet
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
     val names = headline.filter(SparkEntry.queries.contains)
-    def runPass(): Map[String, Double] =
-      names.map { name =>
+      .filter(n => only.isEmpty || only(n))
+    case class Pass(times: Map[String, Double], load: Double, gcSec: Double)
+    def runPass(): Pass = {
+      val load0 = loadavg
+      val gc0 = gcMillis
+      val times = names.map { name =>
         name -> (try runOnce(name) catch { case _: Throwable => -1.0 })
       }.toMap
+      Pass(times, load0, (gcMillis - gc0) / 1e3)
+    }
     var passes = (1 to 3).map(_ => runPass())
     // Machine-load guard: the median of 3 protects against one bad pass,
     // not a bad WINDOW (round 4 recorded all three passes inflated ~2×).
@@ -100,13 +132,18 @@ object Bench {
     // total by its whole runtime and false-trigger the guard
     def steadyTotals = {
       val steady = passes.drop(1)
-      val common = names.filter(n => steady.forall(_(n) >= 0))
-      steady.map(p => common.map(p).sum)
+      val common = names.filter(n => steady.forall(_.times(n) >= 0))
+      steady.map(p => common.map(p.times).sum)
     }
     while (passes.size < 5 && steadyTotals.min > 0 &&
         steadyTotals.max > steadyTotals.min * 1.5) {
       passes = passes :+ runPass()
     }
+    // stable = the steady-state passes finally agreed within 1.5×; false
+    // means even the extra passes disagreed — treat the numbers as
+    // load-contaminated and re-run, don't compare them across rounds.
+    val stable = steadyTotals.min > 0 &&
+      steadyTotals.max <= steadyTotals.min * 1.5
     def medianOf(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -116,14 +153,18 @@ object Bench {
       else if (ok.size % 2 == 0) (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
       else ok(ok.size / 2)
     }
-    val results = names.map(n => n -> medianOf(passes.map(_(n))))
+    val results = names.map(n => n -> medianOf(passes.map(_.times(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val runs = passes
-      .map(p => f"${p.values.filter(_ >= 0).sum}%.3f").mkString("[", ",", "]")
+      .map(p => f"${p.times.values.filter(_ >= 0).sum}%.3f")
+      .mkString("[", ",", "]")
+    val passMeta = passes.map(p =>
+      f"""{"total":${p.times.values.filter(_ >= 0).sum}%.3f,"loadavg":${p.load}%.2f,"gc_sec":${p.gcSec}%.2f}""")
+      .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passMeta,"stable":$stable,"sf":"$sfDir"}"""
     // The bare JSON goes to stdout (unprefixed: run/outputStrategy is
     // StdoutOutput) AND to a file whose entire content is the one line,
     // so the driver can parse either.

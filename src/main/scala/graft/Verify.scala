@@ -15,7 +15,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec's metadata-sized "No Partition Defined"
+    // advisories (adjudicated + PlanSpec-guarded) would otherwise bury
+    // real failures in the 109-query sweep log.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
