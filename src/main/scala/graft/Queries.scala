@@ -2598,7 +2598,9 @@ object Queries {
          |      / CAST(sum_w AS DOUBLE) / CAST(n_g AS DOUBLE)) AS rate
          |  FROM counts, tot)
          |SELECT doc_id, d.lang, n_chars
-         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |-- null-safe join: Spark side uses <=> so a null-lang group is
+         |-- counted, rated, and kept like any other group
+         |FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
          |WHERE $limbHashDuck <
          |  CAST(floor(rate * 4294967296) AS BIGINT)""".stripMargin,
 

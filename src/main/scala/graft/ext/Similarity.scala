@@ -361,6 +361,10 @@ object Similarity {
               (col("pos") % lit(dsub)).as("t"), col("codes"), col("x"))
             .select(col("sub"), col("t"),
               element_at(col("codes"), col("sub") + 1).as("c"), col("x"))
+            // all-zero vectors (normalizing path) get an EMPTY code →
+            // null c; they carry no direction and must not move any
+            // sub-centroid
+            .filter(col("c").isNotNull)
             .groupBy("sub", "c", "t").agg(avg("x").as("mean"))
             .collect() // ≤ m × ksub × dsub rows — metadata-sized
           val next = cb.clone() // empty cells keep their old sub-centroid

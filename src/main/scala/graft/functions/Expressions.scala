@@ -229,7 +229,9 @@ object ExprKernels {
         i += 1
       }
       new GenericArrayData(out)
-    } else {
+    } else if (buckets <= 4096) {
+      // dense presence bitmap: O(buckets) zero+sweep is cheap at this size
+      // and beats sorting when rows carry many features
       val seen = new Array[Boolean](buckets)
       var cnt = 0
       var i = 0
@@ -244,6 +246,33 @@ object ExprKernels {
       while (b < buckets) {
         if (seen(b)) { out(k) = b; k += 1 }
         b += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // large bucket domains (cap 2^24): a dense seen[] would zero and
+      // sweep 16M slots per ROW regardless of how few features the row
+      // has. Sort the (few) ids and drop adjacent repeats instead —
+      // O(n log n) in the row's feature count, independent of `buckets`,
+      // same ascending-distinct output as the dense path.
+      val ids = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        ids(i) = if (hashes.isNullAt(i)) 0 else (hashes.getLong(i) & mask).toInt
+        i += 1
+      }
+      java.util.Arrays.sort(ids)
+      var cnt = 0
+      i = 0
+      while (i < n) {
+        if (i == 0 || ids(i) != ids(i - 1)) cnt += 1
+        i += 1
+      }
+      val out = new Array[Int](cnt)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (i == 0 || ids(i) != ids(i - 1)) { out(k) = ids(i); k += 1 }
+        i += 1
       }
       new GenericArrayData(out)
     }

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
  * Cosine via L2: vectors are L2-NORMALIZED inside the kernels, so
  * squared L2 distance and cosine are affinely related
  * (`cos = 1 - d²/2` on unit vectors) and the standard L2 PQ machinery
- * ranks by cosine. All-zero vectors stay zero (score pins to -1, sorted
- * last, matching `CosineSimilarity`'s degenerate handling).
+ * ranks by cosine. All-zero vectors have no direction, so the
+ * normalizing kernels treat them like wrong-length inputs: empty
+ * code / empty table, which pins `adcScore` to -1 (sorted last,
+ * matching `CosineSimilarity`'s degenerate handling) on BARE-ADC paths
+ * too, not just after exact re-rank. The `normalize = false` residual
+ * path keeps real codes for zero RESIDUALS — a vector sitting exactly
+ * on its coarse centroid is a legitimate, maximally-typical point.
  *
  * Arithmetic is fixed-order double accumulation in subscript order —
  * deterministic across partitioning, so codes and scores are stable
@@ -31,6 +36,14 @@ import org.apache.spark.sql.types._
  * plan exactly like [[NearestCentroidsKernel]]'s centroid matrix.
  */
 object PqKernel {
+
+  /** True when every component is zero — the vector has no direction
+    * and no meaningful cosine neighbor. */
+  private def isZero(vec: ArrayData, dim: Int): Boolean = {
+    var i = 0
+    while (i < dim) { if (vec.getFloat(i) != 0.0f) return false; i += 1 }
+    true
+  }
 
   /** Normalized copy of `vec` as doubles (zero vector stays zero). */
   private def unit(vec: ArrayData, dim: Int): Array[Double] = {
@@ -48,12 +61,15 @@ object PqKernel {
 
   /** Per-subspace nearest sub-centroid indices (argmin squared L2, ties
     * toward the lowest index). Empty array when the vector's length
-    * disagrees with `dim`. `normalize = false` treats the input as
-    * already in code space (the residual-training path — residuals must
-    * NOT be re-normalized). */
+    * disagrees with `dim`, or — on the normalizing path only — when the
+    * vector is all-zero (no direction → no code; ADC then pins to -1).
+    * `normalize = false` treats the input as already in code space (the
+    * residual-training path — residuals must NOT be re-normalized, and a
+    * zero residual is a real point that keeps a real code). */
   def assign(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
              ksub: Int, normalize: Boolean): ArrayData = {
     if (vec.numElements() != dim) return new GenericArrayData(new Array[Int](0))
+    if (normalize && isZero(vec, dim)) return new GenericArrayData(new Array[Int](0))
     val v = if (normalize) unit(vec, dim) else {
       val raw = new Array[Double](dim)
       var i = 0
@@ -119,9 +135,13 @@ object PqKernel {
   }
 
   /** Residual as a float array column (the residual-codebook TRAINING
-    * input — downstream assign/encode must not re-normalize it). */
+    * input — downstream assign/encode must not re-normalize it). All-zero
+    * inputs get the empty array: they carry no direction, are never
+    * encoded (see [[encodeResidualWithBucket]]), and must not pull the
+    * residual codebooks toward `-centroid`. */
   def residualVec(vec: ArrayData, cents: Array[Float], dim: Int): ArrayData = {
-    if (vec.numElements() != dim) return new GenericArrayData(new Array[Float](0))
+    if (vec.numElements() != dim || isZero(vec, dim))
+      return new GenericArrayData(new Array[Float](0))
     val r = residual(vec, cents, dim)
     val out = new Array[Float](dim)
     var i = 0
@@ -144,12 +164,12 @@ object PqKernel {
     * lets codegen's subexpression elimination run the coarse
     * `numCentroids × dim` scan ONCE per row instead of once for the
     * bucket column and again inside the encode (the dominant per-row
-    * cost of a residual index build). Wrong-length vectors get
-    * (bucket = -1, empty code) — a bucket no probe ever matches. */
+    * cost of a residual index build). Wrong-length and all-zero vectors
+    * get (bucket = -1, empty code) — a bucket no probe ever matches. */
   def encodeResidualWithBucket(vec: ArrayData, cents: Array[Float],
                                codebooks: Array[Float], dim: Int, m: Int,
                                ksub: Int): InternalRow = {
-    if (vec.numElements() != dim)
+    if (vec.numElements() != dim || isZero(vec, dim))
       return InternalRow(-1, new Array[Byte](0))
     val v = unit(vec, dim)
     val cell = NearestCentroidsKernel.nearest(vec, cents, dim, 1).getInt(0)
@@ -189,7 +209,7 @@ object PqKernel {
   def distTableResidual(vec: ArrayData, bucket: Int, cents: Array[Float],
                         codebooks: Array[Float], dim: Int, m: Int,
                         ksub: Int): ArrayData = {
-    if (vec.numElements() != dim || bucket < 0)
+    if (vec.numElements() != dim || bucket < 0 || isZero(vec, dim))
       return new GenericArrayData(new Array[Float](0))
     val v = unit(vec, dim)
     val dsub = dim / m
@@ -223,7 +243,8 @@ object PqKernel {
     * (the broadcast small side); every candidate then costs `m` lookups. */
   def distTable(vec: ArrayData, codebooks: Array[Float], dim: Int, m: Int,
                 ksub: Int): ArrayData = {
-    if (vec.numElements() != dim) return new GenericArrayData(new Array[Float](0))
+    if (vec.numElements() != dim || isZero(vec, dim))
+      return new GenericArrayData(new Array[Float](0))
     val v = unit(vec, dim)
     val dsub = dim / m
     val out = new Array[Float](m * ksub)

@@ -59,6 +59,26 @@ class DsirSpec extends SparkSpec {
     assert(dist.forall(b => b >= 0 && b < 64))
   }
 
+  test("hash_buckets distinct: the large-domain sort-dedupe path (buckets " +
+    "> 4096) returns the same ascending set as count-mode distinct") {
+    val B = 1 << 20 // forces the sorted path — no 1M-slot bitmap per row
+    val rows = docs.limit(50)
+      .select(
+        GraftFunctions.hash_buckets(
+          GraftFunctions.ngram_hash64(
+            GraftFunctions.tokens_lc(col("text")), 2), B).as("a"),
+        GraftFunctions.hash_buckets(
+          GraftFunctions.ngram_hash64(
+            GraftFunctions.tokens_lc(col("text")), 2), B,
+          distinct = true).as("d"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (all, dist) =>
+      assert(dist == all.distinct.sorted)
+      assert(dist.forall(b => b >= 0 && b < B))
+    }
+  }
+
   test("fit + score ≡ an in-memory model: integer millinat scores " +
     "decompose as sum of per-bucket λ over gram occurrences") {
     val target = docs.filter(col("doc_id") % 10 === 0)

@@ -29,7 +29,7 @@ class PqSpec extends SparkSpec {
     }
     def assign(vec: Array[Float], cb: Array[Float], dim: Int, m: Int,
                ksub: Int): Array[Int] = {
-      if (vec.length != dim) return Array.empty
+      if (vec.length != dim || vec.forall(_ == 0.0f)) return Array.empty
       val v = unit(vec)
       val dsub = dim / m
       Array.tabulate(m) { sub =>
@@ -49,7 +49,7 @@ class PqSpec extends SparkSpec {
     }
     def distTable(vec: Array[Float], cb: Array[Float], dim: Int, m: Int,
                   ksub: Int): Array[Float] = {
-      if (vec.length != dim) return Array.empty
+      if (vec.length != dim || vec.forall(_ == 0.0f)) return Array.empty
       val v = unit(vec)
       val dsub = dim / m
       val out = new Array[Float](m * ksub)
@@ -122,25 +122,31 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("degenerate inputs: wrong-dim vector gets an empty code and pins " +
-    "ADC to -1; the zero vector encodes without normalizing") {
+  test("degenerate inputs: wrong-dim AND all-zero vectors get empty " +
+    "codes/tables so bare ADC pins them to -1, like CosineSimilarity") {
     val dim = 8; val m = 2; val ksub = 4
     val cb = Array.fill(m * ksub * (dim / m))(0.5f)
     val df = Seq(
       (0L, Seq.fill(dim)(1.0f)),   // fine
       (1L, Seq.fill(3)(1.0f)),     // wrong dim
-      (2L, Seq.fill(dim)(0.0f))    // zero vector
+      (2L, Seq.fill(dim)(0.0f))    // zero vector — no direction
     ).toDF("vec_id", "embedding")
     val rows = df.select(col("vec_id"),
         pq_encode(col("embedding"), cb, dim, m, ksub).as("code"))
       .as[(Long, Array[Byte])].collect().map(r => r._1 -> r._2).toMap
     assert(rows(0L).length == m)
     assert(rows(1L).length == 0)
-    assert(rows(2L).length == m) // all-zero subvectors pick sub-centroid 0
+    assert(rows(2L).length == 0) // zero vector: empty code, never a neighbor
     val tbl = df.filter(col("vec_id") === 0L)
       .select(pq_dist_table(col("embedding"), cb, dim, m, ksub))
       .as[Seq[Float]].head()
     assert(Ref.adc(tbl.toArray, rows(1L)) == -1.0)
+    assert(Ref.adc(tbl.toArray, rows(2L)) == -1.0)
+    // a zero QUERY likewise gets an empty table → every candidate -1
+    val ztbl = df.filter(col("vec_id") === 2L)
+      .select(pq_dist_table(col("embedding"), cb, dim, m, ksub))
+      .as[Seq[Float]].head()
+    assert(ztbl.isEmpty && Ref.adc(ztbl.toArray, rows(0L)) == -1.0)
   }
 
   test("PQ flat search with exact re-rank reaches recall@5 >= 0.9 vs " +
