@@ -58,6 +58,15 @@ def main():
 
     import glob
     ok = fail = 0
+    try:
+        errors = json.load(open(f"{outdir}/_ERRORS.json"))
+    except Exception:
+        errors = {}
+    for name, msg in errors.items():
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: query threw at dump time: {msg[:200]}")
+        fail += 1
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         if only and name not in only:

@@ -69,11 +69,26 @@ object Queries {
       path
     })
 
-  /** events.parquet carries nanosecond timestamps; read them as Long ns
-    * (exact) rather than truncating. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Schema-adaptive events reader. The driver has shipped `events.parquet`
+    * with `ts` as both a nanosecond INT64 (pre-2026-08-13 generations) and a
+    * microsecond TIMESTAMP; every downstream query (and the DuckDB oracles
+    * via `epoch_ns`) assumes the nanosecond-Long representation, so we
+    * normalize here: ns files load exactly via `nanosAsLong`, and
+    * timestamp-typed files are projected back to ns-longs with
+    * `unix_micros(ts) * 1000` (exact — µs·1000 is well inside Long range
+    * for any realistic epoch). Package-visible so specs read events the
+    * same way instead of re-assuming a physical type. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      // NTZ→LTZ cast uses the session timezone — every graft session
+      // builder (GraftSession, Verify, Bench, Jobs, SparkSpec) pins UTC,
+      // under which the cast is the identity on the stored µs value.
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // LongType: nanosAsLong already gave us exact ns-longs
+    }
   }
 
   /** Order-independent exact money sum (see class doc). `floor(x*100+0.5)`
@@ -1089,6 +1104,31 @@ object Queries {
       val qs = emb.filter(col("vec_id") < 10)
       val path = sessionIndex("pq", dir)(p =>
         Similarity.buildPqIndex(emb, p, numCentroids = 8, m = 16, ksub = 64))
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopKFromIndexRerank(s, path, emb, qs, k = 5,
+        rerank = 20, nprobe = 7)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute").cast("double"))
+            .as("recall_at_5"))
+    }),
+
+    // Residual-mode (IVFADC, Jégou et al. 2011 §III) twin of
+    // ext_ann_pq_recall: codebooks trained on v̂ − centroid(cell)
+    // residuals (one shared codebook across cells), ADC tables computed
+    // per (query, probed cell). Same driver-visible one-row shape; the
+    // persisted index self-describes its mode, so the probe call is
+    // identical — only the build flag differs.
+    "ext_ann_pq_recall_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val path = sessionIndex("pqres", dir)(p =>
+        Similarity.buildPqIndex(emb, p, numCentroids = 8, m = 16, ksub = 64,
+          residual = true))
       val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val pq = Similarity.pqTopKFromIndexRerank(s, path, emb, qs, k = 5,

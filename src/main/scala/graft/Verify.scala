@@ -20,9 +20,16 @@ object Verify {
     // real failures in the 109-query sweep log.
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val declared = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // A failed query must be LOUD: round 6 lost five queries from the
+    // correctness artifact because this loop printed to stderr and wrote
+    // nothing — the driver's JSON simply omitted them. Now every failure
+    // is recorded in <outDir>/_ERRORS.json and the run exits non-zero if
+    // written outputs != declared count, so a broken query can never
+    // silently vanish again.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    declared.foreach { case (name, fn) =>
       // scope releases operator-internal persists (LSH indexes, hot-key
       // sets) as soon as the query's write completes — memory stays flat
       // across the whole sweep; clearCache is the belt for anything
@@ -32,7 +39,13 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        // leave no stale output dir from a previous run for this query
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.isDirectory) d.listFiles().foreach(_.delete())
+        d.delete()
       }
       spark.catalog.clearCache()
     }
@@ -51,6 +64,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_ERRORS.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val written = declared.keys.count(n =>
+      new java.io.File(s"$outDir/$n").isDirectory)
     spark.stop()
+    if (errors.nonEmpty || written != declared.size) {
+      System.err.println(
+        s"[verify] FAILED: ${errors.size} queries threw, " +
+        s"$written/${declared.size} outputs written -- see $outDir/_ERRORS.json")
+      sys.exit(1)
+    }
   }
 }

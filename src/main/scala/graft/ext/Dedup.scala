@@ -331,9 +331,19 @@ object Dedup {
    */
   def appendToDedupIndex(df: DataFrame, path: String,
                          textCol: String = "text", idCol: String = "doc_id",
-                         indexFiles: Int = 4): Unit = {
+                         indexFiles: Int = 4): Unit =
+    writeIndexDelta(df, path, path, textCol, idCol, indexFiles,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** Shared delta-writer for plain and epoch-idempotent appends: sign+band
+    * `df` under the index's own `params/` and write both components to
+    * `outRoot` as range-sorted files. */
+  private def writeIndexDelta(df: DataFrame, indexRoot: String,
+                              outRoot: String, textCol: String, idCol: String,
+                              indexFiles: Int,
+                              mode: org.apache.spark.sql.SaveMode): Unit = {
     val spark = df.sparkSession
-    val p = spark.read.parquet(s"$path/params").collect()(0) // one row
+    val p = spark.read.parquet(s"$indexRoot/params").collect()(0) // one row
     val (numHashes, bands, shingleWords) =
       (p.getInt(0), p.getInt(1), p.getInt(2))
     Caching.scoped { // the shared scan releases once both appends land
@@ -342,12 +352,108 @@ object Dedup {
       shingled.select("id", "shingles")
         .repartitionByRange(indexFiles, col("id"))
         .sortWithinPartitions("id")
-        .write.mode("append").parquet(s"$path/shingles")
+        .write.mode(mode).parquet(s"$outRoot/shingles")
       bandKeys(shingled, numHashes, bands)
         .repartitionByRange(indexFiles, col("band"), col("bkey"))
         .sortWithinPartitions("band", "bkey")
-        .write.mode("append").parquet(s"$path/bands")
+        .write.mode(mode).parquet(s"$outRoot/bands")
     }
+  }
+
+  /** True iff `epochId` of `queryId` has already been committed into the
+    * index at `path` by [[appendToDedupIndexEpoch]]. */
+  def epochCommitted(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryId: String, epochId: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_epochs/$queryId-$epochId")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
+  }
+
+  /**
+   * Epoch-idempotent [[appendToDedupIndex]] — the filesystem analogue of
+   * [[graft.io.Sinks.JdbcEpochIdempotent]]'s stage → promote → marker
+   * protocol, for exactly-once index maintenance from a Structured
+   * Streaming `foreachBatch` (the engine replays the last uncommitted
+   * micro-batch after a crash; a plain append would then double the
+   * batch's signatures, and every later probe of those ids would report
+   * them as duplicates of themselves):
+   *
+   *   1. committed marker exists → return false, touch nothing (replay of
+   *      a fully-committed epoch);
+   *   2. delete any `ep-<query>-<epoch>-*` files from a PARTIAL previous
+   *      promote (crash mid-rename);
+   *   3. stage the delta under `_epochs`-invisible `_staging/` (overwrite
+   *      — restaging a crashed attempt replaces it);
+   *   4. promote by per-file rename into `shingles/`/`bands/` under the
+   *      deterministic epoch prefix (HDFS-atomic per file; the prefix is
+   *      what makes step 2's cleanup possible);
+   *   5. create the marker — THE commit point — then drop staging.
+   *
+   * A crash at any point converges on replay. Underscore-prefixed
+   * `_staging`/`_epochs` dirs are invisible to parquet reads of the
+   * components. On rename-less object stores (S3) promote is
+   * copy+delete — run compaction more often or front with a real table
+   * format; on HDFS/local this is exactly-once.
+   *
+   * @return true if this call performed the append, false if the epoch
+   *         was already committed (replay detected).
+   */
+  def appendToDedupIndexEpoch(df: DataFrame, path: String, epochId: Long,
+                              queryId: String = "stream",
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              indexFiles: Int = 4): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/_epochs/$queryId-$epochId")
+    if (fs.exists(marker)) return false
+    val prefix = s"ep-$queryId-$epochId-"
+    Seq("shingles", "bands").foreach { sub =>
+      val d = new Path(s"$path/$sub")
+      if (fs.exists(d))
+        fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+    }
+    val staging = new Path(s"$path/_staging/$queryId-$epochId")
+    writeIndexDelta(df, path, staging.toString, textCol, idCol, indexFiles,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    Seq("shingles", "bands").foreach { sub =>
+      val sd = new Path(s"$staging/$sub")
+      if (fs.exists(sd))
+        fs.listStatus(sd).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = new Path(s"$path/$sub/$prefix${f.getPath.getName}")
+            require(fs.rename(f.getPath, dst),
+              s"epoch promote rename failed: ${f.getPath} -> $dst")
+          }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    true
+  }
+
+  /**
+   * LSM maintenance trigger: compact the index iff either component has
+   * accumulated more than `maxFilesPerComponent` parquet files (the
+   * file-count proxy for cross-append key-range overlap — each append
+   * adds ≤ `indexFiles` files whose ranges overlap all earlier ones, so
+   * file count tracks both listing pressure and lost file-skipping).
+   * Cheap when below threshold: one listing per component, no data pass.
+   *
+   * @return true if a compaction ran.
+   */
+  def maybeCompactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, maxFilesPerComponent: Int = 64,
+                             indexFiles: Int = 32): Boolean = {
+    val over = Seq("shingles", "bands").exists(sub =>
+      graft.io.Tables.parquetFileCount(spark, s"$path/$sub")
+        > maxFilesPerComponent)
+    if (over) compactDedupIndex(spark, path, indexFiles)
+    over
   }
 
   /**

@@ -83,6 +83,18 @@ object Tables {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet data-file count under `dir` (one filesystem listing, no
+    * footer reads; 0 for a missing dir). The file-count signal behind
+    * auto-compaction triggers: every `append*Index` adds files whose key
+    * ranges overlap all earlier ones, so count tracks both listing
+    * pressure and degraded file-skipping. */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /**
    * Rewrite an append-accumulated table back into `numFiles` files with
    * DISJOINT per-file ranges on `sortCols` — LSM-style compaction for

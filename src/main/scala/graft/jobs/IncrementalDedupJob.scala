@@ -28,18 +28,23 @@ import graft.ops.Caching
  */
 object IncrementalDedupJob {
 
-  /** args: corpusParquet crawlParquet indexDir outDir [threshold] */
+  /** args: corpusParquet crawlParquet indexDir outDir [threshold]
+    * [autoCompactMaxFiles] — the last flag (0 = off) enables LSM
+    * maintenance: compact the index after the append when either
+    * component exceeds that many files. */
   def main(args: Array[String]): Unit = {
     val Array(corpusPath, crawlPath, indexDir, outDir) = args.take(4)
     val threshold = args.lift(4).map(_.toDouble).getOrElse(0.8)
+    val autoCompactMaxFiles = args.lift(5).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.create("graft-incremental-dedup")
-    try run(spark, corpusPath, crawlPath, indexDir, outDir, threshold)
+    try run(spark, corpusPath, crawlPath, indexDir, outDir, threshold,
+      autoCompactMaxFiles)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, corpusPath: String, crawlPath: String,
           indexDir: String, outDir: String,
-          threshold: Double = 0.8): Unit = {
+          threshold: Double = 0.8, autoCompactMaxFiles: Int = 0): Unit = {
     val params = new org.apache.hadoop.fs.Path(s"$indexDir/params")
     val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(params))
@@ -63,5 +68,10 @@ object IncrementalDedupJob {
       Dedup.appendToDedupIndex(
         spark.read.parquet(s"$outDir/survivors"), indexDir)
     }
+    // LSM maintenance inside the job that owns the index: a weekly-crawl
+    // deployment appends every run, so the run itself decides when the
+    // accumulated small files warrant one compaction pass
+    if (autoCompactMaxFiles > 0)
+      Dedup.maybeCompactDedupIndex(spark, indexDir, autoCompactMaxFiles)
   }
 }

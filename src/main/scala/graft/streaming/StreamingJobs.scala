@@ -269,12 +269,27 @@ object StreamingJobs {
    *
    * State lives in the INDEX (bounded, queryable parquet), not in Spark's
    * state store — restarts resume from the checkpoint with the corpus
-   * seen so far already persisted. Exactly-once caveat: a batch replayed
-   * after a crash between the append and the checkpoint commit would
-   * append twice; ids must be unique per doc (the probe contract), so
-   * replayed appends only duplicate rows in the band lists, which at most
-   * re-flags the same pairs — results stay correct, storage is the cost
-   * (compact to reclaim).
+   * seen so far already persisted.
+   *
+   * Exactly-once: the append goes through
+   * [[graft.ext.Dedup.appendToDedupIndexEpoch]] (stage → promote →
+   * epoch marker, the filesystem analogue of
+   * [[graft.io.Sinks.JdbcEpochIdempotent]]). A batch replayed after a
+   * crash is detected by its marker: a fully-committed epoch is skipped
+   * WHOLESALE — probing the index again after its own survivors were
+   * appended would violate the probe's disjoint-ids contract and flag the
+   * batch as a duplicate of itself — and a partially-committed epoch
+   * converges (its partial promote is cleaned and redone). `onDupPairs`
+   * is therefore exactly-once per committed epoch, at-least-once across
+   * crashes that precede the commit — compose it with an idempotent sink
+   * (keyed upsert / epoch marker) for end-to-end exactly-once, same as
+   * every `foreachBatch` side effect.
+   *
+   * `autoCompactMaxFiles` > 0 turns on LSM maintenance: after an epoch
+   * commits, compact the index when either component exceeds that many
+   * files ([[graft.ext.Dedup.maybeCompactDedupIndex]]) — the compaction
+   * runs inside the micro-batch, which owns the index (no concurrent
+   * reader, the compactSorted contract).
    *
    * Contract: incoming ids are globally unique and disjoint from the
    * index (same as the probe).
@@ -283,19 +298,29 @@ object StreamingJobs {
                                 threshold: Double = 0.8,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
-                                onDupPairs: (DataFrame, Long) => Unit) =
+                                onDupPairs: (DataFrame, Long) => Unit,
+                                queryId: String = "sdedup",
+                                autoCompactMaxFiles: Int = 0) =
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      graft.ops.Caching.scoped {
-        import graft.ext.Dedup
-        val pairs = Dedup
-          .minhashLshPairsAgainstIndex(batch, indexPath, textCol, idCol,
-            threshold)
-          .transform(df => graft.ops.Caching.register(df)) // emit + drop set
-        onDupPairs(pairs, epoch)
-        val drops = Dedup.incrementalDropIds(pairs,
-          batch.select(col(idCol)), idCol)
-        val survivors = batch.join(drops, Seq(idCol), "left_anti")
-        Dedup.appendToDedupIndex(survivors, indexPath, textCol, idCol)
+      import graft.ext.Dedup
+      val spark = batch.sparkSession
+      if (!Dedup.epochCommitted(spark, indexPath, queryId, epoch)) {
+        graft.ops.Caching.scoped {
+          val pairs = Dedup
+            .minhashLshPairsAgainstIndex(batch, indexPath, textCol, idCol,
+              threshold)
+            .transform(df => graft.ops.Caching.register(df)) // emit + drop set
+          onDupPairs(pairs, epoch)
+          val drops = Dedup.incrementalDropIds(pairs,
+            batch.select(col(idCol)), idCol)
+          val survivors = batch.join(drops, Seq(idCol), "left_anti")
+          Dedup.appendToDedupIndexEpoch(survivors, indexPath, epoch, queryId,
+            textCol, idCol)
+        }
+        if (autoCompactMaxFiles > 0) {
+          Dedup.maybeCompactDedupIndex(spark, indexPath, autoCompactMaxFiles)
+          ()
+        }
       }
     }
 }

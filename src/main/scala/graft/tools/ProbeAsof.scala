@@ -15,7 +15,7 @@ object ProbeAsof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Queries.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val ord = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy(col("o_custkey").as("user_id"),

@@ -18,7 +18,7 @@ object Scratch {
 
     // 1. events ns-timestamp read
     try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val ev = graft.Queries.events(spark, "/root/testdata/sf0.001")
       ev.printSchema()
       ev.select(col("ts"), unix_timestamp(col("ts"))).show(3, false)
     } catch { case e: Throwable => println(s"EVENTS READ FAILED: ${e.getMessage.take(300)}") }

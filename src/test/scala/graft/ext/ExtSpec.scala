@@ -257,6 +257,93 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("epoch-idempotent index append: replays are no-ops and partial " +
+    "promotes converge (the foreachBatch exactly-once contract)") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "completely novel text about streaming incremental dedup"),
+      (11L, "another genuinely fresh document mentioning nothing seen"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_epoch_idx")
+    try {
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      def bandRowsPerId: Map[Long, Long] = spark.read
+        .parquet(s"$idx/bands").groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+
+      assert(Dedup.appendToDedupIndexEpoch(crawl, idx.toString, epochId = 5))
+      val after1 = bandRowsPerId
+      assert(after1(10L) == 32 && after1(11L) == 32) // one row per band
+
+      // replay of a COMMITTED epoch: marker detected, index untouched
+      assert(!Dedup.appendToDedupIndexEpoch(crawl, idx.toString, epochId = 5))
+      assert(bandRowsPerId == after1)
+      assert(Dedup.epochCommitted(spark, idx.toString, "stream", 5L))
+
+      // crash BETWEEN promote and marker: files landed, marker missing —
+      // replay must clean the partial promote and converge, not double
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$idx/_epochs/stream-5"))
+      assert(Dedup.appendToDedupIndexEpoch(crawl, idx.toString, epochId = 5))
+      assert(bandRowsPerId == after1, "partial-promote replay double-appended")
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("auto-compaction trigger fires on file count and preserves probe " +
+    "results (LSM maintenance without a human deciding when)") {
+    import graft.io.Tables
+    val mk = (r: Range, tag: String) => r.map(i =>
+      (i.toLong, s"document number $i about $tag with some shared words"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_autocompact")
+    try {
+      Dedup.buildDedupIndex(mk(0 until 4, "alpha"), idx.toString,
+        numHashes = 128, bands = 32)
+      (1 to 3).foreach(b =>
+        Dedup.appendToDedupIndex(mk(b * 10 until b * 10 + 4, "beta"),
+          idx.toString, indexFiles = 4))
+      val before = Tables.parquetFileCount(spark, s"$idx/bands")
+      assert(before > 8, s"appends should accumulate files, got $before")
+      // same texts as batch-1's appended docs, fresh ids → guaranteed dups
+      val probe = (0 until 4).map(i => (1000L + i,
+        s"document number ${10 + i} about beta with some shared words"))
+        .toDF("doc_id", "text")
+      def pairs() = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probe, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val expected = pairs()
+      assert(expected.nonEmpty, "probe should find near-dups to be meaningful")
+
+      // below threshold: one listing, no rewrite
+      assert(!Dedup.maybeCompactDedupIndex(spark, idx.toString,
+        maxFilesPerComponent = 1000))
+      assert(Tables.parquetFileCount(spark, s"$idx/bands") == before)
+      // over threshold: compacts both components down to indexFiles
+      assert(Dedup.maybeCompactDedupIndex(spark, idx.toString,
+        maxFilesPerComponent = 8, indexFiles = 2))
+      assert(Tables.parquetFileCount(spark, s"$idx/bands") <= 2)
+      assert(Tables.parquetFileCount(spark, s"$idx/shingles") <= 2)
+      assert(pairs() == expected, "compaction changed probe results")
+      // freshly compacted: trigger is quiet again
+      assert(!Dedup.maybeCompactDedupIndex(spark, idx.toString,
+        maxFilesPerComponent = 8, indexFiles = 2))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("exact-dedup digest index: probe drops corpus-identical and " +
     "in-crawl duplicate docs; append extends the corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_xidx")
@@ -511,6 +598,13 @@ class ExtSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect().head
     assert(row.getLong(0) == 50L, "10 queries × k=5 brute rows")
     assert(row.getDouble(2) >= 0.9, s"recall ${row.getDouble(2)}")
+  }
+
+  test("declared ext_ann_pq_recall_residual certifies recall@5 >= 0.9") {
+    val row = graft.SparkEntry.queries("ext_ann_pq_recall_residual")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(0) == 50L, "10 queries × k=5 brute rows")
+    assert(row.getDouble(2) >= 0.9, s"residual recall ${row.getDouble(2)}")
   }
 
   test("chunking covers the text with the declared overlap") {

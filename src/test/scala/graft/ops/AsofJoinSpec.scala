@@ -46,8 +46,7 @@ class AsofJoinSpec extends SparkSpec {
 
   test("salted variant equals the unsalted join on the events table") {
     // the e3 query shape: page_view events as-of-joined to purchase events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.Queries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
         expr("ts DIV 1000000000").as("sec"), col("value"))
     val l = ev.filter(col("event_type") === "page_view")

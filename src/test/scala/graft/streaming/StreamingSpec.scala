@@ -518,4 +518,80 @@ class StreamingSpec extends SparkSpec {
           .forEach(f => java.nio.file.Files.deleteIfExists(f)))
     }
   }
+
+  test("E2E exactly-once: streaming incremental dedup crash replay " +
+    "neither double-appends the index nor re-emits committed pairs") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Dedup
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sdedup2_idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup2_ckpt")
+    try {
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      val in = MemoryStream[(Long, String)]
+      val flagged = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      def start() = StreamingJobs.streamingIncrementalDedup(
+        in.toDF().toDF("doc_id", "text"), idx.toString, threshold = 0.5,
+        onDupPairs = (pairs, epoch) =>
+          pairs.collect().foreach(r =>
+            flagged += ((epoch, r.getLong(0), r.getLong(1)))))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+
+      val q1 = start()
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+        (11L, "completely novel text about streaming incremental dedup pipelines"))
+      q1.processAllAvailable() // epoch 0: flag 10, append 11
+      in.addData(
+        (21L, "another genuinely fresh document mentioning nothing seen before"))
+      q1.processAllAvailable() // epoch 1: append 21
+      q1.stop()
+
+      // crash AFTER epoch 1's side effects but BEFORE the engine's
+      // commit: delete the commit marker so restart re-executes epoch 1
+      // with the same offsets — the epoch-idempotent append must detect
+      // its own marker and skip wholesale
+      assert(java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(ckpt.toString, "commits", "1")))
+      java.nio.file.Files.deleteIfExists( // local-FS checksum sidecar
+        java.nio.file.Paths.get(ckpt.toString, "commits", ".1.crc"))
+
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replays epoch 1 → must be a no-op
+        in.addData(
+          (30L, "another genuinely fresh document mentioning nothing seen before")) // dup of 21
+        q2.processAllAvailable() // epoch 2: flags (21, 30)
+      } finally q2.stop()
+
+      // pairs exactly-once: epoch 1 emitted nothing on replay, and the
+      // new batch's dup is attributed to the ONE copy of 21 in the index
+      assert(flagged.map(p => (p._2, p._3)).toSet ==
+        Set((0L, 10L), (21L, 30L)), flagged.toString)
+      // index exactly-once: every survivor carries exactly `bands` = 32
+      // band rows — a double-appended epoch would show 64 for 21
+      val bandRows = spark.read.parquet(s"$idx/bands")
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(bandRows.keySet == Set(0L, 1L, 11L, 21L), bandRows.toString)
+      assert(bandRows.values.forall(_ == 32L), bandRows.toString)
+      // the epoch markers record the committed appends
+      assert(Dedup.epochCommitted(spark, idx.toString, "sdedup", 0L))
+      assert(Dedup.epochCommitted(spark, idx.toString, "sdedup", 1L))
+      // staging left no residue
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/_staging")) ||
+        !java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$idx/_staging")).findAny().isPresent)
+    } finally {
+      import java.util.Comparator
+      Seq(idx, ckpt).foreach(d =>
+        java.nio.file.Files.walk(d)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+    }
+  }
 }
