@@ -91,6 +91,33 @@ object Queries {
     }
   }
 
+  /** Time-sliced events reader: applies the `[fromNs, toNs)` bound on the
+    * RAW stored column — BEFORE [[events]]' ns-long normalization — so the
+    * predicate reaches the parquet scan as a pushed filter in BOTH
+    * physical layouts (a plain range on ns-INT64 files; a folded
+    * timestamp-literal range on µs-TIMESTAMP files). Filtering the
+    * normalized column instead would hide the bound behind the
+    * `unix_micros*1000` projection and force a full scan: at 100 TB the
+    * difference between reading one week and reading two years of
+    * row-groups. Bounds must be µs-aligned (µs files cannot represent
+    * sub-µs cuts). Output is identical to `events().filter(...)`. */
+  private[graft] def eventsInRange(s: SparkSession, dir: String,
+                                   fromNs: Long, toNs: Long): DataFrame = {
+    require(fromNs % 1000 == 0 && toNs % 1000 == 0,
+      "range bounds must be µs-aligned for timestamp-typed files")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case tsType @ (TimestampNTZType | TimestampType) =>
+        val lo = timestamp_micros(lit(fromNs / 1000L)).cast(tsType)
+        val hi = timestamp_micros(lit(toNs / 1000L)).cast(tsType)
+        df.filter(col("ts") >= lo && col("ts") < hi)
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ =>
+        df.filter(col("ts") >= fromNs && col("ts") < toNs)
+    }
+  }
+
   /** Order-independent exact money sum (see class doc). `floor(x*100+0.5)`
     * instead of `round`: Spark's double `round` goes through BigDecimal
     * (per-row allocation, off the codegen fast path) while floor is pure
@@ -794,6 +821,20 @@ object Queries {
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start_us"),
           col("n_events"))),
+
+    // Time-sliced event aggregation through [[eventsInRange]]: the bound
+    // lands on the RAW stored column so it pushes to the parquet scan in
+    // both physical layouts (PlanSpec pins PushedFilters on `ts`) — the
+    // "query one week out of a 100 TB event store" operating shape, where
+    // row-group min/max skipping does the work partition pruning would do
+    // on a date-partitioned layout. Window: 2024-01-08 ≤ ts < 2024-01-15.
+    "e6_events_window" -> ((s, dir) =>
+      eventsInRange(s, dir,
+        fromNs = 1704672000L * 1000000000L, toNs = 1705276800L * 1000000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          cents(col("value")).as("value_cents"))),
 
     // Analytic window functions: lag/lead/first_value + sliding-frame sum
     // over each customer's order history (exact integer cents).
@@ -1995,6 +2036,17 @@ object Queries {
         |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS sess_start_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // DuckDB reads parquet ns-INT64 as TIMESTAMP_NS and µs as TIMESTAMP;
+    // naive timestamp literals compare correctly against both.
+    "e6_events_window" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${centsSql("value")} AS value_cents
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY event_type""".stripMargin,
 
     "s9_analytics" ->
       """SELECT o_orderkey, o_custkey,

@@ -171,6 +171,18 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[__b".r.findAllIn(exec.toString).nonEmpty, exec.toString)
   }
 
+  test("e6: the time-range bound pushes to the events scan in the file's " +
+    "raw representation (row-group skipping at 100 TB)") {
+    val p = plan("e6_events_window")
+    // both physical layouts must push BOTH bounds on ts: ns files as plain
+    // longs, µs-timestamp files as folded timestamp literals
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,".r
+      .findAllIn(p).nonEmpty, p)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(ts,".r.findAllIn(p).nonEmpty, p)
+    // and the scan reads only the four referenced columns
+    assert(!p.contains("props"), p)
+  }
+
   test("e3: asof row-level window partitions on (user_id, day bucket)") {
     val p = plan("e3_asof_join")
     assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)

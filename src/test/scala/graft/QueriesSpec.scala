@@ -21,6 +21,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("eventsInRange equals events().filter on the normalized column " +
+    "(pushdown-shaped slice loses no rows at either boundary)") {
+    import org.apache.spark.sql.functions.col
+    val lo = 1704672000L * 1000000000L // 2024-01-08T00:00:00Z
+    val hi = 1705276800L * 1000000000L // 2024-01-15T00:00:00Z
+    val slow = Queries.events(spark, dir)
+      .filter(col("ts") >= lo && col("ts") < hi)
+    val fast = Queries.eventsInRange(spark, dir, lo, hi)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0, "window should be non-empty on the fixture")
+  }
+
   test("approx_count_distinct tracks the exact counts within its rsd bound") {
     val approx = SparkEntry.queries("s10_approx_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
