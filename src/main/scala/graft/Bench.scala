@@ -52,7 +52,10 @@ object Bench {
     // round 5: probe-only decontamination against the persisted Bloom
     // index (the weekly-crawl steady state; the in-session twin
     // ext_bloom_decontam above measures build+probe)
-    "ext_bloom_decontam_indexed")
+    "ext_bloom_decontam_indexed",
+    // round 7: time-sliced event scan — the cost tracked here is the
+    // pushed-bound scan + narrow agg (row-group skipping path)
+    "e6_events_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

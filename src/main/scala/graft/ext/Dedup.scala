@@ -27,6 +27,15 @@ import graft.ops.Caching
  */
 object Dedup {
 
+  /** Current data dir of a versioned index component (manifest-committed
+    * compaction, [[graft.io.Tables.resolveComponent]]); flat legacy dirs
+    * resolve to themselves. Every component read AND append goes through
+    * this, so compaction can swap versions under concurrent readers. */
+  private def comp(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): String =
+    graft.io.Tables.resolveComponent(spark, dir)
+
+
   /** Cumulative candidate-cap counters: multi-id buckets seen, buckets
     * truncated by the skew cap, and candidate ids dropped by it.
     * `droppedIds > 0` bounds measured recall — the cap is visible, never
@@ -267,6 +276,10 @@ object Dedup {
     Caching.scoped { // the shared scan is released once both writes land
       val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
         .transform(df => Caching.register(df))
+      // reset first: a rebuild over a previously-compacted index must not
+      // leave stale version manifests shadowing the fresh flat layout
+      graft.io.Tables.resetComponent(spark, s"$path/shingles")
+      graft.io.Tables.resetComponent(spark, s"$path/bands")
       graft.io.Tables.writeSortedBy(shingled.select("id", "shingles"),
         s"$path/shingles", indexFiles, "id")
       graft.io.Tables.writeSortedBy(bandKeys(shingled, numHashes, bands),
@@ -283,10 +296,12 @@ object Dedup {
    * near-dup machinery.
    */
   def buildExactIndex(df: DataFrame, path: String, textCol: String = "text",
-                      indexFiles: Int = 32): Unit =
+                      indexFiles: Int = 32): Unit = {
+    graft.io.Tables.resetComponent(df.sparkSession, s"$path/digests")
     graft.io.Tables.writeSortedBy(
       df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct(),
       s"$path/digests", indexFiles, "digest")
+  }
 
   /** Crawl docs that are byte-identical to NOTHING in the indexed corpus,
     * with keep-first (smallest id) inside the crawl. The index side joins
@@ -298,7 +313,8 @@ object Dedup {
     val spark = newDocs.sparkSession
     val withDigest = newDocs.withColumn("__digest",
       sha2(col(textCol).cast("binary"), 256))
-    val fresh = withDigest.join(spark.read.parquet(s"$path/digests"),
+    val fresh = withDigest.join(
+      spark.read.parquet(comp(spark, s"$path/digests")),
       col("__digest") === col("digest"), "left_anti")
     val keep = fresh.groupBy("__digest").agg(min(idCol).as(idCol))
       .select(idCol)
@@ -313,7 +329,8 @@ object Dedup {
     df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct()
       .repartitionByRange(indexFiles, col("digest"))
       .sortWithinPartitions("digest")
-      .write.mode("append").parquet(s"$path/digests")
+      .write.mode("append")
+      .parquet(comp(df.sparkSession, s"$path/digests"))
 
   /**
    * Append already-deduped documents to a persisted dedup index — the
@@ -352,11 +369,11 @@ object Dedup {
       shingled.select("id", "shingles")
         .repartitionByRange(indexFiles, col("id"))
         .sortWithinPartitions("id")
-        .write.mode(mode).parquet(s"$outRoot/shingles")
+        .write.mode(mode).parquet(comp(spark, s"$outRoot/shingles"))
       bandKeys(shingled, numHashes, bands)
         .repartitionByRange(indexFiles, col("band"), col("bkey"))
         .sortWithinPartitions("band", "bkey")
-        .write.mode(mode).parquet(s"$outRoot/bands")
+        .write.mode(mode).parquet(comp(spark, s"$outRoot/bands"))
     }
   }
 
@@ -411,8 +428,13 @@ object Dedup {
     val marker = new Path(s"$path/_epochs/$queryId-$epochId")
     if (fs.exists(marker)) return false
     val prefix = s"ep-$queryId-$epochId-"
-    Seq("shingles", "bands").foreach { sub =>
-      val d = new Path(s"$path/$sub")
+    // resolve ONCE: compaction only runs post-commit in the same owner
+    // loop, so the resolved version cannot change between a partial
+    // promote and its replay
+    val compDirs = Seq("shingles", "bands")
+      .map(sub => sub -> comp(spark, s"$path/$sub")).toMap
+    compDirs.values.foreach { cd =>
+      val d = new Path(cd)
       if (fs.exists(d))
         fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
           .foreach(f => fs.delete(f.getPath, false))
@@ -425,7 +447,7 @@ object Dedup {
       if (fs.exists(sd))
         fs.listStatus(sd).filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
-            val dst = new Path(s"$path/$sub/$prefix${f.getPath.getName}")
+            val dst = new Path(s"${compDirs(sub)}/$prefix${f.getPath.getName}")
             require(fs.rename(f.getPath, dst),
               s"epoch promote rename failed: ${f.getPath} -> $dst")
           }
@@ -433,6 +455,20 @@ object Dedup {
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     fs.delete(staging, true)
+    // Marker retention: Structured Streaming replays at most the LAST
+    // uncommitted micro-batch, so markers far behind the newest committed
+    // epoch can never be consulted again — without pruning, a long-running
+    // query accumulates one tiny file per micro-batch forever (millions of
+    // namenode entries at one batch per few seconds). Keep a generous
+    // window (100 epochs) behind this commit for this queryId.
+    val prefix2 = s"$queryId-"
+    fs.listStatus(marker.getParent)
+      .filter(_.getPath.getName.startsWith(prefix2))
+      .foreach { st =>
+        val ep = st.getPath.getName.drop(prefix2.length)
+        if (ep.forall(_.isDigit) && ep.nonEmpty && ep.toLong < epochId - 100)
+          fs.delete(st.getPath, false)
+      }
     true
   }
 
@@ -523,7 +559,7 @@ object Dedup {
         .transform(df => Caching.register(df))
     val bandedNew = bandKeys(shingledNew, numHashes, bands)
 
-    val touched = spark.read.parquet(s"$path/bands")
+    val touched = spark.read.parquet(comp(spark, s"$path/bands"))
       .join(bandedNew.select("band", "bkey").distinct(),
         Seq("band", "bkey"), "left_semi")
 
@@ -542,7 +578,7 @@ object Dedup {
       .select("id_a", "id_b")
 
     val sets = shingledNew.select(col("id"), col("shingles"))
-      .unionByName(spark.read.parquet(s"$path/shingles"))
+      .unionByName(spark.read.parquet(comp(spark, s"$path/shingles")))
     verifyJaccard(candNew, sets, threshold)
   }
 

@@ -169,6 +169,7 @@ object Similarity {
     val assigned = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
         nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
+    graft.io.Tables.resetComponent(spark, s"$path/assignments")
     graft.io.Tables.writeSortedBy(assigned, s"$path/assignments",
       indexFiles, "bucket")
   }
@@ -227,7 +228,9 @@ object Similarity {
         nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
       .repartitionByRange(indexFiles, col("bucket"))
       .sortWithinPartitions("bucket")
-      .write.mode("append").parquet(s"$path/assignments")
+      .write.mode("append").parquet(
+        graft.io.Tables.resolveComponent(newVecs.sparkSession,
+          s"$path/assignments"))
   }
 
   /** Compact a persisted IVF index's inverted lists back to disjoint
@@ -254,7 +257,8 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val (cents, dim) = loadIvfCentroids(spark, path)
-    val assigned = spark.read.parquet(s"$path/assignments")
+    val assigned = spark.read.parquet(
+      graft.io.Tables.resolveComponent(spark, s"$path/assignments"))
     probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
   }
 
@@ -470,6 +474,7 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
     Seq(residual).toDF("residual")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.io.Tables.resetComponent(corpus.sparkSession, s"$path/codes")
     graft.io.Tables.writeSortedBy(
       encodeCodes(corpus, cents, cb, dim, m, ksub, residual, idCol, vecCol),
       s"$path/codes", indexFiles, "bucket")
@@ -541,7 +546,9 @@ object Similarity {
         pqIndexResidual(spark, path), idCol, vecCol)
       .repartitionByRange(indexFiles, col("bucket"))
       .sortWithinPartitions("bucket")
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(
+        graft.io.Tables.resolveComponent(newVecs.sparkSession,
+          s"$path/codes"))
   }
 
   /** Query a persisted IVF-PQ index: probe the `nprobe` nearest coarse
@@ -556,7 +563,8 @@ object Similarity {
     import graft.functions.PqFunctions.{pq_dist_table, pq_dist_table_res}
     val (cents, dim) = loadIvfCentroids(spark, path)
     val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(
+      graft.io.Tables.resolveComponent(spark, s"$path/codes"))
     val probes =
       if (pqIndexResidual(spark, path))
         // residual tables are PER (query, probed cell) — computed after

@@ -83,31 +83,86 @@ object Tables {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Parquet data-file count under `dir` (one filesystem listing, no
-    * footer reads; 0 for a missing dir). The file-count signal behind
-    * auto-compaction triggers: every `append*Index` adds files whose key
-    * ranges overlap all earlier ones, so count tracks both listing
-    * pressure and degraded file-skipping. */
-  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+  /**
+   * Current data directory of a possibly-versioned component (see
+   * [[compactSorted]]): versions live as SIBLING dirs `<dir>-v<N>`, each
+   * committed by an atomic marker file `<name>.manifest-<N>` next to
+   * them. The highest committed manifest wins; with none, the component
+   * is the legacy flat layout — `dir` itself. One listing of the parent,
+   * no data reads. Siblings (not subdirs) keep uncommitted version
+   * directories invisible to any parquet read of the flat path — a
+   * crashed compaction can never double a flat reader's rows.
+   */
+  def resolveComponent(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    if (parent == null) return dir
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return dir
+    val pre = p.getName + ".manifest-"
+    val vs = fs.listStatus(parent).iterator
+      .map(_.getPath.getName).filter(_.startsWith(pre))
+      .map(_.drop(pre.length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+    if (vs.isEmpty) dir else s"$dir-v${vs.max}"
+  }
+
+  /** Remove every version dir and manifest of a component — in-place
+    * REBUILD preparation: a fresh build writes the flat (version-0)
+    * layout, which must resolve again; stale manifests from a compacted
+    * previous life of the same path would otherwise shadow it. */
+  def resetComponent(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    if (parent == null) return
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return
+    val name = p.getName
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      val ver = n.startsWith(name + "-v") &&
+        n.length > name.length + 2 && n.drop(name.length + 2).forall(_.isDigit)
+      if (n.startsWith(name + ".manifest-") || ver)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Parquet data-file count of a component's CURRENT version (one
+    * filesystem listing after [[resolveComponent]], no footer reads; 0
+    * for a missing dir). The file-count signal behind auto-compaction
+    * triggers: every `append*Index` adds files whose key ranges overlap
+    * all earlier ones, so count tracks both listing pressure and degraded
+    * file-skipping. */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(resolveComponent(spark, dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /**
-   * Rewrite an append-accumulated table back into `numFiles` files with
-   * DISJOINT per-file ranges on `sortCols` — LSM-style compaction for
-   * the persisted index family: each `appendTo*Index` adds files whose
-   * key ranges overlap earlier ones, degrading parquet file skipping
-   * until a compaction restores it. The rewrite goes to a temp dir and
-   * swaps in via delete + rename. NOT safe against a CONCURRENT reader:
-   * between the delete and the rename the path is briefly absent, and a
-   * reader that listed the old files errors on the deleted parts — run
-   * compaction in the maintenance window that owns the index (the same
-   * contract as the appends, whose added files a mid-scan reader also
-   * must not race). True reader-concurrent swaps need a versioned
-   * manifest (a table format), out of scope here. `dedupe = true`
+   * Rewrite an append-accumulated component back into `numFiles` files
+   * with DISJOINT per-file ranges on `sortCols` — LSM-style compaction
+   * for the persisted index family: each `appendTo*Index` adds files
+   * whose key ranges overlap earlier ones, degrading parquet file
+   * skipping until a compaction restores it.
+   *
+   * Reader-concurrent via a minimal versioned manifest (the mechanism
+   * every table format uses, reduced to one component): the rewrite goes
+   * to a fresh SIBLING dir `<dir>-v<N+1>`, then an empty marker file
+   * `<name>.manifest-<N+1>` is created — THE atomic commit point; readers
+   * resolve the highest manifest at scan-listing time
+   * ([[resolveComponent]]). Retention keeps the version current at this
+   * call's entry (a concurrent reader that resolved it mid-compaction
+   * keeps its files for one full maintenance cycle) and deletes
+   * everything older — so a reader is only ever broken if it runs longer
+   * than TWO compaction cycles, the table-format snapshot-expiry
+   * contract. A crash before the marker leaves an invisible orphan dir,
+   * overwritten by the retry; the flat legacy layout is version 0 and
+   * migrates on first compaction. Appends route through
+   * [[resolveComponent]] too, so they land in the current version —
+   * appends and compaction still share one owner (the maintenance
+   * window), only READERS gained concurrency. `dedupe = true`
    * additionally drops exact-duplicate rows (the exact-digest index,
    * where re-appending an already-indexed digest is harmless but
    * wasteful).
@@ -116,14 +171,22 @@ object Tables {
                     numFiles: Int, dedupe: Boolean, sortCols: String*): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(
-      src.getParent, "." + src.getName + "_compacting")
     val fs = src.getFileSystem(conf)
-    val df0 = spark.read.parquet(dir)
+    val cur = resolveComponent(spark, dir)
+    val curVer = if (cur == dir) 0L
+      else cur.substring(cur.lastIndexOf("-v") + 2).toLong
+    val next = curVer + 1
+    val df0 = spark.read.parquet(cur)
     val df = if (dedupe) df0.distinct() else df0
-    writeSortedBy(df, tmp.toString, numFiles, sortCols: _*)
-    fs.delete(src, true)
-    require(fs.rename(tmp, src), s"compaction swap failed for $src")
+    writeSortedBy(df, s"$dir-v$next", numFiles, sortCols: _*)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir.manifest-$next"), true)
+      .close() // commit point: readers now resolve v<next>
+    (0L until curVer).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        if (v == 0) dir else s"$dir-v$v"), true)
+      if (v > 0)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir.manifest-$v"), false)
+    }
   }
 
   /**

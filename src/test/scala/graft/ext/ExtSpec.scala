@@ -289,6 +289,21 @@ class ExtSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$idx/_epochs/stream-5"))
       assert(Dedup.appendToDedupIndexEpoch(crawl, idx.toString, epochId = 5))
       assert(bandRowsPerId == after1, "partial-promote replay double-appended")
+
+      // marker retention: a commit prunes markers >100 epochs behind it
+      // (the engine can only replay the last uncommitted batch), but
+      // never another queryId's markers
+      val epochs = java.nio.file.Paths.get(s"$idx/_epochs")
+      java.nio.file.Files.createFile(epochs.resolve("stream-7"))
+      java.nio.file.Files.createFile(epochs.resolve("otherq-3"))
+      val crawl2 = Seq((20L, "yet another brand new piece of text entirely"))
+        .toDF("doc_id", "text")
+      assert(Dedup.appendToDedupIndexEpoch(crawl2, idx.toString,
+        epochId = 300))
+      assert(!java.nio.file.Files.exists(epochs.resolve("stream-5")))
+      assert(!java.nio.file.Files.exists(epochs.resolve("stream-7")))
+      assert(java.nio.file.Files.exists(epochs.resolve("otherq-3")))
+      assert(java.nio.file.Files.exists(epochs.resolve("stream-300")))
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(idx)
@@ -336,6 +351,80 @@ class ExtSpec extends SparkSpec {
       // freshly compacted: trigger is quiet again
       assert(!Dedup.maybeCompactDedupIndex(spark, idx.toString,
         maxFilesPerComponent = 8, indexFiles = 2))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("versioned compaction: manifest-committed swap keeps the prior " +
+    "version for one cycle of reader grace; flat layout migrates; " +
+    "rebuild resets") {
+    import graft.io.Tables
+    val mk = (r: Range, tag: String) => r.map(i =>
+      (i.toLong, s"document number $i about $tag with some shared words"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_versioned")
+    val bands = s"$idx/bands"
+    def exists(p: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))
+    try {
+      Dedup.buildDedupIndex(mk(0 until 4, "alpha"), idx.toString,
+        numHashes = 128, bands = 32)
+      Dedup.appendToDedupIndex(mk(10 until 14, "beta"), idx.toString)
+      val probe = (0 until 4).map(i => (1000L + i,
+        s"document number ${10 + i} about beta with some shared words"))
+        .toDF("doc_id", "text")
+      def pairs() = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probe, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      val expected = pairs()
+      assert(expected.nonEmpty)
+      assert(Tables.resolveComponent(spark, bands) == bands) // flat v0
+
+      // an in-flight reader resolves the flat layout NOW...
+      val inFlight = spark.read.parquet(bands)
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 2)
+      // ...and still reads its files after the swap (one cycle of grace)
+      assert(inFlight.count() > 0)
+      assert(exists(bands) && exists(s"$bands-v1") &&
+        exists(s"$idx/bands.manifest-1"))
+      assert(Tables.resolveComponent(spark, bands) == s"$bands-v1")
+      assert(pairs() == expected)
+
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 2)
+      assert(!exists(bands), "flat v0 should expire after its grace cycle")
+      assert(exists(s"$bands-v1") && exists(s"$bands-v2"))
+      assert(pairs() == expected)
+
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 2)
+      assert(!exists(s"$bands-v1") && !exists(s"$idx/bands.manifest-1"))
+      assert(Tables.resolveComponent(spark, bands) == s"$bands-v3")
+      assert(pairs() == expected)
+
+      // appends land in the CURRENT version — the probe sees them
+      Dedup.appendToDedupIndex(mk(20 until 24, "gamma"), idx.toString)
+      val probeG = Seq((2000L,
+        "document number 20 about gamma with some shared words"))
+        .toDF("doc_id", "text")
+      val gp = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probeG, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      }
+      assert(gp.exists(p => p._1 == 20L || p._2 == 20L),
+        s"post-compaction append invisible to probe: $gp")
+
+      // in-place rebuild: stale manifests must not shadow the fresh build
+      Dedup.buildDedupIndex(mk(0 until 4, "alpha"), idx.toString,
+        numHashes = 128, bands = 32)
+      assert(Tables.resolveComponent(spark, bands) == bands)
+      assert(Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probeG, idx.toString,
+          threshold = 0.5).count()
+      } == 0L, "rebuilt index must not resolve pre-rebuild versions")
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(idx)
