@@ -248,6 +248,29 @@ object Similarity {
     graft.io.Tables.compactSorted(spark, s"$path/codes", indexFiles,
       dedupe = false, "bucket")
 
+  /** File-count auto-compaction trigger for the IVF inverted lists (same
+    * heuristic as [[graft.ext.Dedup.maybeCompactDedupIndex]] — appends
+    * overlap earlier files LSM-style; count proxies the lost skipping).
+    * @return true if a compaction ran. */
+  def maybeCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxFiles: Int = 64,
+                           indexFiles: Int = 32): Boolean = {
+    val over =
+      graft.io.Tables.parquetFileCount(spark, s"$path/assignments") > maxFiles
+    if (over) compactIvfIndex(spark, path, indexFiles)
+    over
+  }
+
+  /** [[maybeCompactIvfIndex]] for the IVF-PQ code lists. */
+  def maybeCompactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxFiles: Int = 64,
+                          indexFiles: Int = 32): Boolean = {
+    val over =
+      graft.io.Tables.parquetFileCount(spark, s"$path/codes") > maxFiles
+    if (over) compactPqIndex(spark, path, indexFiles)
+    over
+  }
+
   /** Query a persisted IVF index: same probe plan as [[ivfTopK]], but the
     * corpus side is the stored, bucket-sorted inverted lists — no
     * re-training, no re-assignment, parquet file skipping on the probed

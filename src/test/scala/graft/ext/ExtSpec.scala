@@ -640,6 +640,16 @@ class ExtSpec extends SparkSpec {
       fresh.filter(col("vec_id") === 1), 5, nprobe = 1)
       .as[(Long, Long, Double)].collect()
     assert(probe1.nonEmpty, "appended vector's own cell must have neighbors")
+
+    // auto-compaction trigger: quiet below threshold, fires above it,
+    // probe results identical after the versioned rewrite
+    assert(!Similarity.maybeCompactIvfIndex(spark, dir, maxFiles = 1000))
+    assert(Similarity.maybeCompactIvfIndex(spark, dir, maxFiles = 1,
+      indexFiles = 2))
+    assert(graft.io.Tables.parquetFileCount(spark, s"$dir/assignments") <= 2)
+    val afterCompact = Similarity.ivfTopKFromIndex(spark, dir, qs, 5,
+      nprobe = 8).as[(Long, Long, Double)].collect().toSet
+    assert(afterCompact == brute, "compaction changed probe results")
   }
 
   test("incremental survivors: crawl minus dups of the index and " +
