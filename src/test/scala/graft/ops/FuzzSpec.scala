@@ -457,4 +457,30 @@ class FuzzSpec extends SparkSpec {
       assert(got == expect, s"round $round")
     }
   }
+
+  test("eventsInRange equals filter-after-normalize at random µs-aligned " +
+    "bounds, including empty and full windows") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Queries.events(spark, dir)
+      .select("event_id", "ts").as[(Long, Long)].collect()
+    val (minTs, maxTs) = (all.map(_._2).min, all.map(_._2).max)
+    val rnd = new Random(777)
+    def align(x: Long) = x - java.lang.Math.floorMod(x, 1000L)
+    val windows = Seq(
+      (align(minTs), align(maxTs) + 1000),            // full
+      (align(minTs) - 5000, align(minTs) - 1000),     // empty, before
+      (align(maxTs) + 1000, align(maxTs) + 5000),     // empty, after
+      (align(minTs), align(minTs))                    // degenerate lo==hi
+    ) ++ (1 to 5).map { _ =>
+      val a = align(minTs + (rnd.nextDouble() * (maxTs - minTs)).toLong)
+      val b = align(minTs + (rnd.nextDouble() * (maxTs - minTs)).toLong)
+      (math.min(a, b), math.max(a, b))
+    }
+    windows.foreach { case (lo, hi) =>
+      val expect = all.filter(e => e._2 >= lo && e._2 < hi).map(_._1).toSet
+      val got = graft.Queries.eventsInRange(spark, dir, lo, hi)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == expect, s"window [$lo, $hi)")
+    }
+  }
 }
