@@ -314,7 +314,8 @@ object Dedup {
     val withDigest = newDocs.withColumn("__digest",
       sha2(col(textCol).cast("binary"), 256))
     val fresh = withDigest.join(
-      spark.read.parquet(comp(spark, s"$path/digests")),
+      digestTombstoneMask(spark, path)(
+        spark.read.parquet(comp(spark, s"$path/digests"))),
       col("__digest") === col("digest"), "left_anti")
     val keep = fresh.groupBy("__digest").agg(min(idCol).as(idCol))
       .select(idCol)
@@ -498,23 +499,94 @@ object Dedup {
    * ranges overlap ACROSS batches, so probe-side file skipping degrades
    * as appends accumulate; compaction rewrites each component as one
    * fresh sorted run (read → range-sort → atomic directory swap).
-   * Results are unchanged (ExtSpec pins probe equality); run it when
-   * append count grows, like any LSM maintenance job.
+   * Results are unchanged when no tombstones are pending (ExtSpec pins
+   * probe equality); pending [[deleteFromDedupIndex]] tombstones are
+   * applied physically here and the sidecar cleared. Run it when append
+   * count grows, like any LSM maintenance job.
    */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, indexFiles: Int = 32): Unit =
+                        path: String, indexFiles: Int = 32): Unit = {
+    val mask = tombstoneMask(spark, path)
     Seq("bands" -> Seq("band", "bkey"), "shingles" -> Seq("id")).foreach {
       case (sub, cols) =>
         graft.io.Tables.compactSorted(spark, s"$path/$sub", indexFiles,
-          dedupe = false, cols: _*)
+          dedupe = false, cols: _*)(mask)
     }
+    clearTombstones(spark, path)
+  }
+
+  /**
+   * Takedown/opt-out support — delete documents from a persisted dedup
+   * index WITHOUT a rebuild: ids land in a `tombstones/` sidecar (append,
+   * tiny), every probe masks the stored bands and shingle sets against it
+   * (broadcast anti-join — the tombstone set is takedown-sized, orders of
+   * magnitude below the corpus), and the next [[compactDedupIndex]]
+   * applies the deletions PHYSICALLY (rewrites the components without the
+   * ids) and clears the sidecar. Snapshot semantics for concurrent
+   * readers: a probe that resolved its component version before the
+   * compaction simply sees the pre-delete snapshot, same one-cycle grace
+   * as every versioned swap. Deleted ids must never be REUSED for new
+   * documents (the index id contract is append-only-unique).
+   */
+  def deleteFromDedupIndex(ids: DataFrame, path: String,
+                           idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** Anti-join mask for a component keyed by long `id`; identity when the
+    * index has no tombstones. */
+  private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame => DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) identity
+    else {
+      val dead = spark.read.parquet(t.toString).select("id")
+      df => df.join(broadcast(dead), Seq("id"), "left_anti")
+    }
+  }
+
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(t, true)
+  }
 
   /** Compact an exact-digest index: restore disjoint per-file digest
-    * ranges and drop duplicate digests accumulated across appends. */
+    * ranges and drop duplicate digests accumulated across appends;
+    * pending [[deleteFromExactIndex]] tombstones are applied physically
+    * and the sidecar cleared. */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, indexFiles: Int = 32): Unit =
+                        path: String, indexFiles: Int = 32): Unit = {
+    val mask = digestTombstoneMask(spark, path)
     graft.io.Tables.compactSorted(spark, s"$path/digests", indexFiles,
-      dedupe = true, "digest")
+      dedupe = true, "digest")(mask)
+    clearTombstones(spark, path)
+  }
+
+  /** Takedown for the exact-digest index — keyed by CONTENT, not id (the
+    * index stores only digests): removing a document's digest means a
+    * future identical document is no longer treated as a duplicate — it
+    * becomes the new canonical copy, which is the correct takedown
+    * semantics. Probes mask the stored digests until the next
+    * [[compactExactIndex]] applies the removal physically. */
+  def deleteFromExactIndex(docs: DataFrame, path: String,
+                           textCol: String = "text"): Unit =
+    docs.select(sha2(col(textCol).cast("binary"), 256).as("digest"))
+      .distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def digestTombstoneMask(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): DataFrame => DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) identity
+    else {
+      val dead = spark.read.parquet(t.toString).select("digest")
+      df => df.join(broadcast(dead), Seq("digest"), "left_anti")
+    }
+  }
 
   /**
    * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)
@@ -559,7 +631,8 @@ object Dedup {
         .transform(df => Caching.register(df))
     val bandedNew = bandKeys(shingledNew, numHashes, bands)
 
-    val touched = spark.read.parquet(comp(spark, s"$path/bands"))
+    val mask = tombstoneMask(spark, path)
+    val touched = mask(spark.read.parquet(comp(spark, s"$path/bands")))
       .join(bandedNew.select("band", "bkey").distinct(),
         Seq("band", "bkey"), "left_semi")
 
@@ -578,7 +651,7 @@ object Dedup {
       .select("id_a", "id_b")
 
     val sets = shingledNew.select(col("id"), col("shingles"))
-      .unionByName(spark.read.parquet(comp(spark, s"$path/shingles")))
+      .unionByName(mask(spark.read.parquet(comp(spark, s"$path/shingles"))))
     verifyJaccard(candNew, sets, threshold)
   }
 

@@ -237,16 +237,53 @@ object Similarity {
     * per-file bucket ranges (appends overlap earlier files LSM-style and
     * degrade file skipping until compaction). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, indexFiles: Int = 32): Unit =
+                      path: String, indexFiles: Int = 32): Unit = {
     graft.io.Tables.compactSorted(spark, s"$path/assignments", indexFiles,
-      dedupe = false, "bucket")
+      dedupe = false, "bucket")(tombstoneMask(spark, path))
+    clearTombstones(spark, path)
+  }
 
   /** Compact a persisted IVF-PQ index's code lists (same contract as
     * [[compactIvfIndex]]). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String, indexFiles: Int = 32): Unit =
+                     path: String, indexFiles: Int = 32): Unit = {
     graft.io.Tables.compactSorted(spark, s"$path/codes", indexFiles,
-      dedupe = false, "bucket")
+      dedupe = false, "bucket")(tombstoneMask(spark, path))
+    clearTombstones(spark, path)
+  }
+
+  /**
+   * Takedown/opt-out support for the ANN indexes — delete vectors WITHOUT
+   * a rebuild: ids land in a `tombstones/` sidecar, probes mask the
+   * stored lists against it (broadcast anti-join on `cand_id` — the
+   * tombstone set is takedown-sized), and the next compaction applies the
+   * deletions physically and clears the sidecar. Works identically for
+   * IVF inverted lists and IVF-PQ code lists (each index owns its
+   * sidecar). Deleted ids must never be reused.
+   */
+  def deleteFromAnnIndex(ids: DataFrame, path: String,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** Anti-join mask on `cand_id`; identity when no tombstones. */
+  private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame => DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) identity
+    else {
+      val dead = spark.read.parquet(t.toString).select("cand_id")
+      df => df.join(broadcast(dead), Seq("cand_id"), "left_anti")
+    }
+  }
+
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(t, true)
+  }
 
   /** File-count auto-compaction trigger for the IVF inverted lists (same
     * heuristic as [[graft.ext.Dedup.maybeCompactDedupIndex]] — appends
@@ -280,8 +317,8 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val (cents, dim) = loadIvfCentroids(spark, path)
-    val assigned = spark.read.parquet(
-      graft.io.Tables.resolveComponent(spark, s"$path/assignments"))
+    val assigned = tombstoneMask(spark, path)(spark.read.parquet(
+      graft.io.Tables.resolveComponent(spark, s"$path/assignments")))
     probeIndex(assigned, cents, dim, queries, k, nprobe, idCol, vecCol)
   }
 
@@ -586,8 +623,8 @@ object Similarity {
     import graft.functions.PqFunctions.{pq_dist_table, pq_dist_table_res}
     val (cents, dim) = loadIvfCentroids(spark, path)
     val (cb, m, ksub, _) = loadPqCodebooks(spark, path)
-    val codes = spark.read.parquet(
-      graft.io.Tables.resolveComponent(spark, s"$path/codes"))
+    val codes = tombstoneMask(spark, path)(spark.read.parquet(
+      graft.io.Tables.resolveComponent(spark, s"$path/codes")))
     val probes =
       if (pqIndexResidual(spark, path))
         // residual tables are PER (query, probed cell) — computed after

@@ -168,7 +168,8 @@ object Tables {
    * wasteful).
    */
   def compactSorted(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    numFiles: Int, dedupe: Boolean, sortCols: String*): Unit = {
+                    numFiles: Int, dedupe: Boolean, sortCols: String*)(
+                    transform: DataFrame => DataFrame = identity): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(dir)
     val fs = src.getFileSystem(conf)
@@ -176,7 +177,7 @@ object Tables {
     val curVer = if (cur == dir) 0L
       else cur.substring(cur.lastIndexOf("-v") + 2).toLong
     val next = curVer + 1
-    val df0 = spark.read.parquet(cur)
+    val df0 = transform(spark.read.parquet(cur))
     val df = if (dedupe) df0.distinct() else df0
     writeSortedBy(df, s"$dir-v$next", numFiles, sortCols: _*)
     fs.create(new org.apache.hadoop.fs.Path(s"$dir.manifest-$next"), true)

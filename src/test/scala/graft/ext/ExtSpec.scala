@@ -433,6 +433,123 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("index deletion (takedown): tombstoned ids vanish from probes " +
+    "immediately and from the files at compaction") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 0
+      (2L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_takedown")
+    try {
+      Dedup.buildDedupIndex(corpus, idx.toString, numHashes = 128, bands = 32)
+      def pairs() = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probe, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect()
+          .map(p => (p._1, p._2)).toSet
+      }
+      // before: the probe doc pairs with BOTH family members
+      assert(pairs() == Set((0L, 100L), (1L, 100L)))
+
+      import spark.implicits._
+      Dedup.deleteFromDedupIndex(Seq(0L).toDF("doc_id"), idx.toString)
+      // immediately (no compaction yet): 0 is masked, 1 still pairs
+      assert(pairs() == Set((1L, 100L)))
+
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 2)
+      // tombstones applied physically and cleared
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/tombstones")))
+      val bandIds = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+        .select("id").distinct().as[Long].collect().toSet
+      assert(bandIds == Set(1L, 2L), s"bands still hold deleted id: $bandIds")
+      assert(pairs() == Set((1L, 100L)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("exact-index deletion: a removed digest stops matching (the next " +
+    "identical doc becomes the canonical copy) and compaction applies it") {
+    val corpus = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val crawl = Seq((10L, "alpha beta gamma"), (11L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_xtakedown")
+    try {
+      Dedup.buildExactIndex(corpus, idx.toString)
+      def survivors() = Dedup.exactSurvivorsAgainstIndex(crawl, idx.toString)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors() == Set(11L)) // 10 is an exact dup of indexed 0
+
+      Dedup.deleteFromExactIndex(
+        Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), idx.toString)
+      assert(survivors() == Set(10L, 11L)) // masked: 10 is canonical now
+
+      Dedup.compactExactIndex(spark, idx.toString, indexFiles = 2)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/tombstones")))
+      assert(spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/digests"))
+        .count() == 1L) // only doc 1's digest remains physically
+      assert(survivors() == Set(10L, 11L))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("ANN index deletion: tombstoned vectors leave top-k immediately; " +
+    "compaction removes them physically; results match brute force over " +
+    "the remaining corpus") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndel").toString
+    try {
+      Similarity.buildIvfIndex(emb, dir, numCentroids = 8, kmeansIters = 2,
+        indexFiles = 4)
+      val qs = emb.filter(col("vec_id") < 5)
+      def topAll() = Similarity.ivfTopKFromIndex(spark, dir, qs, 5,
+        nprobe = 8).as[(Long, Long, Double)].collect().toSet
+      val before = topAll()
+      // delete every CURRENT neighbor of query 0 — the strongest signal
+      val dead = before.filter(_._1 == 0L).map(_._2).toSeq
+      assert(dead.nonEmpty)
+      import spark.implicits._
+      Similarity.deleteFromAnnIndex(dead.toDF("vec_id"), dir)
+      val after = topAll()
+      assert(after.forall(r => !dead.contains(r._2)),
+        "deleted vectors still in top-k")
+      // nprobe = all cells → masked index must EQUAL brute force minus dead
+      val brute = Similarity.bruteForceTopK(
+        emb.filter(!col("vec_id").isin(dead: _*)), qs, 5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after == brute)
+
+      Similarity.compactIvfIndex(spark, dir, indexFiles = 2)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/tombstones")))
+      val stored = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$dir/assignments"))
+        .select("cand_id").as[Long].collect().toSet
+      assert(dead.forall(!stored.contains(_)), "files still hold deleted ids")
+      assert(topAll() == brute)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("exact-dedup digest index: probe drops corpus-identical and " +
     "in-crawl duplicate docs; append extends the corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_xidx")

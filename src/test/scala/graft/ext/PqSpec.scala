@@ -371,4 +371,35 @@ class PqSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq
     assert(run() == run())
   }
+
+  test("PQ index deletion: tombstoned ids never reach the ADC shortlist; " +
+    "compaction removes their codes physically") {
+    val qs = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_del")
+    try {
+      Similarity.buildPqIndex(emb, idx.toString, numCentroids = 8,
+        m = 16, ksub = 64)
+      def top() = Similarity.pqTopKFromIndexRerank(spark, idx.toString, emb,
+        qs, 5, rerank = 20, nprobe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val dead = top().filter(_._1 == 0L).map(_._2).toSeq
+      assert(dead.nonEmpty)
+      Similarity.deleteFromAnnIndex(dead.toDF("vec_id"), idx.toString)
+      val after = top()
+      assert(after.forall(r => !dead.contains(r._2)),
+        "deleted ids still reach the shortlist")
+      Similarity.compactPqIndex(spark, idx.toString, indexFiles = 2)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/tombstones")))
+      val stored = spark.read.parquet(graft.io.Tables.resolveComponent(
+        spark, s"$idx/codes")).select("cand_id").as[Long].collect().toSet
+      assert(dead.forall(!stored.contains(_)))
+      assert(top() == after)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(idx)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
