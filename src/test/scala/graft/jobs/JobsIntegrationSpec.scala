@@ -125,6 +125,73 @@ class JobsIntegrationSpec extends SparkSpec {
     }
   }
 
+  test("TakedownJob removes docs from the corpus and every index in one " +
+    "run: probes masked immediately, files clean after compactNow, " +
+    "idempotent on re-run") {
+    import graft.ext.{Dedup, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft_takedownjob")
+    def p(s: String) = s"$root/$s"
+    try {
+      val corpus = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "an utterly unrelated document about spark engines today"))
+        .toDF("doc_id", "text")
+      corpus.write.parquet(p("corpus"))
+      Seq(0L).toDF("doc_id").write.parquet(p("ids"))
+      Dedup.buildDedupIndex(corpus, p("mh"), numHashes = 128, bands = 32)
+      Dedup.buildExactIndex(corpus, p("x"))
+      val emb = spark.read.parquet(sf("embeddings"))
+      Similarity.buildIvfIndex(emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50), p("ann"),
+        numCentroids = 4, kmeansIters = 1)
+      Seq(0L).toDF("doc_id").write.mode("overwrite").parquet(p("ids"))
+
+      TakedownJob.run(spark, p("corpus"), p("ids"), p("out"),
+        dedupIdx = Some(p("mh")), exactIdx = Some(p("x")),
+        annIdx = Some(p("ann")), compactNow = true)
+
+      // report + corpus rewrite
+      val rep = spark.read.parquet(p("out/report")).collect().head
+      assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((1L, 1L, 2L)))
+      assert(spark.read.parquet(p("out/corpus"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+      // dedup probe: a dup of removed 0 pairs only with surviving 1
+      val probe = Seq((100L,
+        "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      val pairs = graft.ops.Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(probe, p("mh"), threshold = 0.5)
+          .as[(Long, Long, Double)].collect().map(x => (x._1, x._2)).toSet
+      }
+      assert(pairs == Set((1L, 100L)))
+      // exact probe: identical content is canonical again
+      assert(Dedup.exactSurvivorsAgainstIndex(probe, p("x"))
+        .select("doc_id").as[Long].collect().toSet == Set(100L))
+      // ANN probe: vec 0 gone from every top-k
+      val ann = Similarity.ivfTopKFromIndex(spark,
+        p("ann"), emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), 5, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(!ann.contains(0L))
+      // compactNow applied physically: tombstone sidecars cleared
+      Seq("mh", "x", "ann").foreach(d =>
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p(s"$d/tombstones"))), d))
+
+      // idempotent: re-run over the REWRITTEN corpus matches nothing
+      TakedownJob.run(spark, p("out/corpus"), p("ids"), p("out2"),
+        dedupIdx = Some(p("mh")))
+      val rep2 = spark.read.parquet(p("out2/report")).collect().head
+      assert((rep2.getLong(0), rep2.getLong(1), rep2.getLong(2))
+        == ((1L, 0L, 2L)))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("CurationJob runs the whole prep pipeline: strip → quality → " +
     "decontam → dedup-vs-index → pack, with a per-stage funnel, and " +
     "run 2 dedups against run 1's appended survivors") {
