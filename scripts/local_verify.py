@@ -52,6 +52,9 @@ def main():
 
     oracle_sql = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # pin UTC: naive-vs-TZ timestamp comparisons in oracle SQL must not
+    # depend on the host's local timezone
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")

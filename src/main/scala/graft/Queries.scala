@@ -2037,15 +2037,18 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
 
-    // DuckDB reads parquet ns-INT64 as TIMESTAMP_NS and µs as TIMESTAMP;
-    // naive timestamp literals compare correctly against both.
+    // epoch_ns bounds, not naive timestamp literals: epoch_ns is exact on
+    // every layout the driver has shipped (ns-INT64 → TIMESTAMP_NS,
+    // µs NTZ → TIMESTAMP) AND on a hypothetical UTC-adjusted TIMESTAMPTZ,
+    // where a naive literal would shift by the verify host's session
+    // timezone. Matches the Spark side's raw-epoch bound exactly.
     "e6_events_window" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          |  ${centsSql("value")} AS value_cents
          |FROM events
-         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |WHERE epoch_ns(ts) >= 1704672000000000000
+         |  AND epoch_ns(ts) < 1705276800000000000
          |GROUP BY event_type""".stripMargin,
 
     "s9_analytics" ->

@@ -42,10 +42,14 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: $msg")
         errors(name) = msg
-        // leave no stale output dir from a previous run for this query
-        val d = new java.io.File(s"$outDir/$name")
-        if (d.isDirectory) d.listFiles().foreach(_.delete())
-        d.delete()
+        // leave no stale output dir from a previous run for this query —
+        // recursive: a committer's leftover _temporary/ subtree would
+        // survive a flat delete and be miscounted as a written output
+        val d = java.nio.file.Paths.get(s"$outDir/$name")
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
       spark.catalog.clearCache()
     }

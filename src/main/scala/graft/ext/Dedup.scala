@@ -276,10 +276,19 @@ object Dedup {
     Caching.scoped { // the shared scan is released once both writes land
       val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
         .transform(df => Caching.register(df))
-      // reset first: a rebuild over a previously-compacted index must not
-      // leave stale version manifests shadowing the fresh flat layout
+      // reset first: a rebuild over a previous life of this path must not
+      // inherit its version manifests (stale data would shadow the fresh
+      // flat layout), its tombstones (deleted-then-reindexed ids would be
+      // masked forever), or its streaming epoch state (a fresh-checkpoint
+      // stream would skip whole batches against old commit markers)
       graft.io.Tables.resetComponent(spark, s"$path/shingles")
       graft.io.Tables.resetComponent(spark, s"$path/bands")
+      graft.io.Tables.clearTombstones(spark, path)
+      Seq("_epochs", "_staging").foreach { sub =>
+        val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(d, true)
+      }
       graft.io.Tables.writeSortedBy(shingled.select("id", "shingles"),
         s"$path/shingles", indexFiles, "id")
       graft.io.Tables.writeSortedBy(bandKeys(shingled, numHashes, bands),
@@ -298,6 +307,7 @@ object Dedup {
   def buildExactIndex(df: DataFrame, path: String, textCol: String = "text",
                       indexFiles: Int = 32): Unit = {
     graft.io.Tables.resetComponent(df.sparkSession, s"$path/digests")
+    graft.io.Tables.clearTombstones(df.sparkSession, path)
     graft.io.Tables.writeSortedBy(
       df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct(),
       s"$path/digests", indexFiles, "digest")
@@ -378,6 +388,28 @@ object Dedup {
     }
   }
 
+  /** Remove the PARTIALLY-promoted files of an uncommitted epoch (crash
+    * between promote and marker). Callers that PROBE the index before an
+    * epoch-idempotent append — the streaming dedup loop — must run this
+    * BEFORE the probe: the partial files carry the replayed batch's own
+    * ids, and probing across them would flag the batch as a duplicate of
+    * itself and drop it from the index permanently. A committed epoch's
+    * files never match (the marker short-circuits the replay upstream);
+    * idempotent and cheap (one listing per component) when there is
+    * nothing to clean. */
+  def cleanPartialEpoch(spark: org.apache.spark.sql.SparkSession,
+                        path: String, epochId: Long,
+                        queryId: String = "stream"): Unit = {
+    val prefix = s"ep-$queryId-$epochId-"
+    Seq("shingles", "bands").foreach { sub =>
+      val d = new org.apache.hadoop.fs.Path(comp(spark, s"$path/$sub"))
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d))
+        fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+    }
+  }
+
   /** True iff `epochId` of `queryId` has already been committed into the
     * index at `path` by [[appendToDedupIndexEpoch]]. */
   def epochCommitted(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -423,23 +455,21 @@ object Dedup {
                               idCol: String = "doc_id",
                               indexFiles: Int = 4): Boolean = {
     import org.apache.hadoop.fs.Path
+    require(!queryId.contains('-'),
+      "queryId must not contain '-' — it delimits the epoch file prefix, " +
+      "and a hyphenated id could alias another query's committed files")
     val spark = df.sparkSession
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$path/_epochs/$queryId-$epochId")
     if (fs.exists(marker)) return false
+    cleanPartialEpoch(spark, path, epochId, queryId)
     val prefix = s"ep-$queryId-$epochId-"
     // resolve ONCE: compaction only runs post-commit in the same owner
     // loop, so the resolved version cannot change between a partial
     // promote and its replay
     val compDirs = Seq("shingles", "bands")
       .map(sub => sub -> comp(spark, s"$path/$sub")).toMap
-    compDirs.values.foreach { cd =>
-      val d = new Path(cd)
-      if (fs.exists(d))
-        fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-    }
     val staging = new Path(s"$path/_staging/$queryId-$epochId")
     writeIndexDelta(df, path, staging.toString, textCol, idCol, indexFiles,
       org.apache.spark.sql.SaveMode.Overwrite)
@@ -467,7 +497,10 @@ object Dedup {
       .filter(_.getPath.getName.startsWith(prefix2))
       .foreach { st =>
         val ep = st.getPath.getName.drop(prefix2.length)
-        if (ep.forall(_.isDigit) && ep.nonEmpty && ep.toLong < epochId - 100)
+        // length cap: a ≥19-digit name would overflow toLong; no real
+        // epoch gets there, so just leave such a file alone
+        if (ep.nonEmpty && ep.length <= 18 && ep.forall(_.isDigit) &&
+            ep.toLong < epochId - 100)
           fs.delete(st.getPath, false)
       }
     true
@@ -533,25 +566,13 @@ object Dedup {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
-  /** Anti-join mask for a component keyed by long `id`; identity when the
-    * index has no tombstones. */
   private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
-                            path: String): DataFrame => DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(t)) identity
-    else {
-      val dead = spark.read.parquet(t.toString).select("id")
-      df => df.join(broadcast(dead), Seq("id"), "left_anti")
-    }
-  }
+                            path: String): DataFrame => DataFrame =
+    graft.io.Tables.tombstoneMask(spark, path, "id")
 
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Unit = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(t, true)
-  }
+                              path: String): Unit =
+    graft.io.Tables.clearTombstones(spark, path)
 
   /** Compact an exact-digest index: restore disjoint per-file digest
     * ranges and drop duplicate digests accumulated across appends;
@@ -578,15 +599,8 @@ object Dedup {
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
   private def digestTombstoneMask(spark: org.apache.spark.sql.SparkSession,
-                                  path: String): DataFrame => DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(t)) identity
-    else {
-      val dead = spark.read.parquet(t.toString).select("digest")
-      df => df.join(broadcast(dead), Seq("digest"), "left_anti")
-    }
-  }
+                                  path: String): DataFrame => DataFrame =
+    graft.io.Tables.tombstoneMask(spark, path, "digest")
 
   /**
    * Incremental MinHash/LSH near-dup pairs: all pairs (id_a, id_b, jaccard)

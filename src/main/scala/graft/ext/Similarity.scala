@@ -170,6 +170,7 @@ object Similarity {
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
         nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
     graft.io.Tables.resetComponent(spark, s"$path/assignments")
+    graft.io.Tables.clearTombstones(spark, path)
     graft.io.Tables.writeSortedBy(assigned, s"$path/assignments",
       indexFiles, "bucket")
   }
@@ -266,24 +267,13 @@ object Similarity {
     ids.select(col(idCol).cast("long").as("cand_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
-  /** Anti-join mask on `cand_id`; identity when no tombstones. */
   private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
-                            path: String): DataFrame => DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(t)) identity
-    else {
-      val dead = spark.read.parquet(t.toString).select("cand_id")
-      df => df.join(broadcast(dead), Seq("cand_id"), "left_anti")
-    }
-  }
+                            path: String): DataFrame => DataFrame =
+    graft.io.Tables.tombstoneMask(spark, path, "cand_id")
 
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Unit = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(t, true)
-  }
+                              path: String): Unit =
+    graft.io.Tables.clearTombstones(spark, path)
 
   /** File-count auto-compaction trigger for the IVF inverted lists (same
     * heuristic as [[graft.ext.Dedup.maybeCompactDedupIndex]] — appends
@@ -535,6 +525,7 @@ object Similarity {
     Seq(residual).toDF("residual")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
     graft.io.Tables.resetComponent(corpus.sparkSession, s"$path/codes")
+    graft.io.Tables.clearTombstones(corpus.sparkSession, path)
     graft.io.Tables.writeSortedBy(
       encodeCodes(corpus, cents, cb, dim, m, ksub, residual, idCol, vecCol),
       s"$path/codes", indexFiles, "bucket")

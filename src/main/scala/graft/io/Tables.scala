@@ -107,6 +107,30 @@ object Tables {
     if (vs.isEmpty) dir else s"$dir-v${vs.max}"
   }
 
+  /** Anti-join mask over an index's `tombstones/` sidecar, keyed by
+    * `keyCol` (long ids for dedup/ANN lists, content digests for the
+    * exact index); identity when the index has no tombstones. Shared by
+    * every probe path so deletion semantics can't drift per index. */
+  def tombstoneMask(spark: SparkSession, indexPath: String,
+                    keyCol: String): DataFrame => DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) identity
+    else {
+      val dead = spark.read.parquet(t.toString).select(keyCol)
+      df => df.join(org.apache.spark.sql.functions.broadcast(dead),
+        Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Drop an index's tombstone sidecar — called by compactions after
+    * applying the deletions physically, and by in-place REBUILDS (a stale
+    * sidecar would mask legitimately re-indexed keys in the fresh index). */
+  def clearTombstones(spark: SparkSession, indexPath: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+  }
+
   /** Remove every version dir and manifest of a component — in-place
     * REBUILD preparation: a fresh build writes the flat (version-0)
     * layout, which must resolve again; stale manifests from a compacted

@@ -59,8 +59,11 @@ object TakedownJob {
       val requested = ids.count()
 
       // exact index is content-keyed: fetch the doomed docs' text BEFORE
-      // the corpus rewrite (after it, the content is gone)
-      val matched = corpus.join(ids, Seq("doc_id"), "left_semi")
+      // the corpus rewrite (after it, the content is gone). Registered:
+      // the semi-join scans the full corpus, and both the tombstone write
+      // and the count consume it — one scan, not two
+      val matched = Caching.register(
+        corpus.join(ids, Seq("doc_id"), "left_semi"))
       exactIdx.foreach(p => Dedup.deleteFromExactIndex(matched, p))
       val nMatched = matched.count()
 
@@ -79,9 +82,14 @@ object TakedownJob {
         }
         dedupIdx.foreach(p => Dedup.compactDedupIndex(spark, p))
         exactIdx.foreach(p => Dedup.compactExactIndex(spark, p))
-        annIdx.foreach { p => // IVF-Flat stores assignments, IVF-PQ codes
-          if (has(s"$p/assignments")) Similarity.compactIvfIndex(spark, p)
-          if (has(s"$p/codes")) Similarity.compactPqIndex(spark, p)
+        annIdx.foreach { p =>
+          // detect the index kind through resolveComponent, not the flat
+          // path — after two compactions only the versioned sibling dir
+          // exists and a flat-path check would silently skip the rewrite
+          def liveComponent(c: String) =
+            has(graft.io.Tables.resolveComponent(spark, s"$p/$c"))
+          if (liveComponent("assignments")) Similarity.compactIvfIndex(spark, p)
+          if (liveComponent("codes")) Similarity.compactPqIndex(spark, p)
         }
       }
 

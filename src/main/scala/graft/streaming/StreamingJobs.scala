@@ -305,6 +305,11 @@ object StreamingJobs {
       import graft.ext.Dedup
       val spark = batch.sparkSession
       if (!Dedup.epochCommitted(spark, indexPath, queryId, epoch)) {
+        // BEFORE the probe: a crash between this epoch's promote and its
+        // marker leaves partial files carrying the replayed batch's own
+        // ids — probing across them would flag the batch as a duplicate
+        // of itself and permanently drop it. No-op when nothing to clean.
+        Dedup.cleanPartialEpoch(spark, indexPath, epoch, queryId)
         graft.ops.Caching.scoped {
           val pairs = Dedup
             .minhashLshPairsAgainstIndex(batch, indexPath, textCol, idCol,

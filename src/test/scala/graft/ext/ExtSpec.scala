@@ -304,6 +304,30 @@ class ExtSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(epochs.resolve("stream-7")))
       assert(java.nio.file.Files.exists(epochs.resolve("otherq-3")))
       assert(java.nio.file.Files.exists(epochs.resolve("stream-300")))
+
+      // the streaming-loop replay ordering: CLEAN the uncommitted epoch's
+      // partial promote BEFORE probing — the partial files carry the
+      // replayed batch's own ids, and a probe across them would flag the
+      // batch as a duplicate of itself (and the drop would then lose the
+      // docs from the index forever)
+      java.nio.file.Files.delete(epochs.resolve("stream-300")) // now partial
+      val dirty = Caching.scoped { // what a probe-before-clean would see
+        Dedup.minhashLshPairsAgainstIndex(crawl2, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect()
+      }
+      assert(dirty.exists(p => p._1 == 20L && p._2 == 20L),
+        "precondition: the partial files DO alias the batch (else this " +
+        "test pins nothing)")
+      Dedup.cleanPartialEpoch(spark, idx.toString, 300L)
+      val clean = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(crawl2, idx.toString,
+          threshold = 0.5).as[(Long, Long, Double)].collect()
+      }
+      assert(clean.isEmpty, s"post-clean probe must see no self-pairs: " +
+        clean.mkString(","))
+      assert(Dedup.appendToDedupIndexEpoch(crawl2, idx.toString,
+        epochId = 300))
+      assert(bandRowsPerId(20L) == 32, "replayed epoch appended twice")
     } finally {
       import java.util.Comparator
       java.nio.file.Files.walk(idx)
