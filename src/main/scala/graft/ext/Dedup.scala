@@ -35,7 +35,6 @@ object Dedup {
                    dir: String): String =
     graft.io.Tables.resolveComponent(spark, dir)
 
-
   /** Cumulative candidate-cap counters: multi-id buckets seen, buckets
     * truncated by the skew cap, and candidate ids dropped by it.
     * `droppedIds > 0` bounds measured recall — the cap is visible, never
@@ -276,19 +275,10 @@ object Dedup {
     Caching.scoped { // the shared scan is released once both writes land
       val shingled = shingleSig(df, textCol, idCol, numHashes, shingleWords)
         .transform(df => Caching.register(df))
-      // reset first: a rebuild over a previous life of this path must not
-      // inherit its version manifests (stale data would shadow the fresh
-      // flat layout), its tombstones (deleted-then-reindexed ids would be
-      // masked forever), or its streaming epoch state (a fresh-checkpoint
-      // stream would skip whole batches against old commit markers)
-      graft.io.Tables.resetComponent(spark, s"$path/shingles")
-      graft.io.Tables.resetComponent(spark, s"$path/bands")
-      graft.io.Tables.clearTombstones(spark, path)
-      Seq("_epochs", "_staging").foreach { sub =>
-        val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(d, true)
-      }
+      // fresh-build hygiene: inherit nothing from a previous life of this
+      // path (version manifests, tombstones, streaming epoch state)
+      graft.io.Tables.resetIndexState(spark, path,
+        Seq("shingles", "bands"), clearEpochState = true)
       graft.io.Tables.writeSortedBy(shingled.select("id", "shingles"),
         s"$path/shingles", indexFiles, "id")
       graft.io.Tables.writeSortedBy(bandKeys(shingled, numHashes, bands),
@@ -306,8 +296,7 @@ object Dedup {
    */
   def buildExactIndex(df: DataFrame, path: String, textCol: String = "text",
                       indexFiles: Int = 32): Unit = {
-    graft.io.Tables.resetComponent(df.sparkSession, s"$path/digests")
-    graft.io.Tables.clearTombstones(df.sparkSession, path)
+    graft.io.Tables.resetIndexState(df.sparkSession, path, Seq("digests"))
     graft.io.Tables.writeSortedBy(
       df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct(),
       s"$path/digests", indexFiles, "digest")

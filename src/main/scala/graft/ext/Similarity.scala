@@ -169,8 +169,7 @@ object Similarity {
     val assigned = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
         nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
-    graft.io.Tables.resetComponent(spark, s"$path/assignments")
-    graft.io.Tables.clearTombstones(spark, path)
+    graft.io.Tables.resetIndexState(spark, path, Seq("assignments"))
     graft.io.Tables.writeSortedBy(assigned, s"$path/assignments",
       indexFiles, "bucket")
   }
@@ -524,8 +523,7 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
     Seq(residual).toDF("residual")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
-    graft.io.Tables.resetComponent(corpus.sparkSession, s"$path/codes")
-    graft.io.Tables.clearTombstones(corpus.sparkSession, path)
+    graft.io.Tables.resetIndexState(corpus.sparkSession, path, Seq("codes"))
     graft.io.Tables.writeSortedBy(
       encodeCodes(corpus, cents, cb, dim, m, ksub, residual, idCol, vecCol),
       s"$path/codes", indexFiles, "bucket")

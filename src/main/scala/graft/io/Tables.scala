@@ -131,6 +131,28 @@ object Tables {
     t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
   }
 
+  /** Fresh-build hygiene for a whole index path — every builder calls
+    * this first so an in-place REBUILD inherits nothing from a previous
+    * life of the same path: component version manifests (stale data would
+    * shadow the fresh flat layout), tombstones (deleted-then-reindexed
+    * keys would be masked forever), and — for indexes with
+    * epoch-idempotent streaming appends — the `_epochs`/`_staging` state
+    * (a fresh-checkpoint stream would skip whole batches against old
+    * commit markers). */
+  def resetIndexState(spark: SparkSession, indexPath: String,
+                      components: Seq[String],
+                      clearEpochState: Boolean = false): Unit = {
+    components.foreach(c => resetComponent(spark, s"$indexPath/$c"))
+    clearTombstones(spark, indexPath)
+    if (clearEpochState) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("_epochs", "_staging").foreach { sub =>
+        val d = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+        d.getFileSystem(conf).delete(d, true)
+      }
+    }
+  }
+
   /** Remove every version dir and manifest of a component — in-place
     * REBUILD preparation: a fresh build writes the flat (version-0)
     * layout, which must resolve again; stale manifests from a compacted
