@@ -125,6 +125,62 @@ class JobsIntegrationSpec extends SparkSpec {
     }
   }
 
+  test("StreamingIncrementalDedupJob watches a directory: each parquet " +
+    "drop probes the index, records its epoch's pairs, and appends " +
+    "survivors for later drops to dedup against") {
+    import graft.ext.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedupjob")
+    def p(s: String) = s"$root/$s"
+    try {
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "an utterly unrelated document about spark engines today"))
+        .toDF("doc_id", "text").write.parquet(p("corpus"))
+      Dedup.buildDedupIndex(spark.read.parquet(p("corpus")), p("idx"),
+        numHashes = 128, bands = 32)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p("watch")))
+
+      // the job watches for flat parquet FILE drops (the production
+      // shape); stage each crawl to a temp dir and move its part files in
+      def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(p(s"stage_$name"))
+        java.nio.file.Files.list(java.nio.file.Paths.get(p(s"stage_$name")))
+          .filter(_.toString.endsWith(".parquet"))
+          .forEach(f => java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(p(s"watch/$name.parquet"))))
+      }
+      val q = StreamingIncrementalDedupJob.start(spark, p("watch"), p("idx"),
+        p("out"), p("ckpt"), threshold = 0.5)
+      try {
+        drop("crawl1", Seq(
+          (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+          (11L, "completely novel text about streaming incremental dedup pipelines")))
+        q.processAllAvailable()
+        drop("crawl2", Seq(
+          (20L, "completely novel text about streaming incremental dedup pipelines"))) // dup of appended 11
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // per-epoch pair record: epoch 0 flagged (0,10); epoch 1 flagged
+      // (11,20) — which requires epoch 0's survivor append to have landed
+      val allPairs = spark.read
+        .parquet(p("out/dup_pairs/epoch_0"), p("out/dup_pairs/epoch_1"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(allPairs == Set((0L, 10L), (11L, 20L)), allPairs.toString)
+      // index state: survivors 11 appended exactly once, dup 10/20 never
+      val bandIds = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, p("idx/bands")))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(bandIds.keySet == Set(0L, 1L, 11L), bandIds.toString)
+      assert(bandIds.values.forall(_ == 32L), bandIds.toString)
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(root)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("TakedownJob removes docs from the corpus and every index in one " +
     "run: probes masked immediately, files clean after compactNow, " +
     "idempotent on re-run") {
