@@ -519,6 +519,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("takedown lands mid-stream: ids deleted from the index are " +
+    "invisible to the NEXT micro-batch's probe without a restart") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Dedup
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sdel_idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdel_ckpt")
+    try {
+      Dedup.buildDedupIndex(base, idx.toString, numHashes = 128, bands = 32)
+      val in = MemoryStream[(Long, String)]
+      val flagged = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = StreamingJobs.streamingIncrementalDedup(
+        in.toDF().toDF("doc_id", "text"), idx.toString, threshold = 0.5,
+        onDupPairs = (pairs, _) =>
+          pairs.collect().foreach(r =>
+            flagged += ((r.getLong(0), r.getLong(1)))))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        in.addData(
+          (10L, "the quick brown fox jumps over the lazy dog tonight")) // dup of 0
+        q.processAllAvailable()
+        assert(flagged.toSet == Set((0L, 10L)))
+
+        // takedown of 0 WHILE the stream runs — tombstones are read at
+        // each batch's probe plan, so no restart is needed
+        import spark.implicits._
+        Dedup.deleteFromDedupIndex(Seq(0L).toDF("doc_id"), idx.toString)
+        in.addData(
+          (20L, "the quick brown fox jumps over the lazy dog tonight")) // dup of REMOVED 0
+        q.processAllAvailable()
+        // 20 must NOT pair with the tombstoned 0 — it pairs with 10's
+        // appended copy instead (10 survived batch 0? no — 10 was a dup
+        // and dropped, so 20 pairs with nothing and becomes a survivor)
+        assert(flagged.toSet == Set((0L, 10L)), flagged.toString)
+        val bandIds = spark.read.parquet(
+          graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+          .select("id").distinct().as[Long].collect().toSet
+        assert(bandIds.contains(20L), "20 should survive and be appended")
+      } finally q.stop()
+    } finally {
+      import java.util.Comparator
+      Seq(idx, ckpt).foreach(d =>
+        java.nio.file.Files.walk(d)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+    }
+  }
+
   test("E2E exactly-once: streaming incremental dedup crash replay " +
     "neither double-appends the index nor re-emits committed pairs") {
     implicit val sc = spark.sqlContext
