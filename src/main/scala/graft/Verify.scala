@@ -45,11 +45,7 @@ object Verify {
         // leave no stale output dir from a previous run for this query —
         // recursive: a committer's leftover _temporary/ subtree would
         // survive a flat delete and be miscounted as a written output
-        val d = java.nio.file.Paths.get(s"$outDir/$name")
-        if (java.nio.file.Files.exists(d))
-          java.nio.file.Files.walk(d)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        graft.io.Fs.deleteRecursively(s"$outDir/$name")
       }
       spark.catalog.clearCache()
     }

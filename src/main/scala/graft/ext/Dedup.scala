@@ -525,16 +525,75 @@ object Dedup {
    * probe equality); pending [[deleteFromDedupIndex]] tombstones are
    * applied physically here and the sidecar cleared. Run it when append
    * count grows, like any LSM maintenance job.
+   *
+   * Safe against a crashed streaming append: `ep-<query>-<epoch>-*` files
+   * whose epoch has NO committed marker (a crash between promote and
+   * marker) are EXCLUDED from the rewrite instead of being folded in under
+   * fresh names — folding them would strand the replay's
+   * [[cleanPartialEpoch]] (which looks for the epoch prefix), make the
+   * probe flag the replayed batch as a duplicate of itself, and drop the
+   * batch from the index permanently. Excluded files stay behind in the
+   * previous version directory, the replay re-appends the full batch into
+   * the new version, and the orphans are garbage-collected by version
+   * retention — a compaction racing a downed stream now converges instead
+   * of corrupting.
    */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, indexFiles: Int = 32): Unit = {
     val mask = tombstoneMask(spark, path)
+    val partial = uncommittedEpochPrefixes(spark, path)
+    val dropPartial: DataFrame => DataFrame =
+      if (partial.isEmpty) identity
+      else { df =>
+        val base = substring_index(input_file_name(), "/", -1)
+        df.filter(!partial.map(base.startsWith(_)).reduce(_ || _))
+      }
     Seq("bands" -> Seq("band", "bkey"), "shingles" -> Seq("id")).foreach {
       case (sub, cols) =>
         graft.io.Tables.compactSorted(spark, s"$path/$sub", indexFiles,
-          dedupe = false, cols: _*)(mask)
+          dedupe = false, cols: _*)(df => mask(dropPartial(df)))
     }
     clearTombstones(spark, path)
+  }
+
+  /** File-name prefixes (`ep-<query>-<epoch>-`) of UNCOMMITTED streaming
+    * epochs present in the index components: an epoch is uncommitted iff
+    * it is NEWER than its query's newest committed marker (markers behind
+    * the retention window were pruned, but pruning only ever follows a
+    * LATER commit — so an ep-file at or below the committed max is always
+    * committed data, and one above it can only be a partial promote). */
+  private def uncommittedEpochPrefixes(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def epochOf(s: String): Option[Long] =
+      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)) Some(s.toLong)
+      else None
+    val epDir = new Path(s"$path/_epochs")
+    val efs = epDir.getFileSystem(conf)
+    val committedMax: Map[String, Long] =
+      if (!efs.exists(epDir)) Map.empty
+      else efs.listStatus(epDir).toSeq.flatMap { st =>
+        val n = st.getPath.getName // <queryId>-<epoch>, queryId has no '-'
+        val i = n.lastIndexOf('-')
+        if (i <= 0) None
+        else epochOf(n.drop(i + 1)).map(ep => n.take(i) -> ep)
+      }.groupMapReduce(_._1)(_._2)(math.max)
+    Seq("shingles", "bands").flatMap { sub =>
+      val d = new Path(comp(spark, s"$path/$sub"))
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("ep-"))
+        .flatMap { n =>
+          n.drop(3).split("-", 3) match {
+            case Array(qid, ep, _) if epochOf(ep).isDefined &&
+                epochOf(ep).get > committedMax.getOrElse(qid, -1L) =>
+              Some(s"ep-$qid-$ep-")
+            case _ => None
+          }
+        }
+    }.distinct
   }
 
   /**
@@ -549,11 +608,20 @@ object Dedup {
    * compaction simply sees the pre-delete snapshot, same one-cycle grace
    * as every versioned swap. Deleted ids must never be REUSED for new
    * documents (the index id contract is append-only-unique).
+   *
+   * Tombstones are written in the STORED id type (read from the shingles
+   * component's footer) — an anti-join between mismatched key types
+   * silently matches nothing, which would make deletions a no-op on an
+   * index whose ids were not longs at build time.
    */
   def deleteFromDedupIndex(ids: DataFrame, path: String,
-                           idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+                           idCol: String = "doc_id"): Unit = {
+    val idType = graft.io.Tables
+      .storedColumnType(ids.sparkSession, s"$path/shingles", "id")
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    ids.select(col(idCol).cast(idType).as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
                             path: String): DataFrame => DataFrame =

@@ -235,21 +235,41 @@ object Similarity {
 
   /** Compact a persisted IVF index's inverted lists back to disjoint
     * per-file bucket ranges (appends overlap earlier files LSM-style and
-    * degrade file skipping until compaction). */
+    * degrade file skipping until compaction). Delegates to
+    * [[compactAnnIndex]] — on a path where IVF lists and PQ codes are
+    * colocated, ALL live components compact together so the shared
+    * tombstone sidecar is cleared exactly once after every component has
+    * applied it (clearing after only one would leave the other keeping
+    * deleted ids physically and, worse, unmasked — a silent takedown
+    * failure). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, indexFiles: Int = 32): Unit = {
-    graft.io.Tables.compactSorted(spark, s"$path/assignments", indexFiles,
-      dedupe = false, "bucket")(tombstoneMask(spark, path))
-    clearTombstones(spark, path)
-  }
+                      path: String, indexFiles: Int = 32): Unit =
+    compactAnnIndex(spark, path, indexFiles)
 
   /** Compact a persisted IVF-PQ index's code lists (same contract as
-    * [[compactIvfIndex]]). */
+    * [[compactIvfIndex]]: the whole colocated family compacts together). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String, indexFiles: Int = 32): Unit = {
-    graft.io.Tables.compactSorted(spark, s"$path/codes", indexFiles,
-      dedupe = false, "bucket")(tombstoneMask(spark, path))
-    clearTombstones(spark, path)
+                     path: String, indexFiles: Int = 32): Unit =
+    compactAnnIndex(spark, path, indexFiles)
+
+  /** Compact EVERY live ANN component at `path` ("assignments" inverted
+    * lists and/or "codes" PQ lists), applying pending tombstones
+    * physically to each, then clear the path-shared sidecar ONCE. The
+    * sidecar must outlive each per-component rewrite: the deletion set is
+    * path-scoped, so it is only spent when no live component still needs
+    * it. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, indexFiles: Int = 32): Unit = {
+    val live = Seq("assignments", "codes").filter { c =>
+      val p = new org.apache.hadoop.fs.Path(
+        graft.io.Tables.resolveComponent(spark, s"$path/$c"))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    live.foreach { c =>
+      graft.io.Tables.compactSorted(spark, s"$path/$c", indexFiles,
+        dedupe = false, "bucket")(tombstoneMask(spark, path))
+    }
+    if (live.nonEmpty) clearTombstones(spark, path)
   }
 
   /**
@@ -262,9 +282,18 @@ object Similarity {
    * sidecar). Deleted ids must never be reused.
    */
   def deleteFromAnnIndex(ids: DataFrame, path: String,
-                         idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+                         idCol: String = "vec_id"): Unit = {
+    // write tombstones in the STORED id type (read from whichever
+    // component lives at the path) — a type-mismatched anti-join would
+    // silently match nothing and ignore the deletions
+    val spark = ids.sparkSession
+    val idType = Seq("assignments", "codes").view
+      .flatMap(c =>
+        graft.io.Tables.storedColumnType(spark, s"$path/$c", "cand_id"))
+      .headOption.getOrElse(org.apache.spark.sql.types.LongType)
+    ids.select(col(idCol).cast(idType).as("cand_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private def tombstoneMask(spark: org.apache.spark.sql.SparkSession,
                             path: String): DataFrame => DataFrame =

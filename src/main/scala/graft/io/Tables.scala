@@ -107,6 +107,23 @@ object Tables {
     if (vs.isEmpty) dir else s"$dir-v${vs.max}"
   }
 
+  /** DataType of `colName` as stored by a component's CURRENT version
+    * (one parquet footer read, no data pass); None when the component
+    * does not exist yet or stores no such column. Tombstone writers use
+    * this so deletion keys are written in the index's own key type — an
+    * anti-join between mismatched types silently matches nothing, which
+    * would turn a takedown into a no-op. */
+  def storedColumnType(spark: SparkSession, dir: String, colName: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    val p = new org.apache.hadoop.fs.Path(resolveComponent(spark, dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      try spark.read.parquet(p.toString).schema.fields
+        .find(_.name == colName).map(_.dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** Anti-join mask over an index's `tombstones/` sidecar, keyed by
     * `keyCol` (long ids for dedup/ANN lists, content digests for the
     * exact index); identity when the index has no tombstones. Shared by

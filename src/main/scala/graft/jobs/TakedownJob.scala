@@ -76,21 +76,14 @@ object TakedownJob {
       val remaining = spark.read.parquet(s"$outDir/corpus").count()
 
       if (compactNow) {
-        def has(p: String): Boolean = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-        }
         dedupIdx.foreach(p => Dedup.compactDedupIndex(spark, p))
         exactIdx.foreach(p => Dedup.compactExactIndex(spark, p))
-        annIdx.foreach { p =>
-          // detect the index kind through resolveComponent, not the flat
-          // path — after two compactions only the versioned sibling dir
-          // exists and a flat-path check would silently skip the rewrite
-          def liveComponent(c: String) =
-            has(graft.io.Tables.resolveComponent(spark, s"$p/$c"))
-          if (liveComponent("assignments")) Similarity.compactIvfIndex(spark, p)
-          if (liveComponent("codes")) Similarity.compactPqIndex(spark, p)
-        }
+        // one family call: every live ANN component (IVF lists and/or PQ
+        // codes) compacts with the shared tombstone set applied, and the
+        // sidecar clears once AFTER all of them — clearing between two
+        // per-component compactions would leave the second keeping
+        // deleted ids physically and unmasked
+        annIdx.foreach(p => Similarity.compactAnnIndex(spark, p))
       }
 
       import spark.implicits._

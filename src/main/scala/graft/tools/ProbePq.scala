@@ -36,10 +36,7 @@ object ProbePq {
           val recall = pq.count(brute.contains).toDouble / brute.size
           println(f"dir=$dir n=$n ivfpq res=$res m=16 ksub=$ksub bare=$bareRec%.3f np=7 rr=$rr recall@5=$recall%.3f")
         }
-        import java.util.Comparator
-        java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
-          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(idx))
       }
     }
     spark.stop()

@@ -157,10 +157,7 @@ class CurationSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(empty == Set(0L, 1L, 2L, 3L, 4L))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 

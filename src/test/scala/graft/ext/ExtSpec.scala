@@ -128,8 +128,9 @@ class ExtSpec extends SparkSpec {
     // as round N materializes, so after a multi-round run exactly ONE
     // label-table checkpoint remains (the final round's, which the
     // returned DataFrame reads from) — not one per iteration
-    val remaining = java.nio.file.Files.walk(ckpt).iterator().asScala
-      .count(_.getFileName.toString.startsWith("rdd-"))
+    val remaining = scala.util.Using.resource(
+      java.nio.file.Files.walk(ckpt))(_.iterator().asScala
+      .count(_.getFileName.toString.startsWith("rdd-")))
     assert(remaining == 1, s"expected 1 surviving checkpoint, saw $remaining")
   }
 
@@ -192,10 +193,7 @@ class ExtSpec extends SparkSpec {
       assert(incCap == fullCap.filter(p => freshIds(p._1) || freshIds(p._2)))
       assert(fullCap != full, "cap must bind for the cap case to mean anything")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -250,10 +248,7 @@ class ExtSpec extends SparkSpec {
       }
       assert(incAfter == expected, "compaction changed probe results")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -329,10 +324,7 @@ class ExtSpec extends SparkSpec {
         epochId = 300))
       assert(bandRowsPerId(20L) == 32, "replayed epoch appended twice")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -376,10 +368,7 @@ class ExtSpec extends SparkSpec {
       assert(!Dedup.maybeCompactDedupIndex(spark, idx.toString,
         maxFilesPerComponent = 8, indexFiles = 2))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -450,10 +439,7 @@ class ExtSpec extends SparkSpec {
           threshold = 0.5).count()
       } == 0L, "rebuilt index must not resolve pre-rebuild versions")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -493,10 +479,7 @@ class ExtSpec extends SparkSpec {
       assert(bandIds == Set(1L, 2L), s"bands still hold deleted id: $bandIds")
       assert(pairs() == Set((1L, 100L)))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -525,10 +508,7 @@ class ExtSpec extends SparkSpec {
         .count() == 1L) // only doc 1's digest remains physically
       assert(survivors() == Set(10L, 11L))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -567,10 +547,7 @@ class ExtSpec extends SparkSpec {
       assert(dead.forall(!stored.contains(_)), "files still hold deleted ids")
       assert(topAll() == brute)
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
 
@@ -595,10 +572,7 @@ class ExtSpec extends SparkSpec {
       assert(Dedup.exactSurvivorsAgainstIndex(crawl2, idx.toString)
         .select("doc_id").as[Long].collect().toSeq == Seq(201L))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -624,10 +598,7 @@ class ExtSpec extends SparkSpec {
         threshold = 0.5).as[(Long, Long, Double)].collect().toSet
       assert(got == Set((0L, 200L, 1.0)))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -814,10 +785,7 @@ class ExtSpec extends SparkSpec {
       }
       assert(kept == Set(11L, 13L))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -1200,5 +1168,107 @@ class ExtSpec extends SparkSpec {
     assert(metas(1L).codec == "flac" && metas(1L).decode_ok)
     assert(metas(2L).codec == "mp3" && metas(2L).frames == 3L)
     assert(!metas(3L).decode_ok && metas(3L).codec == "")
+  }
+
+  test("compaction excludes an UNCOMMITTED epoch's partial files: the " +
+    "replayed batch is not self-flagged and lands exactly once") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "an utterly unrelated document about spark engines today"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((10L, "completely novel content about volcano geology"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((20L, "another novel batch regarding deep sea currents"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_epcompact")
+    try {
+      Dedup.buildDedupIndex(corpus, idx.toString, numHashes = 128,
+        bands = 32, indexFiles = 2)
+      assert(Dedup.appendToDedupIndexEpoch(batch1, idx.toString, 0L, "q",
+        indexFiles = 1))
+      assert(Dedup.appendToDedupIndexEpoch(batch2, idx.toString, 1L, "q",
+        indexFiles = 1))
+      // simulate a crash between promote and marker: epoch 1's files are
+      // in the components but its commit marker never landed
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$idx/_epochs/q-1"))
+
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 2)
+
+      // the uncommitted epoch was EXCLUDED from the rewrite (folding it
+      // in under fresh names would strand cleanPartialEpoch and make the
+      // replay probe flag the batch as a duplicate of itself)...
+      def indexedIds() = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+        .select("id").distinct().as[Long].collect().toSet
+      assert(indexedIds() == Set(0L, 1L, 10L),
+        s"uncommitted epoch folded into compaction: ${indexedIds()}")
+
+      // ...so the streaming replay converges: clean (finds nothing in the
+      // new version), probe (no self-pairs), append performs
+      Dedup.cleanPartialEpoch(spark, idx.toString, 1L, "q")
+      val selfPairs = Caching.scoped {
+        Dedup.minhashLshPairsAgainstIndex(batch2, idx.toString,
+          threshold = 0.5).count()
+      }
+      assert(selfPairs == 0L, "replayed batch flagged as its own duplicate")
+      assert(Dedup.appendToDedupIndexEpoch(batch2, idx.toString, 1L, "q",
+        indexFiles = 1), "replay append must perform")
+      assert(indexedIds() == Set(0L, 1L, 10L, 20L))
+      // exactly once: every doc carries exactly `bands` = 32 band rows
+      val perId = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(perId.values.forall(_ == 32L),
+        s"double-appended band rows: $perId")
+    } finally graft.io.Fs.deleteRecursively(idx)
+  }
+
+  test("colocated ANN components: compaction applies the shared tombstone " +
+    "set to EVERY live component before clearing the sidecar") {
+    // a path carrying both IVF inverted lists and PQ code lists — the
+    // TakedownJob colocation case: clearing the sidecar after only the
+    // first component's rewrite would leave deleted ids physically
+    // present AND unmasked in the second
+    val dir = java.nio.file.Files.createTempDirectory("graft_coloc").toString
+    try {
+      Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("bucket", "cand_id")
+        .write.parquet(s"$dir/assignments")
+      Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("bucket", "cand_id")
+        .write.parquet(s"$dir/codes")
+      Similarity.deleteFromAnnIndex(Seq(2L).toDF("vec_id"), dir)
+
+      Similarity.compactIvfIndex(spark, dir, indexFiles = 1)
+
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/tombstones")))
+      Seq("assignments", "codes").foreach { c =>
+        val ids = spark.read.parquet(
+          graft.io.Tables.resolveComponent(spark, s"$dir/$c"))
+          .select("cand_id").as[Long].collect().toSet
+        assert(ids == Set(1L, 3L), s"$c still holds the deleted id: $ids")
+      }
+    } finally graft.io.Fs.deleteRecursively(dir)
+  }
+
+  test("tombstones are written in the STORED id type, not hardwired long " +
+    "(a mismatched anti-join would silently ignore the deletions)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_tombtype")
+    try {
+      // an index whose ids were ints at build time
+      Seq((5, Seq("a b c")), (6, Seq("d e f"))).toDF("id", "shingles")
+        .write.parquet(s"$idx/shingles")
+      Seq((5, 0, 11L), (6, 1, 22L)).toDF("id", "band", "bkey")
+        .write.parquet(s"$idx/bands")
+      Dedup.deleteFromDedupIndex(Seq(5L).toDF("doc_id"), idx.toString)
+
+      val ts = spark.read.parquet(s"$idx/tombstones")
+      assert(ts.schema("id").dataType ==
+        org.apache.spark.sql.types.IntegerType, ts.schema.treeString)
+      val masked = graft.io.Tables.tombstoneMask(spark, idx.toString, "id")(
+        spark.read.parquet(s"$idx/bands"))
+        .select("id").as[Int].collect().toSet
+      assert(masked == Set(6), s"mask missed the typed tombstone: $masked")
+    } finally graft.io.Fs.deleteRecursively(idx)
   }
 }

@@ -192,10 +192,7 @@ class PqSpec extends SparkSpec {
       assert(stored.size == direct2.size)
       stored.foreach { case (id, code) => assert(code == direct2(id), s"vec $id") }
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -312,10 +309,7 @@ class PqSpec extends SparkSpec {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       assert(pq2.toSet == pq.toSet)
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -355,10 +349,7 @@ class PqSpec extends SparkSpec {
       val recall = pq.count(brute.contains).toDouble / brute.size
       assert(recall >= 0.9, s"recall@5 after append = $recall")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -396,10 +387,7 @@ class PqSpec extends SparkSpec {
       assert(dead.forall(!stored.contains(_)))
       assert(top() == after)
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 }

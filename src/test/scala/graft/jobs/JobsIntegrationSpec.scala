@@ -118,10 +118,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(spark.read.parquet(p("out2/survivors"))
         .select("doc_id").as[Long].collect().toSet == Set(21L))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -174,10 +171,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(bandIds.keySet == Set(0L, 1L, 11L), bandIds.toString)
       assert(bandIds.values.forall(_ == 32L), bandIds.toString)
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -241,10 +235,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert((rep2.getLong(0), rep2.getLong(1), rep2.getLong(2))
         == ((1L, 0L, 2L)))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -306,10 +297,7 @@ class JobsIntegrationSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Long, Long, Long)].head()
       assert(funnel2 == ((2L, 2L, 2L, 2L, 2L, 1L, 1L)))
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -351,10 +339,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(manifest.map(_._2).sum == 40L)
       assert(manifest.map(_._4).sum == ds.map(_._5).sum)
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -399,10 +384,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         "the job's scoped caches must be released")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 
@@ -442,10 +424,7 @@ class JobsIntegrationSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
         "the job's scoped caches must be released")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(root)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(root)
     }
   }
 }

@@ -438,10 +438,7 @@ class StreamingSpec extends SparkSpec {
         assert(kept == Set(1L, 3L)) // same survivors as the batch form
       } finally q.stop()
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(idx)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(idx)
     }
   }
 
@@ -511,11 +508,8 @@ class StreamingSpec extends SparkSpec {
         // later dup of 10 pairs only with 0 (asserted above — no (10, 20))
       } finally q.stop()
     } finally {
-      import java.util.Comparator
       Seq(idx, ckpt).foreach(d =>
-        java.nio.file.Files.walk(d)
-          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+        graft.io.Fs.deleteRecursively(d))
     }
   }
 
@@ -563,11 +557,8 @@ class StreamingSpec extends SparkSpec {
         assert(bandIds.contains(20L), "20 should survive and be appended")
       } finally q.stop()
     } finally {
-      import java.util.Comparator
       Seq(idx, ckpt).foreach(d =>
-        java.nio.file.Files.walk(d)
-          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+        graft.io.Fs.deleteRecursively(d))
     }
   }
 
@@ -634,16 +625,13 @@ class StreamingSpec extends SparkSpec {
       assert(Dedup.epochCommitted(spark, idx.toString, "sdedup", 0L))
       assert(Dedup.epochCommitted(spark, idx.toString, "sdedup", 1L))
       // staging left no residue
-      assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$idx/_staging")) ||
-        !java.nio.file.Files.list(
-          java.nio.file.Paths.get(s"$idx/_staging")).findAny().isPresent)
+      val stagingDir = java.nio.file.Paths.get(s"$idx/_staging")
+      assert(!java.nio.file.Files.exists(stagingDir) ||
+        scala.util.Using.resource(java.nio.file.Files.list(stagingDir))(
+          st => !st.findAny().isPresent))
     } finally {
-      import java.util.Comparator
       Seq(idx, ckpt).foreach(d =>
-        java.nio.file.Files.walk(d)
-          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f)))
+        graft.io.Fs.deleteRecursively(d))
     }
   }
 }
