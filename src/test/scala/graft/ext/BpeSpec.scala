@@ -29,29 +29,11 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
+  // the sequential reference trainer lives in main (Bpe.learnMergesLocal)
+  // — shared by this fuzz pin and the ext_bpe_learn in-engine verdict
   private def naiveLearn(wordFreq: Map[String, Long], numMerges: Int,
-                         minFreq: Long): Seq[(String, String)] = {
-    var vocab = wordFreq.map { case (w, f) =>
-      w.map(_.toString).toVector -> f
-    }.toSeq // distinct words stay distinct symbol vectors under merging
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
-    var done = false
-    while (!done && merges.length < numMerges) {
-      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) += f
-      if (counts.isEmpty) done = true
-      else {
-        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        if (cnt < minFreq) done = true
-        else {
-          merges += ((a, b))
-          vocab = vocab.map { case (syms, f) => mergeSeq(syms, a, b) -> f }
-        }
-      }
-    }
-    merges.toSeq
-  }
+                         minFreq: Long): Seq[(String, String)] =
+    Bpe.learnMergesLocal(wordFreq, numMerges, minFreq)
 
   private def naiveEncode(w: String,
                           merges: Seq[(String, String)]): Vector[String] = {
@@ -150,14 +132,12 @@ class BpeSpec extends SparkSpec {
       // round N-1's files are deleted once round N materializes, and the
       // result is driver-side model state, so NO snapshot survives the run
       import scala.jdk.CollectionConverters._
-      val remaining = java.nio.file.Files.walk(ckpt).iterator().asScala
-        .count(_.getFileName.toString.startsWith("rdd-"))
+      val remaining = scala.util.Using.resource(
+        java.nio.file.Files.walk(ckpt))(_.iterator().asScala
+        .count(_.getFileName.toString.startsWith("rdd-")))
       assert(remaining == 0, s"leaked checkpoint storage: $remaining dirs")
     } finally {
-      import java.util.Comparator
-      java.nio.file.Files.walk(ckpt)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.io.Fs.deleteRecursively(ckpt)
     }
   }
 

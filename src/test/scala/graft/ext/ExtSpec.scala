@@ -805,14 +805,14 @@ class ExtSpec extends SparkSpec {
     val row = graft.SparkEntry.queries("ext_ann_recall")(
       spark, "/root/testdata/sf0.001").collect().head
     assert(row.getLong(0) == 50L, "10 queries × k=5 brute rows")
-    assert(row.getDouble(2) >= 0.9, s"recall ${row.getDouble(2)}")
+    assert(row.getBoolean(1), "recall verdict false")
   }
 
   test("declared ext_ann_pq_recall_residual certifies recall@5 >= 0.9") {
     val row = graft.SparkEntry.queries("ext_ann_pq_recall_residual")(
       spark, "/root/testdata/sf0.001").collect().head
     assert(row.getLong(0) == 50L, "10 queries × k=5 brute rows")
-    assert(row.getDouble(2) >= 0.9, s"residual recall ${row.getDouble(2)}")
+    assert(row.getBoolean(1), "residual recall verdict false")
   }
 
   test("chunking covers the text with the declared overlap") {
