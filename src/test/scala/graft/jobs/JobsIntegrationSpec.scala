@@ -141,10 +141,11 @@ class JobsIntegrationSpec extends SparkSpec {
       // shape); stage each crawl to a temp dir and move its part files in
       def drop(name: String, rows: Seq[(Long, String)]): Unit = {
         rows.toDF("doc_id", "text").coalesce(1).write.parquet(p(s"stage_$name"))
-        java.nio.file.Files.list(java.nio.file.Paths.get(p(s"stage_$name")))
-          .filter(_.toString.endsWith(".parquet"))
-          .forEach(f => java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(p(s"watch/$name.parquet"))))
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(p(s"stage_$name"))))(
+          _.filter(_.toString.endsWith(".parquet"))
+            .forEach(f => java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(p(s"watch/$name.parquet")))))
       }
       val q = StreamingIncrementalDedupJob.start(spark, p("watch"), p("idx"),
         p("out"), p("ckpt"), threshold = 0.5)
@@ -170,6 +171,106 @@ class JobsIntegrationSpec extends SparkSpec {
         .groupBy("id").count().as[(Long, Long)].collect().toMap
       assert(bandIds.keySet == Set(0L, 1L, 11L), bandIds.toString)
       assert(bandIds.values.forall(_ == 32L), bandIds.toString)
+    } finally {
+      graft.io.Fs.deleteRecursively(root)
+    }
+  }
+
+  test("StreamingIncrementalDedupJob kill/recovery: a crash AFTER the " +
+    "index append but BEFORE the checkpoint commit replays the epoch " +
+    "without double-appending; survivors identical to a clean run") {
+    import graft.ext.Dedup
+    import graft.ops.Caching
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedupkill")
+    def p(s: String) = s"$root/$s"
+    val crawl1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 0
+      (11L, "completely novel text about streaming incremental dedup pipelines"))
+    val crawl2 = Seq(
+      (20L, "completely novel text about streaming incremental dedup pipelines"), // dup of appended 11
+      (21L, "another genuinely fresh document mentioning nothing seen before"))
+    try {
+      Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "an utterly unrelated document about spark engines today"))
+        .toDF("doc_id", "text").write.parquet(p("corpus"))
+      Dedup.buildDedupIndex(spark.read.parquet(p("corpus")), p("idx"),
+        numHashes = 128, bands = 32)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p("watch")))
+      def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(p(s"stage_$name"))
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(p(s"stage_$name"))))(
+          _.filter(_.toString.endsWith(".parquet"))
+            .forEach(f => java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(p(s"watch/$name.parquet")))))
+      }
+      def runStream(): Unit = {
+        val q = StreamingIncrementalDedupJob.start(spark, p("watch"), p("idx"),
+          p("out"), p("ckpt"), threshold = 0.5)
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      // epoch 0 commits cleanly
+      drop("crawl1", crawl1)
+      runStream()
+      assert(Dedup.epochCommitted(spark, p("idx"), "weeklycrawl", 0L))
+
+      // THE CRASH: epoch 1's foreachBatch ran to completion — dup pairs
+      // recorded, index append marker-committed — but the engine died
+      // before writing the checkpoint commit log, so on restart the
+      // batch is replayed. Emulate by performing the exact body the job
+      // runs (same queryId, same epoch id the restart will assign)
+      // without letting the streaming checkpoint see it.
+      Caching.scoped {
+        val batch = crawl2.toDF("doc_id", "text")
+        val pairs = Caching.register(
+          Dedup.minhashLshPairsAgainstIndex(batch, p("idx"), threshold = 0.5))
+        pairs.write.mode("overwrite").parquet(p("out/dup_pairs/epoch_1"))
+        val drops = Dedup.incrementalDropIds(pairs,
+          batch.select(org.apache.spark.sql.functions.col("doc_id")),
+          "doc_id")
+        assert(Dedup.appendToDedupIndexEpoch(
+          batch.join(drops, Seq("doc_id"), "left_anti"), p("idx"), 1L,
+          "weeklycrawl"), "crashed attempt must have performed the append")
+      }
+
+      // restart from the SAME checkpoint with crawl2 now visible: the
+      // engine replays it as epoch 1; the committed marker must make the
+      // replay a wholesale no-op on the index
+      drop("crawl2", crawl2)
+      runStream()
+
+      val bandIds = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, p("idx/bands")))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(bandIds.keySet == Set(0L, 1L, 11L, 21L), bandIds.toString)
+      assert(bandIds.values.forall(_ == 32L),
+        s"replay double-appended band rows: $bandIds")
+      val pairs1 = spark.read.parquet(p("out/dup_pairs/epoch_1"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs1 == Set((11L, 20L)), pairs1.toString)
+
+      // identical to a clean (no-crash) twin run over the same drops
+      Seq("idx2", "watch2", "out2", "ckpt2").foreach(d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p(d))))
+      Dedup.buildDedupIndex(spark.read.parquet(p("corpus")), p("idx2"),
+        numHashes = 128, bands = 32)
+      crawl1.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(p("watch2"))
+      val q2 = StreamingIncrementalDedupJob.start(spark, p("watch2"),
+        p("idx2"), p("out2"), p("ckpt2"), threshold = 0.5)
+      try {
+        q2.processAllAvailable()
+        crawl2.toDF("doc_id", "text").coalesce(1).write.mode("append")
+          .parquet(p("watch2"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val cleanIds = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, p("idx2/bands")))
+        .select("id").distinct().as[Long].collect().toSet
+      assert(cleanIds == bandIds.keySet,
+        s"recovered survivors != clean-run survivors: $cleanIds vs ${bandIds.keySet}")
     } finally {
       graft.io.Fs.deleteRecursively(root)
     }
