@@ -55,7 +55,13 @@ object Bench {
     "ext_bloom_decontam_indexed",
     // round 7: time-sliced event scan — the cost tracked here is the
     // pushed-bound scan + narrow agg (row-group skipping path)
-    "e6_events_window")
+    "e6_events_window",
+    // round 8: index MAINTENANCE — full LSM compaction of the 8×-appended
+    // dedup index (read → range-sort → versioned swap), so maintenance
+    // regressions surface in the bench like query regressions (the
+    // one-time build+appends ride in pass 1 via sessionIndex; the median
+    // reports the steady-state rewrite)
+    "ext_index_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1040,6 +1040,38 @@ object Queries {
         path, threshold = 0.8)
     }),
 
+    // Index MAINTENANCE as a tracked op: LSM compaction of an appended
+    // dedup index (the cost every weekly-crawl loop pays when
+    // auto-compaction fires). The session index is built once as
+    // build + 7 id-shifted appends (8× the corpus, 32 overlapping-range
+    // files per component); each invocation then runs a FULL
+    // compactDedupIndex — read, range-sort, atomic versioned swap — so
+    // the bench median tracks the steady-state rewrite cost of the
+    // full-size index (pass 1 additionally collapses the 8 appends; the
+    // data volume, which dominates, is identical every pass). Returns
+    // verdicts the constant oracle hash-checks: no rows lost, file count
+    // restored to the target.
+    "ext_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val path = sessionIndex("cidx", dir) { p =>
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Dedup.buildDedupIndex(docs, p, numHashes = 128, bands = 32,
+          indexFiles = 4)
+        (1 to 7).foreach(i => Dedup.appendToDedupIndex(
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)),
+          p, indexFiles = 4))
+      }
+      def bandRows() = s.read.parquet(
+        graft.io.Tables.resolveComponent(s, s"$path/bands")).count()
+      val before = bandRows()
+      Dedup.compactDedupIndex(s, path, indexFiles = 8)
+      val after = bandRows()
+      val filesOk =
+        graft.io.Tables.parquetFileCount(s, s"$path/shingles") <= 8 &&
+        graft.io.Tables.parquetFileCount(s, s"$path/bands") <= 8
+      Seq((before == after, filesOk)).toDF("rows_preserved", "files_ok")
+    }),
+
     // Exact-dedup against a persisted digest index — the cheap first pass
     // of the weekly-crawl pipeline: 40-byte digest rows, no shingling.
     // Keep-first within the crawl; drop anything byte-identical to the
@@ -2193,6 +2225,11 @@ object Queries {
     // (doc_id % 5 = 0) document — what the incremental index probe must equal
     "ext_dedup_incremental" ->
       jaccardPairsSql(0.8, "id_a % 5 = 0 OR id_b % 5 = 0"),
+
+    // maintenance op: the compaction's invariants (no rows lost, file
+    // count restored) are computed in-engine; the constant oracle
+    // hash-checks the verdicts
+    "ext_index_compact" -> "SELECT true AS rows_preserved, true AS files_ok",
 
     // byte-identical dedup vs the old split + keep-first within the crawl
     "ext_dedup_exact_incremental" ->
