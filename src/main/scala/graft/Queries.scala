@@ -410,8 +410,9 @@ object Queries {
 
   /** Exact 3-word-shingle Jaccard pairs in DuckDB — the oracle for both
     * the LSH-accelerated and the exact n-gram dedup (the LSH band config
-    * 128 hashes / 32 bands has ~1-5e-8 recall loss at j≥0.8, verified
-    * equal on the driver's documents table). */
+    * of record, 96 hashes / 32 bands of 3, has ~1e-10 recall loss at
+    * j≥0.8 — see ext_dedup_minhash_pairs — verified equal on the
+    * driver's documents table). */
   private def jaccardPairsSql(threshold: Double,
                               pairFilter: String = "TRUE"): String =
     s"""WITH ${jaccardCtes("documents")}
@@ -1039,13 +1040,13 @@ object Queries {
     // then bands ONLY the new docs (doc_id % 5 == 0) and probes the stored
     // lists. Oracle: exact Jaccard over the FULL table restricted to pairs
     // touching a new doc — ExtSpec pins the incremental ≡ full-run
-    // equivalence as a property, and the same 128/32-band recall argument
+    // equivalence as a property, and the same 96/32-band recall argument
     // as ext_dedup_minhash_pairs makes LSH lossless at j >= 0.8 here.
     "ext_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = sessionIndex("dedup", dir)(p =>
         Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), p,
-          numHashes = 128, bands = 32, shingleWords = 3))
+          numHashes = 96, bands = 32, shingleWords = 3))
       Dedup.minhashLshPairsAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
         path, threshold = 0.8)
     }),
@@ -1065,7 +1066,7 @@ object Queries {
       import s.implicits._
       val path = sessionIndex("cidx", dir) { p =>
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        Dedup.buildDedupIndex(docs, p, numHashes = 128, bands = 32,
+        Dedup.buildDedupIndex(docs, p, numHashes = 96, bands = 32,
           indexFiles = 4)
         (1 to 7).foreach(i => Dedup.appendToDedupIndex(
           docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)),
@@ -1104,19 +1105,19 @@ object Queries {
       val docs = t(s, dir, "documents")
       val path = sessionIndex("dedup", dir)(p =>
         Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), p,
-          numHashes = 128, bands = 32, shingleWords = 3))
+          numHashes = 96, bands = 32, shingleWords = 3))
       Dedup.minhashLshSurvivorsAgainstIndex(
         docs.filter(col("doc_id") % 5 === 0), path, threshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
     // Within-corpus near-dup survivors (the CurationJob bootstrap path):
-    // drop every doc that is the LARGER id of a verified pair — same LSH
-    // geometry as the persisted index (128 × 32). Oracle mirrors the
-    // drop policy over the exact-Jaccard pair set.
+    // drop every doc that is the LARGER id of a verified pair — same
+    // 96 × 32 LSH geometry as ext_dedup_minhash_pairs. Oracle mirrors
+    // the drop policy over the exact-Jaccard pair set.
     "ext_dedup_near_survivors" -> ((s, dir) =>
       Dedup.minhashLshSurvivors(t(s, dir, "documents"),
-        numHashes = 128, bands = 32, threshold = 0.8)
+        numHashes = 96, bands = 32, threshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")),
 
     // SimHash near-dup (oracle: bit-exact DuckDB kernel mirror).
