@@ -1224,6 +1224,54 @@ class ExtSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(idx)
   }
 
+  test("compaction vs marker retention: a committed epoch whose marker " +
+    "was PRUNED is folded in (only epochs NEWER than the query's max " +
+    "committed marker count as uncommitted)") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    def batch(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_eppruned")
+    try {
+      Dedup.buildDedupIndex(corpus, idx.toString, numHashes = 96,
+        bands = 32, indexFiles = 1)
+      assert(Dedup.appendToDedupIndexEpoch(
+        batch(10L, "first committed epoch about mountain meteorology"),
+        idx.toString, 0L, "q", indexFiles = 1))
+      assert(Dedup.appendToDedupIndexEpoch(
+        batch(11L, "second committed epoch about tidal hydrology"),
+        idx.toString, 1L, "q", indexFiles = 1))
+      assert(Dedup.appendToDedupIndexEpoch(
+        batch(12L, "third epoch about alpine glaciology"),
+        idx.toString, 2L, "q", indexFiles = 1))
+      // retention pruned epoch 0's marker (it only ever runs AFTER a
+      // later commit); epoch 2 crashed between promote and marker
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$idx/_epochs/q-0"))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$idx/_epochs/q-2"))
+
+      Dedup.compactDedupIndex(spark, idx.toString, indexFiles = 1)
+
+      def ids() = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+        .select("id").distinct().as[Long].collect().toSet
+      // pruned-marker epoch 10 SURVIVES the rewrite; uncommitted 12 is
+      // excluded and re-lands on replay
+      assert(ids() == Set(0L, 10L, 11L),
+        s"retention-pruned committed epoch mishandled: ${ids()}")
+      Dedup.cleanPartialEpoch(spark, idx.toString, 2L, "q")
+      assert(Dedup.appendToDedupIndexEpoch(
+        batch(12L, "third epoch about alpine glaciology"),
+        idx.toString, 2L, "q", indexFiles = 1))
+      assert(ids() == Set(0L, 10L, 11L, 12L))
+      val perId = spark.read.parquet(
+        graft.io.Tables.resolveComponent(spark, s"$idx/bands"))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(perId.values.forall(_ == 32L), perId.toString)
+    } finally graft.io.Fs.deleteRecursively(idx)
+  }
+
   test("colocated ANN components: compaction applies the shared tombstone " +
     "set to EVERY live component before clearing the sidecar") {
     // a path carrying both IVF inverted lists and PQ code lists — the
