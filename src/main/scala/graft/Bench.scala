@@ -61,7 +61,13 @@ object Bench {
     // regressions surface in the bench like query regressions (the
     // one-time build+appends ride in pass 1 via sessionIndex; the median
     // reports the steady-state rewrite)
-    "ext_index_compact")
+    "ext_index_compact",
+    // round 8: the two layout-driven join paths — co-located bucketed
+    // fact-fact join (zero join exchanges; layout builds once per session)
+    // and dynamic-partition-pruned scan over the day-partitioned event
+    // store (reads ~9/30 day directories). Medians report the steady-state
+    // read path; the one-time layout writes ride in pass 1.
+    "j4_join_bucketed", "e7_events_dpp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

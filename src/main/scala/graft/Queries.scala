@@ -50,16 +50,18 @@ object Queries {
       graft.io.Fs.deleteRecursively(p)))
     p
   }
+  // STRONG short digest of the dir, not String.hashCode: two dirs with
+  // colliding 32-bit hashCodes would share (and overwrite) one index /
+  // table name; kept short so plan strings (truncated InMemoryFileIndex
+  // paths) stay readable
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   private def sessionIndex(kind: String, dir: String)
                           (build: String => Unit): String =
     indexCache.computeIfAbsent(s"$kind|$dir", _ => {
-      // path from a STRONG short digest of the dir, not String.hashCode:
-      // two dirs with colliding 32-bit hashCodes would share (and
-      // overwrite) one index; kept short so plan strings (truncated
-      // InMemoryFileIndex paths) stay readable
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val path = indexTmpRoot.resolve(kind + "_" + digest).toString
+      val path = indexTmpRoot.resolve(kind + "_" + dirTag(dir)).toString
       build(path)
       path
     })
@@ -700,6 +702,37 @@ object Queries {
         .agg(count(lit(1)).as("cnt"),
           cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_cents"))),
 
+    // j3 through a CO-LOCATED bucketed layout (SURVEY §7.4 item 8): both
+    // fact tables persisted bucketed+sorted by the join key with the SAME
+    // bucket count, so the join needs NO shuffle exchange on either side —
+    // at 100 TB that removes the single largest network cost of j3
+    // (re-shuffling both facts on every join). The bucketed copies build
+    // once per (session, dir) as EXTERNAL tables under the session temp
+    // root (bucket metadata is catalog-scoped, so each new session
+    // re-registers by rewriting — cheap at verify scale, once-ever on a
+    // real warehouse). Result ≡ the plain join; PlanSpec pins the
+    // exchange-free sort-merge shape with broadcast disabled. Bucket
+    // count: 8 here; sized at real scale so one bucket ≈ one task's
+    // memory (e.g. 100 TB / 512 MB ≈ 200k buckets).
+    "j4_join_bucketed" -> ((s, dir) => {
+      val tag = dirTag(dir)
+      val (ordersTbl, linesTbl) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+      if (!s.catalog.tableExists(ordersTbl) || !s.catalog.tableExists(linesTbl)) {
+        val base = indexTmpRoot.resolve(s"bkt_$tag").toString
+        graft.io.Tables.writeBucketed(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          ordersTbl, "o_orderkey", 8, location = Some(s"$base/orders"))
+        graft.io.Tables.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          linesTbl, "l_orderkey", 8, location = Some(s"$base/lineitem"))
+      }
+      s.table(linesTbl)
+        .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          cents(col("l_extendedprice")).as("price_cents"))
+    }),
+
     // ORDER BY + LIMIT (deterministic tie-break) — TakeOrderedAndProject.
     "s1_topn" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -793,11 +826,14 @@ object Queries {
     // Orders are deduped to one per (custkey, day) so ties are impossible.
     // The certified path is the ADAPTIVE variant: a metadata-sized
     // per-key count routes keys above 1M rows into the salted two-level
-    // plan (day-bucketed windows — a pathological key parallelizes
+    // plan (7-day-bucketed windows — a pathological key parallelizes
     // across its time buckets) while everything else takes the plain
-    // single-window plan, so the ~2× salting overhead is paid only where
-    // it buys safety. Result-identical to both fixed variants
-    // (AsofJoinSpec + FuzzSpec at mixed hot/cold thresholds).
+    // single-window plan; with NO hot keys (this dataset, and any
+    // healthy one) the routing short-circuits at runtime and ONLY the
+    // plain plan runs — the split plan's 4 semi/anti joins + empty
+    // salted stages measured ~2× the plain cost for nothing. Result-
+    // identical on every route (AsofJoinSpec + FuzzSpec at mixed
+    // hot/cold thresholds; PlanSpec pins both plan shapes).
     "e3_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"),
         col("user_id"), col("ts"))
@@ -874,6 +910,42 @@ object Queries {
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"),
           cents(col("value")).as("value_cents"))),
+
+    // DYNAMIC partition pruning through a day-partitioned layout — the
+    // other half of the e6 story: e6 skips row-groups inside a flat
+    // layout via a STATIC pushed bound; here the event store is
+    // physically partitioned by day (`event_day=<epoch-day>/` dirs,
+    // the layout a 100 TB event store actually uses) and the days to
+    // read are only known at RUNTIME from a filtered calendar dim, so
+    // Catalyst inserts a dynamicpruningexpression into the fact scan's
+    // PartitionFilters (pinned in PlanSpec): the fact side lists and
+    // reads ONLY the ~9/30 matching day directories. The dim's filter is
+    // deliberately on a non-join attribute (dow) — a filter on the join
+    // key itself would constant-propagate into a static partition filter
+    // and never exercise DPP. event_day = floor(ts_ns / 86.4e12): pure
+    // integer epoch-day arithmetic, identical in DuckDB (`//`), no
+    // timezone or date-type semantics in play. Layout builds once per
+    // (dir) via sessionIndex; event_day re-cast to long because partition
+    // directory values are type-INFERRED as int on read.
+    "e7_events_dpp" -> ((s, dir) => {
+      val path = sessionIndex("daily", dir) { p =>
+        val ev = events(s, dir)
+          .withColumn("event_day", expr("ts div 86400000000000"))
+        ev.write.mode("overwrite").partitionBy("event_day")
+          .parquet(s"$p/events")
+        ev.select(col("event_day")).distinct()
+          .withColumn("dow", pmod(col("event_day"), lit(7L)))
+          .write.mode("overwrite").parquet(s"$p/calendar")
+      }
+      val fact = s.read.parquet(s"$path/events")
+      val cal = s.read.parquet(s"$path/calendar")
+        .filter(col("dow") <= 1).select("event_day")
+      fact.join(broadcast(cal), "event_day")
+        .groupBy(col("event_day").cast("long").as("event_day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          cents(col("value")).as("value_cents"))
+    }),
 
     // Analytic window functions: lag/lead/first_value + sliding-frame sum
     // over each customer's order history (exact integer cents).
@@ -2023,6 +2095,14 @@ object Queries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
 
+    // j4 reads session-built bucketed COPIES of orders/lineitem; the rows
+    // are identical, so the oracle is the plain join over the originals.
+    "j4_join_bucketed" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_extendedprice")} AS price_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
     "s1_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -2144,6 +2224,21 @@ object Queries {
          |WHERE epoch_ns(ts) >= 1704672000000000000
          |  AND epoch_ns(ts) < 1705276800000000000
          |GROUP BY event_type""".stripMargin,
+
+    // e7 reads a session-built day-partitioned COPY (same rows); the
+    // oracle derives event_day with the identical integer epoch-day
+    // arithmetic and applies the calendar dim's dow filter directly —
+    // ts is positive, so `//`/`%` and Spark's div/pmod agree.
+    "e7_events_dpp" ->
+      s"""WITH e2 AS (
+         |  SELECT CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS event_day,
+         |    user_id, value
+         |  FROM events)
+         |SELECT event_day, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${centsSql("value")} AS value_cents
+         |FROM e2 WHERE event_day % 7 <= 1
+         |GROUP BY event_day""".stripMargin,
 
     "s9_analytics" ->
       """SELECT o_orderkey, o_custkey,

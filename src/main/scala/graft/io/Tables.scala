@@ -12,12 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Tables {
 
-  /** Persist `df` as a bucketed (and bucket-sorted) managed table. */
+  /** Persist `df` as a bucketed (and bucket-sorted) table. With `location`
+    * the table is EXTERNAL (data at the given path, catalog entry
+    * per-session); without, a managed table under the warehouse dir.
+    * Bucket metadata lives in the catalog, not the files — a plain
+    * parquet read of the path sees the rows but not the bucketing. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int, sorted: Boolean = true): Unit = {
-    val w = df.write.mode("overwrite")
+                    numBuckets: Int, sorted: Boolean = true,
+                    location: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
+    val w = location.fold(w0)(p => w0.option("path", p))
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
 

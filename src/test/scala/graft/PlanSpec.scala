@@ -183,9 +183,58 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), p)
   }
 
-  test("e3: asof row-level window partitions on (user_id, day bucket)") {
+  test("j4: same-bucketed fact tables sort-merge join with NO shuffle on " +
+    "either side (the only exchange is the final small-group agg)") {
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    try {
+      confs.foreach(spark.conf.set(_, "-1"))
+      val p = plan("j4_join_bucketed")
+      assert(p.contains("SortMergeJoin"), p)
+      // one hash exchange total: the post-join aggregation. The join
+      // itself rides the bucket layout — a second exchange would mean the
+      // co-location regressed and both facts re-shuffle at every join.
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("BroadcastExchange"), p)
+      // both sides scan as bucketed (SelectedBucketsCount in the scan)
+      assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(p).size == 2, p)
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
+
+  test("e7: the day-partitioned fact scan carries a dynamicpruningexpression " +
+    "— only calendar-selected day directories are read") {
+    val p = plan("e7_events_dpp")
+    assert(p.contains("dynamicpruningexpression"), p)
+    // and the pruning lands in PartitionFilters (directory-level), not a
+    // post-scan data filter
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("e3: with no hot keys the adaptive asof short-circuits to the " +
+    "plain single-window plan (no salted machinery, no semi/anti routing)") {
     val p = plan("e3_asof_join")
-    assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("__b"), p)
+    assert(!p.contains("__hk"), p)
+    assert("Sort \\[user_id[^\\]]*ASC NULLS FIRST, __t".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("asof hot path: the salted row-level window partitions on " +
+    "(key, time bucket) — a hot key parallelizes across its buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1L), ("a", 20L, 2L)).toDF("k", "lt", "lid")
+    val r = Seq(("a", 5L, 7L)).toDF("k", "rt", "rid")
+    // threshold 0: every key routes hot → the salted branch must window
+    // on (k, __b), never on k alone
+    val p = graft.ops.AsofJoin.asofJoinAdaptive(l, r, "k", col("lt"),
+      col("rt"), Seq("rid"), rightOrd = col("rid"), hotThreshold = 0L)(
+      t => floor(t / 7).cast("long"))
+      .queryExecution.executedPlan.toString
+    assert("Sort \\[k[^\\]]*ASC NULLS FIRST, __b".r.findAllIn(p).nonEmpty, p)
   }
 
   test("ngram decontam: no forced broadcast — AQE picks broadcast only " +

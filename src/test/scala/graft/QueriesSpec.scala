@@ -102,6 +102,32 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("j4 (bucketed-layout join) ≡ the same join over the raw tables") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("price_cents"))
+    val bucketed = SparkEntry.queries("j4_join_bucketed")(spark, dir)
+    assert(bucketed.exceptAll(raw).isEmpty && raw.exceptAll(bucketed).isEmpty)
+  }
+
+  test("e7 (partitioned-layout DPP join) ≡ the day filter over raw events") {
+    import org.apache.spark.sql.functions._
+    val raw = Queries.events(spark, dir)
+      .withColumn("event_day", expr("ts div 86400000000000"))
+      .filter(pmod(col("event_day"), lit(7L)) <= 1)
+      .groupBy(col("event_day").cast("long").as("event_day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    val dpp = SparkEntry.queries("e7_events_dpp")(spark, dir)
+    assert(dpp.exceptAll(raw).isEmpty && raw.exceptAll(dpp).isEmpty)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
