@@ -884,6 +884,32 @@ object Queries {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75))(v => floor(v / 2000).cast("long"))),
 
+    // The SKETCH percentile path — what a 100 TB pipeline actually runs:
+    // percentile_approx (Greenwald-Khanna summaries: fixed-size state,
+    // partial-aggregable, one pass, no sort) instead of s8's exact ranked
+    // windows. The sketch's placement within a summary can vary with merge
+    // order, so the raw estimate can't be hash-oracled; instead (the s10
+    // pattern) the query returns the EXACT percentiles (hash-pinned, same
+    // values as s8) plus in-engine verdicts that each estimate lands
+    // between the exact quantiles at p ± 0.01 — 10× the sketch's
+    // guaranteed rank error of 1/accuracy at accuracy 1000 — so a sketch
+    // regression fails CORRECTNESS, not just a unit test.
+    "s20_approx_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ps = Seq(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76)
+      val exact = graft.ops.Percentiles.exactPercentilesBucketed(
+        li, Seq("l_returnflag"), "l_extendedprice", ps)(
+        v => floor(v / 2000).cast("long"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("ap"))
+      exact.join(approx, "l_returnflag").select(
+        col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        col("ap")(0).between(col("p24"), col("p26")).as("ok25"),
+        col("ap")(1).between(col("p49"), col("p51")).as("ok50"),
+        col("ap")(2).between(col("p74"), col("p76")).as("ok75"))
+    }),
+
     // Sessionization via session_window (gap 30 min): the batch shape of
     // streaming session windows, oracle-checked against a gaps-and-islands
     // SQL rewrite. µs-truncated timestamps keep both engines identical.
@@ -2191,6 +2217,16 @@ object Queries {
         |  quantile_cont(l_extendedprice, 0.25) AS p25,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the exact columns pin real values (same as s8); the verdicts are
+    // determined-true whenever the sketch honors its rank-error bound
+    "s20_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  true AS ok25, true AS ok50, true AS ok75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "e5_sessionize" ->

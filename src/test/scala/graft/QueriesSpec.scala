@@ -128,6 +128,21 @@ class QueriesSpec extends SparkSpec {
     assert(dpp.exceptAll(raw).isEmpty && raw.exceptAll(dpp).isEmpty)
   }
 
+  test("s20: the percentile sketch lands inside the ±0.01-rank exact " +
+    "bracket for every group (and the exact columns equal s8's)") {
+    val rows = SparkEntry.queries("s20_approx_percentiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("ok25", "ok50", "ok75").foreach(c =>
+        assert(r.getAs[Boolean](c), s"$c false for ${r.getString(0)}"))
+    }
+    val exact = SparkEntry.queries("s8_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    rows.foreach(r => assert(exact(r.getString(0)) ==
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
