@@ -67,7 +67,12 @@ object Bench {
     // and dynamic-partition-pruned scan over the day-partitioned event
     // store (reads ~9/30 day directories). Medians report the steady-state
     // read path; the one-time layout writes ride in pass 1.
-    "j4_join_bucketed", "e7_events_dpp")
+    "j4_join_bucketed", "e7_events_dpp",
+    // round 8: point lookup through the hash-clustered parquet-bloom
+    // layout (the "fetch one id out of 100 TB" read path; the one-time
+    // layout write rides in pass 1, the median reports the bloom-skipped
+    // probe)
+    "e8_event_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

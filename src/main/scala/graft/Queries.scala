@@ -973,6 +973,44 @@ object Queries {
           cents(col("value")).as("value_cents"))
     }),
 
+    // POINT LOOKUP through a hash-clustered + parquet-bloom layout — the
+    // third leg of the e6/e7 skipping story: e6 skips row groups via a
+    // SORTED column's min/max, e7 prunes DIRECTORIES via partition
+    // values; here the predicate column (event_id) is one the store
+    // cannot be sorted or partitioned by (the physical order is time),
+    // so skipping comes from per-file split-block BLOOM FILTERS written
+    // into the parquet footers (io.Tables.writeHashClusteredBloom:
+    // hash-cluster on event_id into 16 files so each id lives in exactly
+    // one, dictionary disabled on the column to match the
+    // unique-id-at-scale encoding). The pushed equality probes each
+    // file's bloom and reads ~1/16 of the store — "fetch one event out
+    // of 100 TB" with no sort and no index. The target id is the
+    // smallest id above the id-range midpoint: deterministic, and
+    // deliberately MID-RANGE — the global max would sit outside 15
+    // files' [min,max] stats and plain stats pruning would mask whether
+    // the bloom path works, while a mid-range id is inside every file's
+    // hash-spread range, so every skipped row group is the bloom's doing
+    // (the id reaches the scan as a literal, exactly like a real
+    // lookup; the two probe aggs are metadata-sized driver values).
+    // BloomLayoutSpec pins footer blooms + actual row-group skipping;
+    // result ≡ the flat-table lookup.
+    "e8_event_lookup" -> ((s, dir) => {
+      val path = sessionIndex("bloomstore", dir) { p =>
+        graft.io.Tables.writeHashClusteredBloom(
+          events(s, dir), s"$p/events", numFiles = 16,
+          bloomCol = "event_id", expectedNdv = 50000, "ts")
+      }
+      val store = s.read.parquet(s"$path/events")
+      val r = store.agg(min("event_id"), max("event_id")).first()
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val target = store.filter(col("event_id") > mid)
+        .agg(min("event_id")).first().getLong(0)
+      store.filter(col("event_id") === target)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000 * 1000").as("ts_ns"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+    }),
+
     // Analytic window functions: lag/lead/first_value + sliding-frame sum
     // over each customer's order history (exact integer cents).
     "s9_analytics" -> ((s, dir) => {
@@ -2275,6 +2313,21 @@ object Queries {
          |  ${centsSql("value")} AS value_cents
          |FROM e2 WHERE event_day % 7 <= 1
          |GROUP BY event_day""".stripMargin,
+
+    // e8 reads a session-built hash-clustered COPY (same rows); the
+    // oracle does the identical point lookup on the flat table — the
+    // layout changes WHAT IS READ, never the result. Per-row cents (one
+    // row out), not the summed centsSql.
+    "e8_event_lookup" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_ns(ts) AS BIGINT) // 1000 * 1000 AS ts_ns,
+        |  event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id = (
+        |  SELECT min(event_id) FROM events
+        |  WHERE event_id > (SELECT (min(event_id) + max(event_id)) // 2
+        |                    FROM events))""".stripMargin,
 
     "s9_analytics" ->
       """SELECT o_orderkey, o_custkey,

@@ -260,6 +260,46 @@ object Tables {
   }
 
   /**
+   * Hash-clustered layout with a parquet BLOOM FILTER on a
+   * high-cardinality lookup column — the "fetch one id out of 100 TB"
+   * layout when the store cannot be sorted by that id (an event store is
+   * ordered by time; a document store by crawl batch). Rows are
+   * hash-clustered on `bloomCol` into `numFiles` files (every occurrence
+   * of an id lands in exactly one file) and ordered by `orderCols`
+   * within, and each file's footer carries a split-block bloom filter
+   * for the column. A point predicate pushed to the scan then skips
+   * every row group whose bloom rejects the id: ~1/numFiles of the store
+   * is read, with no global sort and no secondary index to maintain.
+   *
+   * Dictionary encoding is disabled for the bloom column because at
+   * warehouse scale a unique-id chunk always overflows the dictionary
+   * page and falls back to plain — and parquet-mr DROPS the bloom when a
+   * chunk stays fully dictionary-encoded (the dictionary itself already
+   * serves as an exact membership filter), so small test files would
+   * otherwise carry no bloom and the layout's skipping behavior would
+   * differ between test and production scale.
+   *
+   * `expectedNdv` sizes the bloom (bits ≈ ndv × ~10 for the default 1%
+   * FPP) and should be the PER-FILE distinct count, i.e. global ndv /
+   * numFiles.
+   */
+  def writeHashClusteredBloom(df: DataFrame, path: String, numFiles: Int,
+                              bloomCol: String, expectedNdv: Long,
+                              orderCols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    val clustered = df.repartition(numFiles, col(bloomCol))
+    val ordered =
+      if (orderCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(orderCols.map(col): _*)
+    ordered.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .option(s"parquet.enable.dictionary#$bloomCol", "false")
+      .parquet(path)
+  }
+
+  /**
    * Z-ordered (Morton-curve) two-column layout: rows are range-partitioned
    * and sorted by the interleaved bits of BOTH key columns, so every
    * parquet file covers a small RECTANGLE of the (a, b) key space — its
