@@ -382,58 +382,32 @@ object Dedup {
     * epoch-idempotent append — the streaming dedup loop — must run this
     * BEFORE the probe: the partial files carry the replayed batch's own
     * ids, and probing across them would flag the batch as a duplicate of
-    * itself and drop it from the index permanently. A committed epoch's
-    * files never match (the marker short-circuits the replay upstream);
-    * idempotent and cheap (one listing per component) when there is
-    * nothing to clean. */
+    * itself and drop it from the index permanently
+    * ([[graft.io.EpochCommit.cleanPartial]] over this index's
+    * components). */
   def cleanPartialEpoch(spark: org.apache.spark.sql.SparkSession,
                         path: String, epochId: Long,
-                        queryId: String = "stream"): Unit = {
-    val prefix = s"ep-$queryId-$epochId-"
-    Seq("shingles", "bands").foreach { sub =>
-      val d = new org.apache.hadoop.fs.Path(comp(spark, s"$path/$sub"))
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(d))
-        fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
-          .foreach(f => fs.delete(f.getPath, false))
-    }
-  }
+                        queryId: String = "stream"): Unit =
+    graft.io.EpochCommit.cleanPartial(spark, path, dedupComponents,
+      epochId, queryId)
 
   /** True iff `epochId` of `queryId` has already been committed into the
     * index at `path` by [[appendToDedupIndexEpoch]]. */
   def epochCommitted(spark: org.apache.spark.sql.SparkSession, path: String,
-                     queryId: String, epochId: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$path/_epochs/$queryId-$epochId")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(marker)
-  }
+                     queryId: String, epochId: Long): Boolean =
+    graft.io.EpochCommit.committed(spark, path, queryId, epochId)
+
+  private val dedupComponents = Seq("shingles", "bands")
 
   /**
-   * Epoch-idempotent [[appendToDedupIndex]] — the filesystem analogue of
-   * [[graft.io.Sinks.JdbcEpochIdempotent]]'s stage → promote → marker
-   * protocol, for exactly-once index maintenance from a Structured
-   * Streaming `foreachBatch` (the engine replays the last uncommitted
-   * micro-batch after a crash; a plain append would then double the
-   * batch's signatures, and every later probe of those ids would report
-   * them as duplicates of themselves):
-   *
-   *   1. committed marker exists → return false, touch nothing (replay of
-   *      a fully-committed epoch);
-   *   2. delete any `ep-<query>-<epoch>-*` files from a PARTIAL previous
-   *      promote (crash mid-rename);
-   *   3. stage the delta under `_epochs`-invisible `_staging/` (overwrite
-   *      — restaging a crashed attempt replaces it);
-   *   4. promote by per-file rename into `shingles/`/`bands/` under the
-   *      deterministic epoch prefix (HDFS-atomic per file; the prefix is
-   *      what makes step 2's cleanup possible);
-   *   5. create the marker — THE commit point — then drop staging.
-   *
-   * A crash at any point converges on replay. Underscore-prefixed
-   * `_staging`/`_epochs` dirs are invisible to parquet reads of the
-   * components. On rename-less object stores (S3) promote is
-   * copy+delete — run compaction more often or front with a real table
-   * format; on HDFS/local this is exactly-once.
+   * Epoch-idempotent [[appendToDedupIndex]]: the
+   * [[graft.io.EpochCommit]] stage → promote → marker protocol over this
+   * index's `shingles`/`bands` components, for exactly-once index
+   * maintenance from a Structured Streaming `foreachBatch` (the engine
+   * replays the last uncommitted micro-batch after a crash; a plain
+   * append would then double the batch's signatures, and every later
+   * probe of those ids would report them as duplicates of themselves —
+   * see EpochCommit's scaladoc for the crash-case walk-through).
    *
    * @return true if this call performed the append, false if the epoch
    *         was already committed (replay detected).
@@ -442,58 +416,12 @@ object Dedup {
                               queryId: String = "stream",
                               textCol: String = "text",
                               idCol: String = "doc_id",
-                              indexFiles: Int = 4): Boolean = {
-    import org.apache.hadoop.fs.Path
-    require(!queryId.contains('-'),
-      "queryId must not contain '-' — it delimits the epoch file prefix, " +
-      "and a hyphenated id could alias another query's committed files")
-    val spark = df.sparkSession
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$path/_epochs/$queryId-$epochId")
-    if (fs.exists(marker)) return false
-    cleanPartialEpoch(spark, path, epochId, queryId)
-    val prefix = s"ep-$queryId-$epochId-"
-    // resolve ONCE: compaction only runs post-commit in the same owner
-    // loop, so the resolved version cannot change between a partial
-    // promote and its replay
-    val compDirs = Seq("shingles", "bands")
-      .map(sub => sub -> comp(spark, s"$path/$sub")).toMap
-    val staging = new Path(s"$path/_staging/$queryId-$epochId")
-    writeIndexDelta(df, path, staging.toString, textCol, idCol, indexFiles,
-      org.apache.spark.sql.SaveMode.Overwrite)
-    Seq("shingles", "bands").foreach { sub =>
-      val sd = new Path(s"$staging/$sub")
-      if (fs.exists(sd))
-        fs.listStatus(sd).filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            val dst = new Path(s"${compDirs(sub)}/$prefix${f.getPath.getName}")
-            require(fs.rename(f.getPath, dst),
-              s"epoch promote rename failed: ${f.getPath} -> $dst")
-          }
+                              indexFiles: Int = 4): Boolean =
+    graft.io.EpochCommit.append(df.sparkSession, path, dedupComponents,
+      epochId, queryId) { staging =>
+      writeIndexDelta(df, path, staging, textCol, idCol, indexFiles,
+        org.apache.spark.sql.SaveMode.Overwrite)
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
-    // Marker retention: Structured Streaming replays at most the LAST
-    // uncommitted micro-batch, so markers far behind the newest committed
-    // epoch can never be consulted again — without pruning, a long-running
-    // query accumulates one tiny file per micro-batch forever (millions of
-    // namenode entries at one batch per few seconds). Keep a generous
-    // window (100 epochs) behind this commit for this queryId.
-    val prefix2 = s"$queryId-"
-    fs.listStatus(marker.getParent)
-      .filter(_.getPath.getName.startsWith(prefix2))
-      .foreach { st =>
-        val ep = st.getPath.getName.drop(prefix2.length)
-        // length cap: a ≥19-digit name would overflow toLong; no real
-        // epoch gets there, so just leave such a file alone
-        if (ep.nonEmpty && ep.length <= 18 && ep.forall(_.isDigit) &&
-            ep.toLong < epochId - 100)
-          fs.delete(st.getPath, false)
-      }
-    true
-  }
 
   /**
    * LSM maintenance trigger: compact the index iff either component has
@@ -541,59 +469,14 @@ object Dedup {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, indexFiles: Int = 32): Unit = {
     val mask = tombstoneMask(spark, path)
-    val partial = uncommittedEpochPrefixes(spark, path)
-    val dropPartial: DataFrame => DataFrame =
-      if (partial.isEmpty) identity
-      else { df =>
-        val base = substring_index(input_file_name(), "/", -1)
-        df.filter(!partial.map(base.startsWith(_)).reduce(_ || _))
-      }
+    val dropPartial =
+      graft.io.EpochCommit.dropUncommitted(spark, path, dedupComponents)
     Seq("bands" -> Seq("band", "bkey"), "shingles" -> Seq("id")).foreach {
       case (sub, cols) =>
         graft.io.Tables.compactSorted(spark, s"$path/$sub", indexFiles,
           dedupe = false, cols: _*)(df => mask(dropPartial(df)))
     }
     clearTombstones(spark, path)
-  }
-
-  /** File-name prefixes (`ep-<query>-<epoch>-`) of UNCOMMITTED streaming
-    * epochs present in the index components: an epoch is uncommitted iff
-    * it is NEWER than its query's newest committed marker (markers behind
-    * the retention window were pruned, but pruning only ever follows a
-    * LATER commit — so an ep-file at or below the committed max is always
-    * committed data, and one above it can only be a partial promote). */
-  private def uncommittedEpochPrefixes(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sparkContext.hadoopConfiguration
-    def epochOf(s: String): Option[Long] =
-      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)) Some(s.toLong)
-      else None
-    val epDir = new Path(s"$path/_epochs")
-    val efs = epDir.getFileSystem(conf)
-    val committedMax: Map[String, Long] =
-      if (!efs.exists(epDir)) Map.empty
-      else efs.listStatus(epDir).toSeq.flatMap { st =>
-        val n = st.getPath.getName // <queryId>-<epoch>, queryId has no '-'
-        val i = n.lastIndexOf('-')
-        if (i <= 0) None
-        else epochOf(n.drop(i + 1)).map(ep => n.take(i) -> ep)
-      }.groupMapReduce(_._1)(_._2)(math.max)
-    Seq("shingles", "bands").flatMap { sub =>
-      val d = new Path(comp(spark, s"$path/$sub"))
-      val fs = d.getFileSystem(conf)
-      if (!fs.exists(d)) Nil
-      else fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("ep-"))
-        .flatMap { n =>
-          n.drop(3).split("-", 3) match {
-            case Array(qid, ep, _) if epochOf(ep).isDefined &&
-                epochOf(ep).get > committedMax.getOrElse(qid, -1L) =>
-              Some(s"ep-$qid-$ep-")
-            case _ => None
-          }
-        }
-    }.distinct
   }
 
   /**

@@ -220,7 +220,18 @@ object Similarity {
     * Contract: new ids are disjoint from ids already in the index. */
   def appendToIvfIndex(newVecs: DataFrame, path: String, indexFiles: Int = 4,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding"): Unit =
+    assignmentDelta(newVecs, path, indexFiles, idCol, vecCol)
+      .write.mode("append").parquet(
+        graft.io.Tables.resolveComponent(newVecs.sparkSession,
+          s"$path/assignments"))
+
+  /** Shared delta for plain and epoch-idempotent IVF appends: assign
+    * cells with the STORED quantizer, bucket-range-partitioned and
+    * bucket-sorted like the index layout. */
+  private def assignmentDelta(newVecs: DataFrame, path: String,
+                              indexFiles: Int, idCol: String,
+                              vecCol: String): DataFrame = {
     import graft.functions.GraftFunctions.nearest_centroids
     val (cents, dim) = loadIvfCentroids(newVecs.sparkSession, path)
     newVecs
@@ -228,10 +239,55 @@ object Similarity {
         nearest_centroids(col(vecCol), cents, dim, 1).getItem(0).as("bucket"))
       .repartitionByRange(indexFiles, col("bucket"))
       .sortWithinPartitions("bucket")
-      .write.mode("append").parquet(
-        graft.io.Tables.resolveComponent(newVecs.sparkSession,
-          s"$path/assignments"))
   }
+
+  /** Components an ANN path may carry ("assignments" IVF inverted lists
+    * and/or "codes" PQ lists) — the epoch and compaction machinery walks
+    * whichever are live. */
+  private val annComponents = Seq("assignments", "codes")
+
+  /**
+   * Epoch-idempotent [[appendToIvfIndex]]: the [[graft.io.EpochCommit]]
+   * stage → promote → marker protocol over the `assignments` component,
+   * for exactly-once index growth from a Structured Streaming
+   * `foreachBatch` — the embedding-store twin of
+   * [[graft.ext.Dedup.appendToDedupIndexEpoch]]. A crash-replayed
+   * micro-batch is detected by its committed marker and skipped
+   * wholesale; a crash between promote and marker is cleaned up and
+   * re-staged on replay (probing callers must run
+   * [[cleanPartialAnnEpoch]] BEFORE their probe, or the replayed batch
+   * matches its own half-landed vectors and is dropped as a near-dup of
+   * itself).
+   *
+   * @return true if this call performed the append, false if the epoch
+   *         was already committed (replay detected).
+   */
+  def appendToIvfIndexEpoch(newVecs: DataFrame, path: String, epochId: Long,
+                            queryId: String = "stream",
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            indexFiles: Int = 4): Boolean =
+    graft.io.EpochCommit.append(newVecs.sparkSession, path,
+      Seq("assignments"), epochId, queryId) { staging =>
+      assignmentDelta(newVecs, path, indexFiles, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$staging/assignments")
+    }
+
+  /** [[graft.io.EpochCommit.cleanPartial]] over the ANN components —
+    * run BEFORE any probe that precedes an epoch append (see
+    * [[appendToIvfIndexEpoch]]). */
+  def cleanPartialAnnEpoch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, epochId: Long,
+                           queryId: String = "stream"): Unit =
+    graft.io.EpochCommit.cleanPartial(spark, path, annComponents,
+      epochId, queryId)
+
+  /** True iff `epochId` of `queryId` has been committed into the ANN
+    * index at `path` by [[appendToIvfIndexEpoch]]. */
+  def annEpochCommitted(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queryId: String,
+                        epochId: Long): Boolean =
+    graft.io.EpochCommit.committed(spark, path, queryId, epochId)
 
   /** Compact a persisted IVF index's inverted lists back to disjoint
     * per-file bucket ranges (appends overlap earlier files LSM-style and
@@ -260,14 +316,20 @@ object Similarity {
     * it. */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, indexFiles: Int = 32): Unit = {
-    val live = Seq("assignments", "codes").filter { c =>
+    val live = annComponents.filter { c =>
       val p = new org.apache.hadoop.fs.Path(
         graft.io.Tables.resolveComponent(spark, s"$path/$c"))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // exclude partial promotes of a downed stream — folding them into the
+    // new version under fresh names would strand the replay's
+    // cleanPartialAnnEpoch (same hazard as the dedup index; see
+    // EpochCommit.dropUncommitted)
+    val dropPartial = graft.io.EpochCommit.dropUncommitted(spark, path, live)
     live.foreach { c =>
       graft.io.Tables.compactSorted(spark, s"$path/$c", indexFiles,
-        dedupe = false, "bucket")(tombstoneMask(spark, path))
+        dedupe = false, "bucket")(df => tombstoneMask(spark, path)(
+        dropPartial(df)))
     }
     if (live.nonEmpty) clearTombstones(spark, path)
   }

@@ -328,4 +328,59 @@ object StreamingJobs {
         }
       }
     }
+
+  /**
+   * Continuous embedding-store ingest — the ANN twin of
+   * [[streamingIncrementalDedup]]: each micro-batch of (id, embedding)
+   * rows probes the persisted IVF index for its nearest indexed
+   * neighbor, vectors whose top-1 cosine reaches `threshold` are
+   * recorded as near-dup hits (and NOT indexed — the index stays
+   * deduplicated as it grows), and the novel vectors are appended
+   * EXACTLY-ONCE ([[graft.ext.Similarity.appendToIvfIndexEpoch]] —
+   * epoch marker commit; a crash-replayed batch is skipped wholesale,
+   * and the pre-probe [[graft.ext.Similarity.cleanPartialAnnEpoch]]
+   * keeps a half-promoted replay from matching its own vectors). The
+   * hits record is idempotent when `onDupHits` overwrites a per-epoch
+   * location. Near-dups WITHIN one micro-batch both index (batch-local
+   * pairing belongs to the batch pipeline, [[graft.ext.Similarity]]
+   * SemDeDup — at crawl cadence the cross-batch probe is the recall
+   * that matters). The index must exist
+   * ([[graft.ext.Similarity.buildIvfIndex]] bootstraps);
+   * `autoCompactMaxFiles > 0` lets the stream run its own LSM
+   * maintenance (compaction excludes uncommitted epochs, so it is safe
+   * next to this stream's own crash-replay window).
+   */
+  def streamingEmbedIndexAppend(vecs: DataFrame, indexPath: String,
+                                threshold: Double = 0.95,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                onDupHits: (DataFrame, Long) => Unit,
+                                queryId: String = "embcrawl",
+                                nprobe: Int = 4,
+                                autoCompactMaxFiles: Int = 0) =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      import graft.ext.Similarity
+      val spark = batch.sparkSession
+      if (!Similarity.annEpochCommitted(spark, indexPath, queryId, epoch)) {
+        // BEFORE the probe — a crash between promote and marker leaves
+        // partial files carrying the replayed batch's own vectors
+        Similarity.cleanPartialAnnEpoch(spark, indexPath, epoch, queryId)
+        graft.ops.Caching.scoped {
+          val hits = Similarity.ivfTopKFromIndex(spark, indexPath,
+              batch, k = 1, nprobe, idCol, vecCol)
+            .filter(col("score") >= threshold)
+            .transform(df => graft.ops.Caching.register(df))
+          onDupHits(hits, epoch)
+          val novel = batch.join(
+            hits.select(col("query_id").as(idCol)), Seq(idCol), "left_anti")
+          Similarity.appendToIvfIndexEpoch(novel, indexPath, epoch, queryId,
+            idCol, vecCol)
+        }
+        if (autoCompactMaxFiles > 0) {
+          Similarity.maybeCompactIvfIndex(spark, indexPath,
+            autoCompactMaxFiles)
+          ()
+        }
+      }
+    }
 }
