@@ -72,7 +72,11 @@ object Bench {
     // layout (the "fetch one id out of 100 TB" read path; the one-time
     // layout write rides in pass 1, the median reports the bloom-skipped
     // probe)
-    "e8_event_lookup")
+    "e8_event_lookup",
+    // round 8: semi-structured extraction — per-row JSON parse of the
+    // props bag in the scan projection (tracks JSON-parse throughput,
+    // the dominant cost of real event pipelines)
+    "e9_events_json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

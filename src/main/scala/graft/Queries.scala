@@ -1011,6 +1011,27 @@ object Queries {
           floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
     }),
 
+    // Semi-structured extraction: events.props is a JSON string column
+    // (the universal "properties bag" of real event stores). from_json
+    // with an EXPLICIT schema — never schema inference, which would scan
+    // 100 TB twice and pin a drifting schema — parses once per row and
+    // the extracted field feeds exact integer aggregation. The parse is
+    // a per-row Jackson walk (JsonToStructs is eval-only, outside
+    // whole-stage codegen), which is the accepted cost of a JSON bag;
+    // the 100 TB note is that extraction happens IN the scan projection
+    // (no shuffle of raw JSON — only (event_type, k) pairs cross the
+    // exchange, pinned in PlanSpec).
+    "e9_events_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count_distinct(col("k")).as("n_k"))),
+
     // Analytic window functions: lag/lead/first_value + sliding-frame sum
     // over each customer's order history (exact integer cents).
     "s9_analytics" -> ((s, dir) => {
@@ -2328,6 +2349,18 @@ object Queries {
         |  SELECT min(event_id) FROM events
         |  WHERE event_id > (SELECT (min(event_id) + max(event_id)) // 2
         |                    FROM events))""".stripMargin,
+
+    "e9_events_json" ->
+      """WITH e2 AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_k
+        |FROM e2 GROUP BY event_type""".stripMargin,
 
     "s9_analytics" ->
       """SELECT o_orderkey, o_custkey,

@@ -494,4 +494,17 @@ class PlanSpec extends SparkSpec {
     // partial + final aggregate around the doc_id shuffle
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("e9: JSON extraction runs below the exchange (raw props never " +
+    "shuffle) and the scan reads only the two referenced columns") {
+    val p = plan("e9_events_json")
+    // plan strings print top-down, so the map-side parse appears AFTER
+    // (below) the first exchange in the text
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, p)
+    assert(p.indexOf("from_json", ex) >= 0, p)
+    // column pruning reached the scan: no ts/user_id/value/event_id read
+    assert(p.contains("event_type:string,props:string"), p)
+    assert(!p.contains("user_id"), p)
+  }
 }
