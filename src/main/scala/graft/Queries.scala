@@ -733,6 +733,23 @@ object Queries {
           cents(col("l_extendedprice")).as("price_cents"))
     }),
 
+    // Pricing rollup over the part dimension (TPC-H Q14 flavor): charge
+    // = price × (1−discount) × (1+tax) per line, grouped by part size and
+    // promo flag (p_type prefix). Exercises the last reference-schema
+    // columns no other query touches (l_tax, p_name/p_type/p_size) so
+    // the declared surface reads EVERY column of the data model at least
+    // once. Identical per-row double arithmetic in both engines, then
+    // exact integer cents; min(p_name) is a deterministic representative.
+    "j5_part_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size"),
+          col("p_type").startsWith("PROMO").as("promo"))
+        .agg(count(lit(1)).as("cnt"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("charge_cents"),
+          min(col("p_name")).as("first_name"))),
+
     // ORDER BY + LIMIT (deterministic tie-break) — TakeOrderedAndProject.
     "s1_topn" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2179,6 +2196,16 @@ object Queries {
          |  ${centsSql("l_extendedprice * (1.0 - l_discount)")} AS net_cents
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+
+    "j5_part_pricing" ->
+      s"""SELECT p_size,
+         |  p_type LIKE 'PROMO%' AS promo,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+         |    AS charge_cents,
+         |  min(p_name) AS first_name
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2""".stripMargin,
 
     // j4 reads session-built bucketed COPIES of orders/lineitem; the rows
     // are identical, so the oracle is the plain join over the originals.
