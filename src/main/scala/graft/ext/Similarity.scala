@@ -326,7 +326,9 @@ object Similarity {
     // cleanPartialAnnEpoch (same hazard as the dedup index; see
     // EpochCommit.dropUncommitted)
     val dropPartial = graft.io.EpochCommit.dropUncommitted(spark, path, live)
-    live.foreach { c =>
+    // independent components rewrite as concurrent Spark jobs (see
+    // Dedup.compactDedupIndex)
+    graft.io.Fs.inParallel(live) { c =>
       graft.io.Tables.compactSorted(spark, s"$path/$c", indexFiles,
         dedupe = false, "bucket")(df => tombstoneMask(spark, path)(
         dropPartial(df)))

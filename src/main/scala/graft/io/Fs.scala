@@ -22,6 +22,24 @@ object Fs {
   def deleteRecursively(dir: String): Unit =
     deleteRecursively(java.nio.file.Paths.get(dir))
 
+  /** Run `f` over `items` as concurrent threads and wait for ALL before
+    * returning; the first failure is rethrown after every thread
+    * finishes (no half-abandoned sibling work). Used to submit
+    * INDEPENDENT Spark jobs concurrently — e.g. per-component index
+    * compactions — so the scheduler interleaves their stages instead of
+    * serializing whole jobs; Spark explicitly supports multi-threaded
+    * job submission against one session. */
+  def inParallel[A](items: Seq[A])(f: A => Unit): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = items.map { a =>
+      val t = new Thread(() =>
+        try f(a) catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** All path names under `p` (inclusive) as strings, walk stream closed. */
   def walkNames(p: Path): Seq[String] =
     if (!Files.exists(p)) Seq.empty
