@@ -31,24 +31,31 @@ import graft.streaming.StreamingJobs
 object StreamingEmbedIndexJob {
 
   /** args: watchDir indexDir outDir checkpointDir [threshold]
-    * [autoCompactMaxFiles] */
+    * [autoCompactMaxFiles] [maxFilesPerTrigger] */
   def main(args: Array[String]): Unit = {
     val Array(watchDir, indexDir, outDir, checkpointDir) = args.take(4)
     val threshold = args.lift(4).map(_.toDouble).getOrElse(0.95)
     val autoCompactMaxFiles = args.lift(5).map(_.toInt).getOrElse(0)
+    val maxFilesPerTrigger = args.lift(6).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.create("graft-streaming-embed-index")
     val q = start(spark, watchDir, indexDir, outDir, checkpointDir,
-      threshold, autoCompactMaxFiles)
+      threshold, autoCompactMaxFiles, maxFilesPerTrigger)
     q.awaitTermination()
   }
 
+  /** `maxFilesPerTrigger > 0` bounds each micro-batch (backlog drains as
+    * several bounded epochs, each with its own exactly-once marker —
+    * see [[StreamingIncrementalDedupJob.start]]); 0 = all available. */
   def start(spark: SparkSession, watchDir: String, indexDir: String,
             outDir: String, checkpointDir: String,
             threshold: Double = 0.95,
-            autoCompactMaxFiles: Int = 0): StreamingQuery = {
-    val vecs = spark.readStream
+            autoCompactMaxFiles: Int = 0,
+            maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>")
-      .parquet(watchDir)
+    val vecs = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(watchDir)
     StreamingJobs.streamingEmbedIndexAppend(vecs, indexDir, threshold,
       onDupHits = (hits, epoch) =>
         hits.write.mode("overwrite")

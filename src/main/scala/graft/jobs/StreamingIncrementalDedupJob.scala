@@ -27,24 +27,34 @@ import graft.streaming.StreamingJobs
 object StreamingIncrementalDedupJob {
 
   /** args: watchDir indexDir outDir checkpointDir [threshold]
-    * [autoCompactMaxFiles] */
+    * [autoCompactMaxFiles] [maxFilesPerTrigger] */
   def main(args: Array[String]): Unit = {
     val Array(watchDir, indexDir, outDir, checkpointDir) = args.take(4)
     val threshold = args.lift(4).map(_.toDouble).getOrElse(0.8)
     val autoCompactMaxFiles = args.lift(5).map(_.toInt).getOrElse(0)
+    val maxFilesPerTrigger = args.lift(6).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.create("graft-streaming-dedup")
     val q = start(spark, watchDir, indexDir, outDir, checkpointDir,
-      threshold, autoCompactMaxFiles)
+      threshold, autoCompactMaxFiles, maxFilesPerTrigger)
     q.awaitTermination()
   }
 
+  /** `maxFilesPerTrigger > 0` bounds each micro-batch to that many crawl
+    * files — a restart against a week of backlog then drains as several
+    * bounded epochs instead of one giant batch whose probe/append must
+    * fit executor memory at once (each epoch commits its own marker, so
+    * a crash mid-drain loses at most one bounded batch). 0 = engine
+    * default (all available). */
   def start(spark: SparkSession, watchDir: String, indexDir: String,
             outDir: String, checkpointDir: String,
             threshold: Double = 0.8,
-            autoCompactMaxFiles: Int = 0): StreamingQuery = {
-    val docs = spark.readStream
+            autoCompactMaxFiles: Int = 0,
+            maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream
       .schema("doc_id LONG, text STRING")
-      .parquet(watchDir)
+    val docs = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(watchDir)
     StreamingJobs.streamingIncrementalDedup(docs, indexDir, threshold,
       onDupPairs = (pairs, epoch) =>
         pairs.write.mode("overwrite")

@@ -128,4 +128,39 @@ class AnnEpochSpec extends SparkSpec {
       assert(ids.values.forall(_ == 1L), ids.toString)
     } finally graft.io.Fs.deleteRecursively(root)
   }
+
+  test("maxFilesPerTrigger drains a backlog as several bounded epochs, " +
+    "each with its own exactly-once marker") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embbacklog")
+    def p(s: String) = s"$root/$s"
+    try {
+      corpus.write.parquet(p("corpus"))
+      Similarity.buildIvfIndex(spark.read.parquet(p("corpus")), p("idx"),
+        numCentroids = 8, kmeansIters = 0, indexFiles = 2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p("watch")))
+      // a 3-file backlog lands BEFORE the stream starts (restart against
+      // a week of accumulated crawls)
+      (0 until 3).foreach { i =>
+        Seq((100L + i, axis(9 + i))).toDF("vec_id", "embedding").coalesce(1)
+          .write.parquet(p(s"stage_$i"))
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(p(s"stage_$i"))))(
+          _.filter(_.toString.endsWith(".parquet"))
+            .forEach(f => java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(p(s"watch/b$i.parquet")))))
+      }
+      val q = graft.jobs.StreamingEmbedIndexJob.start(spark, p("watch"),
+        p("idx"), p("out"), p("ckpt"), threshold = 0.95,
+        maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+      // one epoch marker per file, not one giant batch
+      val markers = new java.io.File(p("idx/_epochs")).list().toSet
+        .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+      assert(markers == Set("embcrawl-0", "embcrawl-1", "embcrawl-2"),
+        markers.toString)
+      val ids = assignedIds(p("idx"))
+      assert(ids.keySet == (0L until 8L).toSet ++ Set(100L, 101L, 102L),
+        ids.toString)
+    } finally graft.io.Fs.deleteRecursively(root)
+  }
 }
