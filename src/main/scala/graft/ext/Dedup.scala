@@ -326,11 +326,41 @@ object Dedup {
   def appendToExactIndex(df: DataFrame, path: String,
                          textCol: String = "text",
                          indexFiles: Int = 4): Unit =
+    exactDigestDelta(df, textCol, indexFiles)
+      .write.mode("append")
+      .parquet(comp(df.sparkSession, s"$path/digests"))
+
+  private def exactDigestDelta(df: DataFrame, textCol: String,
+                               indexFiles: Int): DataFrame =
     df.select(sha2(col(textCol).cast("binary"), 256).as("digest")).distinct()
       .repartitionByRange(indexFiles, col("digest"))
       .sortWithinPartitions("digest")
-      .write.mode("append")
-      .parquet(comp(df.sparkSession, s"$path/digests"))
+
+  /** Epoch-idempotent [[appendToExactIndex]] ([[graft.io.EpochCommit]]
+    * over the `digests` component) — with this, every persisted index
+    * family (MinHash dedup, IVF ANN, exact-digest) offers exactly-once
+    * appends from a streaming `foreachBatch`. Probing callers run
+    * [[cleanPartialExactEpoch]] before the probe, same contract as the
+    * other families (a half-promoted replay would otherwise match its
+    * own digests and drop the batch as a duplicate of itself).
+    * @return true if appended, false on a committed-epoch replay. */
+  def appendToExactIndexEpoch(df: DataFrame, path: String, epochId: Long,
+                              queryId: String = "stream",
+                              textCol: String = "text",
+                              indexFiles: Int = 4): Boolean =
+    graft.io.EpochCommit.append(df.sparkSession, path, Seq("digests"),
+      epochId, queryId) { staging =>
+      exactDigestDelta(df, textCol, indexFiles)
+        .write.mode("overwrite").parquet(s"$staging/digests")
+    }
+
+  /** [[graft.io.EpochCommit.cleanPartial]] over the exact index's
+    * `digests` component. */
+  def cleanPartialExactEpoch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, epochId: Long,
+                             queryId: String = "stream"): Unit =
+    graft.io.EpochCommit.cleanPartial(spark, path, Seq("digests"),
+      epochId, queryId)
 
   /**
    * Append already-deduped documents to a persisted dedup index — the
@@ -527,8 +557,12 @@ object Dedup {
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, indexFiles: Int = 32): Unit = {
     val mask = digestTombstoneMask(spark, path)
+    // exclude partial promotes of a downed stream (see
+    // EpochCommit.dropUncommitted) — same contract as the other families
+    val dropPartial =
+      graft.io.EpochCommit.dropUncommitted(spark, path, Seq("digests"))
     graft.io.Tables.compactSorted(spark, s"$path/digests", indexFiles,
-      dedupe = true, "digest")(mask)
+      dedupe = true, "digest")(df => mask(dropPartial(df)))
     clearTombstones(spark, path)
   }
 

@@ -113,6 +113,44 @@ object Tables {
     if (vs.isEmpty) dir else s"$dir-v${vs.max}"
   }
 
+  /** Committed versions of a component whose DATA is still present,
+    * ascending — version 0 is the flat legacy layout (no manifest; it
+    * exists while the flat dir does). One parent listing, no data
+    * reads. */
+  def componentVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    if (parent == null) return Seq.empty
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return Seq.empty
+    val names = fs.listStatus(parent).map(_.getPath.getName).toSet
+    val pre = p.getName + ".manifest-"
+    val committed = names.filter(_.startsWith(pre)).map(_.drop(pre.length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .filter(v => names.contains(s"${p.getName}-v$v"))
+    (if (names.contains(p.getName)) committed + 0L else committed)
+      .toSeq.sorted
+  }
+
+  /** Data dir of a SPECIFIC committed version of a component — TIME
+    * TRAVEL within the retention window ([[compactSorted]] keeps the
+    * previous version for one full maintenance cycle): re-run last
+    * cycle's probes against the exact snapshot a report was built from,
+    * or diff two snapshots. None once retention has retired the
+    * version's data, or for an uncommitted orphan (crashed compaction's
+    * `-v<N>` dir without its manifest — never readable). */
+  def resolveComponentAt(spark: SparkSession, dir: String,
+                         version: Long): Option[String] = {
+    val data = new org.apache.hadoop.fs.Path(
+      if (version == 0) dir else s"$dir-v$version")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(data)) None
+    else if (version == 0) Some(dir)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir.manifest-$version"))) Some(data.toString)
+    else None
+  }
+
   /** DataType of `colName` as stored by a component's CURRENT version
     * (one parquet footer read, no data pass); None when the component
     * does not exist yet or stores no such column. Tombstone writers use
