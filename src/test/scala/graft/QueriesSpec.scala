@@ -33,6 +33,19 @@ class QueriesSpec extends SparkSpec {
     assert(fast.count() > 0, "window should be non-empty on the fixture")
   }
 
+  test("from_json edge semantics (the e9 parse): a missing key, " +
+    "malformed JSON, and an empty string all yield null, never an error") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val ks = Seq("""{"k": 5}""", """{"other": 1}""", "not json", "")
+      .toDF("props")
+      .select(from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))).getField("k"))
+      .as[Option[Long]].collect().toSeq
+    assert(ks == Seq(Some(5L), None, None, None), ks.toString)
+  }
+
   test("approx_count_distinct tracks the exact counts within its rsd bound") {
     // the declared query now carries its own acceptance: exact counts
     // (which must equal the s5 twin's) plus per-group |approx/exact−1| ≤

@@ -129,6 +129,76 @@ class AnnEpochSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(root)
   }
 
+  test("StreamingEmbedIndexJob kill/recovery: a crash AFTER the index " +
+    "append but BEFORE the checkpoint commit replays the epoch without " +
+    "double-appending; index and hit record identical to a clean run") {
+    import graft.ops.Caching
+    val root = java.nio.file.Files.createTempDirectory("graft_embkill")
+    def p(s: String) = s"$root/$s"
+    val crawl2 = Seq((20L, axis(10)), (21L, axis(9))) // 21 dups epoch-0's 10
+    try {
+      corpus.write.parquet(p("corpus"))
+      Similarity.buildIvfIndex(spark.read.parquet(p("corpus")), p("idx"),
+        numCentroids = 8, kmeansIters = 0, indexFiles = 2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p("watch")))
+      def drop(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+        rows.toDF("vec_id", "embedding").coalesce(1)
+          .write.parquet(p(s"stage_$name"))
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(p(s"stage_$name"))))(
+          _.filter(_.toString.endsWith(".parquet"))
+            .forEach(f => java.nio.file.Files.move(f,
+              java.nio.file.Paths.get(p(s"watch/$name.parquet")))))
+      }
+      def runStream(): Unit = {
+        val q = graft.jobs.StreamingEmbedIndexJob.start(spark, p("watch"),
+          p("idx"), p("out"), p("ckpt"), threshold = 0.95)
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      // epoch 0 commits cleanly: novel vector 10 lands
+      drop("crawl1", Seq((10L, axis(9))))
+      runStream()
+      assert(Similarity.annEpochCommitted(spark, p("idx"), "embcrawl", 0L))
+
+      // THE CRASH: epoch 1's foreachBatch ran to completion — hits
+      // recorded, index append marker-committed — but the engine died
+      // before the checkpoint commit log, so the restart replays the
+      // batch. Emulate by performing the exact body the job runs (same
+      // queryId, same epoch id the restart will assign) without letting
+      // the streaming checkpoint see it.
+      Caching.scoped {
+        val batch = crawl2.toDF("vec_id", "embedding")
+        val hits = Caching.register(
+          Similarity.ivfTopKFromIndex(spark, p("idx"), batch, k = 1,
+              nprobe = 4)
+            .filter(col("score") >= 0.95))
+        hits.write.mode("overwrite").parquet(p("out/dup_hits/epoch_1"))
+        val novel = batch.join(
+          hits.select(col("query_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        assert(Similarity.appendToIvfIndexEpoch(novel, p("idx"), 1L,
+          "embcrawl"), "crashed attempt must have performed the append")
+      }
+
+      // restart from the SAME checkpoint with crawl2 now visible: the
+      // engine replays it as epoch 1; the committed marker must make the
+      // whole batch a no-op
+      drop("crawl2", crawl2)
+      runStream()
+
+      val ids = assignedIds(p("idx"))
+      assert(ids.keySet == (0L until 8L).toSet ++ Set(10L, 20L),
+        ids.toString)
+      assert(ids.values.forall(_ == 1L),
+        s"replay double-appended: $ids")
+      val hits = spark.read
+        .parquet(p("out/dup_hits/epoch_0"), p("out/dup_hits/epoch_1"))
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(hits == Set((21L, 10L)), hits.toString)
+    } finally graft.io.Fs.deleteRecursively(root)
+  }
+
   test("maxFilesPerTrigger drains a backlog as several bounded epochs, " +
     "each with its own exactly-once marker") {
     val root = java.nio.file.Files.createTempDirectory("graft_embbacklog")

@@ -85,6 +85,14 @@ class BloomLayoutSpec extends SparkSpec {
     assert(withBloom < noBloom)
   }
 
+  test("an absent id returns empty through the bloom layout, same as " +
+    "the flat table (no false-positive rows — blooms only SKIP)") {
+    val ghost = store.agg(max("event_id")).first().getLong(0) + 1
+    assert(store.filter(col("event_id") === ghost).isEmpty)
+    assert(graft.Queries.events(spark, dir)
+      .filter(col("event_id") === ghost).isEmpty)
+  }
+
   test("the layout never changes the lookup result (≡ flat table)") {
     val fromStore = store.filter(col("event_id") === target)
       .select("event_id", "user_id", "ts", "event_type", "value")
