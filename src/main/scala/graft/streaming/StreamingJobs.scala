@@ -383,4 +383,71 @@ object StreamingJobs {
         }
       }
     }
+
+  /**
+   * Continuously-maintained daily rollup — the bronze→silver
+   * materialization a warehouse actually serves queries from: each
+   * micro-batch of events lands in a RAW store exactly-once
+   * ([[graft.io.EpochCommit]] marker protocol; day-sorted files so
+   * day-range scans skip), then the rollup partitions for the batch's
+   * AFFECTED DAYS are recomputed from raw and atomically replaced
+   * (dynamic partition overwrite — untouched days keep their files).
+   *
+   * End-to-end delivery: raw is exactly-once (replayed batches skip via
+   * their marker); the rollup refresh is IDEMPOTENT (recompute-from-raw,
+   * same input → same partitions) and deliberately runs on EVERY epoch,
+   * committed or not — a crash after the raw marker but before the
+   * rollup write must still refresh on replay, and refreshing twice is
+   * harmless. So the queryable rollup converges to exactly-once
+   * semantics without transactional coordination between the two
+   * stores.
+   *
+   * The affected-day set is a metadata-sized driver collect (days per
+   * micro-batch are calendar-bounded); the recompute reads raw with a
+   * pushed day filter, so a day's refresh cost tracks that day's volume,
+   * not the store's. `tsCol` must be nanosecond-epoch longs (the
+   * [[graft.Queries.events]] normalized shape).
+   */
+  def streamingDailyRollup(events: DataFrame, storePath: String,
+                           tsCol: String = "ts",
+                           typeCol: String = "event_type",
+                           valueCol: String = "value",
+                           queryId: String = "rollup",
+                           rawFilesPerEpoch: Int = 2) =
+    events.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      import graft.io.{EpochCommit, Tables}
+      val spark = batch.sparkSession
+      val withDay = batch.withColumn("event_day",
+        expr(s"$tsCol div 86400000000000"))
+      if (!EpochCommit.committed(spark, storePath, queryId, epoch)) {
+        EpochCommit.cleanPartial(spark, storePath, Seq("raw"), epoch,
+          queryId)
+        EpochCommit.append(spark, storePath, Seq("raw"), epoch, queryId) {
+          staging =>
+            withDay
+              .repartitionByRange(rawFilesPerEpoch, col("event_day"))
+              .sortWithinPartitions("event_day")
+              .write.mode("overwrite").parquet(s"$staging/raw")
+        }
+        ()
+      }
+      // idempotent refresh of the affected days — OUTSIDE the committed
+      // check on purpose (see scaladoc)
+      val days = withDay.select("event_day").distinct()
+        .collect().map(_.getLong(0)) // calendar-bounded, metadata-sized
+      if (days.nonEmpty) {
+        val raw = spark.read.parquet(
+          Tables.resolveComponent(spark, s"$storePath/raw"))
+          .filter(col("event_day").isin(days.map(Long.box): _*))
+        raw.groupBy("event_day", typeCol)
+          .agg(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(floor(col(valueCol) * 100 + 0.5).cast("long"))
+              .as("value_cents"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_day")
+          .parquet(s"$storePath/rollup")
+      }
+    }
 }
