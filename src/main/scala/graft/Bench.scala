@@ -76,7 +76,13 @@ object Bench {
     // round 8: semi-structured extraction — per-row JSON parse of the
     // props bag in the scan projection (tracks JSON-parse throughput,
     // the dominant cost of real event pipelines)
-    "e9_events_json")
+    "e9_events_json",
+    // round 8: copy-on-write MERGE through the file-list-manifest table —
+    // every pass pays create (key-sorted 8-file layout) + range-pruned
+    // upsert + rollup read, so table-mutation regressions surface like
+    // query regressions (the touch-set bound itself is pinned in
+    // ManifestTableSpec)
+    "m1_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

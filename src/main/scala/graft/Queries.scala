@@ -750,6 +750,55 @@ object Queries {
             * (lit(1.0) + col("l_tax"))).as("charge_cents"),
           min(col("p_name")).as("first_name"))),
 
+    // Copy-on-write MERGE (upsert) through the file-list-manifest table
+    // (io/ManifestTable.scala): orders lands key-sorted in 8
+    // range-disjoint files; an update batch (re-priced keys ≡3 mod 7 +
+    // inserted keys beyond the key space) is merged copy-on-write —
+    // only files whose key range the batch touches are rewritten, the
+    // rest carry by reference (the "mutate 100 TB without rewriting
+    // 100 TB" path; MergeTableSpec pins the touch-set bound). The
+    // declared result is the post-merge table rolled up by priority —
+    // the oracle replays the merge as anti-join ∪ updates in SQL, so
+    // the hash gates upsert SEMANTICS end to end. Integer cents
+    // per the determinism rules.
+    "m1_merge_upsert" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      val mk = base.agg(max("o_orderkey")).first().getLong(0)
+      val updates = base.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+            (col("price_cents") + 10000000L).as("price_cents"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
+          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
+      graft.io.ManifestTable.merge(s, path, updates)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // Copy-on-write DELETE through the same manifest table (the
+    // takedown shape for a TABLE rather than an index): keys ≡4 mod 13
+    // removed, untouched files carried by reference; oracle replays the
+    // delete as a filter.
+    "m2_merge_delete" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.deleteKeys(s, path,
+        base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // ORDER BY + LIMIT (deterministic tie-break) — TakeOrderedAndProject.
     "s1_topn" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2206,6 +2255,38 @@ object Queries {
          |  min(p_name) AS first_name
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1, 2""".stripMargin,
+
+    // m1/m2 run the MERGE through the manifest table; the oracle replays
+    // the same mutation in pure SQL over the original orders (anti-join
+    // out the updated keys, union the batch), so the driver's hash gates
+    // copy-on-write upsert/delete SEMANTICS — not just row counts.
+    "m1_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+        |    price_cents + 10000000 AS price_cents
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+        |    'INSERTED', price_cents
+        |  FROM base WHERE o_orderkey % 11 = 5),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
+
+    "m2_merge_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderkey % 13 <> 4
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // j4 reads session-built bucketed COPIES of orders/lineitem; the rows
     // are identical, so the oracle is the plain join over the originals.

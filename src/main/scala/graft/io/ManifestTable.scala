@@ -1,0 +1,348 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * A key-sorted parquet table committed through a FILE-LIST manifest — the
+ * lakehouse table-format design (Delta/Iceberg) reduced to its minimum so
+ * that point mutations do not rewrite the table.
+ *
+ * Why [[Tables.compactSorted]]'s versioned DIRECTORY is not enough: a
+ * directory-level version can only swap the whole component, so any
+ * mutation — however small — costs a full rewrite. At 100 TB, an upsert
+ * batch touching 0.1 % of the key space must rewrite ~0.1 % of the files,
+ * not 100 % of the bytes. That requires the committed unit to be a LIST OF
+ * FILES (untouched files stay in place by reference) plus per-file key
+ * stats (so the writer knows which files a batch touches without reading
+ * them).
+ *
+ * Layout under `path/`:
+ * {{{
+ *   data/txn-<N>/part-*.parquet   files written by transaction N
+ *   manifest-<N>                  commit N: header + one line per live file
+ * }}}
+ *
+ * The manifest is a small UTF-8 text file: the table schema, the merge-key
+ * column, and for every live data file its relative path, row count, and
+ * the key's min/max AS WRITTEN (computed by a column-pruned pass over just
+ * the new batch at write time — never a table scan). Commit is atomic:
+ * write `manifest-<N>.tmp`, then rename to `manifest-<N>` — rename fails
+ * if the version already exists, so a concurrent second writer loses
+ * loudly instead of corrupting (single-writer contract, same as the index
+ * family). Readers list `manifest-*`, take the highest N, and read exactly
+ * the files it names — a crashed transaction's `data/txn-*` orphan is
+ * invisible because no manifest references it, and the retried
+ * transaction overwrites it.
+ *
+ * COPY-ON-WRITE MERGE ([[merge]]/[[deleteKeys]]): the update batch's
+ * distinct keys are range-joined against the per-file [min,max] intervals
+ * (file-count-sized, broadcast), yielding the TOUCHED file set; only those
+ * files are read (anti-join out the updated keys) and rewritten together
+ * with the new rows; the new manifest carries the untouched entries
+ * FORWARD BY REFERENCE. Retention keeps the previous version's files for
+ * one full cycle (a reader that resolved version N-1 mid-commit keeps its
+ * files; only a reader spanning two commits can break — the table-format
+ * snapshot-expiry contract, same as [[Tables.compactSorted]]) and
+ * [[readAt]] gives time travel within that window.
+ *
+ * Scale notes: the manifest is driver-side and file-count-sized — at
+ * petabyte scale a production format shards it (manifest lists); the
+ * mechanism here is the same, single-level. Successive merges add txn
+ * files whose ranges overlap older ones, degrading the touch-set bound
+ * toward "all files" — [[compactTable]] restores globally disjoint
+ * per-file ranges, exactly like the LSM index compactions. Merge keys
+ * must be non-null (enforced loudly) and of a type whose string round-trip
+ * is exact — integral and string keys are; the key comparison itself runs
+ * IN SPARK (the stored min/max are cast back to the key's type before the
+ * range join), so ordering semantics are Spark's own, not the JVM's.
+ */
+object ManifestTable {
+
+  /** One live data file: path relative to the table root, its row count,
+    * and the merge key's min/max within it (string-encoded; None only for
+    * a zero-row file). */
+  case class FileEntry(relPath: String, rows: Long,
+                       min: Option[String], max: Option[String])
+
+  case class Manifest(version: Long, keyCol: String, keyType: DataType,
+                      schema: StructType, entries: Seq[FileEntry])
+
+  /** What a copy-on-write commit did — the evidence that skipping worked:
+    * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
+    * (untouched, forwarded by reference, zero bytes moved). */
+  case class MergeStats(version: Long, filesBefore: Int, filesRewritten: Int,
+                        filesWritten: Int, filesCarried: Int)
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String) = URLDecoder.decode(s, UTF_8)
+  private def hfs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- commit
+
+  private def manifestFile(path: String, v: Long) = new Path(s"$path/manifest-$v")
+
+  /** Highest committed version, or None for a nonexistent/empty table. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val fs = hfs(spark, root)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !n.endsWith(".tmp"))
+      .map(_.drop("manifest-".length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private[io] def writeManifest(spark: SparkSession, path: String, v: Long,
+                            keyCol: String, keyType: DataType,
+                            schema: StructType,
+                            entries: Seq[FileEntry]): Unit = {
+    val sb = new StringBuilder
+    sb ++= "graft-manifest\t1\n"
+    sb ++= s"key\t${enc(keyCol)}\n"
+    sb ++= s"keytype\t${enc(keyType.json)}\n"
+    sb ++= s"schema\t${enc(schema.json)}\n"
+    entries.foreach { e =>
+      def f(o: Option[String]) = o.fold("null")(x => "v:" + enc(x))
+      sb ++= s"f\t${enc(e.relPath)}\t${e.rows}\t${f(e.min)}\t${f(e.max)}\n"
+    }
+    val fs = hfs(spark, new Path(path))
+    val tmp = new Path(s"$path/manifest-$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    // Commit = rename tmp → final. On HDFS, rename FAILS if the
+    // destination exists — a true atomic claim. POSIX rename overwrites,
+    // so on a local FS the exists-check below is the (non-atomic) guard;
+    // either way a second writer racing the same version loses loudly
+    // instead of silently replacing the first commit.
+    val dst = manifestFile(path, v)
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: $path/manifest-$v already exists " +
+        "(single-writer contract violated)")
+    }
+  }
+
+  def readManifest(spark: SparkSession, path: String): Manifest =
+    readManifestAt(spark, path, latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+
+  def readManifestAt(spark: SparkSession, path: String, v: Long): Manifest = {
+    val fs = hfs(spark, new Path(path))
+    val in = fs.open(manifestFile(path, v))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, UTF_8)
+    } finally in.close()
+    var keyCol: String = null
+    var keyType: DataType = null
+    var schema: StructType = null
+    val entries = Seq.newBuilder[FileEntry]
+    text.split('\n').filter(_.nonEmpty).foreach { line =>
+      val parts = line.split('\t')
+      parts(0) match {
+        case "graft-manifest" =>
+        case "key"     => keyCol = dec(parts(1))
+        case "keytype" => keyType = DataType.fromJson(dec(parts(1)))
+        case "schema"  => schema = DataType.fromJson(dec(parts(1)))
+                            .asInstanceOf[StructType]
+        case "f" =>
+          def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
+          entries += FileEntry(dec(parts(1)), parts(2).toLong,
+            g(parts(3)), g(parts(4)))
+        case other => throw new IllegalStateException(
+          s"unknown manifest record '$other' in $path/manifest-$v")
+      }
+    }
+    require(keyCol != null && keyType != null && schema != null,
+      s"malformed manifest $path/manifest-$v")
+    Manifest(v, keyCol, keyType, schema, entries.result())
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  /** Current table content: exactly the files the latest manifest names. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFiles(spark, path, readManifest(spark, path))
+
+  /** Time travel: the table as of committed version `v` — valid within the
+    * retention window (previous version only; older data is retired). */
+  def readAt(spark: SparkSession, path: String, v: Long): DataFrame =
+    readFiles(spark, path, readManifestAt(spark, path, v))
+
+  private def readFiles(spark: SparkSession, path: String,
+                        m: Manifest): DataFrame =
+    if (m.entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(m.entries.map(e => s"$path/${e.relPath}"): _*)
+
+  // ---------------------------------------------------------------- writes
+
+  /** Create (or overwrite) the table: key-sort `df` into `numFiles` files
+    * with disjoint per-file key ranges, record per-file stats, commit
+    * manifest 1. The stats pass is column-pruned over just the written
+    * batch. */
+  def create(df: DataFrame, path: String, keyCol: String,
+             numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    hfs(spark, root).delete(root, true)
+    val txnRel = "data/txn-1"
+    Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema)
+    writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
+      df.schema, entries)
+  }
+
+  /** Per-file (rows, min(key), max(key)) of a freshly written txn dir —
+    * one column-pruned scan of the NEW files only, grouped by the file
+    * metadata column. Loudly rejects null merge keys: a null never
+    * matches a range join, so a null-keyed row could neither be found
+    * nor updated again. */
+  private def statsFor(spark: SparkSession, root: String, txnRel: String,
+                       keyCol: String, schema: StructType): Seq[FileEntry] = {
+    val dir = s"$root/$txnRel"
+    val rows = spark.read.schema(schema).parquet(dir)
+      .select(col(keyCol).as("__k"), col("_metadata.file_path").as("__f"))
+      .groupBy("__f")
+      .agg(count(lit(1)).as("n"), count("__k").as("nk"),
+        min("__k").cast("string").as("mn"), max("__k").cast("string").as("mx"))
+      .collect()
+    rows.map { r =>
+      val abs = r.getString(0)
+      require(r.getLong(1) == r.getLong(2),
+        s"null merge key in $abs: ${r.getLong(1) - r.getLong(2)} row(s) — " +
+        "merge keys must be non-null")
+      val rel = txnRel + "/" + abs.substring(abs.lastIndexOf('/') + 1)
+      FileEntry(rel, r.getLong(1), Option(r.getString(3)), Option(r.getString(4)))
+    }.toSeq.sortBy(_.relPath)
+  }
+
+  /** Copy-on-write UPSERT: rows of `updates` replace same-key rows; new
+    * keys are inserted. Only files whose [min,max] key range contains an
+    * update key are read and rewritten; everything else is carried by
+    * reference. `updates` must be key-unique (last-writer-wins is
+    * undefined otherwise — same contract as the K3 JDBC upsert).
+    * `numFiles` 0 = one output file per touched input file (+1 for a
+    * pure insert). */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            numFiles: Int = 0): MergeStats =
+    rewrite(spark, path, updates, insert = true, numFiles)
+
+  /** Copy-on-write DELETE of the keys in `keys` (any DataFrame carrying
+    * the key column). Touched files are rewritten without those rows;
+    * untouched files are carried by reference. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 numFiles: Int = 0): MergeStats =
+    rewrite(spark, path, keys, insert = false, numFiles)
+
+  private def rewrite(spark: SparkSession, path: String, batch: DataFrame,
+                      insert: Boolean, numFiles: Int): MergeStats = {
+    val m = readManifest(spark, path)
+    val keyK = col(m.keyCol)
+    val batchKeys = batch.select(keyK).distinct()
+
+    // file-count-sized interval table, broadcast under the batch's keys;
+    // min/max go back through a cast so the comparison is Spark's own
+    // ordering for the key type (exact for integral and string keys)
+    val ranges = spark.createDataFrame(
+        m.entries.map(e => (e.relPath, e.min.orNull, e.max.orNull)))
+      .toDF("__f", "__mn", "__mx")
+      .select(col("__f"), col("__mn").cast(m.keyType).as("__mn"),
+        col("__mx").cast(m.keyType).as("__mx"))
+    val touched: Set[String] =
+      if (m.entries.isEmpty) Set.empty
+      else batchKeys.join(broadcast(ranges),
+          keyK >= col("__mn") && keyK <= col("__mx"))
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+
+    val (touchedE, carriedE) = m.entries.partition(e => touched(e.relPath))
+    val orderedCols = m.schema.fields.map(f => col(f.name).cast(f.dataType))
+    val survivors =
+      if (touchedE.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else
+        spark.read.schema(m.schema)
+          .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
+          .join(batchKeys, Seq(m.keyCol), "left_anti")
+    val newData =
+      if (insert) survivors.unionByName(batch.select(orderedCols: _*))
+      else survivors
+
+    val nextV = m.version + 1
+    val txnRel = s"data/txn-$nextV"
+    val nFiles =
+      if (numFiles > 0) numFiles
+      else math.max(1, touchedE.size + (if (insert && touchedE.isEmpty) 1 else 0))
+    Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
+    val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema)
+
+    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+      carriedE ++ newE)
+    retire(spark, path, keepFrom = m.version)
+    MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
+  }
+
+  /** Full rewrite into `numFiles` globally range-disjoint files — restores
+    * the touch-set bound after many merges have layered overlapping txn
+    * ranges (the LSM compaction of the table world). Readers stay
+    * concurrent: same manifest commit, same one-cycle retention. */
+  def compactTable(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    val m = readManifest(spark, path)
+    val nextV = m.version + 1
+    val txnRel = s"data/txn-$nextV"
+    Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
+      numFiles, m.keyCol)
+    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+      statsFor(spark, path, txnRel, m.keyCol, m.schema))
+    retire(spark, path, keepFrom = m.version)
+  }
+
+  /** Retention: keep every file referenced by a manifest >= `keepFrom`
+    * (the just-superseded version stays fully readable for one cycle),
+    * delete older manifests and any data file no kept manifest references
+    * — which also sweeps crashed-transaction orphans and zero-row part
+    * files. */
+  private def retire(spark: SparkSession, path: String,
+                     keepFrom: Long): Unit = {
+    val root = new Path(path)
+    val fs = hfs(spark, root)
+    val latest = latestVersion(spark, path).getOrElse(return)
+    val keptVersions = (keepFrom to latest).filter(v =>
+      fs.exists(manifestFile(path, v)))
+    val referenced: Set[String] = keptVersions.flatMap(v =>
+      readManifestAt(spark, path, v).entries.map(_.relPath)).toSet
+    // older manifests out
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("manifest-") && !n.endsWith(".tmp")) {
+        val v = n.drop("manifest-".length)
+        if (v.forall(_.isDigit) && v.nonEmpty && v.toLong < keepFrom)
+          fs.delete(st.getPath, false)
+      }
+    }
+    // unreferenced data files out; then empty txn dirs
+    val dataDir = new Path(s"$path/data")
+    if (!fs.exists(dataDir)) return
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { txn =>
+      fs.listStatus(txn.getPath).foreach { f =>
+        val rel = s"data/${txn.getPath.getName}/${f.getPath.getName}"
+        if (!referenced.contains(rel)) fs.delete(f.getPath, false)
+      }
+      if (fs.listStatus(txn.getPath).isEmpty) fs.delete(txn.getPath, false)
+    }
+  }
+}

@@ -1,0 +1,225 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The file-list-manifest table: copy-on-write merge must rewrite ONLY the
+  * files whose key range the batch touches (that is the entire point —
+  * "mutate 100 TB without rewriting 100 TB"), commits must be atomic and
+  * crash-orphans invisible, and retention must keep exactly one
+  * superseded version readable. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mtab").toString + "/t"
+
+  private def base(n: Int = 1000): DataFrame =
+    (0 until n).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+
+  private def content(df: DataFrame): Set[(Long, String, Int)] =
+    df.select("id", "name", "grp").as[(Long, String, Int)].collect().toSet
+
+  test("create + read round-trips; files carry disjoint sorted key ranges") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      assert(content(ManifestTable.read(spark, path)) == content(base()))
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.version == 1L && m.keyCol == "id")
+      assert(m.entries.size == 8 && m.entries.map(_.rows).sum == 1000L)
+      // per-file ranges must be pairwise disjoint (that is what makes the
+      // touch-set computation tight)
+      val ranges = m.entries.map(e => (e.min.get.toLong, e.max.get.toLong))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file ranges: $ranges")
+      case _ => }
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("merge rewrites ONLY touched files; untouched entries carried by " +
+    "reference with identical file paths") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      val before = ManifestTable.readManifest(spark, path)
+      // a key-local batch: updates 10 keys inside [100, 109] + one insert
+      // far beyond every range
+      val updates = ((100L to 109L).map(i => (i, s"upd_$i", 99)) :+
+        ((5000L, "ins_5000", 99))).toDF("id", "name", "grp")
+      val st = ManifestTable.merge(spark, path, updates)
+
+      // expected touch set straight from the manifest intervals (range
+      // partitioner boundaries are sampled, so the batch may straddle a
+      // file boundary — but never more than two files for 10 contiguous
+      // keys out of 1000)
+      val expectTouched = before.entries.count(e =>
+        e.min.get.toLong <= 109L && e.max.get.toLong >= 100L)
+      assert(st.filesBefore == 8)
+      assert(st.filesRewritten == expectTouched && expectTouched <= 2,
+        s"a 10-key contiguous batch must touch only the covering files, " +
+        s"got $st (expected $expectTouched)")
+      assert(st.filesCarried == 8 - expectTouched)
+      // carried entries are literally the same files (zero bytes moved)
+      val after = ManifestTable.readManifest(spark, path)
+      val carried = after.entries.map(_.relPath).toSet
+        .intersect(before.entries.map(_.relPath).toSet)
+      assert(carried.size == 8 - expectTouched)
+
+      val expect = content(base()).filterNot(r => r._1 >= 100 && r._1 <= 109) ++
+        (100L to 109L).map(i => (i, s"upd_$i", 99)) + ((5000L, "ins_5000", 99))
+      assert(content(ManifestTable.read(spark, path)) == expect)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("pure insert beyond every file range touches zero files") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      val st = ManifestTable.merge(spark, path,
+        Seq((9000L, "new", 1), (9001L, "new2", 2)).toDF("id", "name", "grp"))
+      assert(st.filesRewritten == 0 && st.filesCarried == 4 &&
+        st.filesWritten == 1)
+      assert(ManifestTable.read(spark, path).count() == 1002L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("deleteKeys removes rows copy-on-write; delete-all leaves a " +
+    "readable empty table") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 4)
+      val expectTouched = ManifestTable.readManifest(spark, path).entries
+        .count(e => e.min.get.toLong <= 19L && e.max.get.toLong >= 10L)
+      val st = ManifestTable.deleteKeys(spark, path,
+        (10L to 19L).toDF("id"))
+      assert(st.filesRewritten == expectTouched && expectTouched <= 2 &&
+        st.filesCarried == 4 - expectTouched)
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base(100)).filterNot(r => r._1 >= 10 && r._1 <= 19))
+
+      ManifestTable.deleteKeys(spark, path, (0L until 100L).toDF("id"))
+      val empty = ManifestTable.read(spark, path)
+      assert(empty.count() == 0L)
+      assert(empty.schema.fieldNames.toSeq == Seq("id", "name", "grp"),
+        "empty table must keep its schema (from the manifest)")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("retention: previous version stays readable for one cycle " +
+    "(time travel), older versions are retired with their files") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      val v1 = content(ManifestTable.readAt(spark, path, 1))
+      ManifestTable.merge(spark, path,
+        Seq((0L, "a", 0)).toDF("id", "name", "grp"))            // v2
+      assert(content(ManifestTable.readAt(spark, path, 1)) == v1,
+        "superseded version must stay readable for one cycle")
+      ManifestTable.merge(spark, path,
+        Seq((1L, "b", 0)).toDF("id", "name", "grp"))            // v3
+      // v1's manifest is retired; only v2 (previous) and v3 (current) live
+      intercept[java.io.FileNotFoundException] {
+        ManifestTable.readManifestAt(spark, path, 1)
+      }
+      assert(ManifestTable.readAt(spark, path, 2).count() == 100L)
+      assert(ManifestTable.latestVersion(spark, path).contains(3L))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("crash orphan (txn dir without manifest) is invisible and swept " +
+    "by the next successful commit's retention") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      // simulate a crashed transaction: data written, no manifest
+      val orphan = java.nio.file.Paths.get(s"$path/data/txn-2")
+      java.nio.file.Files.createDirectories(orphan)
+      java.nio.file.Files.write(orphan.resolve("part-zzz.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(ManifestTable.read(spark, path).count() == 100L,
+        "reader must see only manifest-listed files")
+      // the retried transaction overwrites the orphan dir and commits
+      val st = ManifestTable.merge(spark, path,
+        Seq((0L, "x", 0)).toDF("id", "name", "grp"))
+      assert(st.version == 2L)
+      assert(ManifestTable.read(spark, path).count() == 100L)
+      assert(!java.nio.file.Files.exists(orphan.resolve("part-zzz.parquet")),
+        "orphan bytes must be gone after the successful commit")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("concurrent second writer loses loudly at the commit point") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      // both writers read version 1 and race to commit version 2: the
+      // second rename must fail the atomic claim, not overwrite
+      val m = ManifestTable.readManifest(spark, path)
+      ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
+        m.schema, m.entries) // writer A wins
+      val e = intercept[IllegalStateException] {
+        ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
+          m.schema, m.entries) // writer B must lose loudly
+      }
+      assert(e.getMessage.contains("concurrent commit"))
+      // and the table is still fully readable at A's commit
+      assert(ManifestTable.read(spark, path).count() == 100L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("null merge keys are rejected loudly at write time") {
+    val path = tmp()
+    val withNull = Seq((Some(1L), "a", 0), (None, "b", 1))
+      .toDF("id", "name", "grp")
+    try {
+      val e = intercept[Exception] {
+        ManifestTable.create(withNull, path, "id", numFiles = 1)
+      }
+      assert(e.getMessage.contains("null merge key"))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("string keys work end-to-end (ordering is Spark's, via the " +
+    "cast-back range join)") {
+    val path = tmp()
+    try {
+      val df = ('a' to 'z').map(c => (s"k_$c$c", c.toInt)).toDF("k", "v")
+      ManifestTable.create(df, path, "k", numFiles = 4)
+      val st = ManifestTable.merge(spark, path,
+        Seq(("k_cc", 999), ("k_zz", 998)).toDF("k", "v"))
+      assert(st.filesRewritten >= 1 && st.filesRewritten <= 2 &&
+        st.filesCarried == st.filesBefore - st.filesRewritten)
+      val got = ManifestTable.read(spark, path).as[(String, Int)]
+        .collect().toMap
+      assert(got("k_cc") == 999 && got("k_zz") == 998 && got("k_aa") == 'a'.toInt)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("compactTable restores disjoint ranges after layered merges, " +
+    "preserving content") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(500), path, "id", numFiles = 4)
+      // three scattered merges layer overlapping txn ranges
+      (1 to 3).foreach { i =>
+        ManifestTable.merge(spark, path,
+          Seq((i * 97L, s"m$i", i), (400L + i, s"n$i", i))
+            .toDF("id", "name", "grp"))
+      }
+      val expect = content(ManifestTable.read(spark, path))
+      ManifestTable.compactTable(spark, path, numFiles = 4)
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.entries.size == 4)
+      val ranges = m.entries.map(e => (e.min.get.toLong, e.max.get.toLong))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"compaction must restore disjoint ranges: $ranges")
+      case _ => }
+      assert(content(ManifestTable.read(spark, path)) == expect)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+}
