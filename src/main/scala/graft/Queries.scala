@@ -752,15 +752,17 @@ object Queries {
 
     // Copy-on-write MERGE (upsert) through the file-list-manifest table
     // (io/ManifestTable.scala): orders lands key-sorted in 8
-    // range-disjoint files; an update batch (re-priced keys ≡3 mod 7 +
-    // inserted keys beyond the key space) is merged copy-on-write —
-    // only files whose key range the batch touches are rewritten, the
-    // rest carry by reference (the "mutate 100 TB without rewriting
-    // 100 TB" path; MergeTableSpec pins the touch-set bound). The
-    // declared result is the post-merge table rolled up by priority —
-    // the oracle replays the merge as anti-join ∪ updates in SQL, so
-    // the hash gates upsert SEMANTICS end to end. Integer cents
-    // per the determinism rules.
+    // range-disjoint files; a KEY-LOCAL update batch (re-priced keys in
+    // the lowest ~10 % of the key space — `o_orderkey * 10 <= max`,
+    // pure integer arithmetic so Spark and the oracle agree exactly —
+    // plus inserted keys beyond the key space) is merged copy-on-write,
+    // rewriting only the file(s) covering that band and carrying the
+    // other ~7/8 by reference. This is the range-pruned path the table
+    // exists for (and what the bench tracks); the scattered
+    // touch-everything shape is m2. The declared result is the
+    // post-merge table rolled up by priority — the oracle replays the
+    // merge as anti-join ∪ updates in SQL, so the hash gates upsert
+    // SEMANTICS end to end. Integer cents per the determinism rules.
     "m1_merge_upsert" -> ((s, dir) => {
       val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val base = t(s, dir, "orders").select(col("o_orderkey"),
@@ -769,7 +771,7 @@ object Queries {
         .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
       val mk = base.agg(max("o_orderkey")).first().getLong(0)
-      val updates = base.filter(col("o_orderkey") % 7 === 3)
+      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
           .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
             (col("price_cents") + 10000000L).as("price_cents"))
         .unionByName(base.filter(col("o_orderkey") % 11 === 5)
@@ -2268,7 +2270,8 @@ object Queries {
         |upd AS (
         |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
         |    price_cents + 10000000 AS price_cents
-        |  FROM base WHERE o_orderkey % 7 = 3
+        |  FROM base
+        |  WHERE o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
         |  UNION ALL
         |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
         |    'INSERTED', price_cents
