@@ -783,6 +783,33 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // CHANGE DATA FEED over the manifest table: the m1 merge's diff
+    // between version 1 and version 2, computed from ONLY the files the
+    // two manifests disagree on (carried files are never read; rows a
+    // rewrite carried unchanged cancel in the multiset diff — a
+    // compaction emits zero changes, pinned in ManifestTableSpec). The
+    // Delta-CDF shape: updated keys emit update_pre + update_post,
+    // new keys emit insert. The oracle derives the same feed directly
+    // from orders, so the hash gates both the diff mechanics AND the
+    // carried-row cancellation.
+    "m3_merge_changes" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      val mk = base.agg(max("o_orderkey")).first().getLong(0)
+      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
+          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+            (col("price_cents") + 10000000L).as("price_cents"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
+          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
+      graft.io.ManifestTable.merge(s, path, updates)
+      graft.io.ManifestTable.changesBetween(s, path, 1L, 2L)
+    }),
+
     // Copy-on-write DELETE through the same manifest table (the
     // takedown shape for a TABLE rather than an index): keys ≡4 mod 13
     // removed, untouched files carried by reference; oracle replays the
@@ -2283,6 +2310,24 @@ object Queries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM merged GROUP BY o_orderpriority""".stripMargin,
+
+    "m3_merge_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders)
+        |SELECT 'update_pre' AS _change_type, o_orderkey, o_orderpriority,
+        |  price_cents
+        |FROM base WHERE o_orderkey * 10 <= (SELECT mk FROM mx)
+        |UNION ALL
+        |SELECT 'update_post', o_orderkey, 'MERGED',
+        |  price_cents + 10000000
+        |FROM base WHERE o_orderkey * 10 <= (SELECT mk FROM mx)
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + (SELECT mk FROM mx), 'INSERTED',
+        |  price_cents
+        |FROM base WHERE o_orderkey % 11 = 5""".stripMargin,
 
     "m2_merge_delete" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

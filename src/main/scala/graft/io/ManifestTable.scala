@@ -296,6 +296,52 @@ object ManifestTable {
     MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
   }
 
+  /** CHANGE DATA FEED between two committed versions (both within the
+    * retention window — the superseded version is readable for one
+    * cycle, so polling consumers that keep up never miss a diff):
+    * emits one row per changed row, labeled `_change_type` ∈
+    * {{{insert, delete, update_pre, update_post}}} — an updated key
+    * contributes its old row as `update_pre` and its new row as
+    * `update_post`, the Delta-CDF shape.
+    *
+    * The diff reads ONLY the files that differ between the two
+    * manifests: files carried by reference between versions are skipped
+    * entirely (zero bytes read for the untouched 99.9 % of a big table),
+    * and rows a rewrite carried unchanged cancel in the multiset
+    * `exceptAll` — so a COMPACTION, which moves every row to new files
+    * without changing any, correctly emits ZERO changes. Cost scales
+    * with the size of the touched files, not the table. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    val mFrom = readManifestAt(spark, path, fromV)
+    val mTo = readManifestAt(spark, path, toV)
+    val fromRel = mFrom.entries.map(_.relPath).toSet
+    val toRel = mTo.entries.map(_.relPath).toSet
+    def side(m: Manifest, other: Set[String]): DataFrame = {
+      val only = m.entries.filterNot(e => other.contains(e.relPath))
+      if (only.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema)
+        .parquet(only.map(e => s"$path/${e.relPath}"): _*)
+    }
+    val oldRows = side(mFrom, toRel)
+    val newRows = side(mTo, fromRel)
+    val adds = newRows.exceptAll(oldRows)
+    val dels = oldRows.exceptAll(newRows)
+    val key = col(mFrom.keyCol)
+    val cols = mFrom.schema.fieldNames.map(col)
+    // a key present on both sides of the surviving diff is an update
+    val updKeys = adds.select(key).intersect(dels.select(key))
+      .withColumn("__upd", lit(true))
+    def label(df: DataFrame, updLabel: String, plainLabel: String) =
+      df.join(updKeys, Seq(mFrom.keyCol), "left")
+        .select(when(col("__upd"), updLabel).otherwise(plainLabel)
+          .as("_change_type") +: cols: _*)
+    label(adds, "update_post", "insert")
+      .unionByName(label(dels, "update_pre", "delete"))
+  }
+
   /** Full rewrite into `numFiles` globally range-disjoint files — restores
     * the touch-set bound after many merges have layered overlapping txn
     * ranges (the LSM compaction of the table world). Readers stay

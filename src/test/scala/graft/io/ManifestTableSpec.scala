@@ -199,6 +199,39 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("changesBetween emits the exact CDF (update_pre/post, insert, " +
+    "delete) and a compaction emits ZERO changes") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(200), path, "id", numFiles = 4)
+      // v2: update keys 5..9, insert 900, delete nothing
+      ManifestTable.merge(spark, path,
+        ((5L to 9L).map(i => (i, s"upd_$i", 42)) :+ ((900L, "new", 7)))
+          .toDF("id", "name", "grp"))
+      val cdf = ManifestTable.changesBetween(spark, path, 1L, 2L)
+        .as[(String, Long, String, Int)].collect().toSet
+      val expect: Set[(String, Long, String, Int)] =
+        (5L to 9L).map(i => ("update_pre", i, s"name_$i", (i % 7).toInt)).toSet ++
+        (5L to 9L).map(i => ("update_post", i, s"upd_$i", 42)) +
+        (("insert", 900L, "new", 7))
+      assert(cdf == expect,
+        s"carried-unchanged rows must cancel; got ${cdf.diff(expect)} / " +
+        s"missing ${expect.diff(cdf)}")
+
+      // v3: delete two keys → pure deletes in the feed
+      ManifestTable.deleteKeys(spark, path, Seq(0L, 1L).toDF("id"))
+      val cdf23 = ManifestTable.changesBetween(spark, path, 2L, 3L)
+        .as[(String, Long, String, Int)].collect().toSet
+      assert(cdf23 == Set(("delete", 0L, "name_0", 0),
+        ("delete", 1L, "name_1", 1)))
+
+      // v4: compaction moves every row to new files, changes nothing
+      ManifestTable.compactTable(spark, path, numFiles = 2)
+      assert(ManifestTable.changesBetween(spark, path, 3L, 4L).count() == 0L,
+        "a compaction is not a data change")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("compactTable restores disjoint ranges after layered merges, " +
     "preserving content") {
     val path = tmp()
