@@ -342,6 +342,87 @@ object ManifestTable {
       .unionByName(label(dels, "update_pre", "delete"))
   }
 
+  /** Apply a change feed (the [[changesBetween]] shape) to ANOTHER
+    * manifest table — incremental replication: the mirror advances at
+    * cost ∝ the change batch, never the table. `update_post` and
+    * `insert` rows upsert; `delete` keys are removed; `update_pre` rows
+    * are superseded by their `update_post` twin and carry no action.
+    * Replaying the same feed converges (upserts overwrite identically,
+    * deletes of absent keys are no-ops), so an at-least-once consumer
+    * that crashed between apply and cursor advance self-heals. */
+  def applyChanges(spark: SparkSession, targetPath: String,
+                   changes: DataFrame): Unit = {
+    val m = readManifest(spark, targetPath)
+    val dataCols = m.schema.fieldNames.map(col)
+    val upserts = changes
+      .filter(col("_change_type").isin("insert", "update_post"))
+      .select(dataCols: _*)
+    val dels = changes.filter(col("_change_type") === "delete")
+      .select(col(m.keyCol))
+    if (!dels.isEmpty) deleteKeys(spark, targetPath, dels)
+    if (!upserts.isEmpty) merge(spark, targetPath, upserts)
+  }
+
+  /** Read the consumer cursor (last source version applied) for an
+    * incremental consumer identified by `cursorPath`; None before the
+    * first sync. */
+  def readCursor(spark: SparkSession, cursorPath: String): Option[Long] = {
+    val p = new Path(cursorPath)
+    val fs = hfs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1024, false)
+        new String(bos.toByteArray, UTF_8).trim
+      } finally in.close()
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    }
+  }
+
+  /** Advance the consumer cursor (write-then-rename, so a torn write
+    * can't leave a half-written cursor). */
+  def writeCursor(spark: SparkSession, cursorPath: String, v: Long): Unit = {
+    val p = new Path(cursorPath)
+    val fs = hfs(spark, p)
+    val tmp = new Path(cursorPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"cursor advance failed: $cursorPath")
+  }
+
+  /** One incremental sync step: apply everything the mirror has not seen
+    * (cursor → source latest) and advance the cursor. Returns the
+    * (fromV, toV) applied, or None when already caught up. Apply happens
+    * BEFORE the cursor advance — a crash between the two replays the
+    * feed, which [[applyChanges]] absorbs idempotently (at-least-once
+    * delivery, exactly-once effect). */
+  def syncMirror(spark: SparkSession, srcPath: String, dstPath: String,
+                 cursorPath: String): Option[(Long, Long)] = {
+    val latest = latestVersion(spark, srcPath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $srcPath"))
+    val from = readCursor(spark, cursorPath).getOrElse(
+      throw new IllegalStateException(
+        s"no cursor at $cursorPath — bootstrap the mirror first " +
+        "(create from a source read, then writeCursor at that version)"))
+    if (from >= latest) return None
+    val feed =
+      try changesBetween(spark, srcPath, from, latest)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"mirror cursor v$from lagged past the source's retention " +
+            s"window (latest v$latest; the source keeps one superseded " +
+            "version) — re-bootstrap the mirror from a full source read")
+      }
+    applyChanges(spark, dstPath, feed)
+    writeCursor(spark, cursorPath, latest)
+    Some((from, latest))
+  }
+
   /** Full rewrite into `numFiles` globally range-disjoint files — restores
     * the touch-set bound after many merges have layered overlapping txn
     * ranges (the LSM compaction of the table world). Readers stay

@@ -232,6 +232,57 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("mirror job: bootstrap, incremental syncs ∝ changes, idempotent " +
+    "replay, zero-change sync after source compaction, loud lag failure") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mirror")
+    val src = s"$root/src"; val dst = s"$root/dst"; val cur = s"$root/cursor"
+    def srcEqualsDst(): Unit =
+      assert(content(ManifestTable.read(spark, src)) ==
+        content(ManifestTable.read(spark, dst)))
+    try {
+      ManifestTable.create(base(300), src, "id", numFiles = 4)
+      // bootstrap
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+        .contains((0L, 1L)))
+      srcEqualsDst()
+      // merge on source → one incremental sync
+      ManifestTable.merge(spark, src,
+        Seq((7L, "x", 9), (999L, "ins", 9)).toDF("id", "name", "grp"))
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+        .contains((1L, 2L)))
+      srcEqualsDst()
+      // crash-replay: re-apply the same feed without the cursor advance —
+      // the mirror must converge, not double-apply
+      ManifestTable.applyChanges(spark, dst,
+        ManifestTable.changesBetween(spark, src, 1L, 2L))
+      srcEqualsDst()
+      // delete on source → sync
+      ManifestTable.deleteKeys(spark, src, Seq(3L, 4L).toDF("id"))
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+        .contains((2L, 3L)))
+      srcEqualsDst()
+      // caught up → None
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur).isEmpty)
+      // source compaction → the sync applies an EMPTY feed (no re-copy):
+      // the destination's version must not advance
+      ManifestTable.compactTable(spark, src, numFiles = 2)
+      val dstVerBefore = ManifestTable.latestVersion(spark, dst)
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+        .contains((3L, 4L)))
+      assert(ManifestTable.latestVersion(spark, dst) == dstVerBefore,
+        "a compaction-only sync must not rewrite the mirror")
+      srcEqualsDst()
+      // lag past retention: two more source commits without syncing →
+      // the cursor's manifest is retired, sync must fail loudly
+      ManifestTable.merge(spark, src, Seq((8L, "y", 1)).toDF("id", "name", "grp"))
+      ManifestTable.merge(spark, src, Seq((9L, "z", 2)).toDF("id", "name", "grp"))
+      val e = intercept[IllegalStateException] {
+        ManifestTable.syncMirror(spark, src, dst, cur)
+      }
+      assert(e.getMessage.contains("re-bootstrap"))
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("compactTable restores disjoint ranges after layered merges, " +
     "preserving content") {
     val path = tmp()
