@@ -248,10 +248,16 @@ object ManifestTable {
                  numFiles: Int = 0): MergeStats =
     rewrite(spark, path, keys, insert = false, numFiles)
 
-  private def rewrite(spark: SparkSession, path: String, batch: DataFrame,
+  private def rewrite(spark: SparkSession, path: String, batch0: DataFrame,
                       insert: Boolean, numFiles: Int): MergeStats = {
     val m = readManifest(spark, path)
     val keyK = col(m.keyCol)
+    // the batch is consumed twice (touch-set keys, then the rewrite
+    // union) and may be an expensive upstream derivation — persist for
+    // the duration of the commit, released in the finally
+    val batch = batch0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val batchKeys = batch.select(keyK).distinct()
 
     // file-count-sized interval table, broadcast under the batch's keys;
@@ -294,6 +300,7 @@ object ManifestTable {
       carriedE ++ newE)
     retire(spark, path, keepFrom = m.version)
     MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** CHANGE DATA FEED between two committed versions (both within the
@@ -351,16 +358,23 @@ object ManifestTable {
     * deletes of absent keys are no-ops), so an at-least-once consumer
     * that crashed between apply and cursor advance self-heals. */
   def applyChanges(spark: SparkSession, targetPath: String,
-                   changes: DataFrame): Unit = {
+                   changes0: DataFrame): Unit = {
     val m = readManifest(spark, targetPath)
     val dataCols = m.schema.fieldNames.map(col)
-    val upserts = changes
-      .filter(col("_change_type").isin("insert", "update_post"))
-      .select(dataCols: _*)
-    val dels = changes.filter(col("_change_type") === "delete")
-      .select(col(m.keyCol))
-    if (!dels.isEmpty) deleteKeys(spark, targetPath, dels)
-    if (!upserts.isEmpty) merge(spark, targetPath, upserts)
+    // the feed is consumed up to four times (emptiness probes + the two
+    // applies) and is typically a changesBetween diff — persist it for
+    // the duration
+    val changes = changes0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = changes
+        .filter(col("_change_type").isin("insert", "update_post"))
+        .select(dataCols: _*)
+      val dels = changes.filter(col("_change_type") === "delete")
+        .select(col(m.keyCol))
+      if (!dels.isEmpty) deleteKeys(spark, targetPath, dels)
+      if (!upserts.isEmpty) merge(spark, targetPath, upserts)
+    } finally changes.unpersist(blocking = false)
   }
 
   /** Read the consumer cursor (last source version applied) for an
