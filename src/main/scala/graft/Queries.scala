@@ -1688,6 +1688,36 @@ object Queries {
         .selectExpr("word", "cnt", "__r AS vocab_id")
     }),
 
+    // Misra–Gries heavy hitters over the token stream (functions/
+    // MisraGries.scala): k=24 bounded counters per partition, k rows per
+    // partition across the shuffle — the sketch path for hot-key/
+    // stopword discovery when the exact rank (ext_vocab_rank) is
+    // overkill. The sketch's counter STATE is merge-order-dependent, so
+    // the declared result is the THEOREM as data: for the exact top-10
+    // tokens (deterministic tie-break), ok = present⇒(est ≤ exact ∧
+    // (exact−est)·(k+1) ≤ n) ∧ absent⇒(exact·(k+1) ≤ n) — guaranteed
+    // true by Misra–Gries regardless of partitioning, so the constant
+    // oracle hash-gates the sketch's correctness on every verify run.
+    // k=24 < the corpus vocabulary, so evictions and merge-shrinks are
+    // genuinely exercised.
+    "ext_heavy_hitters" -> ((s, dir) => {
+      val lines = t(s, dir, "documents").select(col("text").as("value"))
+      val est = ops.Transforms.tokenize(lines)
+        .agg(graft.functions.MisraGriesHH.heavy_hitters(col("word"), 24)
+          .as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.word").as("word"), col("e.est").as("est"))
+      val wc = ops.Transforms.wordCount(lines)
+      val tot = wc.agg(sum("cnt").as("n"))
+      wc.orderBy(desc("cnt"), asc("word")).limit(10)
+        .join(est, Seq("word"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("word"), col("cnt"),
+          when(col("est").isNull, col("cnt") * 25 <= col("n"))
+            .otherwise(col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * 25 <= col("n")).as("ok"))
+    }),
+
     // Rolling-hash fingerprint + SimHash per doc (custom kernels, no oracle).
     "ext_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3032,6 +3062,19 @@ object Queries {
         |SELECT word, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS vocab_id
         |FROM wc QUALIFY vocab_id <= 32768""".stripMargin,
+
+    // ext_heavy_hitters: the oracle is the exact top-10 with the verdict
+    // constant-true — the Misra–Gries guarantees hold for any merge
+    // order, so a sketch bug (over-count, broken merge) flips ok and the
+    // hash catches it.
+    "ext_heavy_hitters" ->
+      """WITH wc AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY w)
+        |SELECT word, cnt, true AS ok FROM wc
+        |ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
 
     // NOT EXISTS, not NOT IN: the operators' pinned null-text semantics
     // (anti-join keeps null-text rows) — a NULL anywhere in a NOT IN
