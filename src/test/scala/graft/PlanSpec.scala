@@ -507,4 +507,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("event_type:string,props:string"), p)
     assert(!p.contains("user_id"), p)
   }
+
+  test("heavy hitters: Misra–Gries aggregates partially per partition — " +
+    "k counters, not the token stream, cross the shuffle") {
+    val p = plan("ext_heavy_hitters").toLowerCase
+    assert(p.contains("objecthashaggregate"), p)
+    assert("partial_misragrieshh|misragrieshh".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("manifest table: the write-time stats pass reads ONLY the key " +
+    "column of the new batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mtplan")
+    val path = s"$root/t"
+    try {
+      import spark.implicits._
+      graft.io.ManifestTable.create(
+        (0L to 99L).map(i => (i, s"v$i", i % 3)).toDF("id", "payload", "grp"),
+        path, "id", numFiles = 2)
+      // the stats scan shape: same read the library issues internally —
+      // key + file metadata, grouped by file. Assert Spark prunes the
+      // payload columns out of the parquet read.
+      val stats = spark.read
+        .schema(graft.io.ManifestTable.readManifest(spark, path).schema)
+        .parquet(s"$path/data/txn-1")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("_metadata.file_path"))
+        .groupBy("file_path")
+        .agg(org.apache.spark.sql.functions.min("id"))
+      val ps = stats.queryExecution.executedPlan.toString
+      assert(ps.contains("ReadSchema: struct<id:bigint>"), ps)
+      assert(!ps.contains("payload"), ps)
+    } finally graft.io.Fs.deleteRecursively(root)
+  }
 }
