@@ -450,4 +450,42 @@ object StreamingJobs {
           .parquet(s"$storePath/rollup")
       }
     }
+
+  /**
+   * Continuous upserts into a [[graft.io.ManifestTable]] — CDC ingestion
+   * for the mutable-table world: each micro-batch is either key-unique
+   * upsert rows (default) or a change feed in the
+   * [[graft.io.ManifestTable.changesBetween]] shape (`cdf = true`:
+   * insert/update_post upsert, delete deletes, update_pre carries no
+   * action). The first batch BOOTSTRAPS the table when none exists.
+   *
+   * Replay semantics: merge and applyChanges are CONTENT-idempotent —
+   * a crash-replayed micro-batch re-merges the same rows to the same
+   * values, burning only a table version (at most one per crash;
+   * Structured Streaming replays only the last uncommitted epoch) — so
+   * the table converges to exactly-once EFFECT without a marker
+   * protocol. Each merge is copy-on-write, so a key-local batch stream
+   * advances the table at cost ∝ the batch, and readers resolve
+   * manifests concurrently throughout.
+   */
+  def streamingTableUpsert(batches: DataFrame, tablePath: String,
+                           keyCol: String, numFiles: Int = 8,
+                           cdf: Boolean = false) =
+    batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        if (graft.io.ManifestTable.latestVersion(spark, tablePath).isEmpty) {
+          val rows =
+            if (cdf) batch.filter(col("_change_type")
+              .isin("insert", "update_post")).drop("_change_type")
+            else batch
+          graft.io.ManifestTable.create(rows, tablePath, keyCol, numFiles)
+        } else if (cdf)
+          graft.io.ManifestTable.applyChanges(spark, tablePath, batch)
+        else {
+          graft.io.ManifestTable.merge(spark, tablePath, batch)
+          ()
+        }
+      }
+    }
 }

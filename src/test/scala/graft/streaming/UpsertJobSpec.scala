@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.io.ManifestTable
+import graft.jobs.StreamingUpsertJob
+
+/** CDC ingestion into the manifest table (StreamingJobs
+  * .streamingTableUpsert): bootstrap from the first drop, copy-on-write
+  * upserts per micro-batch, CDF-mode deletes, and replay convergence. */
+class UpsertJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drop(root: String, name: String, df: DataFrame): Unit = {
+    df.coalesce(1).write.parquet(s"$root/stage_$name")
+    scala.util.Using.resource(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/stage_$name")))(
+      _.filter(_.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(s"$root/watch/$name.parquet"))))
+  }
+
+  private def content(path: String): Set[(Long, String)] =
+    ManifestTable.read(spark, path).as[(Long, String)].collect().toSet
+
+  test("upsert stream: bootstrap, then copy-on-write merges per drop; " +
+    "replayed batch converges without changing content") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/watch"))
+    val table = s"$root/table"
+    def run(): Unit = {
+      val q = StreamingUpsertJob.start(spark, s"$root/watch", table, "id",
+        s"$root/ckpt", schemaDdl = Some("id LONG, v STRING"), numFiles = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(root, "b1", (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+      run()
+      assert(content(table) == (0L to 9L).map(i => (i, s"v$i")).toSet)
+
+      drop(root, "b2", Seq((3L, "updated"), (20L, "new")).toDF("id", "v"))
+      run()
+      val after = (0L to 9L).map(i =>
+        (i, if (i == 3) "updated" else s"v$i")).toSet + ((20L, "new"))
+      assert(content(table) == after)
+
+      // replay convergence: re-merging b2's content (what a crash
+      // between merge and checkpoint commit causes) changes nothing
+      val vBefore = ManifestTable.latestVersion(spark, table).get
+      ManifestTable.merge(spark, table,
+        Seq((3L, "updated"), (20L, "new")).toDF("id", "v"))
+      assert(content(table) == after, "replay must converge")
+      assert(ManifestTable.latestVersion(spark, table).contains(vBefore + 1),
+        "replay burns only a version")
+    } finally graft.io.Fs.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+
+  test("cdf stream: post-images upsert, deletes delete; bootstrap " +
+    "filters to post-images") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsc").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/watch"))
+    val table = s"$root/table"
+    def run(): Unit = {
+      val q = StreamingUpsertJob.start(spark, s"$root/watch", table, "id",
+        s"$root/ckpt", schemaDdl = Some("_change_type STRING, id LONG, v STRING"),
+        numFiles = 2, cdf = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(root, "c1", Seq(("insert", 1L, "a"), ("insert", 2L, "b"),
+        ("delete", 9L, "gone")).toDF("_change_type", "id", "v"))
+      run()
+      assert(content(table) == Set((1L, "a"), (2L, "b")),
+        "bootstrap keeps post-images only")
+
+      drop(root, "c2", Seq(("update_pre", 1L, "a"), ("update_post", 1L, "a2"),
+        ("delete", 2L, "b"), ("insert", 3L, "c"))
+        .toDF("_change_type", "id", "v"))
+      run()
+      assert(content(table) == Set((1L, "a2"), (3L, "c")))
+    } finally graft.io.Fs.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+}
