@@ -154,6 +154,32 @@ object Queries {
   private def centsSql(x: String): String =
     s"CAST(sum(CAST(floor(($x) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
 
+  /** The m1 merge replayed in pure SQL (anti-join out the updated keys,
+    * union the batch) rolled up by priority — the shared oracle for the
+    * copy-on-write upsert (m1) and the incrementally-maintained view of
+    * the same rollup (m4): both must hash-match THIS full recompute. */
+  private val mergedRollupSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+      |    price_cents + 10000000 AS price_cents
+      |  FROM base
+      |  WHERE o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+      |    'INSERTED', price_cents
+      |  FROM base WHERE o_orderkey % 11 = 5),
+      |merged AS (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+      |FROM merged GROUP BY o_orderpriority""".stripMargin
+
   /** Double-precision cosine in DuckDB SQL, matching
     * [[graft.functions.ExprKernels.cosineFloat]] bit-for-bit: float inputs
     * widened to double, sequential accumulation, one division. */
@@ -781,6 +807,40 @@ object Queries {
       graft.io.ManifestTable.read(s, path)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // Incremental materialized-view maintenance (io/AggView.scala): the
+    // by-priority rollup is BOOTSTRAPPED from the table, the m1 merge
+    // lands on the SOURCE, and the view advances by folding the change
+    // feed's per-group deltas (post/insert add, pre/delete subtract;
+    // per-group version stamps absorb replays) — the source is never
+    // re-aggregated. The oracle is the FULL RECOMPUTE over the merged
+    // table in SQL (same text as m1's rollup), so the hash proves
+    // incremental ≡ recompute end to end.
+    "m4_incr_agg" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val root = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString
+      val src = s"$root/t"; val view = s"$root/view"
+      val cursor = s"$root/cursor"
+      graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
+      graft.io.AggView.bootstrap(s, src, view, cursor,
+        "o_orderpriority", "price_cents")
+      val mk = base.agg(max("o_orderkey")).first().getLong(0)
+      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
+          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+            (col("price_cents") + 10000000L).as("price_cents"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
+          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
+      graft.io.ManifestTable.merge(s, src, updates)
+      graft.io.AggView.sync(s, src, view, cursor,
+        "o_orderpriority", "price_cents")
+      graft.io.ManifestTable.read(s, view)
+        .select(col("o_orderpriority"), col("n"),
+          col("total").as("total_cents"))
     }),
 
     // CHANGE DATA FEED over the manifest table: the m1 merge's diff
@@ -2319,27 +2379,12 @@ object Queries {
     // the same mutation in pure SQL over the original orders (anti-join
     // out the updated keys, union the batch), so the driver's hash gates
     // copy-on-write upsert/delete SEMANTICS — not just row counts.
-    "m1_merge_upsert" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderpriority,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
-        |  FROM orders),
-        |upd AS (
-        |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
-        |    price_cents + 10000000 AS price_cents
-        |  FROM base
-        |  WHERE o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
-        |  UNION ALL
-        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
-        |    'INSERTED', price_cents
-        |  FROM base WHERE o_orderkey % 11 = 5),
-        |merged AS (
-        |  SELECT * FROM base
-        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-        |  UNION ALL SELECT * FROM upd)
-        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
-        |FROM merged GROUP BY o_orderpriority""".stripMargin,
+    "m1_merge_upsert" -> mergedRollupSql,
+
+    // m4 maintains the same rollup INCREMENTALLY from the change feed;
+    // the oracle is the identical full recompute, so the hash proves
+    // incremental ≡ recompute.
+    "m4_incr_agg" -> mergedRollupSql,
 
     "m3_merge_changes" ->
       """WITH base AS (
