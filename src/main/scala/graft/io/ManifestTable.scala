@@ -65,13 +65,17 @@ import java.nio.charset.StandardCharsets.UTF_8
 object ManifestTable {
 
   /** One live data file: path relative to the table root, its row count,
-    * and the merge key's min/max within it (string-encoded; None only for
-    * a zero-row file). */
+    * the merge key's min/max within it (string-encoded; None only for a
+    * zero-row file), and optional SECONDARY per-column stats
+    * (col → (min, max), nulls ignored) for manifest-level file pruning
+    * on non-key predicates ([[prunedRead]]). */
   case class FileEntry(relPath: String, rows: Long,
-                       min: Option[String], max: Option[String])
+                       min: Option[String], max: Option[String],
+                       extra: Map[String, (String, String)] = Map.empty)
 
   case class Manifest(version: Long, keyCol: String, keyType: DataType,
-                      schema: StructType, entries: Seq[FileEntry])
+                      schema: StructType, statsCols: Seq[String],
+                      entries: Seq[FileEntry])
 
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
@@ -102,16 +106,25 @@ object ManifestTable {
 
   private[io] def writeManifest(spark: SparkSession, path: String, v: Long,
                             keyCol: String, keyType: DataType,
-                            schema: StructType,
+                            schema: StructType, statsCols: Seq[String],
                             entries: Seq[FileEntry]): Unit = {
     val sb = new StringBuilder
     sb ++= "graft-manifest\t1\n"
     sb ++= s"key\t${enc(keyCol)}\n"
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
+    if (statsCols.nonEmpty)
+      sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
       def f(o: Option[String]) = o.fold("null")(x => "v:" + enc(x))
-      sb ++= s"f\t${enc(e.relPath)}\t${e.rows}\t${f(e.min)}\t${f(e.max)}\n"
+      val extras = statsCols.flatMap { c =>
+        e.extra.get(c) match {
+          case Some((mn, mx)) => Seq(f(Some(mn)), f(Some(mx)))
+          case None => Seq("null", "null")
+        }
+      }
+      sb ++= (s"f\t${enc(e.relPath)}\t${e.rows}\t${f(e.min)}\t${f(e.max)}" +
+        extras.map("\t" + _).mkString + "\n")
     }
     val fs = hfs(spark, new Path(path))
     val tmp = new Path(s"$path/manifest-$v.tmp")
@@ -146,6 +159,7 @@ object ManifestTable {
     var keyCol: String = null
     var keyType: DataType = null
     var schema: StructType = null
+    var statsCols: Seq[String] = Seq.empty
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -155,17 +169,24 @@ object ManifestTable {
         case "keytype" => keyType = DataType.fromJson(dec(parts(1)))
         case "schema"  => schema = DataType.fromJson(dec(parts(1)))
                             .asInstanceOf[StructType]
+        case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
+          val extra = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            (g(parts(5 + 2 * i)), g(parts(6 + 2 * i))) match {
+              case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+              case _ => None
+            }
+          }.toMap
           entries += FileEntry(dec(parts(1)), parts(2).toLong,
-            g(parts(3)), g(parts(4)))
+            g(parts(3)), g(parts(4)), extra)
         case other => throw new IllegalStateException(
           s"unknown manifest record '$other' in $path/manifest-$v")
       }
     }
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
-    Manifest(v, keyCol, keyType, schema, entries.result())
+    Manifest(v, keyCol, keyType, schema, statsCols, entries.result())
   }
 
   // ----------------------------------------------------------------- reads
@@ -195,15 +216,18 @@ object ManifestTable {
     * manifest 1. The stats pass is column-pruned over just the written
     * batch. */
   def create(df: DataFrame, path: String, keyCol: String,
-             numFiles: Int): Unit = {
+             numFiles: Int, statsCols: Seq[String] = Seq.empty): Unit = {
+    require(statsCols.forall(df.schema.fieldNames.contains),
+      s"statsCols not in schema: ${statsCols.filterNot(
+        df.schema.fieldNames.contains)}")
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
     val txnRel = "data/txn-1"
     Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
-    val entries = statsFor(spark, path, txnRel, keyCol, df.schema)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
-      df.schema, entries)
+      df.schema, statsCols, entries)
   }
 
   /** Per-file (rows, min(key), max(key)) of a freshly written txn dir —
@@ -212,13 +236,19 @@ object ManifestTable {
     * matches a range join, so a null-keyed row could neither be found
     * nor updated again. */
   private def statsFor(spark: SparkSession, root: String, txnRel: String,
-                       keyCol: String, schema: StructType): Seq[FileEntry] = {
+                       keyCol: String, schema: StructType,
+                       statsCols: Seq[String]): Seq[FileEntry] = {
     val dir = s"$root/$txnRel"
+    val extraAggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
     val rows = spark.read.schema(schema).parquet(dir)
-      .select(col(keyCol).as("__k"), col("_metadata.file_path").as("__f"))
+      .select(col(keyCol).as("__k") +: col("_metadata.file_path").as("__f")
+        +: statsCols.map(col): _*)
       .groupBy("__f")
-      .agg(count(lit(1)).as("n"), count("__k").as("nk"),
-        min("__k").cast("string").as("mn"), max("__k").cast("string").as("mx"))
+      .agg(count(lit(1)).as("n"), count("__k").as("nk")
+        +: min("__k").cast("string").as("mn")
+        +: max("__k").cast("string").as("mx")
+        +: extraAggs: _*)
       .collect()
     rows.map { r =>
       val abs = r.getString(0)
@@ -226,7 +256,14 @@ object ManifestTable {
         s"null merge key in $abs: ${r.getLong(1) - r.getLong(2)} row(s) — " +
         "merge keys must be non-null")
       val rel = txnRel + "/" + abs.substring(abs.lastIndexOf('/') + 1)
-      FileEntry(rel, r.getLong(1), Option(r.getString(3)), Option(r.getString(4)))
+      val extra = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        (Option(r.getString(5 + 2 * i)), Option(r.getString(6 + 2 * i))) match {
+          case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+          case _ => None // all-null column in this file: no stats, never pruned
+        }
+      }.toMap
+      FileEntry(rel, r.getLong(1), Option(r.getString(3)),
+        Option(r.getString(4)), extra)
     }.toSeq.sortBy(_.relPath)
   }
 
@@ -294,10 +331,10 @@ object ManifestTable {
       if (numFiles > 0) numFiles
       else math.max(1, touchedE.size + (if (insert && touchedE.isEmpty) 1 else 0))
     Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
-    val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema)
+    val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
 
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      carriedE ++ newE)
+      m.statsCols, carriedE ++ newE)
     retire(spark, path, keepFrom = m.version)
     MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
     } finally batch.unpersist(blocking = false)
@@ -448,8 +485,83 @@ object ManifestTable {
     Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
       numFiles, m.keyCol)
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      statsFor(spark, path, txnRel, m.keyCol, m.schema))
+      m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+        m.statsCols))
     retire(spark, path, keepFrom = m.version)
+  }
+
+  /** MANIFEST-LEVEL file pruning on a secondary stats column: read only
+    * the files whose recorded [min, max] for `statsCol` intersects
+    * [lo, hi] — the decision happens against the manifest's interval
+    * list, before any parquet footer is opened (on an object store that
+    * is the difference between one small-file read and a full listing +
+    * footer fetch per file). Files without recorded stats for the column
+    * (all-null, or written before the column was tracked) are read
+    * conservatively. The interval compare runs IN SPARK with the
+    * column's stored type, like the merge touch-set. Rows still need the
+    * predicate applied — pruning is file-granular:
+    * {{{ prunedRead(...).filter(col(c).between(lo, hi)) }}} */
+  def prunedRead(spark: SparkSession, path: String, statsCol: String,
+                 lo: Any, hi: Any): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.statsCols.contains(statsCol) || m.keyCol == statsCol,
+      s"no stats recorded for column '$statsCol' " +
+      s"(tracked: ${m.keyCol} :: ${m.statsCols.mkString(",")})")
+    val colType = m.schema(statsCol).dataType
+    def range(e: FileEntry): Option[(String, String)] =
+      if (statsCol == m.keyCol)
+        for (mn <- e.min; mx <- e.max) yield (mn, mx)
+      else e.extra.get(statsCol)
+    val (statted, blind) = m.entries.partition(e => range(e).isDefined)
+    val keep: Set[String] =
+      if (statted.isEmpty) Set.empty
+      else {
+        val ranges = spark.createDataFrame(statted.map { e =>
+            val (mn, mx) = range(e).get; (e.relPath, mn, mx)
+          }).toDF("__f", "__mn", "__mx")
+          .select(col("__f"), col("__mn").cast(colType).as("__mn"),
+            col("__mx").cast(colType).as("__mx"))
+        ranges.filter(col("__mx") >= lit(lo).cast(colType) &&
+            col("__mn") <= lit(hi).cast(colType))
+          .select("__f").collect().map(_.getString(0)).toSet
+      }
+    val files = (statted.filter(e => keep(e.relPath)) ++ blind)
+      .map(e => s"$path/${e.relPath}")
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(files: _*)
+  }
+
+  /** The live file inventory as a DataFrame — ops visibility: per file
+    * its row count, key range, and each tracked secondary column's
+    * range (null when unrecorded). */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(spark, path)
+    import scala.jdk.CollectionConverters._
+    val fields = StructType(
+      Seq(org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("key_min",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("key_max",
+          org.apache.spark.sql.types.StringType)) ++
+      m.statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"${c}_min",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"${c}_max",
+          org.apache.spark.sql.types.StringType))))
+    val rows = m.entries.map { e =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(e.relPath, e.rows, e.min.orNull, e.max.orNull) ++
+        m.statsCols.flatMap(c => e.extra.get(c) match {
+          case Some((mn, mx)) => Seq(mn, mx)
+          case None => Seq(null, null)
+        }))
+    }
+    spark.createDataFrame(rows.asJava, fields)
   }
 
   /** Retention: keep every file referenced by a manifest >= `keepFrom`

@@ -160,10 +160,10 @@ class ManifestTableSpec extends SparkSpec {
       // second rename must fail the atomic claim, not overwrite
       val m = ManifestTable.readManifest(spark, path)
       ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
-        m.schema, m.entries) // writer A wins
+        m.schema, m.statsCols, m.entries) // writer A wins
       val e = intercept[IllegalStateException] {
         ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
-          m.schema, m.entries) // writer B must lose loudly
+          m.schema, m.statsCols, m.entries) // writer B must lose loudly
       }
       assert(e.getMessage.contains("concurrent commit"))
       // and the table is still fully readable at A's commit
@@ -281,6 +281,51 @@ class ManifestTableSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("re-bootstrap"))
     } finally Fs.deleteRecursively(root)
+  }
+
+  test("secondary stats columns: recorded at write time, preserved " +
+    "through merges, and prunedRead reads only intersecting files") {
+    val path = tmp()
+    try {
+      // id-sorted layout; ts correlates with id, so per-file ts ranges
+      // are narrow — the shape stats-based skipping exists for
+      val df = (0L to 999L).map(i => (i, i * 100L, s"p$i"))
+        .toDF("id", "ts", "payload")
+      ManifestTable.create(df, path, "id", numFiles = 8,
+        statsCols = Seq("ts"))
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.statsCols == Seq("ts"))
+      assert(m.entries.forall(_.extra.contains("ts")))
+
+      // a narrow ts slice must read a strict subset of the files
+      val slice = ManifestTable.prunedRead(spark, path, "ts", 10000L, 19900L)
+      assert(slice.inputFiles.length < 8 && slice.inputFiles.nonEmpty,
+        s"expected pruning, read ${slice.inputFiles.length} files")
+      assert(slice.filter(col("ts").between(10000L, 19900L)).count() == 100L)
+      // out-of-range slice reads nothing
+      assert(ManifestTable.prunedRead(spark, path, "ts", 900000L, 999999L)
+        .inputFiles.isEmpty)
+      // key-column pruning works through the same API
+      assert(ManifestTable.prunedRead(spark, path, "id", 0L, 50L)
+        .inputFiles.length < 8)
+      // untracked column fails loudly
+      intercept[IllegalArgumentException] {
+        ManifestTable.prunedRead(spark, path, "payload", "a", "b")
+      }
+
+      // merge preserves stats tracking on the new txn's files
+      ManifestTable.merge(spark, path,
+        Seq((5L, 123456L, "upd")).toDF("id", "ts", "payload"))
+      val m2 = ManifestTable.readManifest(spark, path)
+      assert(m2.statsCols == Seq("ts"))
+      assert(m2.entries.forall(_.extra.contains("ts")))
+
+      // describe surfaces the inventory with per-column ranges
+      val d = ManifestTable.describe(spark, path)
+      assert(d.columns.toSeq ==
+        Seq("file", "rows", "key_min", "key_max", "ts_min", "ts_max"))
+      assert(d.count() == m2.entries.size.toLong)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
   test("compactTable restores disjoint ranges after layered merges, " +
