@@ -809,6 +809,30 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // Manifest-level file pruning (ManifestTable.prunedRead): events
+    // land key-sorted by event_id with SECONDARY per-file ts stats; the
+    // first-quarter time slice is then read by cutting the file list
+    // against the manifest's ts intervals BEFORE any parquet footer
+    // opens (conservative for stat-less files). The oracle computes the
+    // same slice as a plain SQL filter, so the hash gates that pruning
+    // is COMPLETE (drops no qualifying file) as well as correct —
+    // integer-ns bounds derived identically in both engines.
+    "m5_pruned_scan" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), col("event_type"), col("value"))
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(ev, path, "event_id", numFiles = 8,
+        statsCols = Seq("ts"))
+      val r = ev.agg(min("ts"), max("ts")).first()
+      val mn = r.getLong(0)
+      val hi = mn + (r.getLong(1) - mn) / 4
+      graft.io.ManifestTable.prunedRead(s, path, "ts", mn, hi)
+        .filter(col("ts") >= mn && col("ts") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), cents(col("value")).as("value_cents"))
+    }),
+
     // Incremental materialized-view maintenance (io/AggView.scala): the
     // by-priority rollup is BOOTSTRAPPED from the table, the m1 merge
     // lands on the SOURCE, and the view advances by folding the change
@@ -2385,6 +2409,18 @@ object Queries {
     // the oracle is the identical full recompute, so the hash proves
     // incremental ≡ recompute.
     "m4_incr_agg" -> mergedRollupSql,
+
+    // m5 reads the slice through manifest-level file pruning; the oracle
+    // is the plain filter, so a pruning bug that DROPS a qualifying
+    // file breaks the hash.
+    "m5_pruned_scan" ->
+      s"""WITH b AS (SELECT CAST(epoch_ns(min(ts)) AS BIGINT) AS mn,
+         |             CAST(epoch_ns(max(ts)) AS BIGINT) AS mx FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${centsSql("value")} AS value_cents
+         |FROM events, b
+         |WHERE epoch_ns(ts) >= mn AND epoch_ns(ts) <= mn + (mx - mn) // 4
+         |GROUP BY event_type""".stripMargin,
 
     "m3_merge_changes" ->
       """WITH base AS (
