@@ -154,6 +154,26 @@ object Queries {
   private def centsSql(x: String): String =
     s"CAST(sum(CAST(floor(($x) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
 
+  /** Shared fixture for the m-family queries: the narrowed orders base
+    * and the merge batch (re-priced lowest-decile keys + inserts beyond
+    * the key space) whose SQL replay is [[mergedRollupSql]] — one
+    * definition so the m1/m3/m4 Spark sides can never drift from each
+    * other. */
+  private def ordersMergeFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"), rowCents.as("price_cents"))
+    val mk = base.agg(max("o_orderkey")).first().getLong(0)
+    val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
+        .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+          (col("price_cents") + 10000000L).as("price_cents"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 5)
+        .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+          lit("INSERTED").as("o_orderpriority"), col("price_cents")))
+    (base, updates)
+  }
+
   /** The m1 merge replayed in pure SQL (anti-join out the updated keys,
     * union the batch) rolled up by priority — the shared oracle for the
     * copy-on-write upsert (m1) and the incrementally-maintained view of
@@ -790,19 +810,10 @@ object Queries {
     // merge as anti-join ∪ updates in SQL, so the hash gates upsert
     // SEMANTICS end to end. Integer cents per the determinism rules.
     "m1_merge_upsert" -> ((s, dir) => {
-      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
-      val base = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"), rowCents.as("price_cents"))
+      val (base, updates) = ordersMergeFixture(s, dir)
       val path = java.nio.file.Files
         .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
-      val mk = base.agg(max("o_orderkey")).first().getLong(0)
-      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
-          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
-            (col("price_cents") + 10000000L).as("price_cents"))
-        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
-          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
-            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
       graft.io.ManifestTable.merge(s, path, updates)
       graft.io.ManifestTable.read(s, path)
         .groupBy("o_orderpriority")
@@ -842,26 +853,15 @@ object Queries {
     // table in SQL (same text as m1's rollup), so the hash proves
     // incremental ≡ recompute end to end.
     "m4_incr_agg" -> ((s, dir) => {
-      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
-      val base = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"), rowCents.as("price_cents"))
+      val (base, updates) = ordersMergeFixture(s, dir)
       val root = java.nio.file.Files
         .createTempDirectory(indexTmpRoot, "mtab").toString
       val src = s"$root/t"; val view = s"$root/view"
-      val cursor = s"$root/cursor"
       graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
-      graft.io.AggView.bootstrap(s, src, view, cursor,
+      graft.io.AggView.bootstrap(s, src, view,
         "o_orderpriority", "price_cents")
-      val mk = base.agg(max("o_orderkey")).first().getLong(0)
-      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
-          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
-            (col("price_cents") + 10000000L).as("price_cents"))
-        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
-          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
-            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
       graft.io.ManifestTable.merge(s, src, updates)
-      graft.io.AggView.sync(s, src, view, cursor,
-        "o_orderpriority", "price_cents")
+      graft.io.AggView.sync(s, src, view, "o_orderpriority", "price_cents")
       graft.io.ManifestTable.read(s, view)
         .select(col("o_orderpriority"), col("n"),
           col("total").as("total_cents"))
@@ -877,19 +877,10 @@ object Queries {
     // from orders, so the hash gates both the diff mechanics AND the
     // carried-row cancellation.
     "m3_merge_changes" -> ((s, dir) => {
-      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
-      val base = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"), rowCents.as("price_cents"))
+      val (base, updates) = ordersMergeFixture(s, dir)
       val path = java.nio.file.Files
         .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
-      val mk = base.agg(max("o_orderkey")).first().getLong(0)
-      val updates = base.filter(col("o_orderkey") * 10 <= lit(mk))
-          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
-            (col("price_cents") + 10000000L).as("price_cents"))
-        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
-          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
-            lit("INSERTED").as("o_orderpriority"), col("price_cents")))
       graft.io.ManifestTable.merge(s, path, updates)
       graft.io.ManifestTable.changesBetween(s, path, 1L, 2L)
     }),

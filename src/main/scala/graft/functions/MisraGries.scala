@@ -100,6 +100,16 @@ case class MisraGriesHH(
 
   require(k > 0 && k <= 65536, "k in (0, 65536]")
 
+  // fail at analysis time on a non-string item column, not with an
+  // executor-side ClassCastException mid-scan
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters requires a STRING item column, got ${child.dataType}")
+
   override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
 
   override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {

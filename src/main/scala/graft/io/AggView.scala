@@ -12,98 +12,108 @@ import org.apache.spark.sql.functions._
  * group-cardinality view, that is the difference between maintaining a
  * dashboard per commit and re-aggregating the lake.
  *
- * The view is itself a ManifestTable keyed by the group column, with
- * schema `(grp, n LONG, total LONG, src_v LONG)`. `src_v` is the
- * per-group IDEMPOTENCE STAMP — the source version whose feed last
- * touched the group. Deltas are additive, so a replay (crash between
- * apply and cursor advance) would double-apply; the stamp prevents it:
- * groups already at the feed's target version are skipped. The apply
- * order makes every crash window converge:
- *
- *   1. merge ALL affected groups (including ones whose post-count is 0)
- *      with the new stamp — a crash after this point replays to
- *      all-groups-skipped;
- *   2. delete groups whose count reached 0 (group vanished from the
- *      source) — reads the view, so a replay that skipped step 1 still
- *      finds and removes them;
- *   3. advance the cursor.
+ * The view is itself a ManifestTable keyed by the group column with
+ * schema `(grp, n LONG, total LONG)`, and its CURSOR — the source
+ * version whose feed was last applied — lives in the view's manifest
+ * TAG, committed by the SAME atomic rename as the data
+ * ([[ManifestTable.upsertAndDelete]] folds the updated groups, the
+ * vanished-group deletions, and the tag into one commit). Additive
+ * deltas are not idempotent, so cursor-and-data atomicity is the
+ * correctness mechanism: a crash anywhere leaves either the old
+ * (tag, data) pair — the retry re-derives the identical feed — or the
+ * new pair — the retry sees itself caught up. There is no window where
+ * a replay could double-apply, including the two cases a separate
+ * cursor file cannot handle: a replayed feed that had VANISHED a group
+ * (no row left to carry a stamp), and a crash followed by further
+ * source commits (the retry's wider feed would overlap the
+ * half-recorded window).
  *
  * Sums must be pre-integered by the caller (the engine's determinism
  * rule — `floor(x*100+0.5)` cents); count/sum are the self-maintainable
  * aggregates (min/max are not incrementally maintainable under deletes
- * without keeping per-group heaps — use a rollup recompute for those,
+ * without per-group state — use a rollup recompute for those,
  * `StreamingJobs.streamingDailyRollup`).
  */
 object AggView {
 
-  /** Build the view from the source's CURRENT content and stamp every
-    * group with the source version it reflects; the cursor starts
-    * there. */
+  /** Build the view from the source's CURRENT content; the view's tag
+    * records the source version it reflects. */
   def bootstrap(spark: SparkSession, srcPath: String, viewPath: String,
-                cursorPath: String, grpCol: String, valCol: String,
+                grpCol: String, valCol: String,
                 numFiles: Int = 4): Long = {
     val srcV = ManifestTable.readManifest(spark, srcPath).version
     val view = ManifestTable.read(spark, srcPath)
       .groupBy(grpCol)
       .agg(count(lit(1)).as("n"), sum(valCol).as("total"))
-      .withColumn("src_v", lit(srcV))
-    ManifestTable.create(view, viewPath, grpCol, numFiles)
-    ManifestTable.writeCursor(spark, cursorPath, srcV)
+    ManifestTable.create(view, viewPath, grpCol, numFiles,
+      tag = Some(srcV.toString))
     srcV
   }
 
-  /** One incremental maintenance step: fold the unseen feed into the
-    * view and advance the cursor. Returns the (fromV, toV) applied, or
-    * None when caught up. */
+  /** One incremental maintenance step: fold the unseen feed (view tag →
+    * source latest) into the view, committing data + advanced tag
+    * atomically. Returns the (fromV, toV) applied, or None when caught
+    * up. */
   def sync(spark: SparkSession, srcPath: String, viewPath: String,
-           cursorPath: String, grpCol: String, valCol: String)
-      : Option[(Long, Long)] = {
+           grpCol: String, valCol: String): Option[(Long, Long)] = {
     val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = ManifestTable.readCursor(spark, cursorPath).getOrElse(
+    val from = ManifestTable.readTag(spark, viewPath).map(_.toLong).getOrElse(
       throw new IllegalStateException(
-        s"no cursor at $cursorPath — bootstrap the view first"))
+        s"no sync tag on $viewPath — bootstrap the view first"))
     if (from >= latest) return None
     val feed =
       try ManifestTable.changesBetween(spark, srcPath, from, latest)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
-            s"view cursor v$from lagged past the source's retention " +
+            s"view tag v$from lagged past the source's retention " +
             s"window (latest v$latest) — re-bootstrap the view")
       }
     applyFeed(spark, viewPath, feed, latest, grpCol, valCol)
-    ManifestTable.writeCursor(spark, cursorPath, latest)
     Some((from, latest))
   }
 
   /** Fold one feed (the [[ManifestTable.changesBetween]] shape) into the
-    * view, stamping affected groups with `targetV`. Idempotent per
-    * stamp: groups already at `targetV` are skipped on replay. */
+    * view in ONE atomic commit tagged `targetV`: affected groups with a
+    * surviving count upsert, groups whose count reaches zero delete,
+    * and the tag advances — together or not at all. */
   def applyFeed(spark: SparkSession, viewPath: String, feed: DataFrame,
                 targetV: Long, grpCol: String, valCol: String): Unit = {
     val sign = when(col("_change_type").isin("insert", "update_post"),
       lit(1L)).otherwise(lit(-1L))
+    // deltas feed two branches (upserts, deletions) of one commit;
+    // persist so the diff computation underneath runs once
     val deltas = feed.groupBy(grpCol)
       .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dtotal"))
-    val cur = ManifestTable.read(spark, viewPath)
-    val applied = deltas.join(cur, Seq(grpCol), "left")
-      .filter(col("src_v").isNull || col("src_v") =!= lit(targetV))
-      .select(col(grpCol),
-        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
-        (coalesce(col("total"), lit(0L)) + col("dtotal")).as("total"),
-        lit(targetV).as("src_v"))
-    if (!applied.isEmpty) {
-      ManifestTable.merge(spark, viewPath, applied)
-      ()
-    }
-    // vanished groups: count reached 0 — read back so a replay that
-    // skipped the merge still removes them
-    val gone = ManifestTable.read(spark, viewPath)
-      .filter(col("n") === 0L).select(col(grpCol))
-    if (!gone.isEmpty) {
-      ManifestTable.deleteKeys(spark, viewPath, gone)
-      ()
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (deltas.isEmpty) {
+        // no data change in the window (e.g. a source compaction):
+        // advance the tag so the empty diff is not recomputed forever
+        ManifestTable.setTagOnly(spark, viewPath, targetV.toString)
+        return
+      }
+      val cur = ManifestTable.read(spark, viewPath)
+      val applied = deltas.join(cur, Seq(grpCol), "left")
+        .select(col(grpCol),
+          (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
+          (coalesce(col("total"), lit(0L)) + col("dtotal")).as("total"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // a negative count means the feed does not compose with the
+        // view's state (wrong window, foreign feed) — silently dropping
+        // it would leave a stale row, so fail loudly instead
+        val neg = applied.filter(col("n") < 0L).limit(1).collect()
+        if (neg.nonEmpty) throw new IllegalStateException(
+          s"feed drives group '${neg(0).get(0)}' below zero rows — the " +
+          s"feed window does not match the view's state (tag mismatch?)")
+        val upserts = applied.filter(col("n") > 0L)
+        val gone = applied.filter(col("n") === 0L).select(col(grpCol))
+        ManifestTable.upsertAndDelete(spark, viewPath, upserts, gone,
+          setTag = Some(targetV.toString))
+        ()
+      } finally applied.unpersist(blocking = false)
+    } finally deltas.unpersist(blocking = false)
   }
 }

@@ -73,9 +73,15 @@ object ManifestTable {
                        min: Option[String], max: Option[String],
                        extra: Map[String, (String, String)] = Map.empty)
 
+  /** `tag` is consumer-owned metadata committed ATOMICALLY with the data
+    * (one manifest rename): incremental consumers (the mirror, the agg
+    * view) store their "applied up to source version N" cursor here, so
+    * the cursor can never disagree with the data it describes — a
+    * separate cursor file always leaves a crash window between data
+    * apply and cursor advance. */
   case class Manifest(version: Long, keyCol: String, keyType: DataType,
                       schema: StructType, statsCols: Seq[String],
-                      entries: Seq[FileEntry])
+                      entries: Seq[FileEntry], tag: Option[String] = None)
 
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
@@ -107,12 +113,14 @@ object ManifestTable {
   private[io] def writeManifest(spark: SparkSession, path: String, v: Long,
                             keyCol: String, keyType: DataType,
                             schema: StructType, statsCols: Seq[String],
-                            entries: Seq[FileEntry]): Unit = {
+                            entries: Seq[FileEntry],
+                            tag: Option[String] = None): Unit = {
     val sb = new StringBuilder
     sb ++= "graft-manifest\t1\n"
     sb ++= s"key\t${enc(keyCol)}\n"
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
+    tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     if (statsCols.nonEmpty)
       sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
@@ -160,6 +168,7 @@ object ManifestTable {
     var keyType: DataType = null
     var schema: StructType = null
     var statsCols: Seq[String] = Seq.empty
+    var tag: Option[String] = None
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -169,6 +178,7 @@ object ManifestTable {
         case "keytype" => keyType = DataType.fromJson(dec(parts(1)))
         case "schema"  => schema = DataType.fromJson(dec(parts(1)))
                             .asInstanceOf[StructType]
+        case "tag"     => tag = Some(dec(parts(1)))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
@@ -186,7 +196,7 @@ object ManifestTable {
     }
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
-    Manifest(v, keyCol, keyType, schema, statsCols, entries.result())
+    Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag)
   }
 
   // ----------------------------------------------------------------- reads
@@ -216,7 +226,8 @@ object ManifestTable {
     * manifest 1. The stats pass is column-pruned over just the written
     * batch. */
   def create(df: DataFrame, path: String, keyCol: String,
-             numFiles: Int, statsCols: Seq[String] = Seq.empty): Unit = {
+             numFiles: Int, statsCols: Seq[String] = Seq.empty,
+             tag: Option[String] = None): Unit = {
     require(statsCols.forall(df.schema.fieldNames.contains),
       s"statsCols not in schema: ${statsCols.filterNot(
         df.schema.fieldNames.contains)}")
@@ -227,7 +238,7 @@ object ManifestTable {
     Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
-      df.schema, statsCols, entries)
+      df.schema, statsCols, entries, tag)
   }
 
   /** Per-file (rows, min(key), max(key)) of a freshly written txn dir —
@@ -273,29 +284,61 @@ object ManifestTable {
     * reference. `updates` must be key-unique (last-writer-wins is
     * undefined otherwise — same contract as the K3 JDBC upsert).
     * `numFiles` 0 = one output file per touched input file (+1 for a
-    * pure insert). */
+    * pure insert). `setTag` commits consumer metadata atomically with
+    * the data; None preserves the current tag. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            numFiles: Int = 0): MergeStats =
-    rewrite(spark, path, updates, insert = true, numFiles)
+            numFiles: Int = 0, setTag: Option[String] = None): MergeStats =
+    rewrite(spark, path, Some(updates), None, numFiles, setTag)
 
   /** Copy-on-write DELETE of the keys in `keys` (any DataFrame carrying
     * the key column). Touched files are rewritten without those rows;
     * untouched files are carried by reference. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
-                 numFiles: Int = 0): MergeStats =
-    rewrite(spark, path, keys, insert = false, numFiles)
+                 numFiles: Int = 0, setTag: Option[String] = None): MergeStats =
+    rewrite(spark, path, None, Some(keys), numFiles, setTag)
 
-  private def rewrite(spark: SparkSession, path: String, batch0: DataFrame,
-                      insert: Boolean, numFiles: Int): MergeStats = {
+  /** Upsert `upserts` AND delete `delKeys` in ONE atomic commit (one
+    * manifest rename) — the primitive incremental consumers need: a
+    * change batch lands all-or-nothing together with its `setTag`
+    * cursor, leaving no half-applied crash window. The key sets must be
+    * disjoint (a changesBetween feed never deletes and upserts the same
+    * key; if both appear, the upsert wins). */
+  def upsertAndDelete(spark: SparkSession, path: String, upserts: DataFrame,
+                      delKeys: DataFrame, numFiles: Int = 0,
+                      setTag: Option[String] = None): MergeStats =
+    rewrite(spark, path, Some(upserts), Some(delKeys), numFiles, setTag)
+
+  /** Current consumer tag, or None. */
+  def readTag(spark: SparkSession, path: String): Option[String] =
+    readManifest(spark, path).tag
+
+  /** Metadata-only commit: same file list, new tag — used when a sync
+    * window turns out to carry no data changes (a source compaction) but
+    * the cursor must still advance so the empty diff is not recomputed
+    * forever. */
+  def setTagOnly(spark: SparkSession, path: String, tag: String): Unit = {
+    val m = readManifest(spark, path)
+    writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType, m.schema,
+      m.statsCols, m.entries, Some(tag))
+    retire(spark, path, keepFrom = m.version)
+  }
+
+  private def rewrite(spark: SparkSession, path: String,
+                      upserts0: Option[DataFrame], dels0: Option[DataFrame],
+                      numFiles: Int, setTag: Option[String]): MergeStats = {
     val m = readManifest(spark, path)
     val keyK = col(m.keyCol)
-    // the batch is consumed twice (touch-set keys, then the rewrite
-    // union) and may be an expensive upstream derivation — persist for
-    // the duration of the commit, released in the finally
-    val batch = batch0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both inputs are consumed twice (touch-set keys, then the rewrite)
+    // and may be expensive upstream derivations — persist for the
+    // duration of the commit, released in the finally
+    val upserts = upserts0.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dels = dels0.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
-    val batchKeys = batch.select(keyK).distinct()
+    val keySets = upserts.map(_.select(keyK)).toSeq ++
+      dels.map(_.select(keyK)).toSeq
+    val batchKeys = keySets.reduce(_ unionByName _).distinct()
 
     // file-count-sized interval table, broadcast under the batch's keys;
     // min/max go back through a cast so the comparison is Spark's own
@@ -321,23 +364,28 @@ object ManifestTable {
         spark.read.schema(m.schema)
           .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
           .join(batchKeys, Seq(m.keyCol), "left_anti")
-    val newData =
-      if (insert) survivors.unionByName(batch.select(orderedCols: _*))
-      else survivors
+    val newData = upserts match {
+      case Some(u) => survivors.unionByName(u.select(orderedCols: _*))
+      case None => survivors
+    }
 
     val nextV = m.version + 1
     val txnRel = s"data/txn-$nextV"
     val nFiles =
       if (numFiles > 0) numFiles
-      else math.max(1, touchedE.size + (if (insert && touchedE.isEmpty) 1 else 0))
+      else math.max(1,
+        touchedE.size + (if (upserts.isDefined && touchedE.isEmpty) 1 else 0))
     Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
     val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
 
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      m.statsCols, carriedE ++ newE)
+      m.statsCols, carriedE ++ newE, setTag.orElse(m.tag))
     retire(spark, path, keepFrom = m.version)
     MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
-    } finally batch.unpersist(blocking = false)
+    } finally {
+      upserts.foreach(_.unpersist(blocking = false))
+      dels.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** CHANGE DATA FEED between two committed versions (both within the
@@ -395,12 +443,13 @@ object ManifestTable {
     * deletes of absent keys are no-ops), so an at-least-once consumer
     * that crashed between apply and cursor advance self-heals. */
   def applyChanges(spark: SparkSession, targetPath: String,
-                   changes0: DataFrame): Unit = {
+                   changes0: DataFrame,
+                   setTag: Option[String] = None): Unit = {
     val m = readManifest(spark, targetPath)
     val dataCols = m.schema.fieldNames.map(col)
-    // the feed is consumed up to four times (emptiness probes + the two
-    // applies) and is typically a changesBetween diff — persist it for
-    // the duration
+    // the feed is consumed several times (emptiness probe + the apply)
+    // and is typically a changesBetween diff — persist it for the
+    // duration
     val changes = changes0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -409,68 +458,47 @@ object ManifestTable {
         .select(dataCols: _*)
       val dels = changes.filter(col("_change_type") === "delete")
         .select(col(m.keyCol))
-      if (!dels.isEmpty) deleteKeys(spark, targetPath, dels)
-      if (!upserts.isEmpty) merge(spark, targetPath, upserts)
+      if (changes.isEmpty)
+        // no data change (e.g. the window covered only a compaction):
+        // still advance the tag so the empty diff is not recomputed
+        // forever
+        setTag.foreach(t => setTagOnly(spark, targetPath, t))
+      else {
+        // ONE atomic commit: upserts + deletes + tag land together, so
+        // there is no half-applied crash window between them
+        upsertAndDelete(spark, targetPath, upserts, dels, setTag = setTag)
+        ()
+      }
     } finally changes.unpersist(blocking = false)
   }
 
-  /** Read the consumer cursor (last source version applied) for an
-    * incremental consumer identified by `cursorPath`; None before the
-    * first sync. */
-  def readCursor(spark: SparkSession, cursorPath: String): Option[Long] = {
-    val p = new Path(cursorPath)
-    val fs = hfs(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1024, false)
-        new String(bos.toByteArray, UTF_8).trim
-      } finally in.close()
-      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
-    }
-  }
-
-  /** Advance the consumer cursor (write-then-rename, so a torn write
-    * can't leave a half-written cursor). */
-  def writeCursor(spark: SparkSession, cursorPath: String, v: Long): Unit = {
-    val p = new Path(cursorPath)
-    val fs = hfs(spark, p)
-    val tmp = new Path(cursorPath + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"cursor advance failed: $cursorPath")
-  }
-
-  /** One incremental sync step: apply everything the mirror has not seen
-    * (cursor → source latest) and advance the cursor. Returns the
-    * (fromV, toV) applied, or None when already caught up. Apply happens
-    * BEFORE the cursor advance — a crash between the two replays the
-    * feed, which [[applyChanges]] absorbs idempotently (at-least-once
-    * delivery, exactly-once effect). */
-  def syncMirror(spark: SparkSession, srcPath: String, dstPath: String,
-                 cursorPath: String): Option[(Long, Long)] = {
+  /** One incremental sync step: apply everything the mirror has not
+    * seen (dst's tag → source latest) in ONE atomic commit that also
+    * advances the tag. Returns the (fromV, toV) applied, or None when
+    * already caught up. The cursor lives in the DESTINATION's manifest
+    * tag, committed by the same rename as the data — there is no crash
+    * window where the data and the cursor disagree, so a retried sync
+    * either re-derives the identical feed (tag unchanged) or starts
+    * cleanly after it (tag advanced). */
+  def syncMirror(spark: SparkSession, srcPath: String,
+                 dstPath: String): Option[(Long, Long)] = {
     val latest = latestVersion(spark, srcPath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = readCursor(spark, cursorPath).getOrElse(
+    val from = readTag(spark, dstPath).map(_.toLong).getOrElse(
       throw new IllegalStateException(
-        s"no cursor at $cursorPath — bootstrap the mirror first " +
-        "(create from a source read, then writeCursor at that version)"))
+        s"no sync tag on $dstPath — bootstrap the mirror first " +
+        "(create from a source read with tag = that source version)"))
     if (from >= latest) return None
     val feed =
       try changesBetween(spark, srcPath, from, latest)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
-            s"mirror cursor v$from lagged past the source's retention " +
+            s"mirror tag v$from lagged past the source's retention " +
             s"window (latest v$latest; the source keeps one superseded " +
             "version) — re-bootstrap the mirror from a full source read")
       }
-    applyChanges(spark, dstPath, feed)
-    writeCursor(spark, cursorPath, latest)
+    applyChanges(spark, dstPath, feed, setTag = Some(latest.toString))
     Some((from, latest))
   }
 
@@ -486,7 +514,7 @@ object ManifestTable {
       numFiles, m.keyCol)
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
       m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-        m.statsCols))
+        m.statsCols), m.tag)
     retire(spark, path, keepFrom = m.version)
   }
 

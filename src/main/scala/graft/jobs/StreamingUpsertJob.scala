@@ -28,7 +28,7 @@ object StreamingUpsertJob {
     val Array(watchDir, tablePath, keyCol, checkpointDir) = args.take(4)
     val schemaDdl = args.lift(4).filter(_.nonEmpty)
     val numFiles = args.lift(5).map(_.toInt).getOrElse(8)
-    val maxFilesPerTrigger = args.lift(6).map(_.toInt).getOrElse(0)
+    val maxFilesPerTrigger = args.lift(6).map(_.toInt).getOrElse(1)
     val cdf = args.lift(7).exists(_.toBoolean)
     val spark = graft.GraftSession.create("graft-streaming-upsert")
     val q = start(spark, watchDir, tablePath, keyCol, checkpointDir,
@@ -36,10 +36,17 @@ object StreamingUpsertJob {
     q.awaitTermination()
   }
 
+  /** `maxFilesPerTrigger` defaults to 1 — each dropped file is its own
+    * micro-batch. This is a CORRECTNESS bound, not a tuning knob: a
+    * batch that concatenates several drops would break upsert semantics
+    * (two drops updating the same key violate merge's key-unique
+    * contract; a cdf insert-then-delete pair across drops would apply
+    * deletes before inserts and resurrect the key). Raise it (or pass 0
+    * for unbounded) ONLY when drops are known key-disjoint. */
   def start(spark: SparkSession, watchDir: String, tablePath: String,
             keyCol: String, checkpointDir: String,
             schemaDdl: Option[String] = None, numFiles: Int = 8,
-            maxFilesPerTrigger: Int = 0,
+            maxFilesPerTrigger: Int = 1,
             cdf: Boolean = false): StreamingQuery = {
     val ddl = schemaDdl.getOrElse {
       val base = ManifestTable.readManifest(spark, tablePath).schema.toDDL

@@ -11,44 +11,50 @@ import graft.io.ManifestTable
  * cross-region mirror) in sync at cost ∝ what changed, never a full
  * re-copy.
  *
- * First run (no cursor yet) BOOTSTRAPS: full copy of the source at its
- * latest version, then the cursor records that version. Every later run
- * applies `changesBetween(cursor, latest)` — computed from only the
- * files the two source manifests disagree on — through
- * [[ManifestTable.applyChanges]] (upsert `insert`/`update_post`, delete
- * `delete`; replays converge, so a crash between apply and cursor
- * advance self-heals on the next run). A source COMPACTION moves every
- * row to new files but changes none, so the sync after it applies an
- * empty feed — the mirror does not re-copy a compacted table.
+ * First run (destination does not exist) BOOTSTRAPS: full copy of the
+ * source at its latest version, with that version recorded as the
+ * destination's manifest TAG. Every later run applies
+ * `changesBetween(tag, latest)` — computed from only the files the two
+ * source manifests disagree on — in ONE atomic destination commit that
+ * also advances the tag ([[ManifestTable.syncMirror]]); data and
+ * cursor can never disagree, so every crash window retries cleanly. A
+ * source COMPACTION moves every row to new files but changes none, so
+ * the sync after it advances the tag without rewriting any data file.
  *
- * The source retains ONE superseded version (snapshot-expiry contract),
- * so the mirror must sync at least once per source commit cycle; lagging
- * past the window fails loudly with a re-bootstrap instruction rather
- * than silently skipping changes.
+ * A destination that EXISTS but carries no sync tag is refused loudly
+ * (it was not created by this job — silently re-bootstrapping would
+ * overwrite a table this job does not own). The source retains ONE
+ * superseded version (snapshot-expiry contract), so the mirror must
+ * sync at least once per source commit cycle; lagging past the window
+ * fails loudly with a re-bootstrap instruction rather than silently
+ * skipping changes.
  */
 object TableMirrorJob {
 
-  /** args: srcTable dstTable cursorFile [numFiles for bootstrap] */
+  /** args: srcTable dstTable [numFiles for bootstrap] */
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, cursor) = args.take(3)
-    val numFiles = args.lift(3).map(_.toInt).getOrElse(8)
+    val Array(src, dst) = args.take(2)
+    val numFiles = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = graft.GraftSession.create("graft-table-mirror")
-    try run(spark, src, dst, cursor, numFiles)
+    try run(spark, src, dst, numFiles)
     finally spark.stop()
   }
 
   /** Returns the (fromV, toV) applied; (0, v) for a bootstrap; None when
     * already caught up. */
-  def run(spark: SparkSession, src: String, dst: String, cursor: String,
+  def run(spark: SparkSession, src: String, dst: String,
           numFiles: Int = 8): Option[(Long, Long)] =
-    ManifestTable.readCursor(spark, cursor) match {
+    ManifestTable.latestVersion(spark, dst) match {
       case None =>
         val m = ManifestTable.readManifest(spark, src)
         ManifestTable.create(ManifestTable.read(spark, src), dst,
-          m.keyCol, numFiles)
-        ManifestTable.writeCursor(spark, cursor, m.version)
+          m.keyCol, numFiles, tag = Some(m.version.toString))
         Some((0L, m.version))
+      case Some(_) if ManifestTable.readTag(spark, dst).isEmpty =>
+        throw new IllegalStateException(
+          s"$dst exists but carries no sync tag — it was not bootstrapped " +
+          "by this job; refusing to overwrite it")
       case Some(_) =>
-        ManifestTable.syncMirror(spark, src, dst, cursor)
+        ManifestTable.syncMirror(spark, src, dst)
     }
 }

@@ -4,8 +4,11 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance (io/AggView.scala): the view
-  * must equal a full recompute after every sync, absorb replays via the
-  * per-group version stamp, and drop vanished groups. */
+  * must equal a full recompute after every sync, and — because the
+  * cursor is the view-manifest TAG committed atomically with the data —
+  * every crash window must converge, including the two a separate
+  * cursor file cannot handle: replaying a feed that vanished a group,
+  * and a crash followed by further source commits. */
 class AggViewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -19,53 +22,118 @@ class AggViewSpec extends SparkSpec {
       .select("grp", "n", "total")
       .as[(String, Long, Long)].collect().toSet
 
-  test("view equals a full recompute after every sync; replays converge " +
-    "via the per-group stamp; vanished groups are dropped") {
+  test("view equals a full recompute after every sync; replays converge; " +
+    "vanished groups are dropped") {
     val root = java.nio.file.Files.createTempDirectory("graft_aggview")
-    val src = s"$root/src"; val view = s"$root/view"; val cur = s"$root/cursor"
+    val src = s"$root/src"; val view = s"$root/view"
     try {
       ManifestTable.create(
         (0L to 59L).map(i => (i, s"g${i % 5}", i * 10))
           .toDF("id", "grp", "val"),
         src, "id", numFiles = 4)
-      AggView.bootstrap(spark, src, view, cur, "grp", "val")
+      AggView.bootstrap(spark, src, view, "grp", "val")
       assert(viewContent(view) == recompute(src))
 
       // update values + insert a brand-new group
       ManifestTable.merge(spark, src,
         Seq((3L, "g3", 5000L), (100L, "gNEW", 7L), (101L, "gNEW", 8L))
           .toDF("id", "grp", "val"))
-      assert(AggView.sync(spark, src, view, cur, "grp", "val")
+      assert(AggView.sync(spark, src, view, "grp", "val")
         .contains((1L, 2L)))
       assert(viewContent(view) == recompute(src))
 
-      // replay the SAME feed (crash between apply and cursor): stamps
-      // must skip every group
-      AggView.applyFeed(spark, view,
-        ManifestTable.changesBetween(spark, src, 1L, 2L), 2L, "grp", "val")
-      assert(viewContent(view) == recompute(src), "replay must converge")
+      // sync again without new source commits: caught up, no change
+      assert(AggView.sync(spark, src, view, "grp", "val").isEmpty)
+      assert(viewContent(view) == recompute(src))
 
       // delete every row of gNEW → the group must vanish from the view
       ManifestTable.deleteKeys(spark, src, Seq(100L, 101L).toDF("id"))
-      assert(AggView.sync(spark, src, view, cur, "grp", "val")
+      assert(AggView.sync(spark, src, view, "grp", "val")
         .contains((2L, 3L)))
       assert(viewContent(view) == recompute(src))
       assert(!viewContent(view).exists(_._1 == "gNEW"),
         "vanished group must leave the view")
+    } finally Fs.deleteRecursively(root)
+  }
 
-      // caught up
-      assert(AggView.sync(spark, src, view, cur, "grp", "val").isEmpty)
+  test("crash window A: a feed that VANISHED a group replays as a no-op " +
+    "(the atomic tag absorbs it — no phantom negative-count group)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggview_a")
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      ManifestTable.create(
+        Seq((1L, "gA", 10L), (2L, "gA", 20L), (3L, "gB", 30L))
+          .toDF("id", "grp", "val"), src, "id", numFiles = 2)
+      AggView.bootstrap(spark, src, view, "grp", "val")
+      // source deletes ALL of gA → v2; sync applies it fully
+      ManifestTable.deleteKeys(spark, src, Seq(1L, 2L).toDF("id"))
+      assert(AggView.sync(spark, src, view, "grp", "val")
+        .contains((1L, 2L)))
+      assert(viewContent(view) == Set(("gB", 1L, 30L)))
+      // "replay" of the same feed — what a crashed consumer would do if
+      // the cursor were separate from the data. With the tag-based
+      // cursor, sync sees itself caught up and must NOT re-apply the
+      // negative delta (which would create gA with n = -2).
+      assert(AggView.sync(spark, src, view, "grp", "val").isEmpty)
+      assert(viewContent(view) == Set(("gB", 1L, 30L)),
+        "no phantom negative-count group after replay")
+      // and a FOREIGN re-application of the same feed fails loudly
+      // instead of silently writing negative counts
+      val e = intercept[IllegalStateException] {
+        AggView.applyFeed(spark, view,
+          ManifestTable.changesBetween(spark, src, 1L, 2L), 99L,
+          "grp", "val")
+      }
+      assert(e.getMessage.contains("below zero"))
+    } finally Fs.deleteRecursively(root)
+  }
 
-      // crash window 2: applyFeed ran but the cursor did not advance —
-      // the next sync() re-derives the same feed and must converge,
-      // then advance the cursor
+  test("crash window B: source advances between a torn sync's apply and " +
+    "retry — the tag keeps the windows from overlapping (no double-apply)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggview_b")
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      ManifestTable.create(
+        (0L to 9L).map(i => (i, s"g${i % 2}", 100L)).toDF("id", "grp", "val"),
+        src, "id", numFiles = 2)
+      AggView.bootstrap(spark, src, view, "grp", "val")
+      // source commit v2, FULLY applied (tag advanced atomically with
+      // the data — with a separate cursor file, this is where the
+      // cursor write could be lost while the data apply survived)
       ManifestTable.merge(spark, src,
-        Seq((7L, "g2", 999L)).toDF("id", "grp", "val"))
-      AggView.applyFeed(spark, view,
-        ManifestTable.changesBetween(spark, src, 3L, 4L), 4L, "grp", "val")
-      assert(AggView.sync(spark, src, view, cur, "grp", "val")
-        .contains((3L, 4L)))
-      assert(viewContent(view) == recompute(src))
+        Seq((0L, "g0", 999L)).toDF("id", "grp", "val"))
+      assert(AggView.sync(spark, src, view, "grp", "val")
+        .contains((1L, 2L)))
+      // source advances again BEFORE the consumer's next run
+      ManifestTable.merge(spark, src,
+        Seq((1L, "g1", 888L)).toDF("id", "grp", "val"))
+      // the retry must apply ONLY v2→v3 — a lost-cursor design would
+      // re-derive v1→v3 and double-apply the v1→v2 portion
+      assert(AggView.sync(spark, src, view, "grp", "val")
+        .contains((2L, 3L)))
+      assert(viewContent(view) == recompute(src),
+        "windows must not overlap across the crash")
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("a sync window covering only a source compaction advances the " +
+    "tag without rewriting the view") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggview_c")
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      ManifestTable.create(
+        (0L to 9L).map(i => (i, s"g${i % 2}", 10L)).toDF("id", "grp", "val"),
+        src, "id", numFiles = 2)
+      AggView.bootstrap(spark, src, view, "grp", "val")
+      ManifestTable.compactTable(spark, src, numFiles = 1) // v2, no changes
+      val entriesBefore = ManifestTable.readManifest(spark, view).entries
+      assert(AggView.sync(spark, src, view, "grp", "val")
+        .contains((1L, 2L)))
+      val mAfter = ManifestTable.readManifest(spark, view)
+      assert(mAfter.tag.contains("2"))
+      assert(mAfter.entries == entriesBefore,
+        "a compaction-only window must not rewrite any view file")
+      assert(AggView.sync(spark, src, view, "grp", "val").isEmpty)
     } finally Fs.deleteRecursively(root)
   }
 }

@@ -235,49 +235,63 @@ class ManifestTableSpec extends SparkSpec {
   test("mirror job: bootstrap, incremental syncs ∝ changes, idempotent " +
     "replay, zero-change sync after source compaction, loud lag failure") {
     val root = java.nio.file.Files.createTempDirectory("graft_mirror")
-    val src = s"$root/src"; val dst = s"$root/dst"; val cur = s"$root/cursor"
+    val src = s"$root/src"; val dst = s"$root/dst"
     def srcEqualsDst(): Unit =
       assert(content(ManifestTable.read(spark, src)) ==
         content(ManifestTable.read(spark, dst)))
     try {
       ManifestTable.create(base(300), src, "id", numFiles = 4)
-      // bootstrap
-      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+      // bootstrap: full copy + the source version as the dst's sync tag
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst)
         .contains((0L, 1L)))
       srcEqualsDst()
+      assert(ManifestTable.readTag(spark, dst).contains("1"))
       // merge on source → one incremental sync
       ManifestTable.merge(spark, src,
         Seq((7L, "x", 9), (999L, "ins", 9)).toDF("id", "name", "grp"))
-      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst)
         .contains((1L, 2L)))
       srcEqualsDst()
-      // crash-replay: re-apply the same feed without the cursor advance —
-      // the mirror must converge, not double-apply
+      // crash-replay: re-apply the same feed as if the sync's commit had
+      // been lost — replace semantics converge (the tag-based design
+      // makes this unreachable from syncMirror itself, but applyChanges
+      // must still absorb a manual re-apply)
       ManifestTable.applyChanges(spark, dst,
         ManifestTable.changesBetween(spark, src, 1L, 2L))
       srcEqualsDst()
       // delete on source → sync
       ManifestTable.deleteKeys(spark, src, Seq(3L, 4L).toDF("id"))
-      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst)
         .contains((2L, 3L)))
       srcEqualsDst()
       // caught up → None
-      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur).isEmpty)
-      // source compaction → the sync applies an EMPTY feed (no re-copy):
-      // the destination's version must not advance
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst).isEmpty)
+      // source compaction → the sync window carries no changes: the tag
+      // must advance (else the empty diff recomputes forever) but no
+      // data file of the mirror may be rewritten
       ManifestTable.compactTable(spark, src, numFiles = 2)
-      val dstVerBefore = ManifestTable.latestVersion(spark, dst)
-      assert(graft.jobs.TableMirrorJob.run(spark, src, dst, cur)
+      val dstEntriesBefore = ManifestTable.readManifest(spark, dst).entries
+      assert(graft.jobs.TableMirrorJob.run(spark, src, dst)
         .contains((3L, 4L)))
-      assert(ManifestTable.latestVersion(spark, dst) == dstVerBefore,
-        "a compaction-only sync must not rewrite the mirror")
+      assert(ManifestTable.readManifest(spark, dst).entries
+        == dstEntriesBefore,
+        "a compaction-only sync must not rewrite any mirror data file")
+      assert(ManifestTable.readTag(spark, dst).contains("4"))
       srcEqualsDst()
+      // a dst that exists without a sync tag is refused, not silently
+      // re-bootstrapped over
+      val foreign = s"$root/foreign"
+      ManifestTable.create(base(10), foreign, "id", numFiles = 1)
+      val e0 = intercept[IllegalStateException] {
+        graft.jobs.TableMirrorJob.run(spark, src, foreign)
+      }
+      assert(e0.getMessage.contains("no sync tag"))
       // lag past retention: two more source commits without syncing →
-      // the cursor's manifest is retired, sync must fail loudly
+      // the tag's manifest is retired, sync must fail loudly
       ManifestTable.merge(spark, src, Seq((8L, "y", 1)).toDF("id", "name", "grp"))
       ManifestTable.merge(spark, src, Seq((9L, "z", 2)).toDF("id", "name", "grp"))
       val e = intercept[IllegalStateException] {
-        ManifestTable.syncMirror(spark, src, dst, cur)
+        ManifestTable.syncMirror(spark, src, dst)
       }
       assert(e.getMessage.contains("re-bootstrap"))
     } finally Fs.deleteRecursively(root)
