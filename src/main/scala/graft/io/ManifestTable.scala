@@ -312,6 +312,29 @@ object ManifestTable {
   def readTag(spark: SparkSession, path: String): Option[String] =
     readManifest(spark, path).tag
 
+  /** ADDITIVE schema evolution as a metadata-only commit: append
+    * `newCols` to the table schema without touching a single data file —
+    * readers supply the manifest schema to every scan, so files written
+    * before the evolution yield NULL for the new columns (the parquet
+    * missing-column contract), and later merges may carry them. Only
+    * ADDING nullable columns is supported; dropping, renaming, or
+    * retyping existing columns is refused loudly (those need a rewrite
+    * — `compactTable` after a mapping read — because old files would
+    * otherwise silently misread). */
+  def evolveSchema(spark: SparkSession, path: String,
+                   newCols: StructType): Unit = {
+    val m = readManifest(spark, path)
+    val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"evolveSchema only ADDS columns; ${clash.mkString(",")} already " +
+      "exist (drop/rename/retype require a rewrite)")
+    val widened = StructType(m.schema.fields ++
+      newCols.fields.map(_.copy(nullable = true)))
+    writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+      widened, m.statsCols, m.entries, m.tag)
+    retire(spark, path, keepFrom = m.version)
+  }
+
   /** Metadata-only commit: same file list, new tag — used when a sync
     * window turns out to carry no data changes (a source compaction) but
     * the cursor must still advance so the empty diff is not recomputed

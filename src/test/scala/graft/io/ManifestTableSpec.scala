@@ -342,6 +342,39 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("additive schema evolution: metadata-only commit, old files read " +
+    "NULL for new columns, later merges carry them; non-additive refused") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(50), path, "id", numFiles = 2)
+      val entriesBefore = ManifestTable.readManifest(spark, path).entries
+      ManifestTable.evolveSchema(spark, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))))
+      // no data file touched
+      assert(ManifestTable.readManifest(spark, path).entries == entriesBefore)
+      // pre-evolution rows read NULL for the new column
+      val d = ManifestTable.read(spark, path)
+      assert(d.schema.fieldNames.toSeq == Seq("id", "name", "grp", "score"))
+      assert(d.filter(col("score").isNotNull).count() == 0L)
+      // a later merge carries the new column; old rows stay null
+      ManifestTable.merge(spark, path,
+        Seq((3L, "x", 9, 777L)).toDF("id", "name", "grp", "score"))
+      val got = ManifestTable.read(spark, path)
+        .select("id", "score").as[(Long, Option[Long])].collect().toMap
+      assert(got(3L).contains(777L) && got(4L).isEmpty)
+      // non-additive evolution is refused
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.evolveSchema(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType))))
+      }
+      assert(e.getMessage.contains("already"))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("compactTable restores disjoint ranges after layered merges, " +
     "preserving content") {
     val path = tmp()
