@@ -56,6 +56,34 @@ class AggViewSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("AggViewJob: bootstrap on first run, sync on later runs, refusal " +
+    "of a foreign untagged view") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggviewjob")
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      ManifestTable.create(
+        (0L to 19L).map(i => (i, s"g${i % 3}", 5L)).toDF("id", "grp", "val"),
+        src, "id", numFiles = 2)
+      assert(graft.jobs.AggViewJob.run(spark, src, view, "grp", "val")
+        .contains((0L, 1L)))
+      assert(viewContent(view) == recompute(src))
+      ManifestTable.merge(spark, src,
+        Seq((0L, "g0", 100L)).toDF("id", "grp", "val"))
+      assert(graft.jobs.AggViewJob.run(spark, src, view, "grp", "val")
+        .contains((1L, 2L)))
+      assert(viewContent(view) == recompute(src))
+      assert(graft.jobs.AggViewJob.run(spark, src, view, "grp", "val").isEmpty)
+      // a foreign (untagged) table at the view path is refused
+      val foreign = s"$root/foreign"
+      ManifestTable.create(Seq((1L, "g", 2L)).toDF("id", "grp", "val"),
+        foreign, "id", numFiles = 1)
+      val e = intercept[IllegalStateException] {
+        graft.jobs.AggViewJob.run(spark, src, foreign, "grp", "val")
+      }
+      assert(e.getMessage.contains("no sync tag"))
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("crash window A: a feed that VANISHED a group replays as a no-op " +
     "(the atomic tag absorbs it — no phantom negative-count group)") {
     val root = java.nio.file.Files.createTempDirectory("graft_aggview_a")
