@@ -42,7 +42,11 @@ object AggView {
                 grpCol: String, valCol: String,
                 numFiles: Int = 4): Long = {
     val srcV = ManifestTable.readManifest(spark, srcPath).version
-    val view = ManifestTable.read(spark, srcPath)
+    // read the content AT the version the tag will record — resolving
+    // "latest" again here would race a concurrent source commit, and a
+    // view tagged older than its content double-applies the gap's
+    // deltas on the first sync (additive, so NOT self-healing)
+    val view = ManifestTable.readAt(spark, srcPath, srcV)
       .groupBy(grpCol)
       .agg(count(lit(1)).as("n"), sum(valCol).as("total"))
     ManifestTable.create(view, viewPath, grpCol, numFiles,
@@ -58,9 +62,8 @@ object AggView {
            grpCol: String, valCol: String): Option[(Long, Long)] = {
     val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = ManifestTable.readTag(spark, viewPath).map(_.toLong).getOrElse(
-      throw new IllegalStateException(
-        s"no sync tag on $viewPath — bootstrap the view first"))
+    val from = ManifestTable.numericTag(spark, viewPath,
+      s"no sync tag on $viewPath — bootstrap the view first")
     if (from >= latest) return None
     val feed =
       try ManifestTable.changesBetween(spark, srcPath, from, latest)
@@ -80,6 +83,13 @@ object AggView {
     * and the tag advances — together or not at all. */
   def applyFeed(spark: SparkSession, viewPath: String, feed: DataFrame,
                 targetV: Long, grpCol: String, valCol: String): Unit = {
+    // replay guard for DIRECT callers (sync's own retries never reach
+    // here — the tag check in sync already short-circuits): additive
+    // deltas double-count on re-application, and only delete-heavy
+    // replays would trip the below-zero check, so an insert-heavy
+    // replay must be caught by the tag instead
+    if (ManifestTable.readTag(spark, viewPath).contains(targetV.toString))
+      return
     val sign = when(col("_change_type").isin("insert", "update_post"),
       lit(1L)).otherwise(lit(-1L))
     // deltas feed two branches (upserts, deletions) of one commit;

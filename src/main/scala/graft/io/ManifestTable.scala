@@ -312,6 +312,38 @@ object ManifestTable {
   def readTag(spark: SparkSession, path: String): Option[String] =
     readManifest(spark, path).tag
 
+  /** The tag as a source-version number, with a curated error when the
+    * tag belongs to some other consumer convention — a raw
+    * NumberFormatException would name neither the path nor the remedy. */
+  private[graft] def numericTag(spark: SparkSession, path: String,
+                                missingMsg: String): Long =
+    readTag(spark, path) match {
+      case None => throw new IllegalStateException(missingMsg)
+      case Some(t) if t.nonEmpty && t.forall(_.isDigit) => t.toLong
+      case Some(t) => throw new IllegalStateException(
+        s"sync tag on $path is '$t', not a source version number — the " +
+        "table is tracked by a different consumer convention; refusing " +
+        "to sync over it (re-bootstrap to adopt it)")
+    }
+
+  /** Shared consumer-job dispatch (the mirror and the agg view are the
+    * first two; the next consumer should not clone the refusal
+    * semantics): no destination → bootstrap; destination without a sync
+    * tag → refuse loudly (it was not created by this consumer;
+    * overwriting would destroy a table the job does not own);
+    * otherwise → sync. */
+  private[graft] def dispatchConsumer(spark: SparkSession, dstPath: String)
+      (bootstrap: => Long)(sync: => Option[(Long, Long)])
+      : Option[(Long, Long)] =
+    latestVersion(spark, dstPath) match {
+      case None => Some((0L, bootstrap))
+      case Some(_) if readTag(spark, dstPath).isEmpty =>
+        throw new IllegalStateException(
+          s"$dstPath exists but carries no sync tag — it was not " +
+          "bootstrapped by this job; refusing to overwrite it")
+      case Some(_) => sync
+    }
+
   /** ADDITIVE schema evolution as a metadata-only commit: append
     * `newCols` to the table schema without touching a single data file —
     * readers supply the manifest schema to every scan, so files written
@@ -324,6 +356,11 @@ object ManifestTable {
   def evolveSchema(spark: SparkSession, path: String,
                    newCols: StructType): Unit = {
     val m = readManifest(spark, path)
+    require(newCols.nonEmpty, "evolveSchema with no columns is a no-op " +
+      "that would still burn a version — refuse it")
+    require(newCols.fieldNames.distinct.length == newCols.fieldNames.length,
+      s"duplicate column names within newCols: " +
+      newCols.fieldNames.diff(newCols.fieldNames.distinct).mkString(","))
     val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
     require(clash.isEmpty,
       s"evolveSchema only ADDS columns; ${clash.mkString(",")} already " +
@@ -432,20 +469,26 @@ object ManifestTable {
     val mTo = readManifestAt(spark, path, toV)
     val fromRel = mFrom.entries.map(_.relPath).toSet
     val toRel = mTo.entries.map(_.relPath).toSet
-    def side(m: Manifest, other: Set[String]): DataFrame = {
-      val only = m.entries.filterNot(e => other.contains(e.relPath))
+    // BOTH sides read with the TO schema: schema evolution is additive
+    // ([[evolveSchema]]), so the to-side schema is always a widening of
+    // the from-side's — old files yield NULL for later-added columns,
+    // and the positional exceptAll compares like with like (a window
+    // spanning an evolution commit would otherwise fail at analysis
+    // time on mismatched column counts)
+    def side(entries: Seq[FileEntry], other: Set[String]): DataFrame = {
+      val only = entries.filterNot(e => other.contains(e.relPath))
       if (only.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mTo.schema)
+      else spark.read.schema(mTo.schema)
         .parquet(only.map(e => s"$path/${e.relPath}"): _*)
     }
-    val oldRows = side(mFrom, toRel)
-    val newRows = side(mTo, fromRel)
+    val oldRows = side(mFrom.entries, toRel)
+    val newRows = side(mTo.entries, fromRel)
     val adds = newRows.exceptAll(oldRows)
     val dels = oldRows.exceptAll(newRows)
     val key = col(mFrom.keyCol)
-    val cols = mFrom.schema.fieldNames.map(col)
+    val cols = mTo.schema.fieldNames.map(col)
     // a key present on both sides of the surviving diff is an update
     val updKeys = adds.select(key).intersect(dels.select(key))
       .withColumn("__upd", lit(true))
@@ -469,6 +512,16 @@ object ManifestTable {
                    changes0: DataFrame,
                    setTag: Option[String] = None): Unit = {
     val m = readManifest(spark, targetPath)
+    // a feed carrying columns the destination does not know would be
+    // silently narrowed by the projection below — after a source
+    // schema evolution that is exactly how a mirror would silently
+    // diverge, so refuse loudly instead
+    val unknown = changes0.columns
+      .filterNot(c => c == "_change_type" || m.schema.fieldNames.contains(c))
+    require(unknown.isEmpty,
+      s"feed carries column(s) ${unknown.mkString(",")} the destination " +
+      s"schema lacks — evolve the destination first " +
+      s"(ManifestTable.evolveSchema) or re-bootstrap")
     val dataCols = m.schema.fieldNames.map(col)
     // the feed is consumed several times (emptiness probe + the apply)
     // and is typically a changesBetween diff — persist it for the
@@ -507,10 +560,9 @@ object ManifestTable {
                  dstPath: String): Option[(Long, Long)] = {
     val latest = latestVersion(spark, srcPath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = readTag(spark, dstPath).map(_.toLong).getOrElse(
-      throw new IllegalStateException(
-        s"no sync tag on $dstPath — bootstrap the mirror first " +
-        "(create from a source read with tag = that source version)"))
+    val from = numericTag(spark, dstPath,
+      s"no sync tag on $dstPath — bootstrap the mirror first " +
+      "(create from a source read with tag = that source version)")
     if (from >= latest) return None
     val feed =
       try changesBetween(spark, srcPath, from, latest)

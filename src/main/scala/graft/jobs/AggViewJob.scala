@@ -32,15 +32,9 @@ object AggViewJob {
     * already caught up. */
   def run(spark: SparkSession, src: String, view: String, grpCol: String,
           valCol: String, numFiles: Int = 4): Option[(Long, Long)] =
-    ManifestTable.latestVersion(spark, view) match {
-      case None =>
-        Some((0L, AggView.bootstrap(spark, src, view, grpCol, valCol,
-          numFiles)))
-      case Some(_) if ManifestTable.readTag(spark, view).isEmpty =>
-        throw new IllegalStateException(
-          s"$view exists but carries no sync tag — it was not bootstrapped " +
-          "by this job; refusing to overwrite it")
-      case Some(_) =>
-        AggView.sync(spark, src, view, grpCol, valCol)
+    ManifestTable.dispatchConsumer(spark, view) {
+      AggView.bootstrap(spark, src, view, grpCol, valCol, numFiles)
+    } {
+      AggView.sync(spark, src, view, grpCol, valCol)
     }
 }

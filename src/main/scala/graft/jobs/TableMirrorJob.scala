@@ -44,17 +44,14 @@ object TableMirrorJob {
     * already caught up. */
   def run(spark: SparkSession, src: String, dst: String,
           numFiles: Int = 8): Option[(Long, Long)] =
-    ManifestTable.latestVersion(spark, dst) match {
-      case None =>
-        val m = ManifestTable.readManifest(spark, src)
-        ManifestTable.create(ManifestTable.read(spark, src), dst,
-          m.keyCol, numFiles, tag = Some(m.version.toString))
-        Some((0L, m.version))
-      case Some(_) if ManifestTable.readTag(spark, dst).isEmpty =>
-        throw new IllegalStateException(
-          s"$dst exists but carries no sync tag — it was not bootstrapped " +
-          "by this job; refusing to overwrite it")
-      case Some(_) =>
-        ManifestTable.syncMirror(spark, src, dst)
+    ManifestTable.dispatchConsumer(spark, dst) {
+      val m = ManifestTable.readManifest(spark, src)
+      // content pinned to the tagged version — resolving "latest" again
+      // would race a concurrent source commit
+      ManifestTable.create(ManifestTable.readAt(spark, src, m.version),
+        dst, m.keyCol, numFiles, tag = Some(m.version.toString))
+      m.version
+    } {
+      ManifestTable.syncMirror(spark, src, dst)
     }
 }

@@ -105,6 +105,13 @@ class AggViewSpec extends SparkSpec {
       assert(AggView.sync(spark, src, view, "grp", "val").isEmpty)
       assert(viewContent(view) == Set(("gB", 1L, 30L)),
         "no phantom negative-count group after replay")
+      // a DIRECT applyFeed replay at the already-applied targetV is a
+      // no-op too (the tag guard — an insert-heavy replay would
+      // otherwise double-count without tripping the below-zero check)
+      AggView.applyFeed(spark, view,
+        ManifestTable.changesBetween(spark, src, 1L, 2L), 2L, "grp", "val")
+      assert(viewContent(view) == Set(("gB", 1L, 30L)),
+        "direct replay at the applied targetV must not re-apply")
       // and a FOREIGN re-application of the same feed fails loudly
       // instead of silently writing negative counts
       val e = intercept[IllegalStateException] {

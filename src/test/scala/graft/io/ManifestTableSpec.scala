@@ -372,7 +372,67 @@ class ManifestTableSpec extends SparkSpec {
               org.apache.spark.sql.types.StringType))))
       }
       assert(e.getMessage.contains("already"))
+      // internally-duplicated and empty newCols are refused too (a
+      // two-'score' schema would wedge every later read)
+      intercept[IllegalArgumentException] {
+        ManifestTable.evolveSchema(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("z",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("z",
+              org.apache.spark.sql.types.StringType))))
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.evolveSchema(spark, path,
+          org.apache.spark.sql.types.StructType(Nil))
+      }
+
+      // the post-evolution feed carries the new column; a mirror that
+      // has NOT evolved refuses it loudly instead of silently dropping
+      // the column (v2 = evolve commit, v3 = the merge above)
+      val feed = ManifestTable.changesBetween(spark, path, 2L, 3L)
+      assert(feed.columns.contains("score"))
+      val dst = java.nio.file.Files.createTempDirectory("graft_mtev")
+        .toString + "/d"
+      try {
+        ManifestTable.create(base(10), dst, "id", numFiles = 1)
+        val e2 = intercept[IllegalArgumentException] {
+          ManifestTable.applyChanges(spark, dst, feed)
+        }
+        assert(e2.getMessage.contains("evolve the destination"))
+      } finally Fs.deleteRecursively(
+        java.nio.file.Paths.get(dst).getParent)
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("the CDF window SPANNING a schema-evolution commit diffs with the " +
+    "wider schema instead of failing on mismatched column counts") {
+    val path = tmp()
+    val viewRoot = java.nio.file.Files.createTempDirectory("graft_mtev2")
+    val view = s"$viewRoot/v"
+    try {
+      ManifestTable.create(base(20), path, "id", numFiles = 1)
+      // a consumer bootstrapped BEFORE the evolution (tag = 1)
+      assert(graft.jobs.AggViewJob.run(spark, path, view, "grp", "id")
+        .contains((0L, 1L)))
+      ManifestTable.evolveSchema(spark, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))))
+      // v1 (3 cols) → v2 (4 cols), metadata-only: the spanning diff must
+      // be EMPTY, not an AnalysisException from a positional exceptAll
+      // over different column counts — this is exactly the window an
+      // incremental consumer computes right after a source evolution,
+      // and a throw here would wedge it forever (tag can never advance)
+      assert(ManifestTable.changesBetween(spark, path, 1L, 2L).count() == 0L)
+      // the consumer's sync crosses the evolution and advances cleanly
+      assert(graft.jobs.AggViewJob.run(spark, path, view, "grp", "id")
+        .contains((1L, 2L)))
+      assert(ManifestTable.readTag(spark, view).contains("2"))
+    } finally {
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+      Fs.deleteRecursively(viewRoot)
+    }
   }
 
   test("compactTable restores disjoint ranges after layered merges, " +
