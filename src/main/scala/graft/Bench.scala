@@ -82,7 +82,12 @@ object Bench {
     // upsert + rollup read, so table-mutation regressions surface like
     // query regressions (the touch-set bound itself is pinned in
     // ManifestTableSpec)
-    "m1_merge_upsert")
+    "m1_merge_upsert",
+    // round 8: the Misra–Gries heavy-hitters sketch — one tokenize scan
+    // with k-counter partial aggregation (tracks the custom
+    // TypedImperativeAggregate's per-row cost; the exact twin it is
+    // verdict-checked against is the ext_vocab_rank machinery)
+    "ext_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,6 +241,47 @@ object ManifestTable {
       df.schema, statsCols, entries, tag)
   }
 
+  /** Z-ORDERED create: rows land on the Morton curve of (`zColA`,
+    * `zColB`) ([[Tables.writeZOrdered]]) with per-file stats recorded
+    * for BOTH columns, so [[prunedRead]] skips files from the manifest
+    * on EITHER dimension — the two-dimensional-predicate layout
+    * (time × user, region × price) carried through to manifest-level
+    * pruning. The merge key's per-file ranges are recorded too but are
+    * WIDE under a Z layout (files are rectangles in (a, b) space, not
+    * key runs), so copy-on-write merges touch more files than under
+    * [[create]] — pick this layout for read-heavy tables with 2-D
+    * predicates, the key-sorted one for mutation-heavy tables; restore
+    * the curve after merges with [[compactTableZOrdered]]. */
+  def createZOrdered(df: DataFrame, path: String, keyCol: String,
+                     numFiles: Int, zColA: String, zColB: String): Unit = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    hfs(spark, root).delete(root, true)
+    val txnRel = "data/txn-1"
+    Tables.writeZOrdered(df, s"$path/$txnRel", numFiles, zColA, zColB)
+    val statsCols = Seq(zColA, zColB).filterNot(_ == keyCol)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
+    writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
+      df.schema, statsCols, entries)
+  }
+
+  /** The Z-layout's compaction: rewrite onto a fresh Morton curve
+    * (merges land key-sorted txns that fall off the curve; this puts
+    * the whole table back on it). Same atomic commit and retention as
+    * [[compactTable]]. */
+  def compactTableZOrdered(spark: SparkSession, path: String, numFiles: Int,
+                           zColA: String, zColB: String): Unit = {
+    val m = readManifest(spark, path)
+    val nextV = m.version + 1
+    val txnRel = s"data/txn-$nextV"
+    Tables.writeZOrdered(readFiles(spark, path, m), s"$path/$txnRel",
+      numFiles, zColA, zColB)
+    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+      m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+        m.statsCols), m.tag)
+    retire(spark, path, keepFrom = m.version)
+  }
+
   /** Per-file (rows, min(key), max(key)) of a freshly written txn dir —
     * one column-pruned scan of the NEW files only, grouped by the file
     * metadata column. Loudly rejects null merge keys: a null never
@@ -575,6 +616,20 @@ object ManifestTable {
       }
     applyChanges(spark, dstPath, feed, setTag = Some(latest.toString))
     Some((from, latest))
+  }
+
+  /** File-count auto-compaction trigger — the same no-human-deciding
+    * maintenance the persisted-index family gets from
+    * `maybeCompactDedupIndex`: every merge adds a txn whose key range
+    * overlaps older files, degrading the touch-set bound, so compact
+    * when the live file count exceeds `maxFiles`. Cost of the check is
+    * one manifest read (no filesystem walk — the manifest IS the file
+    * list). Returns true when a compaction ran. */
+  def maybeCompactTable(spark: SparkSession, path: String, maxFiles: Int,
+                        numFiles: Int): Boolean = {
+    val n = readManifest(spark, path).entries.size
+    if (n <= maxFiles) false
+    else { compactTable(spark, path, numFiles); true }
   }
 
   /** Full rewrite into `numFiles` globally range-disjoint files — restores

@@ -435,6 +435,64 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("Z-ordered layout: manifest stats prune files on EITHER " +
+    "dimension; merges still correct; Z compaction restores the curve") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mtz")
+    val path = s"$root/t"
+    try {
+      // a 32×32 grid: every (a, b) cell once — under a Morton layout
+      // each of the 16 files covers a rectangle, so a narrow slice in
+      // EITHER dimension intersects only a strip of files
+      val df = (0 until 1024).map(i =>
+        (i.toLong, (i % 32).toLong, (i / 32).toLong)).toDF("id", "a", "b")
+      ManifestTable.createZOrdered(df, path, "id", numFiles = 16, "a", "b")
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.statsCols == Seq("a", "b"))
+
+      val sliceA = ManifestTable.prunedRead(spark, path, "a", 0L, 3L)
+      assert(sliceA.inputFiles.length < 16 && sliceA.inputFiles.nonEmpty,
+        s"a-slice must prune: ${sliceA.inputFiles.length}/16 files")
+      assert(sliceA.filter(col("a") <= 3L).count() == 4L * 32)
+      val sliceB = ManifestTable.prunedRead(spark, path, "b", 0L, 3L)
+      assert(sliceB.inputFiles.length < 16 && sliceB.inputFiles.nonEmpty,
+        s"b-slice must prune: ${sliceB.inputFiles.length}/16 files")
+      assert(sliceB.filter(col("b") <= 3L).count() == 4L * 32)
+
+      // copy-on-write merge stays correct on the Z layout (touch set is
+      // wider — documented trade)
+      ManifestTable.merge(spark, path,
+        Seq((5L, 99L, 99L)).toDF("id", "a", "b"))
+      assert(ManifestTable.read(spark, path).count() == 1024L)
+      assert(ManifestTable.read(spark, path)
+        .filter(col("id") === 5L).select("a").as[Long].head() == 99L)
+
+      // Z compaction restores one curve over everything, stats intact
+      ManifestTable.compactTableZOrdered(spark, path, 16, "a", "b")
+      val m2 = ManifestTable.readManifest(spark, path)
+      assert(m2.entries.size == 16 &&
+        m2.entries.forall(e => e.extra.contains("a") && e.extra.contains("b")))
+      assert(ManifestTable.read(spark, path).count() == 1024L)
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("maybeCompactTable fires on file count and preserves content") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mtac")
+    val path = s"$root/t"
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      (1 to 4).foreach(i => ManifestTable.merge(spark, path,
+        Seq((500L + i, s"n$i", i)).toDF("id", "name", "grp")))
+      assert(ManifestTable.readManifest(spark, path).entries.size > 4)
+      assert(!ManifestTable.maybeCompactTable(spark, path,
+        maxFiles = 100, numFiles = 2), "below threshold: no compaction")
+      val before = content(ManifestTable.read(spark, path))
+      assert(ManifestTable.maybeCompactTable(spark, path,
+        maxFiles = 4, numFiles = 2), "above threshold: compaction fires")
+      assert(ManifestTable.readManifest(spark, path).entries.size == 2)
+      assert(content(ManifestTable.read(spark, path)) == before)
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("compactTable restores disjoint ranges after layered merges, " +
     "preserving content") {
     val path = tmp()
