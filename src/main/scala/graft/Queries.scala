@@ -1793,6 +1793,34 @@ object Queries {
               (col("cnt") - col("est")) * 25 <= col("n")).as("ok"))
     }),
 
+    // Per-GROUP heavy hitters: the same Misra–Gries aggregate under a
+    // groupBy — per-language stopword discovery, k=16 counters per
+    // language (< the per-language vocabulary, so every group evicts).
+    // Verdict-as-data per (lang, word) over each language's exact top-3
+    // with that language's own n — the per-group form of the
+    // ext_heavy_hitters theorem, so one constant oracle gates the
+    // sketch under grouped partial aggregation too.
+    "ext_heavy_hitters_grouped" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(GraftFunctions.tokens_word(col("text"))).as("word"))
+      val est = toks.groupBy("lang")
+        .agg(graft.functions.MisraGriesHH.heavy_hitters(col("word"), 16)
+          .as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.word").as("word"), col("e.est").as("est"))
+      val wc = toks.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      val n = wc.groupBy("lang").agg(sum("cnt").as("n"))
+      val top = wc.withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("cnt"), asc("word"))))
+        .filter(col("rnk") <= 3).drop("rnk")
+      top.join(est, Seq("lang", "word"), "left")
+        .join(broadcast(n), Seq("lang"))
+        .select(col("lang"), col("word"), col("cnt"),
+          when(col("est").isNull, col("cnt") * 17 <= col("n"))
+            .otherwise(col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * 17 <= col("n")).as("ok"))
+    }),
+
     // Rolling-hash fingerprint + SimHash per doc (custom kernels, no oracle).
     "ext_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -3147,6 +3175,20 @@ object Queries {
         |  WHERE w <> '' GROUP BY w)
         |SELECT word, cnt, true AS ok FROM wc
         |ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+
+    "ext_heavy_hitters_grouped" ->
+      """WITH wc AS (
+        |  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT lang,
+        |          unnest(string_split_regex(lower(text), '\W+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY lang, w)
+        |SELECT lang, word, cnt, true AS ok FROM (
+        |  SELECT lang, word, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, word) AS rnk
+        |  FROM wc)
+        |WHERE rnk <= 3""".stripMargin,
 
     // NOT EXISTS, not NOT IN: the operators' pinned null-text semantics
     // (anti-join keeps null-text rows) — a NULL anywhere in a NOT IN

@@ -65,6 +65,43 @@ class MisraGriesSpec extends SparkSpec {
     assert(est == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("grouped aggregation: guarantees hold independently PER GROUP " +
+    "(each group has its own k counters and its own n)") {
+    val k = 4
+    // two groups with different skews and sizes
+    val items = (0 until 10).flatMap(i =>
+        Seq.fill(200 / (i + 1))(("g1", s"w$i"))) ++
+      (0 until 20).flatMap(i => Seq.fill(30)(("g2", s"u$i")))
+    val df = items.toDF("g", "word").repartition(5)
+    val est = df.groupBy("g")
+      .agg(MisraGriesHH.heavy_hitters(col("word"), k).as("hh"))
+      .select(col("g"), explode(col("hh")).as("e"))
+      .select(col("g"), col("e.word"), col("e.est"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (g <- Seq("g1", "g2")) {
+      val n = items.count(_._1 == g).toLong
+      val e = est.getOrElse(g, Map.empty)
+      assert(e.size <= k)
+      e.foreach { case (w, v) =>
+        assert(v <= exact((g, w)) && (exact((g, w)) - v) * (k + 1) <= n,
+          s"$g/$w: est $v vs ${exact((g, w))}, n=$n")
+      }
+      exact.collect { case ((`g`, w), c) if c * (k + 1) > n =>
+        assert(e.contains(w), s"heavy $g/$w (cnt $c, n $n) missing")
+      }
+    }
+  }
+
+  test("declared grouped verdict query: ok for every row at sf0.001") {
+    val rows = graft.SparkEntry.queries("ext_heavy_hitters_grouped")(
+      spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4),
+      s"grouped verdict rows must all be ok: ${rows.mkString(", ")}")
+  }
+
   test("declared verdict query: ok for every row at sf0.001") {
     val rows = graft.SparkEntry.queries("ext_heavy_hitters")(
       spark, "/root/testdata/sf0.001")
