@@ -77,6 +77,17 @@ class RollupJobSpec extends SparkSpec {
       // raw has every row exactly once
       assert(spark.read.parquet(graft.io.Tables.resolveComponent(
         spark, s"$root/store/raw")).count() == (b1 ++ b2).length)
+
+      // range-distinct from the PERSISTED per-day sketches: any day
+      // window answered by unioning rollup sketches, no raw rescan —
+      // exact here (HLL sparse mode is exact at these cardinalities)
+      val exactAll = (b1 ++ b2).map(_._2).distinct.size.toLong
+      assert(StreamingJobs.rangeDistinctUsers(
+        spark, s"$root/store", 1L, 3L) == exactAll)
+      val exactD1 = (b1 ++ b2).filter(r => r._3 / 86400000000000L == 1L)
+        .map(_._2).distinct.size.toLong
+      assert(StreamingJobs.rangeDistinctUsers(
+        spark, s"$root/store", 1L, 1L) == exactD1)
     } finally graft.io.Fs.deleteRecursively(root)
   }
 
