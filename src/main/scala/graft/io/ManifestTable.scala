@@ -79,9 +79,13 @@ object ManifestTable {
     * the cursor can never disagree with the data it describes — a
     * separate cursor file always leaves a crash window between data
     * apply and cursor advance. */
+  /** `zCols` records the PHYSICAL LAYOUT (Some = Morton curve on the
+    * pair, None = key-sorted) so maintenance can preserve it —
+    * compaction must not silently rewrite a Z table key-sorted. */
   case class Manifest(version: Long, keyCol: String, keyType: DataType,
                       schema: StructType, statsCols: Seq[String],
-                      entries: Seq[FileEntry], tag: Option[String] = None)
+                      entries: Seq[FileEntry], tag: Option[String] = None,
+                      zCols: Option[(String, String)] = None)
 
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
@@ -114,13 +118,16 @@ object ManifestTable {
                             keyCol: String, keyType: DataType,
                             schema: StructType, statsCols: Seq[String],
                             entries: Seq[FileEntry],
-                            tag: Option[String] = None): Unit = {
+                            tag: Option[String] = None,
+                            zCols: Option[(String, String)] = None): Unit = {
     val sb = new StringBuilder
     sb ++= "graft-manifest\t1\n"
     sb ++= s"key\t${enc(keyCol)}\n"
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
+    zCols.foreach { case (a, b) =>
+      sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
     if (statsCols.nonEmpty)
       sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
@@ -169,6 +176,7 @@ object ManifestTable {
     var schema: StructType = null
     var statsCols: Seq[String] = Seq.empty
     var tag: Option[String] = None
+    var zCols: Option[(String, String)] = None
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -179,6 +187,7 @@ object ManifestTable {
         case "schema"  => schema = DataType.fromJson(dec(parts(1)))
                             .asInstanceOf[StructType]
         case "tag"     => tag = Some(dec(parts(1)))
+        case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
@@ -196,7 +205,8 @@ object ManifestTable {
     }
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
-    Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag)
+    Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
+      zCols)
   }
 
   // ----------------------------------------------------------------- reads
@@ -254,6 +264,13 @@ object ManifestTable {
     * the curve after merges with [[compactTableZOrdered]]. */
   def createZOrdered(df: DataFrame, path: String, keyCol: String,
                      numFiles: Int, zColA: String, zColB: String): Unit = {
+    // validate BEFORE the destructive delete — a typo'd column name
+    // must not destroy an existing table at this path
+    val missing = Seq(keyCol, zColA, zColB)
+      .filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"column(s) ${missing.mkString(",")} not in schema " +
+      s"${df.schema.fieldNames.mkString(",")}")
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
@@ -262,23 +279,33 @@ object ManifestTable {
     val statsCols = Seq(zColA, zColB).filterNot(_ == keyCol)
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
-      df.schema, statsCols, entries)
+      df.schema, statsCols, entries, tag = None,
+      zCols = Some((zColA, zColB)))
   }
 
   /** The Z-layout's compaction: rewrite onto a fresh Morton curve
     * (merges land key-sorted txns that fall off the curve; this puts
-    * the whole table back on it). Same atomic commit and retention as
+    * the whole table back on it) — also the MIGRATION from a key-sorted
+    * table to the Z layout: the z columns join the tracked stats (so
+    * [[prunedRead]] works on them from this commit on) and the layout
+    * is recorded in the manifest (so [[compactTable]]'s auto-dispatch
+    * preserves it). Same atomic commit and retention as
     * [[compactTable]]. */
   def compactTableZOrdered(spark: SparkSession, path: String, numFiles: Int,
                            zColA: String, zColB: String): Unit = {
     val m = readManifest(spark, path)
+    val missing = Seq(zColA, zColB).filterNot(m.schema.fieldNames.contains)
+    require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
+      s"the table schema ${m.schema.fieldNames.mkString(",")}")
     val nextV = m.version + 1
     val txnRel = s"data/txn-$nextV"
+    val statsCols = (m.statsCols ++
+      Seq(zColA, zColB).filterNot(_ == m.keyCol)).distinct
     Tables.writeZOrdered(readFiles(spark, path, m), s"$path/$txnRel",
       numFiles, zColA, zColB)
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-        m.statsCols), m.tag)
+      statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+        statsCols), m.tag, Some((zColA, zColB)))
     retire(spark, path, keepFrom = m.version)
   }
 
@@ -409,7 +436,7 @@ object ManifestTable {
     val widened = StructType(m.schema.fields ++
       newCols.fields.map(_.copy(nullable = true)))
     writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-      widened, m.statsCols, m.entries, m.tag)
+      widened, m.statsCols, m.entries, m.tag, m.zCols)
     retire(spark, path, keepFrom = m.version)
   }
 
@@ -420,7 +447,7 @@ object ManifestTable {
   def setTagOnly(spark: SparkSession, path: String, tag: String): Unit = {
     val m = readManifest(spark, path)
     writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType, m.schema,
-      m.statsCols, m.entries, Some(tag))
+      m.statsCols, m.entries, Some(tag), m.zCols)
     retire(spark, path, keepFrom = m.version)
   }
 
@@ -480,7 +507,7 @@ object ManifestTable {
     val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
 
     writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      m.statsCols, carriedE ++ newE, setTag.orElse(m.tag))
+      m.statsCols, carriedE ++ newE, setTag.orElse(m.tag), m.zCols)
     retire(spark, path, keepFrom = m.version)
     MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
     } finally {
@@ -624,7 +651,9 @@ object ManifestTable {
     * overlaps older files, degrading the touch-set bound, so compact
     * when the live file count exceeds `maxFiles`. Cost of the check is
     * one manifest read (no filesystem walk — the manifest IS the file
-    * list). Returns true when a compaction ran. */
+    * list). LAYOUT-AWARE via [[compactTable]]'s dispatch: a Z table
+    * auto-compacts back onto its Morton curve, never silently
+    * key-sorted. Returns true when a compaction ran. */
   def maybeCompactTable(spark: SparkSession, path: String, maxFiles: Int,
                         numFiles: Int): Boolean = {
     val n = readManifest(spark, path).entries.size
@@ -632,21 +661,26 @@ object ManifestTable {
     else { compactTable(spark, path, numFiles); true }
   }
 
-  /** Full rewrite into `numFiles` globally range-disjoint files — restores
-    * the touch-set bound after many merges have layered overlapping txn
-    * ranges (the LSM compaction of the table world). Readers stay
+  /** Full rewrite into `numFiles` files on the table's RECORDED layout
+    * (the manifest's `layout` line): key-sorted tables get globally
+    * range-disjoint files back; Z tables go back onto their Morton
+    * curve — a maintenance pass must never silently change the physical
+    * layout out from under the table's read patterns. Readers stay
     * concurrent: same manifest commit, same one-cycle retention. */
-  def compactTable(spark: SparkSession, path: String, numFiles: Int): Unit = {
-    val m = readManifest(spark, path)
-    val nextV = m.version + 1
-    val txnRel = s"data/txn-$nextV"
-    Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
-      numFiles, m.keyCol)
-    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-        m.statsCols), m.tag)
-    retire(spark, path, keepFrom = m.version)
-  }
+  def compactTable(spark: SparkSession, path: String, numFiles: Int): Unit =
+    readManifest(spark, path).zCols match {
+      case Some((a, b)) => compactTableZOrdered(spark, path, numFiles, a, b)
+      case None =>
+        val m = readManifest(spark, path)
+        val nextV = m.version + 1
+        val txnRel = s"data/txn-$nextV"
+        Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
+          numFiles, m.keyCol)
+        writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+          m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+            m.statsCols), m.tag)
+        retire(spark, path, keepFrom = m.version)
+    }
 
   /** MANIFEST-LEVEL file pruning on a secondary stats column: read only
     * the files whose recorded [min, max] for `statsCol` intersects

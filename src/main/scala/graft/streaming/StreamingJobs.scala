@@ -460,14 +460,30 @@ object StreamingJobs {
     * rollup's PERSISTED per-day HLL sketches — unioning the selected
     * days' kilobyte sketches instead of rescanning raw (the reason the
     * sketch is stored next to the exact per-day count, which cannot be
-    * merged). Estimate rsd ≈ 1.6 % at the default lgK. */
+    * merged). Estimate rsd ≈ 1.6 % at the default lgK.
+    *
+    * Day partitions written by a PRE-SKETCH version of the rollup carry
+    * no `users_sketch`; silently skipping them would undercount, so the
+    * range is validated first (mergeSchema read + null check) and a
+    * stale range fails loudly with the backfill remedy — re-drop or
+    * recompute the affected days, which rewrites their partitions with
+    * the sketch. */
   def rangeDistinctUsers(spark: org.apache.spark.sql.SparkSession,
                          storePath: String, fromDay: Long,
-                         toDay: Long): Long =
-    spark.read.parquet(s"$storePath/rollup")
+                         toDay: Long): Long = {
+    val sel = spark.read.option("mergeSchema", "true")
+      .parquet(s"$storePath/rollup")
       .filter(col("event_day") >= fromDay && col("event_day") <= toDay)
-      .agg(hll_sketch_estimate(hll_union_agg(col("users_sketch"))))
+    if (!sel.columns.contains("users_sketch") ||
+        !sel.filter(col("users_sketch").isNull).isEmpty)
+      throw new IllegalStateException(
+        s"rollup day(s) in [$fromDay, $toDay] predate the persisted " +
+        "users_sketch column — recompute those days (re-drop their " +
+        "events or rebuild the rollup) before range-distinct queries; " +
+        "unioning around them would silently undercount")
+    sel.agg(hll_sketch_estimate(hll_union_agg(col("users_sketch"))))
       .head().getLong(0)
+  }
 
   /**
    * Continuous upserts into a [[graft.io.ManifestTable]] — CDC ingestion

@@ -475,6 +475,46 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("Z migration + layout-aware maintenance: compactTableZOrdered " +
+    "adds z stats to a key-sorted table, the layout is recorded, and " +
+    "auto-compaction preserves the curve instead of key-sorting it away") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mtzm")
+    val path = s"$root/t"
+    try {
+      val df = (0 until 256).map(i =>
+        (i.toLong, (i % 16).toLong, (i / 16).toLong)).toDF("id", "a", "b")
+      ManifestTable.create(df, path, "id", numFiles = 4) // key-sorted
+      assert(ManifestTable.readManifest(spark, path).zCols.isEmpty)
+      // migration: the z columns join the tracked stats in the SAME
+      // commit, so 2-D pruning works immediately after
+      ManifestTable.compactTableZOrdered(spark, path, 8, "a", "b")
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.zCols.contains(("a", "b")) && m.statsCols == Seq("a", "b"))
+      assert(ManifestTable.prunedRead(spark, path, "a", 0L, 1L)
+        .inputFiles.length < 8)
+      // pile up files, then the AUTO trigger: dispatch must go through
+      // the Z path — layout and z stats survive
+      (1 to 3).foreach(i => ManifestTable.merge(spark, path,
+        Seq((1000L + i, i.toLong, i.toLong)).toDF("id", "a", "b")))
+      assert(ManifestTable.maybeCompactTable(spark, path,
+        maxFiles = 8, numFiles = 8))
+      val m2 = ManifestTable.readManifest(spark, path)
+      assert(m2.zCols.contains(("a", "b")),
+        "auto-compaction must not key-sort a Z table")
+      assert(m2.entries.forall(e =>
+        e.extra.contains("a") && e.extra.contains("b")))
+      assert(ManifestTable.read(spark, path).count() == 259L)
+
+      // destructive-create guard: a typo'd column must fail BEFORE the
+      // existing table is deleted
+      intercept[IllegalArgumentException] {
+        ManifestTable.createZOrdered(df, path, "id", 4, "a", "nope")
+      }
+      assert(ManifestTable.read(spark, path).count() == 259L,
+        "failed createZOrdered must not have destroyed the table")
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("maybeCompactTable fires on file count and preserves content") {
     val root = java.nio.file.Files.createTempDirectory("graft_mtac")
     val path = s"$root/t"

@@ -88,6 +88,17 @@ class RollupJobSpec extends SparkSpec {
         .map(_._2).distinct.size.toLong
       assert(StreamingJobs.rangeDistinctUsers(
         spark, s"$root/store", 1L, 1L) == exactD1)
+
+      // a day partition written by a PRE-SKETCH rollup (no users_sketch
+      // column) must fail the range query loudly, not undercount
+      spark.range(1).selectExpr("4L AS event_day", "'view' AS event_type",
+          "1L AS n_events", "1L AS n_users", "100L AS value_cents")
+        .write.mode("append").partitionBy("event_day")
+        .parquet(s"$root/store/rollup")
+      val e = intercept[IllegalStateException] {
+        StreamingJobs.rangeDistinctUsers(spark, s"$root/store", 1L, 4L)
+      }
+      assert(e.getMessage.contains("predate"))
     } finally graft.io.Fs.deleteRecursively(root)
   }
 
