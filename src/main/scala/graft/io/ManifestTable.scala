@@ -78,10 +78,10 @@ object ManifestTable {
     * view) store their "applied up to source version N" cursor here, so
     * the cursor can never disagree with the data it describes — a
     * separate cursor file always leaves a crash window between data
-    * apply and cursor advance. */
-  /** `zCols` records the PHYSICAL LAYOUT (Some = Morton curve on the
-    * pair, None = key-sorted) so maintenance can preserve it —
-    * compaction must not silently rewrite a Z table key-sorted. */
+    * apply and cursor advance. `zCols` records the PHYSICAL LAYOUT
+    * (Some = Morton curve on the pair, None = key-sorted) so
+    * maintenance can preserve it — compaction must not silently rewrite
+    * a Z table key-sorted. */
   case class Manifest(version: Long, keyCol: String, keyType: DataType,
                       schema: StructType, statsCols: Seq[String],
                       entries: Seq[FileEntry], tag: Option[String] = None,
