@@ -867,6 +867,23 @@ object Queries {
           col("total").as("total_cents"))
     }),
 
+    // TIME TRAVEL over the manifest table: after the m1 merge commits
+    // version 2, version 1 must still serve the PRE-merge content (the
+    // one-cycle retention window — rerun last cycle's report against
+    // the exact snapshot it was built from). The oracle is the plain
+    // un-merged rollup, so the driver's hash gates snapshot isolation:
+    // any leakage of v2 rows into the v1 read breaks it.
+    "m6_time_travel" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.merge(s, path, updates)
+      graft.io.ManifestTable.readAt(s, path, 1L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // CHANGE DATA FEED over the manifest table: the m1 merge's diff
     // between version 1 and version 2, computed from ONLY the files the
     // two manifests disagree on (carried files are never read; rows a
@@ -2456,6 +2473,14 @@ object Queries {
     // the oracle is the identical full recompute, so the hash proves
     // incremental ≡ recompute.
     "m4_incr_agg" -> mergedRollupSql,
+
+    // m6 reads the SUPERSEDED version after the merge; the oracle is the
+    // plain un-merged rollup — the hash gates snapshot isolation.
+    "m6_time_travel" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // m5 reads the slice through manifest-level file pruning; the oracle
     // is the plain filter, so a pruning bug that DROPS a qualifying

@@ -515,6 +515,14 @@ class PlanSpec extends SparkSpec {
     assert("partial_misragrieshh|misragrieshh".r.findAllIn(p).size >= 2, p)
   }
 
+  test("e10: HLL sketches aggregate partially per partition — kilobyte " +
+    "sketches, not user ids, cross both shuffles") {
+    val p = plan("e10_sketch_users").toLowerCase
+    assert(p.contains("objecthashaggregate"), p)
+    assert("hll_sketch_agg".r.findAllIn(p).size >= 2, p)
+    assert("hll_union_agg".r.findAllIn(p).size >= 2, p)
+  }
+
   test("manifest table: the write-time stats pass reads ONLY the key " +
     "column of the new batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_mtplan")
