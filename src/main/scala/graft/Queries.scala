@@ -848,7 +848,9 @@ object Queries {
     // by-priority rollup is BOOTSTRAPPED from the table, the m1 merge
     // lands on the SOURCE, and the view advances by folding the change
     // feed's per-group deltas (post/insert add, pre/delete subtract;
-    // per-group version stamps absorb replays) — the source is never
+    // replays are absorbed by the view's manifest TAG — the source
+    // version cursor committed by the same atomic rename as the data,
+    // checked in sync and applyFeed) — the source is never
     // re-aggregated. The oracle is the FULL RECOMPUTE over the merged
     // table in SQL (same text as m1's rollup), so the hash proves
     // incremental ≡ recompute end to end.

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -22,6 +22,19 @@ import java.nio.charset.StandardCharsets.UTF_8
  * stats (so the writer knows which files a batch touches without reading
  * them).
  *
+ * CONCURRENCY: commits are OPTIMISTIC. Every commit claims the next
+ * version by atomic rename; a loser re-reads the winner's manifest and
+ * either REBASES (commits its already-written files on top, iff the
+ * winner's commit is file- and key-range-disjoint from its own batch —
+ * the common CDC-ingest-racing-other-ingest case) or RE-DRIVES the whole
+ * operation against the new state (overlapping keys, compactions, schema
+ * changes — a compaction conflicts with everything), bounded by
+ * `maxRetries`, then fails loudly. Retention never deletes a FRESH
+ * unreferenced data file (orphan grace period,
+ * `graft.manifest.orphanGraceMs`), so a winner's sweep cannot destroy
+ * files a concurrent loser is about to rebase-commit; abandoned attempt
+ * dirs become sweepable once the grace elapses.
+ *
  * Layout under `path/`:
  * {{{
  *   data/txn-<N>/part-*.parquet   files written by transaction N
@@ -33,9 +46,10 @@ import java.nio.charset.StandardCharsets.UTF_8
  * the key's min/max AS WRITTEN (computed by a column-pruned pass over just
  * the new batch at write time — never a table scan). Commit is atomic:
  * write `manifest-<N>.tmp`, then rename to `manifest-<N>` — rename fails
- * if the version already exists, so a concurrent second writer loses
- * loudly instead of corrupting (single-writer contract, same as the index
- * family). Readers list `manifest-*`, take the highest N, and read exactly
+ * if the version already exists, so a concurrent second writer can never
+ * silently replace the first commit; it loses the claim and enters the
+ * optimistic rebase/retry protocol below. Readers list `manifest-*`,
+ * take the highest N, and read exactly
  * the files it names — a crashed transaction's `data/txn-*` orphan is
  * invisible because no manifest references it, and the retried
  * transaction overwrites it.
@@ -45,11 +59,12 @@ import java.nio.charset.StandardCharsets.UTF_8
  * (file-count-sized, broadcast), yielding the TOUCHED file set; only those
  * files are read (anti-join out the updated keys) and rewritten together
  * with the new rows; the new manifest carries the untouched entries
- * FORWARD BY REFERENCE. Retention keeps the previous version's files for
- * one full cycle (a reader that resolved version N-1 mid-commit keeps its
- * files; only a reader spanning two commits can break — the table-format
- * snapshot-expiry contract, same as [[Tables.compactSorted]]) and
- * [[readAt]] gives time travel within that window.
+ * FORWARD BY REFERENCE. Retention keeps the last `retain` versions' files
+ * fully readable (configurable per table, default 2 = current + one
+ * superseded; a reader that resolved an in-window version keeps its
+ * files; only a reader spanning the whole window can break — the
+ * table-format snapshot-expiry contract, same as [[Tables.compactSorted]])
+ * and [[readAt]] gives time travel across that window.
  *
  * Scale notes: the manifest is driver-side and file-count-sized — at
  * petabyte scale a production format shards it (manifest lists); the
@@ -81,11 +96,28 @@ object ManifestTable {
     * apply and cursor advance. `zCols` records the PHYSICAL LAYOUT
     * (Some = Morton curve on the pair, None = key-sorted) so
     * maintenance can preserve it — compaction must not silently rewrite
-    * a Z table key-sorted. */
+    * a Z table key-sorted. `retain` is the retention window in VERSIONS
+    * (current + retain−1 superseded stay fully readable — time travel
+    * reaches back retain−1 hops, and a change-feed consumer may lag up
+    * to retain−1 source commits before it must re-bootstrap); it is
+    * table metadata, carried by every commit, so all writers of a table
+    * honor one window. */
   case class Manifest(version: Long, keyCol: String, keyType: DataType,
                       schema: StructType, statsCols: Seq[String],
                       entries: Seq[FileEntry], tag: Option[String] = None,
-                      zCols: Option[(String, String)] = None)
+                      zCols: Option[(String, String)] = None,
+                      retain: Int = 2)
+
+  /** The atomic version claim was lost to a concurrent committer — the
+    * retryable conflict signal ([[rewrite]] rebases or re-drives on it;
+    * after bounded retries it surfaces as the final failure's cause). */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** TEST-ONLY injection point: invoked between an attempt's data write
+    * and its manifest commit, so a spec can deterministically land a
+    * competing commit inside the race window. Never set outside tests. */
+  private[io] var commitFence: () => Unit = () => ()
 
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
@@ -95,6 +127,26 @@ object ManifestTable {
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
   private def dec(s: String) = URLDecoder.decode(s, UTF_8)
+
+  /** The documented merge-key contract, ENFORCED: the key's min/max are
+    * stored string-encoded and cast back for the touch-set range join, so
+    * the key type must round-trip exactly through a string cast. Integral
+    * and string types do; binary keys mangle (non-UTF8 bytes), floating
+    * keys break on NaN (fails every range predicate, so the covering file
+    * is silently missed and a merge INSERTS a duplicate instead of
+    * replacing — silent corruption). Refuse loudly at create time. */
+  private def requireMergeableKeyType(keyCol: String, dt: DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    require(ok, s"merge key '$keyCol' has type ${dt.simpleString}; only " +
+      "integral and string keys round-trip exactly through the manifest's " +
+      "string-encoded min/max (binary mangles non-UTF8 bytes, floating " +
+      "NaN fails every range predicate and would silently corrupt " +
+      "merges) — use an integral or string key column")
+  }
   private def hfs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -119,12 +171,17 @@ object ManifestTable {
                             schema: StructType, statsCols: Seq[String],
                             entries: Seq[FileEntry],
                             tag: Option[String] = None,
-                            zCols: Option[(String, String)] = None): Unit = {
+                            zCols: Option[(String, String)] = None,
+                            retain: Int = 2): Unit = {
+    require(retain >= 2, s"retain=$retain: the window must keep at least " +
+      "the current and one superseded version (changesBetween needs both " +
+      "sides of the last commit)")
     val sb = new StringBuilder
     sb ++= "graft-manifest\t1\n"
     sb ++= s"key\t${enc(keyCol)}\n"
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
+    sb ++= s"retain\t$retain\n"
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
@@ -153,9 +210,9 @@ object ManifestTable {
     val dst = manifestFile(path, v)
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit: $path/manifest-$v already exists " +
-        "(single-writer contract violated)")
+        "(another writer claimed this version first)")
     }
   }
 
@@ -177,6 +234,7 @@ object ManifestTable {
     var statsCols: Seq[String] = Seq.empty
     var tag: Option[String] = None
     var zCols: Option[(String, String)] = None
+    var retain: Int = 2 // pre-retention manifests carry no line: old window
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -186,6 +244,7 @@ object ManifestTable {
         case "keytype" => keyType = DataType.fromJson(dec(parts(1)))
         case "schema"  => schema = DataType.fromJson(dec(parts(1)))
                             .asInstanceOf[StructType]
+        case "retain"  => retain = parts(1).toInt
         case "tag"     => tag = Some(dec(parts(1)))
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
@@ -206,7 +265,7 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols)
+      zCols, retain)
   }
 
   // ----------------------------------------------------------------- reads
@@ -215,8 +274,9 @@ object ManifestTable {
   def read(spark: SparkSession, path: String): DataFrame =
     readFiles(spark, path, readManifest(spark, path))
 
-  /** Time travel: the table as of committed version `v` — valid within the
-    * retention window (previous version only; older data is retired). */
+  /** Time travel: the table as of committed version `v` — valid within
+    * the table's retention window (the manifest's `retain` field: the
+    * current + retain−1 superseded versions; older data is retired). */
   def readAt(spark: SparkSession, path: String, v: Long): DataFrame =
     readFiles(spark, path, readManifestAt(spark, path, v))
 
@@ -234,13 +294,20 @@ object ManifestTable {
   /** Create (or overwrite) the table: key-sort `df` into `numFiles` files
     * with disjoint per-file key ranges, record per-file stats, commit
     * manifest 1. The stats pass is column-pruned over just the written
-    * batch. */
+    * batch. `keepVersions` (≥2) sets the table's retention window: the
+    * current + keepVersions−1 superseded versions stay fully readable,
+    * so [[readAt]] reaches back keepVersions−1 hops and a change-feed
+    * consumer may lag that many source commits before re-bootstrap.
+    * Create itself is destructive (it replaces the path) and is NOT
+    * part of the optimistic-concurrency protocol — only commits on an
+    * existing table are. */
   def create(df: DataFrame, path: String, keyCol: String,
              numFiles: Int, statsCols: Seq[String] = Seq.empty,
-             tag: Option[String] = None): Unit = {
+             tag: Option[String] = None, keepVersions: Int = 2): Unit = {
     require(statsCols.forall(df.schema.fieldNames.contains),
       s"statsCols not in schema: ${statsCols.filterNot(
         df.schema.fieldNames.contains)}")
+    requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
@@ -248,7 +315,7 @@ object ManifestTable {
     Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
-      df.schema, statsCols, entries, tag)
+      df.schema, statsCols, entries, tag, retain = keepVersions)
   }
 
   /** Z-ORDERED create: rows land on the Morton curve of (`zColA`,
@@ -271,6 +338,7 @@ object ManifestTable {
     require(missing.isEmpty,
       s"column(s) ${missing.mkString(",")} not in schema " +
       s"${df.schema.fieldNames.mkString(",")}")
+    requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
@@ -292,21 +360,45 @@ object ManifestTable {
     * preserves it). Same atomic commit and retention as
     * [[compactTable]]. */
   def compactTableZOrdered(spark: SparkSession, path: String, numFiles: Int,
-                           zColA: String, zColB: String): Unit = {
-    val m = readManifest(spark, path)
-    val missing = Seq(zColA, zColB).filterNot(m.schema.fieldNames.contains)
-    require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
-      s"the table schema ${m.schema.fieldNames.mkString(",")}")
-    val nextV = m.version + 1
-    val txnRel = s"data/txn-$nextV"
-    val statsCols = (m.statsCols ++
-      Seq(zColA, zColB).filterNot(_ == m.keyCol)).distinct
-    Tables.writeZOrdered(readFiles(spark, path, m), s"$path/$txnRel",
-      numFiles, zColA, zColB)
-    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-        statsCols), m.tag, Some((zColA, zColB)))
-    retire(spark, path, keepFrom = m.version)
+                           zColA: String, zColB: String,
+                           maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val missing = Seq(zColA, zColB).filterNot(m.schema.fieldNames.contains)
+      require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
+        s"the table schema ${m.schema.fieldNames.mkString(",")}")
+      val nextV = m.version + 1
+      val txnRel = freshTxnRel(nextV)
+      val statsCols = (m.statsCols ++
+        Seq(zColA, zColB).filterNot(_ == m.keyCol)).distinct
+      Tables.writeZOrdered(readFiles(spark, path, m), s"$path/$txnRel",
+        numFiles, zColA, zColB)
+      commitFence()
+      writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+        statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+          statsCols), m.tag, Some((zColA, zColB)), m.retain)
+      retire(spark, path, keepFrom = nextV - (m.retain - 1))
+    }
+
+  /** Drive one commit `attempt` against the latest manifest with
+    * optimistic FULL retry: on a lost version claim the snapshot is
+    * re-read and the attempt re-driven against the winner's state (a
+    * compaction or metadata commit derives everything from the current
+    * manifest, so re-driving IS its rebase — there is no cheaper
+    * disjoint path like [[attemptRewrite]]'s), up to `maxRetries` extra
+    * times, then the conflict surfaces loudly. Abandoned attempts' data
+    * files are grace-period orphans, swept by later retention. */
+  private def retryingCommit[T](spark: SparkSession, path: String,
+                                maxRetries: Int)(attempt: Manifest => T): T = {
+    var left = maxRetries
+    while (true) {
+      val m = readManifest(spark, path)
+      try return attempt(m)
+      catch { case e: ConcurrentCommitException =>
+        if (left <= 0) throw conflictExhausted(path, maxRetries, e)
+        left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-file (rows, min(key), max(key)) of a freshly written txn dir —
@@ -353,17 +445,21 @@ object ManifestTable {
     * undefined otherwise — same contract as the K3 JDBC upsert).
     * `numFiles` 0 = one output file per touched input file (+1 for a
     * pure insert). `setTag` commits consumer metadata atomically with
-    * the data; None preserves the current tag. */
+    * the data; None preserves the current tag. `maxRetries` bounds the
+    * optimistic-concurrency rebase/re-drive attempts after a lost
+    * version claim (0 = fail loudly on first conflict). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            numFiles: Int = 0, setTag: Option[String] = None): MergeStats =
-    rewrite(spark, path, Some(updates), None, numFiles, setTag)
+            numFiles: Int = 0, setTag: Option[String] = None,
+            maxRetries: Int = 3): MergeStats =
+    rewrite(spark, path, Some(updates), None, numFiles, setTag, maxRetries)
 
   /** Copy-on-write DELETE of the keys in `keys` (any DataFrame carrying
     * the key column). Touched files are rewritten without those rows;
     * untouched files are carried by reference. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
-                 numFiles: Int = 0, setTag: Option[String] = None): MergeStats =
-    rewrite(spark, path, None, Some(keys), numFiles, setTag)
+                 numFiles: Int = 0, setTag: Option[String] = None,
+                 maxRetries: Int = 3): MergeStats =
+    rewrite(spark, path, None, Some(keys), numFiles, setTag, maxRetries)
 
   /** Upsert `upserts` AND delete `delKeys` in ONE atomic commit (one
     * manifest rename) — the primitive incremental consumers need: a
@@ -373,8 +469,10 @@ object ManifestTable {
     * key; if both appear, the upsert wins). */
   def upsertAndDelete(spark: SparkSession, path: String, upserts: DataFrame,
                       delKeys: DataFrame, numFiles: Int = 0,
-                      setTag: Option[String] = None): MergeStats =
-    rewrite(spark, path, Some(upserts), Some(delKeys), numFiles, setTag)
+                      setTag: Option[String] = None,
+                      maxRetries: Int = 3): MergeStats =
+    rewrite(spark, path, Some(upserts), Some(delKeys), numFiles, setTag,
+      maxRetries)
 
   /** Current consumer tag, or None. */
   def readTag(spark: SparkSession, path: String): Option[String] =
@@ -422,65 +520,137 @@ object ManifestTable {
     * — `compactTable` after a mapping read — because old files would
     * otherwise silently misread). */
   def evolveSchema(spark: SparkSession, path: String,
-                   newCols: StructType): Unit = {
-    val m = readManifest(spark, path)
-    require(newCols.nonEmpty, "evolveSchema with no columns is a no-op " +
-      "that would still burn a version — refuse it")
-    require(newCols.fieldNames.distinct.length == newCols.fieldNames.length,
-      s"duplicate column names within newCols: " +
-      newCols.fieldNames.diff(newCols.fieldNames.distinct).mkString(","))
-    val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
-    require(clash.isEmpty,
-      s"evolveSchema only ADDS columns; ${clash.mkString(",")} already " +
-      "exist (drop/rename/retype require a rewrite)")
-    val widened = StructType(m.schema.fields ++
-      newCols.fields.map(_.copy(nullable = true)))
-    writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-      widened, m.statsCols, m.entries, m.tag, m.zCols)
-    retire(spark, path, keepFrom = m.version)
-  }
+                   newCols: StructType, maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(newCols.nonEmpty, "evolveSchema with no columns is a no-op " +
+        "that would still burn a version — refuse it")
+      require(newCols.fieldNames.distinct.length == newCols.fieldNames.length,
+        s"duplicate column names within newCols: " +
+        newCols.fieldNames.diff(newCols.fieldNames.distinct).mkString(","))
+      val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
+      require(clash.isEmpty,
+        s"evolveSchema only ADDS columns; ${clash.mkString(",")} already " +
+        "exist (drop/rename/retype require a rewrite)")
+      val widened = StructType(m.schema.fields ++
+        newCols.fields.map(_.copy(nullable = true)))
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain)
+      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+    }
 
   /** Metadata-only commit: same file list, new tag — used when a sync
     * window turns out to carry no data changes (a source compaction) but
     * the cursor must still advance so the empty diff is not recomputed
     * forever. */
-  def setTagOnly(spark: SparkSession, path: String, tag: String): Unit = {
-    val m = readManifest(spark, path)
-    writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType, m.schema,
-      m.statsCols, m.entries, Some(tag), m.zCols)
-    retire(spark, path, keepFrom = m.version)
-  }
+  def setTagOnly(spark: SparkSession, path: String, tag: String,
+                 maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain)
+      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+    }
+
+  /** Metadata-only commit changing the retention window (`keepVersions`
+    * ≥ 2, see [[create]]). WIDENING takes effect immediately; NARROWING
+    * sweeps the now-out-of-window versions on this commit's retirement
+    * pass. */
+  def setRetention(spark: SparkSession, path: String, keepVersions: Int,
+                   maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions)
+      retire(spark, path, keepFrom = m.version + 1 - (keepVersions - 1))
+    }
+
+  /** Fresh, collision-free txn dir for one commit ATTEMPT. Unique per
+    * attempt, not per version: two optimistic committers racing toward
+    * the same next version must never share a directory
+    * (`writeSortedBy`'s overwrite would clobber the other's files), and
+    * a rebase may commit these files under a LATER version than the dir
+    * name suggests — the name is cosmetic, manifests carry exact
+    * relative paths. An abandoned attempt's dir is referenced by no
+    * manifest and is swept by retention after the orphan grace. */
+  private def freshTxnRel(v: Long): String =
+    s"data/txn-$v-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** The touch set of `batchKeys` against a manifest: relPaths of files
+    * whose stored [min, max] key range contains at least one batch key —
+    * a broadcast interval join against the file-count-sized range table;
+    * min/max go back through a cast so the comparison is Spark's own
+    * ordering for the key type (exact for integral and string keys). */
+  private def touchSet(spark: SparkSession, batchKeys: DataFrame,
+                       keyK: Column, m: Manifest): Set[String] =
+    if (m.entries.isEmpty) Set.empty
+    else {
+      val ranges = spark.createDataFrame(
+          m.entries.map(e => (e.relPath, e.min.orNull, e.max.orNull)))
+        .toDF("__f", "__mn", "__mx")
+        .select(col("__f"), col("__mn").cast(m.keyType).as("__mn"),
+          col("__mx").cast(m.keyType).as("__mx"))
+      batchKeys.join(broadcast(ranges),
+          keyK >= col("__mn") && keyK <= col("__mx"))
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+    }
+
+  private def conflictExhausted(path: String, maxRetries: Int,
+                                cause: Throwable) =
+    new IllegalStateException(
+      s"commit conflict on $path persisted through $maxRetries retries — " +
+      "concurrent writers are committing faster than this one can " +
+      "rebase; re-drive the operation (or serialize the writers)", cause)
 
   private def rewrite(spark: SparkSession, path: String,
                       upserts0: Option[DataFrame], dels0: Option[DataFrame],
-                      numFiles: Int, setTag: Option[String]): MergeStats = {
-    val m = readManifest(spark, path)
-    val keyK = col(m.keyCol)
-    // both inputs are consumed twice (touch-set keys, then the rewrite)
-    // and may be expensive upstream derivations — persist for the
-    // duration of the commit, released in the finally
+                      numFiles: Int, setTag: Option[String],
+                      maxRetries: Int = 3): MergeStats = {
+    // both inputs are consumed repeatedly (touch-set keys, the rewrite,
+    // and possibly conflict re-drives) and may be expensive upstream
+    // derivations — persist for the duration, released in the finally
     val upserts = upserts0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dels = dels0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
+    try attemptRewrite(spark, path, readManifest(spark, path),
+      upserts, dels, numFiles, setTag, maxRetries)
+    finally {
+      upserts.foreach(_.unpersist(blocking = false))
+      dels.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** One optimistic rewrite attempt against snapshot `m`: compute the
+    * touch set, write the replacement files, then claim version
+    * `m.version+1`. On a lost claim the conflict handler below picks
+    * REBASE (winner disjoint — commit the same files on top, zero
+    * recompute) or RE-DRIVE (winner overlaps — recurse against the
+    * winner's state), spending one retry either way. */
+  private def attemptRewrite(spark: SparkSession, path: String, m: Manifest,
+                             upserts: Option[DataFrame],
+                             dels: Option[DataFrame], numFiles: Int,
+                             setTag: Option[String],
+                             retriesLeft: Int): MergeStats = {
+    // a batch carrying columns the table schema lacks would be silently
+    // narrowed by the select(orderedCols) projection below — after a
+    // source-side schema evolution that is exactly how direct merge()/
+    // upsertAndDelete() callers (e.g. StreamingUpsertJob's non-cdf path)
+    // would silently lose data, so refuse loudly with the same remedy
+    // applyChanges gives its feeds (dels only contribute their key
+    // column, so extra columns there are harmless by contract)
+    upserts.foreach { u =>
+      val unknown = u.columns.filterNot(m.schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"upsert batch carries column(s) ${unknown.mkString(",")} the " +
+        s"table schema lacks — evolve the table first " +
+        s"(ManifestTable.evolveSchema) or drop them explicitly")
+    }
+    val keyK = col(m.keyCol)
     val keySets = upserts.map(_.select(keyK)).toSeq ++
       dels.map(_.select(keyK)).toSeq
     val batchKeys = keySets.reduce(_ unionByName _).distinct()
-
-    // file-count-sized interval table, broadcast under the batch's keys;
-    // min/max go back through a cast so the comparison is Spark's own
-    // ordering for the key type (exact for integral and string keys)
-    val ranges = spark.createDataFrame(
-        m.entries.map(e => (e.relPath, e.min.orNull, e.max.orNull)))
-      .toDF("__f", "__mn", "__mx")
-      .select(col("__f"), col("__mn").cast(m.keyType).as("__mn"),
-        col("__mx").cast(m.keyType).as("__mx"))
-    val touched: Set[String] =
-      if (m.entries.isEmpty) Set.empty
-      else batchKeys.join(broadcast(ranges),
-          keyK >= col("__mn") && keyK <= col("__mx"))
-        .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val touched = touchSet(spark, batchKeys, keyK, m)
 
     val (touchedE, carriedE) = m.entries.partition(e => touched(e.relPath))
     val orderedCols = m.schema.fields.map(f => col(f.name).cast(f.dataType))
@@ -497,8 +667,7 @@ object ManifestTable {
       case None => survivors
     }
 
-    val nextV = m.version + 1
-    val txnRel = s"data/txn-$nextV"
+    val txnRel = freshTxnRel(m.version + 1)
     val nFiles =
       if (numFiles > 0) numFiles
       else math.max(1,
@@ -506,14 +675,45 @@ object ManifestTable {
     Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
     val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
 
-    writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-      m.statsCols, carriedE ++ newE, setTag.orElse(m.tag), m.zCols)
-    retire(spark, path, keepFrom = m.version)
-    MergeStats(nextV, m.entries.size, touchedE.size, newE.size, carriedE.size)
-    } finally {
-      upserts.foreach(_.unpersist(blocking = false))
-      dels.foreach(_.unpersist(blocking = false))
+    def commitOn(base: Manifest): MergeStats = {
+      val carriedNow = base.entries.filterNot(e => touched(e.relPath))
+      val nextV = base.version + 1
+      writeManifest(spark, path, nextV, base.keyCol, base.keyType,
+        base.schema, base.statsCols, carriedNow ++ newE,
+        setTag.orElse(base.tag), base.zCols, base.retain)
+      retire(spark, path, keepFrom = nextV - (base.retain - 1))
+      MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
+        carriedNow.size)
     }
+
+    /** Lost the version claim. Rebase iff the winner's state is DISJOINT
+      * from this batch: same schema/layout/stats AND the batch's touch
+      * set against the winner's manifest is exactly the files this
+      * attempt already read-and-rewrote — i.e. the winner neither
+      * rewrote a file we read (our survivors would resurrect its
+      * superseded rows) nor landed a new file covering any of our keys
+      * (both copies of a key would survive). Then committing the same
+      * files on top is serial-equivalent to winner-then-us. Anything
+      * else re-drives the whole rewrite against the winner's state. */
+    def onConflict(e: ConcurrentCommitException,
+                   retries: Int): MergeStats = {
+      if (retries <= 0) throw conflictExhausted(path, retriesLeft, e)
+      val latest = readManifest(spark, path)
+      val rebasable = latest.schema.json == m.schema.json &&
+        latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
+        touchSet(spark, batchKeys, keyK, latest) == touched
+      if (rebasable)
+        try commitOn(latest)
+        catch { case e2: ConcurrentCommitException =>
+          onConflict(e2, retries - 1) }
+      else attemptRewrite(spark, path, latest, upserts, dels, numFiles,
+        setTag, retries - 1)
+    }
+
+    commitFence()
+    try commitOn(m)
+    catch { case e: ConcurrentCommitException =>
+      onConflict(e, retriesLeft) }
   }
 
   /** CHANGE DATA FEED between two committed versions (both within the
@@ -638,8 +838,10 @@ object ManifestTable {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
             s"mirror tag v$from lagged past the source's retention " +
-            s"window (latest v$latest; the source keeps one superseded " +
-            "version) — re-bootstrap the mirror from a full source read")
+            s"window (latest v$latest; the source keeps its last " +
+            "`retain` versions) — re-bootstrap the mirror from a full " +
+            "source read, or widen the source's retention " +
+            "(ManifestTable.setRetention)")
       }
     applyChanges(spark, dstPath, feed, setTag = Some(latest.toString))
     Some((from, latest))
@@ -667,19 +869,30 @@ object ManifestTable {
     * curve — a maintenance pass must never silently change the physical
     * layout out from under the table's read patterns. Readers stay
     * concurrent: same manifest commit, same one-cycle retention. */
-  def compactTable(spark: SparkSession, path: String, numFiles: Int): Unit =
+  def compactTable(spark: SparkSession, path: String, numFiles: Int,
+                   maxRetries: Int = 3): Unit =
     readManifest(spark, path).zCols match {
-      case Some((a, b)) => compactTableZOrdered(spark, path, numFiles, a, b)
+      case Some((a, b)) =>
+        compactTableZOrdered(spark, path, numFiles, a, b, maxRetries)
       case None =>
-        val m = readManifest(spark, path)
-        val nextV = m.version + 1
-        val txnRel = s"data/txn-$nextV"
-        Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
-          numFiles, m.keyCol)
-        writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-          m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-            m.statsCols), m.tag)
-        retire(spark, path, keepFrom = m.version)
+        retryingCommit(spark, path, maxRetries) { m =>
+          // the layout can only change between the dispatch read above
+          // and this attempt via a concurrent Z migration — vanishingly
+          // rare, but committing key-sorted would silently drop the
+          // recorded curve, so refuse and let the caller re-dispatch
+          require(m.zCols.isEmpty, s"$path became Z-ordered while this " +
+            "compaction was in flight — re-run compactTable to dispatch " +
+            "onto the recorded layout")
+          val nextV = m.version + 1
+          val txnRel = freshTxnRel(nextV)
+          Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
+            numFiles, m.keyCol)
+          commitFence()
+          writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+            m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
+              m.statsCols), m.tag, zCols = None, retain = m.retain)
+          retire(spark, path, keepFrom = nextV - (m.retain - 1))
+        }
     }
 
   /** MANIFEST-LEVEL file pruning on a secondary stats column: read only
@@ -757,14 +970,25 @@ object ManifestTable {
   }
 
   /** Retention: keep every file referenced by a manifest >= `keepFrom`
-    * (the just-superseded version stays fully readable for one cycle),
-    * delete older manifests and any data file no kept manifest references
-    * — which also sweeps crashed-transaction orphans and zero-row part
-    * files. */
+    * (the manifest's `retain` window of superseded versions stays fully
+    * readable), delete older manifests and any data file no kept
+    * manifest references — which also sweeps crashed-transaction orphans
+    * and zero-row part files. An unreferenced data file is only deleted
+    * once it is OLDER than the orphan grace period
+    * (`graft.manifest.orphanGraceMs` in the session conf, default 15
+    * min): under optimistic concurrency an in-flight committer has
+    * written its attempt's txn files but not yet claimed a version, and
+    * a concurrent winner's sweep must not destroy files a rebase is
+    * about to commit — the same reason production formats age-gate
+    * their vacuum. Manifests themselves are committed (never in-flight),
+    * so out-of-window manifests are deleted immediately. */
   private def retire(spark: SparkSession, path: String,
                      keepFrom: Long): Unit = {
     val root = new Path(path)
     val fs = hfs(spark, root)
+    val graceMs = spark.conf.getOption("graft.manifest.orphanGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis
     val latest = latestVersion(spark, path).getOrElse(return)
     val keptVersions = (keepFrom to latest).filter(v =>
       fs.exists(manifestFile(path, v)))
@@ -779,13 +1003,16 @@ object ManifestTable {
           fs.delete(st.getPath, false)
       }
     }
-    // unreferenced data files out; then empty txn dirs
+    // unreferenced data files out (once past the grace); then empty
+    // txn dirs
     val dataDir = new Path(s"$path/data")
     if (!fs.exists(dataDir)) return
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { txn =>
       fs.listStatus(txn.getPath).foreach { f =>
         val rel = s"data/${txn.getPath.getName}/${f.getPath.getName}"
-        if (!referenced.contains(rel)) fs.delete(f.getPath, false)
+        if (!referenced.contains(rel) &&
+            now - f.getModificationTime > graceMs)
+          fs.delete(f.getPath, false)
       }
       if (fs.listStatus(txn.getPath).isEmpty) fs.delete(txn.getPath, false)
     }

@@ -481,8 +481,11 @@ object StreamingJobs {
         "users_sketch column — recompute those days (re-drop their " +
         "events or rebuild the rollup) before range-distinct queries; " +
         "unioning around them would silently undercount")
-    sel.agg(hll_sketch_estimate(hll_union_agg(col("users_sketch"))))
-      .head().getLong(0)
+    // hll_union_agg over zero rows yields NULL — a day range matching no
+    // rollup rows must answer 0 distinct users, not throw an opaque NPE
+    val r = sel.agg(hll_sketch_estimate(hll_union_agg(col("users_sketch"))))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /**

@@ -1,0 +1,201 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Optimistic concurrency on the manifest table: a loser of the atomic
+  * version claim must REBASE when the winner's commit is disjoint from
+  * its batch (same files committed on top, zero recompute), RE-DRIVE the
+  * whole operation when it overlaps (serial-equivalent result), and fail
+  * loudly once retries are exhausted — while retention's orphan grace
+  * keeps the loser's in-flight files alive through the winner's sweep.
+  * The race window is entered deterministically via
+  * [[ManifestTable.commitFence]] (invoked between an attempt's data
+  * write and its manifest claim); each installed fence DISARMS itself
+  * before running its competing commit, so the competitor commits with
+  * a no-op fence. */
+class ManifestConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mcc").toString + "/t"
+
+  private def base(n: Int = 1000): DataFrame =
+    (0 until n).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+
+  private def content(df: DataFrame): Set[(Long, String, Int)] =
+    df.select("id", "name", "grp").as[(Long, String, Int)].collect().toSet
+
+  /** Arm the fence to run `competitor` exactly once, self-disarming
+    * first so the competitor's own commit does not recurse. */
+  private def fenceOnce(competitor: => Unit): Unit = {
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    ManifestTable.commitFence = () =>
+      if (armed.getAndSet(false)) {
+        ManifestTable.commitFence = () => ()
+        competitor
+      }
+  }
+
+  private def txnDirs(path: String, prefix: String): Seq[String] = {
+    val data = new java.io.File(path, "data")
+    Option(data.list()).fold(Seq.empty[String])(_.toSeq)
+      .filter(_.startsWith(prefix))
+  }
+
+  test("key-disjoint race: the loser REBASES — both commits land, the " +
+    "result is serial-equivalent, and the loser's already-written files " +
+    "are committed as-is (no third-version recompute dir)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // winner updates the TOP of the key space; loser the bottom —
+      // different files, disjoint keys
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          (900L to 909L).map(i => (i, s"win_$i", 50)).toDF("id", "name", "grp"))
+        ()
+      }
+      val st = ManifestTable.merge(spark, path,
+        (100L to 109L).map(i => (i, s"lose_$i", 60)).toDF("id", "name", "grp"))
+      assert(st.version == 3L, s"loser must land on top of the winner: $st")
+      assert(ManifestTable.latestVersion(spark, path).contains(3L))
+      val expect = content(base())
+        .filterNot(r => (r._1 >= 900 && r._1 <= 909) ||
+          (r._1 >= 100 && r._1 <= 109)) ++
+        (900L to 909L).map(i => (i, s"win_$i", 50)) ++
+        (100L to 109L).map(i => (i, s"lose_$i", 60))
+      assert(content(ManifestTable.read(spark, path)) == expect,
+        "serial-equivalent: both batches applied")
+      // rebase proof: both attempts wrote dirs named for intended v2;
+      // a full re-drive would have written a txn-3-* dir
+      assert(txnDirs(path, "txn-3-").isEmpty,
+        "disjoint conflict must rebase the written files, not recompute")
+      assert(txnDirs(path, "txn-2-").size == 2,
+        "winner's and loser's attempt dirs both live")
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("overlapping race: the loser RE-DRIVES against the winner's " +
+    "state — last writer wins per key, serial-equivalent to " +
+    "winner-then-loser") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((100L, "winner", 1)).toDF("id", "name", "grp"))
+        ()
+      }
+      val st = ManifestTable.merge(spark, path,
+        Seq((100L, "loser", 2), (101L, "loser", 2)).toDF("id", "name", "grp"))
+      assert(st.version == 3L)
+      // the re-drive wrote a fresh attempt dir for version 3
+      assert(txnDirs(path, "txn-3-").size == 1,
+        "overlapping conflict must recompute against the winner's state")
+      val got = content(ManifestTable.read(spark, path))
+      assert(got.contains((100L, "loser", 2)) &&
+        got.contains((101L, "loser", 2)),
+        "serial-equivalent: the loser's values supersede the winner's on " +
+        s"the contended key; got ${got.filter(r => r._1 == 100L || r._1 == 101L)}")
+      assert(got.size == 1000)
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("maxRetries = 0: an overlapping race is refused loudly instead " +
+    "of rebased (the unsafe cheap path must never run on overlap)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((5L, "winner", 1)).toDF("id", "name", "grp"))
+        ()
+      }
+      val e = intercept[IllegalStateException] {
+        ManifestTable.merge(spark, path,
+          Seq((5L, "loser", 2)).toDF("id", "name", "grp"), maxRetries = 0)
+      }
+      assert(e.getMessage.contains("commit conflict"))
+      // the winner's commit is intact
+      assert(content(ManifestTable.read(spark, path))
+        .contains((5L, "winner", 1)))
+      assert(ManifestTable.latestVersion(spark, path).contains(2L))
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("a compaction racing a merge re-drives and folds the merge in " +
+    "(a compaction's touch set is everything — it can never rebase)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(200), path, "id", numFiles = 4)
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((7L, "merged", 9), (950L, "ins", 9)).toDF("id", "name", "grp"))
+        ()
+      }
+      ManifestTable.compactTable(spark, path, numFiles = 2)
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.version == 3L && m.entries.size == 2)
+      val got = content(ManifestTable.read(spark, path))
+      assert(got.contains((7L, "merged", 9)) && got.contains((950L, "ins", 9)),
+        "the re-driven compaction must include the winner merge's rows")
+      assert(got.size == 201)
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("two real threads through the race window: both land, " +
+    "serial-equivalent result") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      val loserInWindow = new java.util.concurrent.CountDownLatch(1)
+      val winnerDone = new java.util.concurrent.CountDownLatch(1)
+      // the loser thread enters the fence first (fence disarms itself, so
+      // the winner — committing after — runs with a no-op fence), parks
+      // until the winner's commit has landed, then claims and loses
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      ManifestTable.commitFence = () =>
+        if (armed.getAndSet(false)) {
+          ManifestTable.commitFence = () => ()
+          loserInWindow.countDown()
+          winnerDone.await()
+        }
+      @volatile var loserStats: ManifestTable.MergeStats = null
+      @volatile var loserErr: Throwable = null
+      val t = new Thread(() =>
+        try loserStats = ManifestTable.merge(spark, path,
+          (100L to 104L).map(i => (i, s"t_$i", 1)).toDF("id", "name", "grp"))
+        catch { case e: Throwable => loserErr = e })
+      t.start()
+      assert(loserInWindow.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      ManifestTable.merge(spark, path,
+        (900L to 904L).map(i => (i, s"m_$i", 2)).toDF("id", "name", "grp"))
+      winnerDone.countDown()
+      t.join(120000)
+      assert(!t.isAlive && loserErr == null, s"loser failed: $loserErr")
+      assert(loserStats.version == 3L)
+      val got = content(ManifestTable.read(spark, path))
+      assert((100L to 104L).forall(i => got.contains((i, s"t_$i", 1))) &&
+        (900L to 904L).forall(i => got.contains((i, s"m_$i", 2))))
+      assert(got.size == 1000)
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+}

@@ -135,11 +135,17 @@ class ManifestTableSpec extends SparkSpec {
     val path = tmp()
     try {
       ManifestTable.create(base(100), path, "id", numFiles = 2)
-      // simulate a crashed transaction: data written, no manifest
+      // simulate a crashed transaction: data written, no manifest —
+      // backdated past the orphan grace period (a FRESH unreferenced
+      // file may belong to an in-flight optimistic committer and must
+      // survive the sweep; only aged orphans are collected)
       val orphan = java.nio.file.Paths.get(s"$path/data/txn-2")
       java.nio.file.Files.createDirectories(orphan)
-      java.nio.file.Files.write(orphan.resolve("part-zzz.parquet"),
-        Array[Byte](1, 2, 3))
+      val orphanFile = orphan.resolve("part-zzz.parquet")
+      java.nio.file.Files.write(orphanFile, Array[Byte](1, 2, 3))
+      java.nio.file.Files.setLastModifiedTime(orphanFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 24L * 3600 * 1000))
       assert(ManifestTable.read(spark, path).count() == 100L,
         "reader must see only manifest-listed files")
       // the retried transaction overwrites the orphan dir and commits
@@ -147,8 +153,8 @@ class ManifestTableSpec extends SparkSpec {
         Seq((0L, "x", 0)).toDF("id", "name", "grp"))
       assert(st.version == 2L)
       assert(ManifestTable.read(spark, path).count() == 100L)
-      assert(!java.nio.file.Files.exists(orphan.resolve("part-zzz.parquet")),
-        "orphan bytes must be gone after the successful commit")
+      assert(!java.nio.file.Files.exists(orphanFile),
+        "aged orphan bytes must be gone after the successful commit")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
@@ -180,6 +186,90 @@ class ManifestTableSpec extends SparkSpec {
         ManifestTable.create(withNull, path, "id", numFiles = 1)
       }
       assert(e.getMessage.contains("null merge key"))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("non-round-trippable merge-key types are refused at create time " +
+    "(double NaN / binary non-UTF8 would silently corrupt merges)") {
+    val path = tmp()
+    try {
+      val dbl = Seq((1.5, "a"), (Double.NaN, "b")).toDF("k", "v")
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.create(dbl, path, "k", numFiles = 1)
+      }
+      assert(e.getMessage.contains("integral or string"))
+      val bin = Seq((Array[Byte](1, 2), "a")).toDF("k", "v")
+      intercept[IllegalArgumentException] {
+        ManifestTable.create(bin, path, "k", numFiles = 1)
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.createZOrdered(
+          Seq((1.5, 1L, 2L)).toDF("k", "a", "b"), path, "k", 1, "a", "b")
+      }
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("an upsert batch wider than the table schema is refused loudly " +
+    "(direct merge callers get the same guard as applyChanges feeds)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(20), path, "id", numFiles = 1)
+      val wide = Seq((3L, "x", 1, 99L)).toDF("id", "name", "grp", "extra")
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.merge(spark, path, wide)
+      }
+      assert(e.getMessage.contains("evolve the table first"))
+      // the table is untouched
+      assert(ManifestTable.latestVersion(spark, path).contains(1L))
+      assert(content(ManifestTable.read(spark, path)) == content(base(20)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("configurable retention: keepVersions=3 gives two-hop time " +
+    "travel and a two-commit consumer lag window; setRetention " +
+    "narrowing sweeps on the next pass") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2,
+        keepVersions = 3)
+      assert(ManifestTable.readManifest(spark, path).retain == 3)
+      val v1 = content(ManifestTable.readAt(spark, path, 1))
+      ManifestTable.merge(spark, path,
+        Seq((0L, "a2", 0)).toDF("id", "name", "grp"))            // v2
+      ManifestTable.merge(spark, path,
+        Seq((1L, "a3", 0)).toDF("id", "name", "grp"))            // v3
+      // two hops back: v1 still fully readable
+      assert(content(ManifestTable.readAt(spark, path, 1)) == v1,
+        "keepVersions=3 must keep two superseded versions readable")
+      // a consumer lagging TWO commits still syncs (diff spans v1→v3)
+      val cdf = ManifestTable.changesBetween(spark, path, 1L, 3L)
+        .as[(String, Long, String, Int)].collect().toSet
+      assert(cdf == Set(("update_pre", 0L, "name_0", 0),
+        ("update_post", 0L, "a2", 0),
+        ("update_pre", 1L, "name_1", 1), ("update_post", 1L, "a3", 0)))
+      ManifestTable.merge(spark, path,
+        Seq((2L, "a4", 0)).toDF("id", "name", "grp"))            // v4
+      // window slid: v1 retired, v2 still in
+      intercept[java.io.FileNotFoundException] {
+        ManifestTable.readManifestAt(spark, path, 1)
+      }
+      assert(ManifestTable.readAt(spark, path, 2).count() == 100L)
+      // retain survives every commit kind
+      ManifestTable.compactTable(spark, path, numFiles = 2)      // v5
+      assert(ManifestTable.readManifest(spark, path).retain == 3)
+      assert(ManifestTable.readAt(spark, path, 3).count() == 100L)
+      // narrow back to 2: the sweep keeps only v5 + the v6 metadata
+      // commit; v4 and older retire immediately
+      ManifestTable.setRetention(spark, path, 2)                 // v6
+      assert(ManifestTable.readManifest(spark, path).retain == 2)
+      intercept[java.io.FileNotFoundException] {
+        ManifestTable.readManifestAt(spark, path, 4)
+      }
+      assert(ManifestTable.readAt(spark, path, 5).count() == 100L)
+      // a window below 2 is refused (changesBetween needs both sides)
+      intercept[IllegalArgumentException] {
+        ManifestTable.setRetention(spark, path, 1)
+      }
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
