@@ -174,11 +174,12 @@ object Queries {
     (base, updates)
   }
 
-  /** The m1 merge replayed in pure SQL (anti-join out the updated keys,
-    * union the batch) rolled up by priority — the shared oracle for the
-    * copy-on-write upsert (m1) and the incrementally-maintained view of
-    * the same rollup (m4): both must hash-match THIS full recompute. */
-  private val mergedRollupSql: String =
+  /** The m1 merge's state replayed in pure SQL as a WITH prefix (`base`
+    * = pre-merge table, `merged` = anti-join out the updated keys ∪ the
+    * batch) — shared by every oracle that needs a snapshot of the
+    * m-family fixture table ([[mergedRollupSql]], m8's per-version
+    * replays). */
+  private val mergedCteSql: String =
     """WITH base AS (
       |  SELECT o_orderkey, o_orderpriority,
       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
@@ -195,7 +196,14 @@ object Queries {
       |merged AS (
       |  SELECT * FROM base
       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-      |  UNION ALL SELECT * FROM upd)
+      |  UNION ALL SELECT * FROM upd)""".stripMargin
+
+  /** The m1 merge replayed in pure SQL (anti-join out the updated keys,
+    * union the batch) rolled up by priority — the shared oracle for the
+    * copy-on-write upsert (m1) and the incrementally-maintained view of
+    * the same rollup (m4): both must hash-match THIS full recompute. */
+  private val mergedRollupSql: String = mergedCteSql +
+    """
       |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(price_cents) AS BIGINT) AS total_cents
       |FROM merged GROUP BY o_orderpriority""".stripMargin
@@ -920,6 +928,66 @@ object Queries {
       graft.io.ManifestTable.read(s, path)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // CONDITIONAL MERGE (the Delta `WHEN MATCHED AND … THEN UPDATE SET
+    // <subset> / DELETE` shape, ManifestTable.mergeInto): matched keys
+    // (≡3 mod 7) either take a COLUMN-SUBSET update — price bumped by
+    // the source's delta while the priority column is KEPT, proving
+    // unnamed columns carry the target's values — when the target price
+    // clears the threshold, or are DELETED by the next clause
+    // (first-match-wins); unmatched source keys (shifted beyond the key
+    // space) insert. The oracle replays the clause algebra in SQL, so
+    // the hash gates conditional-merge semantics end to end.
+    "m7_merge_conditional" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val b = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val mk = b.agg(max("o_orderkey")).first().getLong(0)
+      val src = b.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), lit("COND").as("o_orderpriority"),
+            col("price_cents"), (col("price_cents") % 1000L).as("delta"))
+        .unionByName(b.filter(col("o_orderkey") % 17 === 2)
+          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+            lit("CINS").as("o_orderpriority"), col("price_cents"),
+            lit(0L).as("delta")))
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(b, path, "o_orderkey", numFiles = 8)
+      import graft.io.ManifestTable.{WhenMatched, UpdateSet, DeleteMatched}
+      graft.io.ManifestTable.mergeInto(s, path, src, Seq(
+        WhenMatched(Some(col("t.price_cents") > lit(15000000L)),
+          UpdateSet(Map("price_cents" ->
+            (col("t.price_cents") + col("s.delta"))))),
+        WhenMatched(None, DeleteMatched)))
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // MULTI-HOP TIME TRAVEL under a configurable retention window
+    // (keepVersions = 3): after two mutations the table serves all
+    // three snapshots — v1 (pre-merge), v2 (merged), v3 (post-delete) —
+    // unioned with a version label. The oracle replays each snapshot
+    // independently in SQL, so the hash gates that every hop serves
+    // EXACTLY its committed content (any cross-version leakage breaks
+    // it). The one-superseded-version default is m6; this is the
+    // deeper window a consumer that misses a cycle needs.
+    "m8_time_travel_deep" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8,
+        keepVersions = 3)
+      graft.io.ManifestTable.merge(s, path, updates)              // v2
+      graft.io.ManifestTable.deleteKeys(s, path,                  // v3
+        graft.io.ManifestTable.read(s, path)
+          .filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      def roll(v: Long) = graft.io.ManifestTable.readAt(s, path, v)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+        .withColumn("version", lit(v))
+      roll(1L).unionByName(roll(2L)).unionByName(roll(3L))
     }),
 
     // ORDER BY + LIMIT (deterministic tie-break) — TakeOrderedAndProject.
@@ -2520,6 +2588,46 @@ object Queries {
         |    AS BIGINT) AS total_cents
         |FROM orders WHERE o_orderkey % 13 <> 4
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // m7 replays the conditional-merge clause algebra: matched keys
+    // either take the subset price update (threshold clause) or fall to
+    // the DELETE clause; unmatched source keys insert.
+    "m7_merge_conditional" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT * FROM base WHERE o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |    price_cents + (price_cents % 1000)
+        |  FROM base WHERE o_orderkey % 7 = 3 AND price_cents > 15000000
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+        |    'CINS', price_cents
+        |  FROM base WHERE o_orderkey % 17 = 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
+
+    // m8 replays each snapshot independently: v1 = the plain rollup,
+    // v2 = the merged rollup, v3 = merged minus the deleted keys.
+    "m8_time_travel_deep" -> (mergedCteSql +
+      """
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(1 AS BIGINT) AS version
+        |FROM base GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(price_cents) AS BIGINT), CAST(2 AS BIGINT)
+        |FROM merged GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(price_cents) AS BIGINT), CAST(3 AS BIGINT)
+        |FROM merged WHERE o_orderkey % 13 <> 4
+        |GROUP BY o_orderpriority""".stripMargin),
 
     // j4 reads session-built bucketed COPIES of orders/lineitem; the rows
     // are identical, so the oracle is the plain join over the originals.

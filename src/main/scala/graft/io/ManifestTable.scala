@@ -474,6 +474,122 @@ object ManifestTable {
     rewrite(spark, path, Some(upserts), Some(delKeys), numFiles, setTag,
       maxRetries)
 
+  /** One `WHEN MATCHED [AND condition] THEN action` clause of a
+    * conditional merge ([[mergeInto]]). `condition` (None = always) and
+    * [[UpdateSet]] expressions reference TARGET columns as `t.<col>`
+    * and SOURCE columns as `s.<col>`. */
+  case class WhenMatched(condition: Option[Column], action: MatchedAction)
+  sealed trait MatchedAction
+  /** Update only the named columns; the rest keep the target's values.
+    * The merge key itself is not updatable (rewriting identity breaks
+    * the key contract — delete + insert instead). */
+  case class UpdateSet(set: Map[String, Column]) extends MatchedAction
+  /** Remove the matched row. */
+  case object DeleteMatched extends MatchedAction
+
+  /** CONDITIONAL copy-on-write MERGE — the Delta-merge shape, so a CDC
+    * feed with column-level updates needs no pre-joining:
+    * {{{
+    * MERGE INTO target t USING source s ON t.key = s.key
+    *   WHEN MATCHED AND <cond1> THEN UPDATE SET colA = <expr>, ...
+    *   WHEN MATCHED AND <cond2> THEN DELETE
+    *   WHEN NOT MATCHED THEN INSERT *
+    * }}}
+    * Clauses apply FIRST-MATCH-WINS per row; a matched row no clause
+    * accepts is carried unchanged, and `insertUnmatched` controls the
+    * NOT MATCHED branch (the source must then carry the full table
+    * schema; extra source columns are fine either way — usable in
+    * conditions, never written). `source` must be key-unique.
+    *
+    * Composition: the matched rows are resolved here (touch-set-pruned
+    * file read + broadcast-friendly key join), then the post-images and
+    * delete keys land through [[upsertAndDelete]] — ONE atomic commit
+    * with the full optimistic-concurrency protocol. The touched files
+    * are read twice (once to resolve matches, once in the rewrite's
+    * survivor pass) — the price of composing on the audited commit
+    * path; both reads are touch-set-bounded, never table scans. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                whenMatched: Seq[WhenMatched],
+                insertUnmatched: Boolean = true,
+                numFiles: Int = 0, setTag: Option[String] = None,
+                maxRetries: Int = 3): MergeStats = {
+    val m = readManifest(spark, path)
+    val key = m.keyCol
+    val tableCols = m.schema.fieldNames
+    whenMatched.foreach {
+      case WhenMatched(_, UpdateSet(set)) =>
+        val unknown = set.keys.filterNot(tableCols.contains)
+        require(unknown.isEmpty, s"UPDATE SET names column(s) " +
+          s"${unknown.mkString(",")} not in the table schema")
+        require(!set.contains(key), s"UPDATE SET must not rewrite the " +
+          s"merge key '$key' — delete + insert instead")
+      case _ => ()
+    }
+    if (insertUnmatched) {
+      val missing = tableCols.filterNot(source.columns.contains)
+      require(missing.isEmpty, "WHEN NOT MATCHED THEN INSERT needs the " +
+        s"source to carry the full table schema; missing: " +
+        missing.mkString(","))
+    } else require(source.columns.contains(key),
+      s"source lacks the merge key column '$key'")
+
+    // resolved several times below (matched join, inserts, and the
+    // rewrite underneath) — persist for the duration
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = touchSet(spark, src.select(col(key)).distinct(),
+        col(key), m)
+      val touchedE = m.entries.filter(e => touched(e.relPath))
+      val target =
+        if (touchedE.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        else spark.read.schema(m.schema)
+          .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
+      val joined = target.alias("t")
+        .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
+      // first-match-wins clause index per matched row (−1 = no clause
+      // accepts the row → it is NOT in the batch and survives unchanged)
+      val actionIdx = whenMatched.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((wm, i), rest) =>
+          when(wm.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      }
+      val acted = joined.withColumn("__action", actionIdx)
+      val updates = whenMatched.zipWithIndex.collect {
+        case (WhenMatched(_, UpdateSet(set)), i) =>
+          acted.filter(col("__action") === i)
+            .select(tableCols.toSeq.map(c =>
+              set.getOrElse(c, col(s"t.$c")).as(c)): _*)
+      }
+      val deleteIdx = whenMatched.zipWithIndex.collect {
+        case (WhenMatched(_, DeleteMatched), i) => i
+      }
+      val dels =
+        if (deleteIdx.isEmpty) None
+        else Some(acted
+          .filter(col("__action").isin(deleteIdx.map(Int.box): _*))
+          .select(col(s"t.$key").as(key)))
+      val inserts =
+        if (!insertUnmatched) None
+        else Some(src.alias("s")
+          .join(target.select(col(key)), Seq(key), "left_anti")
+          .select(tableCols.toSeq.map(c => col(c)): _*))
+      val upserts = (updates ++ inserts.toSeq).reduceOption(_ unionByName _)
+      (upserts, dels) match {
+        case (None, None) =>
+          // nothing to change: no version burned, but a requested tag
+          // still lands (metadata-only), mirroring applyChanges
+          setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
+          val n = m.entries.size
+          MergeStats(latestVersion(spark, path).getOrElse(m.version),
+            n, 0, 0, n)
+        case _ =>
+          rewrite(spark, path, upserts, dels, numFiles, setTag, maxRetries)
+      }
+    } finally src.unpersist(blocking = false)
+  }
+
   /** Current consumer tag, or None. */
   def readTag(spark: SparkSession, path: String): Option[String] =
     readManifest(spark, path).tag

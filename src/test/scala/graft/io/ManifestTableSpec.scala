@@ -273,6 +273,72 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("mergeInto: conditional clauses apply first-match-wins — subset " +
+    "update / delete / carry-unchanged / insert, one atomic commit, " +
+    "touch-set bounded") {
+    import ManifestTable.{WhenMatched, UpdateSet, DeleteMatched}
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // source: keys 100..109 with a delta column (extra, never written);
+      // + one unmatched key
+      val src = ((100L to 109L).map(i => (i, s"src_$i", 7, i * 10)) :+
+        ((5000L, "ins_5000", 7, 0L)))
+        .toDF("id", "name", "grp", "delta")
+      val st = ManifestTable.mergeInto(spark, path, src, Seq(
+        // delta > 1050 → delete (keys 106..109)
+        WhenMatched(Some(col("s.delta") > 1050L), DeleteMatched),
+        // even target grp → bump ONLY grp by delta/100; name kept
+        WhenMatched(Some(col("t.grp") % 2 === 0),
+          UpdateSet(Map("grp" -> (col("t.grp") + col("s.delta") / 100L)
+            .cast("int")))),
+        // a later always-true clause must NOT shadow the earlier ones
+        WhenMatched(None, UpdateSet(Map("name" -> col("s.name"))))))
+      assert(st.filesRewritten <= 2 && st.filesCarried >= 6,
+        s"key-local conditional merge must stay touch-set bounded: $st")
+      val got = content(ManifestTable.read(spark, path))
+      // deleted: 106..109 gone
+      (106L to 109L).foreach(i => assert(!got.exists(_._1 == i)))
+      // 100..105: grp%7 — even-grp rows got grp bumped (name kept),
+      // odd-grp rows fell to the catch-all name update (grp kept)
+      (100L to 105L).foreach { i =>
+        val g = (i % 7).toInt
+        if (g % 2 == 0)
+          assert(got.contains((i, s"name_$i", g + (i * 10 / 100).toInt)),
+            s"even-grp key $i must take the subset update")
+        else assert(got.contains((i, s"src_$i", g)),
+          s"odd-grp key $i must take the catch-all name update")
+      }
+      // unmatched source key inserted; untouched target rows intact
+      assert(got.contains((5000L, "ins_5000", 7)))
+      assert(got.contains((500L, "name_500", (500 % 7))))
+      assert(got.size == 1000 - 4 + 1)
+
+      // insertUnmatched = false: the unmatched key is ignored
+      val st2 = ManifestTable.mergeInto(spark, path,
+        Seq((6000L, "never", 1, 0L)).toDF("id", "name", "grp", "delta"),
+        Seq(WhenMatched(None, UpdateSet(Map("grp" -> lit(9))))),
+        insertUnmatched = false)
+      assert(!content(ManifestTable.read(spark, path)).exists(_._1 == 6000L))
+      assert(st2.filesRewritten == 0)
+
+      // refusals: key update, unknown column, missing insert schema
+      intercept[IllegalArgumentException] {
+        ManifestTable.mergeInto(spark, path, src,
+          Seq(WhenMatched(None, UpdateSet(Map("id" -> lit(1L))))))
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.mergeInto(spark, path, src,
+          Seq(WhenMatched(None, UpdateSet(Map("nope" -> lit(1L))))))
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.mergeInto(spark, path,
+          Seq((1L, 5L)).toDF("id", "delta"),
+          Seq(WhenMatched(None, DeleteMatched)), insertUnmatched = true)
+      }
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("string keys work end-to-end (ordering is Spark's, via the " +
     "cast-back range join)") {
     val path = tmp()
