@@ -65,15 +65,26 @@ object AggView {
     val from = ManifestTable.numericTag(spark, viewPath,
       s"no sync tag on $viewPath — bootstrap the view first")
     if (from >= latest) return None
-    val feed =
-      try ManifestTable.changesBetween(spark, srcPath, from, latest)
+    // the UNLABELED diff sides: a fold only needs signs (+1 per added
+    // row, −1 per removed row — update_pre/post labels carry nothing
+    // extra for it), so skipping changesBetween's update-key
+    // intersection and label joins saves a diff-wide shuffle per sync
+    val (adds, dels, _) =
+      try ManifestTable.changeSidesBetween(spark, srcPath, from, latest)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
             s"view tag v$from lagged past the source's retention " +
             s"window (latest v$latest) — re-bootstrap the view")
       }
-    applyFeed(spark, viewPath, feed, latest, grpCol, valCol)
+    val deltas = adds.select(col(grpCol), col(valCol), lit(1L).as("__s"))
+      .unionByName(dels.select(col(grpCol), col(valCol), lit(-1L).as("__s")))
+      .groupBy(grpCol)
+      .agg(sum(col("__s")).as("dn"),
+        sum(col("__s") * col(valCol)).as("dtotal"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyDeltas(spark, viewPath, deltas, latest, grpCol)
+    finally deltas.unpersist(blocking = false)
     Some((from, latest))
   }
 
@@ -97,7 +108,15 @@ object AggView {
     val deltas = feed.groupBy(grpCol)
       .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("dtotal"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try applyDeltas(spark, viewPath, deltas, targetV, grpCol)
+    finally deltas.unpersist(blocking = false)
+  }
+
+  /** Commit the per-group (dn, dtotal) deltas: shared tail of the
+    * labeled ([[applyFeed]]) and unlabeled ([[sync]]) paths. */
+  private def applyDeltas(spark: SparkSession, viewPath: String,
+                          deltas: DataFrame, targetV: Long,
+                          grpCol: String): Unit = {
       if (deltas.isEmpty) {
         // no data change in the window (e.g. a source compaction):
         // advance the tag so the empty diff is not recomputed forever
@@ -124,6 +143,5 @@ object AggView {
           setTag = Some(targetV.toString))
         ()
       } finally applied.unpersist(blocking = false)
-    } finally deltas.unpersist(blocking = false)
   }
 }

@@ -68,7 +68,13 @@ import java.nio.charset.StandardCharsets.UTF_8
  *
  * Scale notes: the manifest is driver-side and file-count-sized — at
  * petabyte scale a production format shards it (manifest lists); the
- * mechanism here is the same, single-level. Successive merges add txn
+ * mechanism here is the same, single-level. Measured operating bound
+ * (ManifestScaleSpec, 10,000 entries with one secondary stats column,
+ * warm JVM): manifest ≈ 0.76 MB, write ≈ 66 ms, parse ≈ 68 ms,
+ * interval-cut (one small Spark job) ≈ 0.7 s — all O(file count), so
+ * ~10⁵ files (≈ 10 MB manifest, sub-second driver parse) is the
+ * practical single-level ceiling before manifest-list sharding is the
+ * right design. Successive merges add txn
  * files whose ranges overlap older ones, degrading the touch-set bound
  * toward "all files" — [[compactTable]] restores globally disjoint
  * per-file ranges, exactly like the LSM index compactions. Merge keys
@@ -849,6 +855,33 @@ object ManifestTable {
     * with the size of the touched files, not the table. */
   def changesBetween(spark: SparkSession, path: String,
                      fromV: Long, toV: Long): DataFrame = {
+    val (adds, dels, m) = changeSidesBetween(spark, path, fromV, toV)
+    val key = col(m.keyCol)
+    val cols = m.schema.fieldNames.map(col)
+    // a key present on both sides of the surviving diff is an update
+    val updKeys = adds.select(key).intersect(dels.select(key))
+      .withColumn("__upd", lit(true))
+    def label(df: DataFrame, updLabel: String, plainLabel: String) =
+      df.join(updKeys, Seq(m.keyCol), "left")
+        .select(when(col("__upd"), updLabel).otherwise(plainLabel)
+          .as("_change_type") +: cols: _*)
+    label(adds, "update_post", "insert")
+      .unionByName(label(dels, "update_pre", "delete"))
+  }
+
+  /** The UNLABELED change feed: (adds, dels, toManifest) — the row
+    * multisets present only at `toV` / only at `fromV`, computed from
+    * the manifest-DISAGREEING files exactly like [[changesBetween]]
+    * (which is these sides plus Delta-CDF labeling). Incremental
+    * consumers that reduce the feed anyway — the agg view folds signs
+    * (+1 per add, −1 per del; pre/post labels carry no extra
+    * information for it), the mirror upserts all adds and deletes the
+    * del-only keys — read the sides directly and skip the update-key
+    * intersection and two label joins, one diff-wide shuffle less per
+    * sync cycle. */
+  def changeSidesBetween(spark: SparkSession, path: String,
+                         fromV: Long, toV: Long)
+      : (DataFrame, DataFrame, Manifest) = {
     val mFrom = readManifestAt(spark, path, fromV)
     val mTo = readManifestAt(spark, path, toV)
     val fromRel = mFrom.entries.map(_.relPath).toSet
@@ -869,19 +902,7 @@ object ManifestTable {
     }
     val oldRows = side(mFrom.entries, toRel)
     val newRows = side(mTo.entries, fromRel)
-    val adds = newRows.exceptAll(oldRows)
-    val dels = oldRows.exceptAll(newRows)
-    val key = col(mFrom.keyCol)
-    val cols = mTo.schema.fieldNames.map(col)
-    // a key present on both sides of the surviving diff is an update
-    val updKeys = adds.select(key).intersect(dels.select(key))
-      .withColumn("__upd", lit(true))
-    def label(df: DataFrame, updLabel: String, plainLabel: String) =
-      df.join(updKeys, Seq(mFrom.keyCol), "left")
-        .select(when(col("__upd"), updLabel).otherwise(plainLabel)
-          .as("_change_type") +: cols: _*)
-    label(adds, "update_post", "insert")
-      .unionByName(label(dels, "update_pre", "delete"))
+    (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows), mTo)
   }
 
   /** Apply a change feed (the [[changesBetween]] shape) to ANOTHER
@@ -948,8 +969,8 @@ object ManifestTable {
       s"no sync tag on $dstPath — bootstrap the mirror first " +
       "(create from a source read with tag = that source version)")
     if (from >= latest) return None
-    val feed =
-      try changesBetween(spark, srcPath, from, latest)
+    val (adds, dels, mTo) =
+      try changeSidesBetween(spark, srcPath, from, latest)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
@@ -959,7 +980,37 @@ object ManifestTable {
             "source read, or widen the source's retention " +
             "(ManifestTable.setRetention)")
       }
-    applyChanges(spark, dstPath, feed, setTag = Some(latest.toString))
+    // destination-schema guard, same refusal as applyChanges: a source
+    // evolution the mirror has not adopted must not silently narrow
+    val dstSchema = readManifest(spark, dstPath).schema
+    val unknown = mTo.schema.fieldNames.filterNot(dstSchema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"source feed carries column(s) ${unknown.mkString(",")} the mirror " +
+      s"schema lacks — evolve the mirror first (ManifestTable.evolveSchema)")
+    // the unlabeled sides ARE the mirror's plan: every add upserts
+    // (insert and update_post alike), del-only keys delete (update_pre
+    // rows are dels with a matching add — superseded, anti-joined away);
+    // both sides derive from one diff, persisted for the two consumers
+    val addsP = adds.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delsP = dels.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (addsP.isEmpty && delsP.isEmpty)
+        // no data change (e.g. the window covered only a compaction):
+        // still advance the tag so the empty diff is not recomputed
+        setTagOnly(spark, dstPath, latest.toString)
+      else {
+        val delKeys = delsP.select(col(mTo.keyCol))
+          .join(addsP.select(col(mTo.keyCol)), Seq(mTo.keyCol), "left_anti")
+        upsertAndDelete(spark, dstPath, addsP, delKeys,
+          setTag = Some(latest.toString))
+        ()
+      }
+    } finally {
+      addsP.unpersist(blocking = false)
+      delsP.unpersist(blocking = false)
+    }
     Some((from, latest))
   }
 

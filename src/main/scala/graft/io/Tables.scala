@@ -84,9 +84,16 @@ object Tables {
   def writeSortedBy(df: DataFrame, path: String, numFiles: Int,
                     sortCols: String*): Unit = {
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    df.repartitionByRange(numFiles, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .write.mode("overwrite").parquet(path)
+    // single-file writes skip repartitionByRange: its boundary-sampling
+    // pass is a whole extra job, pure overhead when everything lands in
+    // one partition anyway — small copy-on-write commits (a manifest
+    // table's touched-file rewrite, an agg view's update) hit this
+    // constantly
+    val arranged =
+      if (numFiles == 1) df.repartition(1).sortWithinPartitions(cols: _*)
+      else df.repartitionByRange(numFiles, cols: _*)
+        .sortWithinPartitions(cols: _*)
+    arranged.write.mode("overwrite").parquet(path)
   }
 
   /**
