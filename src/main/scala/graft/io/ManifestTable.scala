@@ -166,7 +166,7 @@ object ManifestTable {
     val fs = hfs(spark, root)
     if (!fs.exists(root)) return None
     val vs = fs.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !n.endsWith(".tmp"))
+      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
       .map(_.drop("manifest-".length))
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
     if (vs.isEmpty) None else Some(vs.max)
@@ -205,7 +205,13 @@ object ManifestTable {
         extras.map("\t" + _).mkString + "\n")
     }
     val fs = hfs(spark, new Path(path))
-    val tmp = new Path(s"$path/manifest-$v.tmp")
+    // tmp name unique PER ATTEMPT: two writers racing toward the same
+    // version must never share a tmp file — one's rename would consume
+    // (or a crash leave corrupt) the other's half-written commit, and
+    // the loser would die on a raw filesystem error instead of the
+    // clean concurrent-commit signal (found by the 4-writer stress test)
+    val tmp = new Path(s"$path/manifest-$v.tmp-" +
+      java.util.UUID.randomUUID.toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
     // Commit = rename tmp → final. On HDFS, rename FAILS if the
@@ -1161,14 +1167,17 @@ object ManifestTable {
       fs.exists(manifestFile(path, v)))
     val referenced: Set[String] = keptVersions.flatMap(v =>
       readManifestAt(spark, path, v).entries.map(_.relPath)).toSet
-    // older manifests out
+    // older manifests out; crashed writers' aged tmp files too (a live
+    // optimistic committer's tmp is younger than the grace)
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("manifest-") && !n.endsWith(".tmp")) {
+      if (n.startsWith("manifest-") && !n.contains(".tmp")) {
         val v = n.drop("manifest-".length)
         if (v.forall(_.isDigit) && v.nonEmpty && v.toLong < keepFrom)
           fs.delete(st.getPath, false)
-      }
+      } else if (n.startsWith("manifest-") && n.contains(".tmp") &&
+          now - st.getModificationTime > graceMs)
+        fs.delete(st.getPath, false)
     }
     // unreferenced data files out (once past the grace); then empty
     // txn dirs

@@ -158,6 +158,38 @@ class ManifestConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("stress: four uncoordinated writers on disjoint key bands all " +
+    "land through rebase/re-drive; content equals all batches applied") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // four writers, each updating its own 25-key band + inserting one
+      // key beyond the key space — no fence: real scheduling races,
+      // every interleaving must serialize through the claim protocol
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { w =>
+        new Thread(() =>
+          try ManifestTable.merge(spark, path,
+            ((w * 250L until w * 250L + 25L).map(i => (i, s"w${w}_$i", w)) :+
+              ((2000L + w, s"ins_$w", w))).toDF("id", "name", "grp"),
+            maxRetries = 10)
+          catch { case e: Throwable => errs.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(180000))
+      assert(threads.forall(!_.isAlive) && errs.isEmpty,
+        s"all writers must land: $errs")
+      assert(ManifestTable.latestVersion(spark, path).contains(5L),
+        "four commits on top of the create")
+      val got = content(ManifestTable.read(spark, path))
+      (0 until 4).foreach { w =>
+        (w * 250L until w * 250L + 25L).foreach(i =>
+          assert(got.contains((i, s"w${w}_$i", w)), s"lost update $w/$i"))
+        assert(got.contains((2000L + w, s"ins_$w", w)), s"lost insert $w")
+      }
+      assert(got.size == 1004)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("two real threads through the race window: both land, " +
     "serial-equivalent result") {
     val path = tmp()
