@@ -1009,6 +1009,37 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
+    // / syncExtremes): extremes are NOT self-maintainable under deletes,
+    // so the view folds inserts for free and recomputes exactly the
+    // groups whose stored extreme a delete TIED (semi-join-filtered
+    // source read — never a full re-aggregation). The fixture merges the
+    // m1 batch (new MERGED group, re-priced keys) then deletes keys ≡4
+    // mod 13 (which removes per-group minima), syncing after each; the
+    // oracle recomputes count/sum/min/max over the final state in SQL,
+    // so the hash gates the hybrid fold+recompute strategy end to end.
+    "m10_view_extremes" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString
+      val src = s"$root/t"; val view = s"$root/view"
+      graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
+      graft.io.AggView.bootstrapExtremes(s, src, view,
+        "o_orderpriority", "price_cents")
+      graft.io.ManifestTable.merge(s, src, updates)
+      graft.io.AggView.syncExtremes(s, src, view,
+        "o_orderpriority", "price_cents")
+      graft.io.ManifestTable.deleteKeys(s, src,
+        graft.io.ManifestTable.read(s, src)
+          .filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.AggView.syncExtremes(s, src, view,
+        "o_orderpriority", "price_cents")
+      graft.io.ManifestTable.read(s, view)
+        .select(col("o_orderpriority"), col("n"),
+          col("total").as("total_cents"), col("mn").as("min_cents"),
+          col("mx").as("max_cents"))
+    }),
+
     // CONDITIONAL MERGE (the Delta `WHEN MATCHED AND … THEN UPDATE SET
     // <subset> / DELETE` shape, ManifestTable.mergeInto): matched keys
     // (≡3 mod 7) either take a COLUMN-SUBSET update — price bumped by
@@ -2632,6 +2663,18 @@ object Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // m10's final state is the merged table minus the deleted keys; the
+    // oracle recomputes count/sum/min/max directly, so the hash gates
+    // the fold-for-inserts + recompute-tied-groups extremes strategy.
+    "m10_view_extremes" -> (mergedCteSql +
+      """
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(min(price_cents) AS BIGINT) AS min_cents,
+        |  CAST(max(price_cents) AS BIGINT) AS max_cents
+        |FROM merged WHERE o_orderkey % 13 <> 4
+        |GROUP BY o_orderpriority""".stripMargin),
 
     // m6 reads the SUPERSEDED version after the merge; the oracle is the
     // plain un-merged rollup — the hash gates snapshot isolation.

@@ -112,6 +112,101 @@ object AggView {
     finally deltas.unpersist(blocking = false)
   }
 
+  /** [[bootstrap]] plus per-group MIN/MAX: view schema
+    * `(grp, n, total, mn, mx)`. Maintained by [[syncExtremes]] with the
+    * HYBRID strategy real IVM engines use for non-self-maintainable
+    * aggregates: inserts fold for free (`least`/`greatest` against the
+    * stored extreme), while a delete that TIES a group's stored
+    * min/max may have removed its last witness, so exactly those
+    * groups recompute their extremes from the source — a scan filtered
+    * to the affected groups, pushed to the source read, never a full
+    * re-aggregation. `valCol` must be non-null longs (same
+    * pre-integered contract as the sums). */
+  def bootstrapExtremes(spark: SparkSession, srcPath: String,
+                        viewPath: String, grpCol: String, valCol: String,
+                        numFiles: Int = 4): Long = {
+    val srcV = ManifestTable.readManifest(spark, srcPath).version
+    val view = ManifestTable.readAt(spark, srcPath, srcV)
+      .groupBy(grpCol)
+      .agg(count(lit(1)).as("n"), sum(valCol).as("total"),
+        min(valCol).as("mn"), max(valCol).as("mx"))
+    ManifestTable.create(view, viewPath, grpCol, numFiles,
+      tag = Some(srcV.toString))
+    srcV
+  }
+
+  /** One incremental step for an extremes view ([[bootstrapExtremes]]):
+    * count/sum fold additively; min/max fold for adds and recompute
+    * from the source ONLY for groups where a delete tied the stored
+    * extreme (conservative: duplicated values may keep the extreme
+    * alive, and the recompute resolves that exactly). One atomic
+    * commit, tag = source version, same crash-window story as
+    * [[sync]]. */
+  def syncExtremes(spark: SparkSession, srcPath: String, viewPath: String,
+                   grpCol: String, valCol: String): Option[(Long, Long)] = {
+    val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $srcPath"))
+    val from = ManifestTable.numericTag(spark, viewPath,
+      s"no sync tag on $viewPath — bootstrap the view first")
+    if (from >= latest) return None
+    val (adds, dels, _) =
+      try ManifestTable.changeSidesBetween(spark, srcPath, from, latest)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"view tag v$from lagged past the source's retention " +
+            s"window (latest v$latest) — re-bootstrap the view")
+      }
+    val addAgg = adds.groupBy(grpCol).agg(count(lit(1)).as("an"),
+      sum(valCol).as("atot"), min(valCol).as("amn"), max(valCol).as("amx"))
+    val delAgg = dels.groupBy(grpCol).agg(count(lit(1)).as("xn"),
+      sum(valCol).as("xtot"), min(valCol).as("xmn"), max(valCol).as("xmx"))
+    val cur = ManifestTable.read(spark, viewPath)
+    val folded = addAgg.join(delAgg, Seq(grpCol), "full")
+      .join(cur, Seq(grpCol), "left")
+      .select(col(grpCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("an"), lit(0L))
+          - coalesce(col("xn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("atot"), lit(0L))
+          - coalesce(col("xtot"), lit(0L))).as("total"),
+        least(col("mn"), col("amn")).as("mn"),   // least/greatest skip nulls
+        greatest(col("mx"), col("amx")).as("mx"),
+        // a delete TIED to the stored extreme may have removed its last
+        // witness; a brand-new group (no stored row) never needs one
+        (col("xn").isNotNull && col("n").isNotNull &&
+          (col("xmn") <= col("mn") || col("xmx") >= col("mx")))
+          .as("__recompute"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (folded.isEmpty) {
+        ManifestTable.setTagOnly(spark, viewPath, latest.toString)
+        return Some((from, latest))
+      }
+      val neg = folded.filter(col("n") < 0L).limit(1).collect()
+      if (neg.nonEmpty) throw new IllegalStateException(
+        s"feed drives group '${neg(0).get(0)}' below zero rows — the " +
+        s"feed window does not match the view's state (tag mismatch?)")
+      // exact extremes for the delete-affected groups: one source read
+      // at the synced version, SEMI-JOINED down to those groups before
+      // aggregating — cost ∝ the affected groups' rows, not the table
+      val hot = folded.filter(col("__recompute") && col("n") > 0L)
+        .select(col(grpCol))
+      val exact = ManifestTable.readAt(spark, srcPath, latest)
+        .join(hot, Seq(grpCol), "left_semi")
+        .groupBy(grpCol)
+        .agg(min(valCol).as("rmn"), max(valCol).as("rmx"))
+      val upserts = folded.filter(col("n") > 0L)
+        .join(exact, Seq(grpCol), "left")
+        .select(col(grpCol), col("n"), col("total"),
+          when(col("__recompute"), col("rmn")).otherwise(col("mn")).as("mn"),
+          when(col("__recompute"), col("rmx")).otherwise(col("mx")).as("mx"))
+      val gone = folded.filter(col("n") === 0L).select(col(grpCol))
+      ManifestTable.upsertAndDelete(spark, viewPath, upserts, gone,
+        setTag = Some(latest.toString))
+      Some((from, latest))
+    } finally folded.unpersist(blocking = false)
+  }
+
   /** Commit the per-group (dn, dtotal) deltas: shared tail of the
     * labeled ([[applyFeed]]) and unlabeled ([[sync]]) paths. */
   private def applyDeltas(spark: SparkSession, viewPath: String,

@@ -37,4 +37,16 @@ object AggViewJob {
     } {
       AggView.sync(spark, src, view, grpCol, valCol)
     }
+
+  /** The extremes-view form ([[AggView.bootstrapExtremes]] /
+    * [[AggView.syncExtremes]]): same dispatch and refusal semantics,
+    * view schema `(grp, n, total, mn, mx)`. */
+  def runExtremes(spark: SparkSession, src: String, view: String,
+                  grpCol: String, valCol: String,
+                  numFiles: Int = 4): Option[(Long, Long)] =
+    ManifestTable.dispatchConsumer(spark, view) {
+      AggView.bootstrapExtremes(spark, src, view, grpCol, valCol, numFiles)
+    } {
+      AggView.syncExtremes(spark, src, view, grpCol, valCol)
+    }
 }

@@ -47,13 +47,14 @@ object StreamingChangeFeedJob {
         startMirror(spark, src, dst,
           intervalMs = args.lift(3).map(_.toLong).getOrElse(1000L),
           numFiles = args.lift(4).map(_.toInt).getOrElse(8))
-      case "aggview" =>
+      case "aggview" | "aggview-extremes" =>
         val Array(grpCol, valCol) = args.slice(3, 5)
         startAggView(spark, src, dst, grpCol, valCol,
           intervalMs = args.lift(5).map(_.toLong).getOrElse(1000L),
-          numFiles = args.lift(6).map(_.toInt).getOrElse(4))
+          numFiles = args.lift(6).map(_.toInt).getOrElse(4),
+          extremes = mode == "aggview-extremes")
       case other => throw new IllegalArgumentException(
-        s"mode '$other' — expected mirror|aggview")
+        s"mode '$other' — expected mirror|aggview|aggview-extremes")
     }
     q.awaitTermination()
   }
@@ -67,15 +68,21 @@ object StreamingChangeFeedJob {
       TableMirrorJob.run(spark, src, dst, numFiles); ()
     }
 
-  /** Continuously maintain the grouped (count, sum) rollup of `src` at
-    * `viewPath` (bootstrap on first poll, then one `AggView.sync` fold
-    * per trigger). */
+  /** Continuously maintain the grouped (count, sum) rollup — or, with
+    * `extremes`, the (count, sum, min, max) rollup — of `src` at
+    * `viewPath` (bootstrap on first poll, then one incremental fold per
+    * trigger). */
   def startAggView(spark: SparkSession, src: String, viewPath: String,
                    grpCol: String, valCol: String,
                    intervalMs: Long = 1000L,
-                   numFiles: Int = 4): StreamingQuery =
+                   numFiles: Int = 4,
+                   extremes: Boolean = false): StreamingQuery =
     pollingStream(spark, intervalMs) { () =>
-      AggViewJob.run(spark, src, viewPath, grpCol, valCol, numFiles); ()
+      if (extremes)
+        AggViewJob.runExtremes(spark, src, viewPath, grpCol, valCol,
+          numFiles)
+      else AggViewJob.run(spark, src, viewPath, grpCol, valCol, numFiles)
+      ()
     }
 
   /** The lifecycle shell: a 1-row/s rate stream whose micro-batches are

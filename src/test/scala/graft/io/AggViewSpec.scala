@@ -56,6 +56,68 @@ class AggViewSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("extremes view: inserts fold min/max for free; a delete tying " +
+    "the stored extreme recomputes ONLY the affected groups; duplicated " +
+    "extremes survive one deletion; vanished groups leave") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggvx")
+    val src = s"$root/src"; val view = s"$root/view"
+    def recomputeX(): Set[(String, Long, Long, Long, Long)] =
+      ManifestTable.read(spark, src).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("val").as("total"),
+          min("val").as("mn"), max("val").as("mx"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    def viewX(): Set[(String, Long, Long, Long, Long)] =
+      ManifestTable.read(spark, view)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    try {
+      // g0 holds a DUPLICATED minimum (two rows with val 0): deleting
+      // one must keep min 0 — exactly the case the conservative
+      // recompute resolves correctly
+      ManifestTable.create(
+        ((0L to 59L).map(i => (i, s"g${i % 5}", (i / 5) * 10)) :+
+          ((100L, "g0", 0L))).toDF("id", "grp", "val"),
+        src, "id", numFiles = 4)
+      AggView.bootstrapExtremes(spark, src, view, "grp", "val")
+      assert(viewX() == recomputeX())
+
+      // pure inserts: a new global max for g1 and a new group — the
+      // fold path, no recompute
+      ManifestTable.merge(spark, src,
+        Seq((200L, "g1", 99999L), (201L, "gNEW", 7L))
+          .toDF("id", "grp", "val"))
+      assert(AggView.syncExtremes(spark, src, view, "grp", "val")
+        .contains((1L, 2L)))
+      assert(viewX() == recomputeX())
+
+      // delete ONE of g0's two min-witnesses: min must stay 0
+      ManifestTable.deleteKeys(spark, src, Seq(100L).toDF("id"))
+      AggView.syncExtremes(spark, src, view, "grp", "val")
+      assert(viewX() == recomputeX())
+      assert(viewX().find(_._1 == "g0").get._4 == 0L,
+        "duplicated minimum must survive deleting one witness")
+
+      // delete the LAST min-witness of g0 (id 0, val 0) → new min is
+      // g0's next value; and delete a NON-extreme of g2 (no recompute
+      // effect on its extremes)
+      ManifestTable.deleteKeys(spark, src, Seq(0L, 12L).toDF("id"))
+      AggView.syncExtremes(spark, src, view, "grp", "val")
+      assert(viewX() == recomputeX())
+      assert(viewX().find(_._1 == "g0").get._4 > 0L)
+
+      // update that MOVES a key across groups (del in one, add in the
+      // other) + vanish gNEW entirely
+      ManifestTable.merge(spark, src,
+        Seq((201L, "g3", 7L)).toDF("id", "grp", "val"))
+      AggView.syncExtremes(spark, src, view, "grp", "val")
+      assert(viewX() == recomputeX())
+      assert(!viewX().exists(_._1 == "gNEW"))
+
+      // caught up → None; replay convergence via the tag
+      assert(AggView.syncExtremes(spark, src, view, "grp", "val").isEmpty)
+      assert(viewX() == recomputeX())
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("AggViewJob: bootstrap on first run, sync on later runs, refusal " +
     "of a foreign untagged view") {
     val root = java.nio.file.Files.createTempDirectory("graft_aggviewjob")
