@@ -1009,6 +1009,31 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // TABLE HISTORY (the Delta DESCRIBE HISTORY shape): every retained
+    // version with the operation that committed it and its live row
+    // count, read from the manifests alone — no data file opened. The
+    // fixture commits create → merge → delete under keepVersions = 3,
+    // so all three generations are listed; the oracle recomputes each
+    // generation's row count from orders in SQL (create = base, merge =
+    // base + inserts, delete = merged minus the ≡4 mod 13 keys), so the
+    // hash gates both the op labeling and the per-version row
+    // accounting. commit_ts is wall-clock and therefore NOT part of the
+    // declared projection (determinism rule); ManifestTableSpec pins
+    // its ordering and the readAsOfTime resolution instead.
+    "m11_table_history" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8,
+        keepVersions = 3)
+      graft.io.ManifestTable.merge(s, path, updates)
+      graft.io.ManifestTable.deleteKeys(s, path,
+        graft.io.ManifestTable.read(s, path)
+          .filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.ManifestTable.history(s, path)
+        .select(col("version"), col("op"), col("n_rows"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -2663,6 +2688,20 @@ object Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // m11 lists one row per retained generation; the oracle recomputes
+    // each generation's row count from orders directly.
+    "m11_table_history" -> (mergedCteSql +
+      """
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'merge',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM merged)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM merged
+        |   WHERE o_orderkey % 13 <> 4)""".stripMargin),
 
     // m10's final state is the merged table minus the deleted keys; the
     // oracle recomputes count/sum/min/max directly, so the hash gates

@@ -112,7 +112,8 @@ object ManifestTable {
                       schema: StructType, statsCols: Seq[String],
                       entries: Seq[FileEntry], tag: Option[String] = None,
                       zCols: Option[(String, String)] = None,
-                      retain: Int = 2)
+                      retain: Int = 2, op: String = "unknown",
+                      commitTs: Long = 0L)
 
   /** The atomic version claim was lost to a concurrent committer — the
     * retryable conflict signal ([[rewrite]] rebases or re-drives on it;
@@ -178,7 +179,8 @@ object ManifestTable {
                             entries: Seq[FileEntry],
                             tag: Option[String] = None,
                             zCols: Option[(String, String)] = None,
-                            retain: Int = 2): Unit = {
+                            retain: Int = 2,
+                            op: String = "unknown"): Unit = {
     require(retain >= 2, s"retain=$retain: the window must keep at least " +
       "the current and one superseded version (changesBetween needs both " +
       "sides of the last commit)")
@@ -188,6 +190,7 @@ object ManifestTable {
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
     sb ++= s"retain\t$retain\n"
+    sb ++= s"op\t${enc(op)}\t${System.currentTimeMillis}\n"
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
@@ -247,6 +250,8 @@ object ManifestTable {
     var tag: Option[String] = None
     var zCols: Option[(String, String)] = None
     var retain: Int = 2 // pre-retention manifests carry no line: old window
+    var op: String = "unknown"
+    var commitTs: Long = 0L
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -257,6 +262,7 @@ object ManifestTable {
         case "schema"  => schema = DataType.fromJson(dec(parts(1)))
                             .asInstanceOf[StructType]
         case "retain"  => retain = parts(1).toInt
+        case "op"      => op = dec(parts(1)); commitTs = parts(2).toLong
         case "tag"     => tag = Some(dec(parts(1)))
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
@@ -277,7 +283,7 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols, retain)
+      zCols, retain, op, commitTs)
   }
 
   // ----------------------------------------------------------------- reads
@@ -291,6 +297,65 @@ object ManifestTable {
     * current + retain−1 superseded versions; older data is retired). */
   def readAt(spark: SparkSession, path: String, v: Long): DataFrame =
     readFiles(spark, path, readManifestAt(spark, path, v))
+
+  /** All RETAINED versions, newest first — history reaches exactly as
+    * far as the retention window (`keepVersions`), the same contract as
+    * [[readAt]]; each row carries the version, the operation that
+    * committed it, its wall-clock commit time, live file/row counts,
+    * and the consumer tag. The Delta `DESCRIBE HISTORY` shape, driven
+    * from the manifests alone — no data file is opened. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = hfs(spark, root)
+    val versions = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
+      .map(_.drop("manifest-".length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted.reverse
+    val rows = versions.map { v =>
+      val m = readManifestAt(spark, path, v)
+      org.apache.spark.sql.Row(m.version, m.op, m.commitTs,
+        m.entries.size.toLong, m.entries.map(_.rows).sum,
+        m.tag.orNull)
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("version", LongType),
+        StructField("op", StringType),
+        StructField("commit_ts", LongType),
+        StructField("n_files", LongType),
+        StructField("n_rows", LongType),
+        StructField("tag", StringType))))
+  }
+
+  /** Time travel by WALL-CLOCK TIME: the table as of the latest
+    * retained commit at or before `tsMillis` (epoch millis) — the
+    * `TIMESTAMP AS OF` shape. Loud errors outside the window: before
+    * the oldest retained commit (retired — widen `keepVersions`), or a
+    * table whose retained manifests predate commit timestamps. */
+  def readAsOfTime(spark: SparkSession, path: String,
+                   tsMillis: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = hfs(spark, root)
+    val versions = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
+      .map(_.drop("manifest-".length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
+    require(versions.nonEmpty, s"no committed manifest under $path")
+    val manifests = versions.map(v => readManifestAt(spark, path, v))
+    require(manifests.forall(_.commitTs > 0L),
+      s"$path has retained manifests without commit timestamps " +
+      "(written before time travel by time existed) — use readAt")
+    val at = manifests.filter(_.commitTs <= tsMillis)
+    if (at.isEmpty) throw new IllegalStateException(
+      s"no retained version of $path at or before ts=$tsMillis " +
+      s"(oldest retained: v${manifests.head.version} at " +
+      s"${manifests.head.commitTs}) — the snapshot is retired; widen " +
+      "keepVersions (ManifestTable.setRetention) to travel further back")
+    readFiles(spark, path, at.last)
+  }
 
   private def readFiles(spark: SparkSession, path: String,
                         m: Manifest): DataFrame =
@@ -327,7 +392,8 @@ object ManifestTable {
     Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
-      df.schema, statsCols, entries, tag, retain = keepVersions)
+      df.schema, statsCols, entries, tag, retain = keepVersions,
+      op = "create")
   }
 
   /** Z-ORDERED create: rows land on the Morton curve of (`zColA`,
@@ -360,7 +426,7 @@ object ManifestTable {
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag = None,
-      zCols = Some((zColA, zColB)))
+      zCols = Some((zColA, zColB)), op = "create-zorder")
   }
 
   /** The Z-layout's compaction: rewrite onto a fresh Morton curve
@@ -387,7 +453,8 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-          statsCols), m.tag, Some((zColA, zColB)), m.retain)
+          statsCols), m.tag, Some((zColA, zColB)), m.retain,
+        op = "compact-zorder")
       retire(spark, path, keepFrom = nextV - (m.retain - 1))
     }
 
@@ -663,7 +730,8 @@ object ManifestTable {
         newCols.fields.map(_.copy(nullable = true)))
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-        widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain)
+        widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
+        op = "evolve-schema")
       retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
     }
 
@@ -676,7 +744,8 @@ object ManifestTable {
     retryingCommit(spark, path, maxRetries) { m =>
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-        m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain)
+        m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
+        op = "set-tag")
       retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
     }
 
@@ -689,7 +758,8 @@ object ManifestTable {
     retryingCommit(spark, path, maxRetries) { m =>
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-        m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions)
+        m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
+        op = "set-retention")
       retire(spark, path, keepFrom = m.version + 1 - (keepVersions - 1))
     }
 
@@ -733,7 +803,15 @@ object ManifestTable {
   private def rewrite(spark: SparkSession, path: String,
                       upserts0: Option[DataFrame], dels0: Option[DataFrame],
                       numFiles: Int, setTag: Option[String],
-                      maxRetries: Int = 3): MergeStats = {
+                      maxRetries: Int = 3,
+                      op: String = ""): MergeStats = {
+    val opName =
+      if (op.nonEmpty) op
+      else (upserts0, dels0) match {
+        case (Some(_), Some(_)) => "upsert+delete"
+        case (Some(_), None) => "merge"
+        case _ => "delete"
+      }
     // both inputs are consumed repeatedly (touch-set keys, the rewrite,
     // and possibly conflict re-drives) and may be expensive upstream
     // derivations — persist for the duration, released in the finally
@@ -742,7 +820,7 @@ object ManifestTable {
     val dels = dels0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try attemptRewrite(spark, path, readManifest(spark, path),
-      upserts, dels, numFiles, setTag, maxRetries)
+      upserts, dels, numFiles, setTag, maxRetries, opName)
     finally {
       upserts.foreach(_.unpersist(blocking = false))
       dels.foreach(_.unpersist(blocking = false))
@@ -759,7 +837,7 @@ object ManifestTable {
                              upserts: Option[DataFrame],
                              dels: Option[DataFrame], numFiles: Int,
                              setTag: Option[String],
-                             retriesLeft: Int): MergeStats = {
+                             retriesLeft: Int, op: String): MergeStats = {
     // a batch carrying columns the table schema lacks would be silently
     // narrowed by the select(orderedCols) projection below — after a
     // source-side schema evolution that is exactly how direct merge()/
@@ -808,7 +886,7 @@ object ManifestTable {
       val nextV = base.version + 1
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
-        setTag.orElse(base.tag), base.zCols, base.retain)
+        setTag.orElse(base.tag), base.zCols, base.retain, op)
       retire(spark, path, keepFrom = nextV - (base.retain - 1))
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
         carriedNow.size)
@@ -835,7 +913,7 @@ object ManifestTable {
         catch { case e2: ConcurrentCommitException =>
           onConflict(e2, retries - 1) }
       else attemptRewrite(spark, path, latest, upserts, dels, numFiles,
-        setTag, retries - 1)
+        setTag, retries - 1, op)
     }
 
     commitFence()
@@ -1063,7 +1141,8 @@ object ManifestTable {
           commitFence()
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
             m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-              m.statsCols), m.tag, zCols = None, retain = m.retain)
+              m.statsCols), m.tag, zCols = None, retain = m.retain,
+            op = "compact")
           retire(spark, path, keepFrom = nextV - (m.retain - 1))
         }
     }

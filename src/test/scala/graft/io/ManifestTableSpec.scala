@@ -339,6 +339,51 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("history lists retained versions with op + counts + commit time; " +
+    "readAsOfTime resolves wall-clock snapshots inside the window and " +
+    "refuses retired ones loudly") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2,
+        keepVersions = 3)
+      Thread.sleep(15); val t1 = System.currentTimeMillis; Thread.sleep(15)
+      ManifestTable.merge(spark, path,
+        Seq((0L, "v2", 9), (500L, "ins", 9)).toDF("id", "name", "grp"))
+      Thread.sleep(15); val t2 = System.currentTimeMillis; Thread.sleep(15)
+      ManifestTable.deleteKeys(spark, path, Seq(1L, 2L).toDF("id"))
+
+      val h = ManifestTable.history(spark, path)
+        .select("version", "op", "n_rows")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(h == Seq((3L, "delete", 99L), (2L, "merge", 101L),
+        (1L, "create", 100L)), s"history mismatch: $h")
+      val ts = ManifestTable.history(spark, path)
+        .select("commit_ts").as[Long].collect().toSeq
+      assert(ts == ts.sorted.reverse && ts.forall(_ > 0L))
+
+      assert(ManifestTable.readAsOfTime(spark, path, t1).count() == 100L,
+        "t1 predates the merge: must serve v1")
+      assert(ManifestTable.readAsOfTime(spark, path, t2).count() == 101L,
+        "t2 is between merge and delete: must serve v2")
+      assert(ManifestTable.readAsOfTime(spark, path,
+        System.currentTimeMillis).count() == 99L)
+      val e = intercept[IllegalStateException] {
+        ManifestTable.readAsOfTime(spark, path, t1 - 100000L)
+      }
+      assert(e.getMessage.contains("widen keepVersions"))
+
+      // the window slides: after one more commit v1 is retired, so t1
+      // now resolves nothing
+      ManifestTable.merge(spark, path,
+        Seq((3L, "v4", 9)).toDF("id", "name", "grp"))
+      intercept[IllegalStateException] {
+        ManifestTable.readAsOfTime(spark, path, t1)
+      }
+      assert(ManifestTable.readAsOfTime(spark, path,
+        System.currentTimeMillis).count() == 99L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("string keys work end-to-end (ordering is Spark's, via the " +
     "cast-back range join)") {
     val path = tmp()
