@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
  *
  * Sums must be pre-integered by the caller (the engine's determinism
  * rule — `floor(x*100+0.5)` cents); count/sum are the self-maintainable
- * aggregates (min/max are not incrementally maintainable under deletes
- * without per-group state — use a rollup recompute for those,
- * `StreamingJobs.streamingDailyRollup`).
+ * aggregates. Min/max are NOT self-maintainable under deletes, so
+ * [[bootstrapExtremes]]/[[syncExtremes]] carry them with the hybrid
+ * fold-inserts / recompute-tied-groups strategy instead.
  */
 object AggView {
 
@@ -60,23 +60,13 @@ object AggView {
     * up. */
   def sync(spark: SparkSession, srcPath: String, viewPath: String,
            grpCol: String, valCol: String): Option[(Long, Long)] = {
-    val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = ManifestTable.numericTag(spark, viewPath,
-      s"no sync tag on $viewPath — bootstrap the view first")
-    if (from >= latest) return None
     // the UNLABELED diff sides: a fold only needs signs (+1 per added
     // row, −1 per removed row — update_pre/post labels carry nothing
     // extra for it), so skipping changesBetween's update-key
     // intersection and label joins saves a diff-wide shuffle per sync
-    val (adds, dels, _) =
-      try ManifestTable.changeSidesBetween(spark, srcPath, from, latest)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"view tag v$from lagged past the source's retention " +
-            s"window (latest v$latest) — re-bootstrap the view")
-      }
+    val (from, latest, adds, dels, _) =
+      ManifestTable.consumerWindow(spark, srcPath, viewPath, "view")
+        .getOrElse(return None)
     val deltas = adds.select(col(grpCol), col(valCol), lit(1L).as("__s"))
       .unionByName(dels.select(col(grpCol), col(valCol), lit(-1L).as("__s")))
       .groupBy(grpCol)
@@ -144,19 +134,9 @@ object AggView {
     * [[sync]]. */
   def syncExtremes(spark: SparkSession, srcPath: String, viewPath: String,
                    grpCol: String, valCol: String): Option[(Long, Long)] = {
-    val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $srcPath"))
-    val from = ManifestTable.numericTag(spark, viewPath,
-      s"no sync tag on $viewPath — bootstrap the view first")
-    if (from >= latest) return None
-    val (adds, dels, _) =
-      try ManifestTable.changeSidesBetween(spark, srcPath, from, latest)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"view tag v$from lagged past the source's retention " +
-            s"window (latest v$latest) — re-bootstrap the view")
-      }
+    val (from, latest, adds, dels, _) =
+      ManifestTable.consumerWindow(spark, srcPath, viewPath, "view")
+        .getOrElse(return None)
     val addAgg = adds.groupBy(grpCol).agg(count(lit(1)).as("an"),
       sum(valCol).as("atot"), min(valCol).as("amn"), max(valCol).as("amx"))
     val delAgg = dels.groupBy(grpCol).agg(count(lit(1)).as("xn"),

@@ -161,17 +161,33 @@ object ManifestTable {
 
   private def manifestFile(path: String, v: Long) = new Path(s"$path/manifest-$v")
 
-  /** Highest committed version, or None for a nonexistent/empty table. */
-  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+  /** Committed version numbers on disk, ascending — the one shared
+    * manifest-name parse (its `.tmp` predicate has to stay in lock-step
+    * everywhere, so no caller re-implements it). */
+  private def listVersions(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val fs = hfs(spark, root)
-    if (!fs.exists(root)) return None
-    val vs = fs.listStatus(root).iterator.map(_.getPath.getName)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).iterator.map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
       .map(_.drop("manifest-".length))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
   }
+
+  /** Highest committed version, or None for a nonexistent/empty table. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    listVersions(spark, path).lastOption
+
+  /** Read the manifests of the given versions, SKIPPING any that a
+    * concurrent writer's retention retired between the listing and the
+    * read — the transient window every multi-writer read API shares. */
+  private def readRetained(spark: SparkSession, path: String,
+                           versions: Seq[Long]): Seq[Manifest] =
+    versions.flatMap { v =>
+      try Some(readManifestAt(spark, path, v))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
 
   private[io] def writeManifest(spark: SparkSession, path: String, v: Long,
                             keyCol: String, keyType: DataType,
@@ -305,15 +321,11 @@ object ManifestTable {
     * and the consumer tag. The Delta `DESCRIBE HISTORY` shape, driven
     * from the manifests alone — no data file is opened. */
   def history(spark: SparkSession, path: String): DataFrame = {
-    val root = new Path(path)
-    val fs = hfs(spark, root)
-    val versions = fs.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
-      .map(_.drop("manifest-".length))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .toSeq.sorted.reverse
-    val rows = versions.map { v =>
-      val m = readManifestAt(spark, path, v)
+    // readRetained, not a direct read: a concurrent writer's retention
+    // may retire a listed version before it is read — a transient
+    // miss, not an error, under the multi-writer model
+    val rows = readRetained(spark, path,
+        listVersions(spark, path).reverse).map { m =>
       org.apache.spark.sql.Row(m.version, m.op, m.commitTs,
         m.entries.size.toLong, m.entries.map(_.rows).sum,
         m.tag.orNull)
@@ -332,29 +344,41 @@ object ManifestTable {
   /** Time travel by WALL-CLOCK TIME: the table as of the latest
     * retained commit at or before `tsMillis` (epoch millis) — the
     * `TIMESTAMP AS OF` shape. Loud errors outside the window: before
-    * the oldest retained commit (retired — widen `keepVersions`), or a
-    * table whose retained manifests predate commit timestamps. */
+    * the oldest retained commit (retired — widen `keepVersions`), or
+    * when an UNSTAMPED pre-upgrade manifest makes the answer
+    * ambiguous — but only then: stamped newer versions stay
+    * time-travelable while older unstamped ones age out. */
   def readAsOfTime(spark: SparkSession, path: String,
                    tsMillis: Long): DataFrame = {
-    val root = new Path(path)
-    val fs = hfs(spark, root)
-    val versions = fs.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
-      .map(_.drop("manifest-".length))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .toSeq.sorted
-    require(versions.nonEmpty, s"no committed manifest under $path")
-    val manifests = versions.map(v => readManifestAt(spark, path, v))
-    require(manifests.forall(_.commitTs > 0L),
-      s"$path has retained manifests without commit timestamps " +
-      "(written before time travel by time existed) — use readAt")
-    val at = manifests.filter(_.commitTs <= tsMillis)
-    if (at.isEmpty) throw new IllegalStateException(
-      s"no retained version of $path at or before ts=$tsMillis " +
-      s"(oldest retained: v${manifests.head.version} at " +
-      s"${manifests.head.commitTs}) — the snapshot is retired; widen " +
-      "keepVersions (ManifestTable.setRetention) to travel further back")
-    readFiles(spark, path, at.last)
+    val manifests = readRetained(spark, path, listVersions(spark, path))
+    require(manifests.nonEmpty, s"no committed manifest under $path")
+    val candidates = manifests.filter(m =>
+      m.commitTs > 0L && m.commitTs <= tsMillis)
+    if (candidates.isEmpty) {
+      if (manifests.exists(_.commitTs == 0L))
+        throw new IllegalStateException(
+          s"$path has retained manifests without commit timestamps " +
+          "(written before time travel by time existed) and no stamped " +
+          s"version at or before ts=$tsMillis — use readAt, or wait for " +
+          "the unstamped versions to retire")
+      throw new IllegalStateException(
+        s"no retained version of $path at or before ts=$tsMillis " +
+        s"(oldest retained: v${manifests.head.version} at " +
+        s"${manifests.head.commitTs}) — the snapshot is retired; widen " +
+        "keepVersions (ManifestTable.setRetention) to travel further back")
+    }
+    val best = candidates.last
+    // an unstamped manifest NEWER than the best stamped candidate has
+    // an unknown commit time — it may also precede tsMillis, so serving
+    // `best` could silently serve a stale snapshot; refuse the
+    // ambiguity (resolves itself once the unstamped version retires)
+    if (manifests.exists(m => m.commitTs == 0L && m.version > best.version))
+      throw new IllegalStateException(
+        s"$path has an unstamped retained manifest newer than the best " +
+        s"stamped candidate v${best.version} — the answer at " +
+        s"ts=$tsMillis is ambiguous; use readAt, or wait for the " +
+        "unstamped versions to retire")
+    readFiles(spark, path, best)
   }
 
   private def readFiles(spark: SparkSession, path: String,
@@ -473,7 +497,7 @@ object ManifestTable {
       val m = readManifest(spark, path)
       try return attempt(m)
       catch { case e: ConcurrentCommitException =>
-        if (left <= 0) throw conflictExhausted(path, maxRetries, e)
+        if (left <= 0) throw conflictExhausted(path, e)
         left -= 1
       }
     }
@@ -586,86 +610,116 @@ object ManifestTable {
     * with the full optimistic-concurrency protocol. The touched files
     * are read twice (once to resolve matches, once in the rewrite's
     * survivor pass) — the price of composing on the audited commit
-    * path; both reads are touch-set-bounded, never table scans. */
+    * path; both reads are touch-set-bounded, never table scans.
+    *
+    * CONCURRENCY: unlike plain merge, the post-images here are
+    * FUNCTIONS of the target's current rows, so a conflicting winner
+    * that touched this batch's files or keys invalidates them — the
+    * rewrite underneath therefore runs with its cheap disjoint-REBASE
+    * only (still valid: a disjoint winner changed nothing the clauses
+    * read), and any overlapping conflict comes back here to re-resolve
+    * conditions and post-images against the winner's state before
+    * retrying. A no-op outcome (no clause matched a row, nothing to
+    * insert) burns NO version — at most a metadata-only tag commit. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
                 whenMatched: Seq[WhenMatched],
                 insertUnmatched: Boolean = true,
                 numFiles: Int = 0, setTag: Option[String] = None,
                 maxRetries: Int = 3): MergeStats = {
-    val m = readManifest(spark, path)
-    val key = m.keyCol
-    val tableCols = m.schema.fieldNames
-    whenMatched.foreach {
-      case WhenMatched(_, UpdateSet(set)) =>
-        val unknown = set.keys.filterNot(tableCols.contains)
-        require(unknown.isEmpty, s"UPDATE SET names column(s) " +
-          s"${unknown.mkString(",")} not in the table schema")
-        require(!set.contains(key), s"UPDATE SET must not rewrite the " +
-          s"merge key '$key' — delete + insert instead")
-      case _ => ()
-    }
-    if (insertUnmatched) {
-      val missing = tableCols.filterNot(source.columns.contains)
-      require(missing.isEmpty, "WHEN NOT MATCHED THEN INSERT needs the " +
-        s"source to carry the full table schema; missing: " +
-        missing.mkString(","))
-    } else require(source.columns.contains(key),
-      s"source lacks the merge key column '$key'")
-
-    // resolved several times below (matched join, inserts, and the
-    // rewrite underneath) — persist for the duration
+    // resolved several times below (matched join, inserts, the rewrite
+    // underneath, and possibly conflict re-resolutions) — persist
     val src = source.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = touchSet(spark, src.select(col(key)).distinct(),
-        col(key), m)
-      val touchedE = m.entries.filter(e => touched(e.relPath))
-      val target =
-        if (touchedE.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        else spark.read.schema(m.schema)
-          .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
-      val joined = target.alias("t")
-        .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
-      // first-match-wins clause index per matched row (−1 = no clause
-      // accepts the row → it is NOT in the batch and survives unchanged)
-      val actionIdx = whenMatched.zipWithIndex.foldRight(lit(-1): Column) {
-        case ((wm, i), rest) =>
-          when(wm.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      var left = maxRetries
+      while (true) {
+        val m = readManifest(spark, path)
+        val key = m.keyCol
+        val tableCols = m.schema.fieldNames
+        whenMatched.foreach {
+          case WhenMatched(_, UpdateSet(set)) =>
+            val unknown = set.keys.filterNot(tableCols.contains)
+            require(unknown.isEmpty, s"UPDATE SET names column(s) " +
+              s"${unknown.mkString(",")} not in the table schema")
+            require(!set.contains(key), s"UPDATE SET must not rewrite " +
+              s"the merge key '$key' — delete + insert instead")
+          case _ => ()
+        }
+        if (insertUnmatched) {
+          val missing = tableCols.filterNot(source.columns.contains)
+          require(missing.isEmpty, "WHEN NOT MATCHED THEN INSERT needs " +
+            s"the source to carry the full table schema; missing: " +
+            missing.mkString(","))
+        } else require(source.columns.contains(key),
+          s"source lacks the merge key column '$key'")
+
+        val touched = touchSet(spark, src.select(col(key)).distinct(),
+          col(key), m)
+        val touchedE = m.entries.filter(e => touched(e.relPath))
+        val target =
+          if (touchedE.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              m.schema)
+          else spark.read.schema(m.schema)
+            .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
+        val joined = target.alias("t")
+          .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
+        // first-match-wins clause index per matched row (−1 = no clause
+        // accepts the row → not in the batch, survives unchanged)
+        val actionIdx = whenMatched.zipWithIndex
+          .foldRight(lit(-1): Column) { case ((wm, i), rest) =>
+            when(wm.condition.getOrElse(lit(true)), lit(i)).otherwise(rest)
+          }
+        // consumed by several branches (updates, dels, emptiness
+        // probes) — persist so the matched join runs once per attempt
+        val acted = joined.withColumn("__action", actionIdx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val updates = whenMatched.zipWithIndex.collect {
+            case (WhenMatched(_, UpdateSet(set)), i) =>
+              acted.filter(col("__action") === i)
+                .select(tableCols.toSeq.map(c =>
+                  set.getOrElse(c, col(s"t.$c")).as(c)): _*)
+          }
+          val deleteIdx = whenMatched.zipWithIndex.collect {
+            case (WhenMatched(_, DeleteMatched), i) => i
+          }
+          val dels0 =
+            if (deleteIdx.isEmpty) None
+            else Some(acted
+              .filter(col("__action").isin(deleteIdx.map(Int.box): _*))
+              .select(col(s"t.$key").as(key)))
+          val inserts0 =
+            if (!insertUnmatched) None
+            else Some(src.alias("s")
+              .join(target.select(col(key)), Seq(key), "left_anti")
+              .select(tableCols.toSeq.map(c => col(c)): _*))
+          // ROW-empty outputs (not just structurally absent clauses)
+          // must not burn a version: a periodic conditional merge whose
+          // clauses match nothing would otherwise consume the
+          // time-travel/change-feed window and leave orphan empty files
+          val upserts = (updates ++ inserts0.toSeq)
+            .reduceOption(_ unionByName _).filterNot(_.isEmpty)
+          val dels = dels0.filterNot(_.isEmpty)
+          if (upserts.isEmpty && dels.isEmpty) {
+            setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
+            val n = m.entries.size
+            return MergeStats(latestVersion(spark, path).getOrElse(m.version),
+              n, 0, 0, n)
+          }
+          try return rewrite(spark, path, upserts, dels, numFiles, setTag,
+            maxRetries = left, op = "merge-conditional",
+            allowRedrive = false)
+          catch { case e: ConcurrentCommitException =>
+            // an overlapping winner invalidated the resolved
+            // post-images — re-resolve against its state and retry
+            if (left <= 0) throw conflictExhausted(path, e)
+            left -= 1
+          }
+        } finally acted.unpersist(blocking = false)
       }
-      val acted = joined.withColumn("__action", actionIdx)
-      val updates = whenMatched.zipWithIndex.collect {
-        case (WhenMatched(_, UpdateSet(set)), i) =>
-          acted.filter(col("__action") === i)
-            .select(tableCols.toSeq.map(c =>
-              set.getOrElse(c, col(s"t.$c")).as(c)): _*)
-      }
-      val deleteIdx = whenMatched.zipWithIndex.collect {
-        case (WhenMatched(_, DeleteMatched), i) => i
-      }
-      val dels =
-        if (deleteIdx.isEmpty) None
-        else Some(acted
-          .filter(col("__action").isin(deleteIdx.map(Int.box): _*))
-          .select(col(s"t.$key").as(key)))
-      val inserts =
-        if (!insertUnmatched) None
-        else Some(src.alias("s")
-          .join(target.select(col(key)), Seq(key), "left_anti")
-          .select(tableCols.toSeq.map(c => col(c)): _*))
-      val upserts = (updates ++ inserts.toSeq).reduceOption(_ unionByName _)
-      (upserts, dels) match {
-        case (None, None) =>
-          // nothing to change: no version burned, but a requested tag
-          // still lands (metadata-only), mirroring applyChanges
-          setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
-          val n = m.entries.size
-          MergeStats(latestVersion(spark, path).getOrElse(m.version),
-            n, 0, 0, n)
-        case _ =>
-          rewrite(spark, path, upserts, dels, numFiles, setTag, maxRetries)
-      }
+      throw new IllegalStateException("unreachable")
     } finally src.unpersist(blocking = false)
   }
 
@@ -793,18 +847,18 @@ object ManifestTable {
         .select("__f").distinct().collect().map(_.getString(0)).toSet
     }
 
-  private def conflictExhausted(path: String, maxRetries: Int,
-                                cause: Throwable) =
+  private def conflictExhausted(path: String, cause: Throwable) =
     new IllegalStateException(
-      s"commit conflict on $path persisted through $maxRetries retries — " +
-      "concurrent writers are committing faster than this one can " +
-      "rebase; re-drive the operation (or serialize the writers)", cause)
+      s"commit conflict on $path: retry budget exhausted — concurrent " +
+      "writers are committing faster than this one can rebase; re-drive " +
+      "the operation (or serialize the writers)", cause)
 
   private def rewrite(spark: SparkSession, path: String,
                       upserts0: Option[DataFrame], dels0: Option[DataFrame],
                       numFiles: Int, setTag: Option[String],
                       maxRetries: Int = 3,
-                      op: String = ""): MergeStats = {
+                      op: String = "",
+                      allowRedrive: Boolean = true): MergeStats = {
     val opName =
       if (op.nonEmpty) op
       else (upserts0, dels0) match {
@@ -820,7 +874,7 @@ object ManifestTable {
     val dels = dels0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try attemptRewrite(spark, path, readManifest(spark, path),
-      upserts, dels, numFiles, setTag, maxRetries, opName)
+      upserts, dels, numFiles, setTag, maxRetries, opName, allowRedrive)
     finally {
       upserts.foreach(_.unpersist(blocking = false))
       dels.foreach(_.unpersist(blocking = false))
@@ -837,7 +891,8 @@ object ManifestTable {
                              upserts: Option[DataFrame],
                              dels: Option[DataFrame], numFiles: Int,
                              setTag: Option[String],
-                             retriesLeft: Int, op: String): MergeStats = {
+                             retriesLeft: Int, op: String,
+                             allowRedrive: Boolean = true): MergeStats = {
     // a batch carrying columns the table schema lacks would be silently
     // narrowed by the select(orderedCols) projection below — after a
     // source-side schema evolution that is exactly how direct merge()/
@@ -903,7 +958,7 @@ object ManifestTable {
       * else re-drives the whole rewrite against the winner's state. */
     def onConflict(e: ConcurrentCommitException,
                    retries: Int): MergeStats = {
-      if (retries <= 0) throw conflictExhausted(path, retriesLeft, e)
+      if (retries <= 0) throw conflictExhausted(path, e)
       val latest = readManifest(spark, path)
       val rebasable = latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
@@ -912,8 +967,15 @@ object ManifestTable {
         try commitOn(latest)
         catch { case e2: ConcurrentCommitException =>
           onConflict(e2, retries - 1) }
-      else attemptRewrite(spark, path, latest, upserts, dels, numFiles,
-        setTag, retries - 1, op)
+      else if (allowRedrive)
+        attemptRewrite(spark, path, latest, upserts, dels, numFiles,
+          setTag, retries - 1, op, allowRedrive)
+      else
+        // the caller's inputs are FUNCTIONS of the snapshot (mergeInto's
+        // resolved post-images) — an overlapping winner invalidates
+        // them, so surface the conflict for re-resolution instead of
+        // re-driving with stale rows
+        throw e
     }
 
     commitFence()
@@ -1045,25 +1107,40 @@ object ManifestTable {
     * window where the data and the cursor disagree, so a retried sync
     * either re-derives the identical feed (tag unchanged) or starts
     * cleanly after it (tag advanced). */
-  def syncMirror(spark: SparkSession, srcPath: String,
-                 dstPath: String): Option[(Long, Long)] = {
+  /** Shared consumer-sync prologue (every incremental consumer must
+    * keep these refusal semantics identical, so none re-implements
+    * them): resolve the unseen window (destination tag → source
+    * latest) and its unlabeled diff sides. None = caught up; a
+    * numericTag failure = foreign/missing cursor; a window reaching
+    * past the source's retention = the loud lag error with BOTH
+    * remedies (re-bootstrap, or widen retention). */
+  private[io] def consumerWindow(spark: SparkSession, srcPath: String,
+                                 dstPath: String, consumerNoun: String)
+      : Option[(Long, Long, DataFrame, DataFrame, Manifest)] = {
     val latest = latestVersion(spark, srcPath).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $srcPath"))
     val from = numericTag(spark, dstPath,
-      s"no sync tag on $dstPath — bootstrap the mirror first " +
-      "(create from a source read with tag = that source version)")
+      s"no sync tag on $dstPath — bootstrap the $consumerNoun first")
     if (from >= latest) return None
     val (adds, dels, mTo) =
       try changeSidesBetween(spark, srcPath, from, latest)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
-            s"mirror tag v$from lagged past the source's retention " +
-            s"window (latest v$latest; the source keeps its last " +
-            "`retain` versions) — re-bootstrap the mirror from a full " +
-            "source read, or widen the source's retention " +
+            s"$consumerNoun tag v$from lagged past the source's " +
+            s"retention window (latest v$latest; the source keeps its " +
+            s"last `retain` versions) — re-bootstrap the $consumerNoun " +
+            "from a full source read, or widen the source's retention " +
             "(ManifestTable.setRetention)")
       }
+    Some((from, latest, adds, dels, mTo))
+  }
+
+  def syncMirror(spark: SparkSession, srcPath: String,
+                 dstPath: String): Option[(Long, Long)] = {
+    val (from, latest, adds, dels, mTo) =
+      consumerWindow(spark, srcPath, dstPath, "mirror")
+        .getOrElse(return None)
     // destination-schema guard, same refusal as applyChanges: a source
     // evolution the mirror has not adopted must not silently narrow
     val dstSchema = readManifest(spark, dstPath).schema

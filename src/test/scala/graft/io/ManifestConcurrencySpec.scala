@@ -190,6 +190,64 @@ class ManifestConcurrencySpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("mergeInto RE-RESOLVES clauses against an overlapping winner's " +
+    "state — post-images computed from a superseded snapshot never " +
+    "commit") {
+    import ManifestTable.{WhenMatched, UpdateSet}
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2)
+      // the winner lands grp=100 on the contended key INSIDE the
+      // loser's race window; the loser's post-image (t.grp + 1) was
+      // resolved against grp = 5 % 7 = 5 — committing it would yield 6
+      // and silently erase the winner. Serial order demands 101.
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((5L, "winner", 100)).toDF("id", "name", "grp"))
+        ()
+      }
+      val st = ManifestTable.mergeInto(spark, path,
+        Seq((5L, "src")).toDF("id", "tagv"),
+        Seq(WhenMatched(None,
+          UpdateSet(Map("grp" -> (col("t.grp") + 1).cast("int"))))),
+        insertUnmatched = false)
+      assert(st.version == 3L)
+      val got = content(ManifestTable.read(spark, path))
+      assert(got.contains((5L, "winner", 101)),
+        s"post-image must be re-resolved on the winner's row: " +
+        s"${got.find(_._1 == 5L)}")
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("a mergeInto whose clauses match nothing burns NO version " +
+    "(row-empty outputs take the metadata-only path)") {
+    import ManifestTable.{WhenMatched, UpdateSet}
+    val path = tmp()
+    try {
+      ManifestTable.create(base(50), path, "id", numFiles = 2)
+      val st = ManifestTable.mergeInto(spark, path,
+        Seq((3L, 0L)).toDF("id", "delta"),
+        Seq(WhenMatched(Some(col("s.delta") > 100L),
+          UpdateSet(Map("grp" -> lit(9))))),
+        insertUnmatched = false)
+      assert(ManifestTable.latestVersion(spark, path).contains(1L),
+        "no data change must not consume the retention window")
+      assert(st.filesRewritten == 0 && st.filesWritten == 0)
+      assert(content(ManifestTable.read(spark, path)) == content(base(50)))
+      // a requested tag still lands, metadata-only
+      ManifestTable.mergeInto(spark, path,
+        Seq((3L, 0L)).toDF("id", "delta"),
+        Seq(WhenMatched(Some(col("s.delta") > 100L),
+          UpdateSet(Map("grp" -> lit(9))))),
+        insertUnmatched = false, setTag = Some("77"))
+      assert(ManifestTable.readTag(spark, path).contains("77"))
+      assert(ManifestTable.latestVersion(spark, path).contains(2L))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("two real threads through the race window: both land, " +
     "serial-equivalent result") {
     val path = tmp()
