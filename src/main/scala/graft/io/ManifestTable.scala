@@ -1191,6 +1191,21 @@ object ManifestTable {
     else { compactTable(spark, path, numFiles); true }
   }
 
+  /** Manual VACUUM: run the retention sweep now, without a commit —
+    * deletes out-of-window manifests and any aged unreferenced data
+    * file (crashed transactions, abandoned optimistic attempts, retired
+    * versions that accumulated since the last commit's own sweep). The
+    * orphan grace period (`graft.manifest.orphanGraceMs`) still
+    * applies: a FRESH unreferenced file may belong to an in-flight
+    * committer and always survives — there is deliberately no
+    * force/zero-grace flag, the same reason production formats guard
+    * their vacuum retention. Idle tables clean up without having to
+    * burn a version. */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val m = readManifest(spark, path)
+    retire(spark, path, keepFrom = m.version - (m.retain - 1))
+  }
+
   /** Full rewrite into `numFiles` files on the table's RECORDED layout
     * (the manifest's `layout` line): key-sorted tables get globally
     * range-disjoint files back; Z tables go back onto their Morton

@@ -384,6 +384,32 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("vacuum sweeps aged orphans without a commit; fresh unreferenced " +
+    "files always survive (no force flag)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(50), path, "id", numFiles = 2)
+      // an aged crash orphan and a FRESH one (an in-flight committer's)
+      val txn = java.nio.file.Paths.get(s"$path/data/txn-9-dead")
+      java.nio.file.Files.createDirectories(txn)
+      val aged = txn.resolve("part-old.parquet")
+      val fresh = txn.resolve("part-new.parquet")
+      java.nio.file.Files.write(aged, Array[Byte](1))
+      java.nio.file.Files.write(fresh, Array[Byte](2))
+      java.nio.file.Files.setLastModifiedTime(aged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 24L * 3600 * 1000))
+      val v = ManifestTable.latestVersion(spark, path)
+      ManifestTable.vacuum(spark, path)
+      assert(ManifestTable.latestVersion(spark, path) == v,
+        "vacuum must not burn a version")
+      assert(!java.nio.file.Files.exists(aged), "aged orphan swept")
+      assert(java.nio.file.Files.exists(fresh),
+        "fresh unreferenced file must survive the grace period")
+      assert(ManifestTable.read(spark, path).count() == 50L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("string keys work end-to-end (ordering is Spark's, via the " +
     "cast-back range join)") {
     val path = tmp()
