@@ -1009,6 +1009,26 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // RESTORE (the Delta RESTORE shape): roll the table back to a
+    // retained version as a NEW metadata-only commit re-pointing the
+    // manifest at the old files — no data moves, the bad version stays
+    // inspectable until it ages out, and consumers converge through
+    // the rollback as an ordinary CDF window. The fixture lands the m1
+    // merge then restores v1; the oracle is the plain un-merged
+    // rollup, so the hash gates that the rollback is EXACT (any
+    // leakage of the undone merge breaks it).
+    "m12_restore" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.merge(s, path, updates)
+      graft.io.ManifestTable.restoreVersion(s, path, 1L)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // TABLE HISTORY (the Delta DESCRIBE HISTORY shape): every retained
     // version with the operation that committed it and its live row
     // count, read from the manifests alone — no data file opened. The
@@ -2684,6 +2704,14 @@ object Queries {
     // two incremental folds compose to identity (any delta mis-signing,
     // double-apply, or missed group breaks it).
     "m9_view_maintain" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // m12 rolls the merge back; the oracle is the plain un-merged
+    // rollup — the hash gates that the restore is exact.
+    "m12_restore" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS total_cents

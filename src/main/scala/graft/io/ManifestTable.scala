@@ -1191,6 +1191,35 @@ object ManifestTable {
     else { compactTable(spark, path, numFiles); true }
   }
 
+  /** RESTORE: roll the table back to retained version `v` as a NEW
+    * commit (the Delta `RESTORE` shape) — a metadata-only commit
+    * re-pointing the manifest at the old version's files, which the
+    * retention window still holds, so no data moves and the bad
+    * version stays readable for a post-mortem until it ages out.
+    * History reads create → bad-commit → restore; incremental
+    * consumers see the rollback as an ordinary CDF window (the diff
+    * between the bad version and the restore cancels to exactly the
+    * undone rows) and converge like any other commit. Restoring to a
+    * retired version fails loudly (FileNotFoundException from the
+    * manifest read — widen `keepVersions` before you need it). The
+    * restored snapshot's schema/layout/stats REPLACE the current ones
+    * (that is the point of a rollback: a bad evolveSchema is undone
+    * too); the consumer tag is preserved — cursors describe the
+    * DESTINATION's applied position and must survive a source
+    * rollback. */
+  def restoreVersion(spark: SparkSession, path: String, v: Long,
+                     maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(v < m.version, s"restore target v$v is not a PAST version " +
+        s"(current v${m.version})")
+      val old = readManifestAt(spark, path, v)
+      commitFence()
+      writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
+        old.schema, old.statsCols, old.entries, m.tag, old.zCols,
+        m.retain, op = s"restore(v$v)")
+      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+    }
+
   /** Manual VACUUM: run the retention sweep now, without a commit —
     * deletes out-of-window manifests and any aged unreferenced data
     * file (crashed transactions, abandoned optimistic attempts, retired

@@ -410,6 +410,60 @@ class ManifestTableSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("restoreVersion rolls back as a metadata-only commit: content " +
+    "returns, history records it, the CDF window emits exactly the " +
+    "undone rows, and a consumer converges through the rollback") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restore")
+    val path = s"$root/t"; val dst = s"$root/mirror"
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2,
+        keepVersions = 3)
+      // a mirror synced BEFORE the bad commit
+      graft.jobs.TableMirrorJob.run(spark, path, dst)
+      // the bad commit: update + insert
+      ManifestTable.merge(spark, path,
+        Seq((7L, "BAD", 9), (900L, "BADINS", 9)).toDF("id", "name", "grp"))
+      graft.jobs.TableMirrorJob.run(spark, path, dst)
+      assert(content(ManifestTable.read(spark, dst))
+        .exists(_._2 == "BAD"))
+
+      ManifestTable.restoreVersion(spark, path, 1L) // v3
+      assert(content(ManifestTable.read(spark, path)) == content(base(100)),
+        "rollback must restore v1")
+      // metadata-only: the restore re-references v1's files
+      val m1e = ManifestTable.readManifestAt(spark, path, 1L)
+        .entries.map(_.relPath).toSet
+      val m3e = ManifestTable.readManifest(spark, path)
+        .entries.map(_.relPath).toSet
+      assert(m3e == m1e, "restore must re-point at the old files")
+      // history records the rollback
+      val ops = ManifestTable.history(spark, path)
+        .select("version", "op").as[(Long, String)].collect().toMap
+      assert(ops(3L) == "restore(v1)" && ops(2L) == "merge")
+      // the CDF window across the rollback is exactly the undo
+      val undo = ManifestTable.changesBetween(spark, path, 2L, 3L)
+        .as[(String, Long, String, Int)].collect().toSet
+      assert(undo == Set(
+        ("update_pre", 7L, "BAD", 9), ("update_post", 7L, "name_7", 0),
+        ("delete", 900L, "BADINS", 9)), s"got $undo")
+      // the mirror converges through the rollback like any commit
+      graft.jobs.TableMirrorJob.run(spark, path, dst)
+      assert(content(ManifestTable.read(spark, dst)) ==
+        content(ManifestTable.read(spark, path)))
+      // refusals: non-past target; retired target
+      intercept[IllegalArgumentException] {
+        ManifestTable.restoreVersion(spark, path, 3L)
+      }
+      ManifestTable.merge(spark, path,
+        Seq((8L, "x", 1)).toDF("id", "name", "grp"))         // v4
+      ManifestTable.merge(spark, path,
+        Seq((9L, "y", 1)).toDF("id", "name", "grp"))         // v5
+      intercept[java.io.FileNotFoundException] {
+        ManifestTable.restoreVersion(spark, path, 1L)        // retired
+      }
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("string keys work end-to-end (ordering is Spark's, via the " +
     "cast-back range join)") {
     val path = tmp()
