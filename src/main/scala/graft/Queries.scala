@@ -66,6 +66,11 @@ object Queries {
       path
     })
 
+  /** Fresh per-invocation root for the m-family's throwaway manifest
+    * tables (swept by the indexTmpRoot shutdown hook). */
+  private def mtabTmp(): String = java.nio.file.Files
+    .createTempDirectory(indexTmpRoot, "mtab").toString
+
   /** Per-query ANN acceptance verdict: join the approximate top-k against
     * the exact brute-force top-k → (query_id, k, ok), ok = overlap ≥
     * `minHits`. Every output value is determined a priori when accuracy
@@ -871,18 +876,17 @@ object Queries {
         // re-priced + sparse inserts beyond the key space): this entry
         // tracks the FOLD machinery — diff, per-group deltas, atomic
         // view commit — not rewrite volume, which is m1's job
-        b.filter(col("o_orderkey") * 100 <= lit(mk))
+        val repriced = b.filter(col("o_orderkey") * 100 <= lit(mk))
+        val inserted = b.filter(col("o_orderkey") % 101 === 5)
+          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), col("price_cents"))
+        repriced
           .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
             (col("price_cents") + 10000000L).as("price_cents"))
-          .unionByName(b.filter(col("o_orderkey") % 101 === 5)
-            .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
-              lit("INSERTED").as("o_orderpriority"), col("price_cents")))
+          .unionByName(inserted)
           .write.parquet(s"$p/upd")
-        b.filter(col("o_orderkey") * 100 <= lit(mk))
-          .write.parquet(s"$p/restore_up")
-        b.filter(col("o_orderkey") % 101 === 5)
-          .select((col("o_orderkey") + lit(mk)).as("o_orderkey"))
-          .write.parquet(s"$p/restore_del")
+        repriced.write.parquet(s"$p/restore_up")
+        inserted.select("o_orderkey").write.parquet(s"$p/restore_del")
       }
       val src = s"$root/t"; val view = s"$root/view"
       // a real view-maintenance job sizes its shuffle width to the
@@ -918,8 +922,7 @@ object Queries {
     "m5_pruned_scan" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         col("ts"), col("event_type"), col("value"))
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(ev, path, "event_id", numFiles = 8,
         statsCols = Seq("ts"))
       val r = ev.agg(min("ts"), max("ts")).first()
@@ -943,8 +946,7 @@ object Queries {
     // incremental ≡ recompute end to end.
     "m4_incr_agg" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString
+      val root = mtabTmp()
       val src = s"$root/t"; val view = s"$root/view"
       graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
       graft.io.AggView.bootstrap(s, src, view,
@@ -964,8 +966,7 @@ object Queries {
     // any leakage of v2 rows into the v1 read breaks it.
     "m6_time_travel" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
       graft.io.ManifestTable.merge(s, path, updates)
       graft.io.ManifestTable.readAt(s, path, 1L)
@@ -984,8 +985,7 @@ object Queries {
     // carried-row cancellation.
     "m3_merge_changes" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
       graft.io.ManifestTable.merge(s, path, updates)
       graft.io.ManifestTable.changesBetween(s, path, 1L, 2L)
@@ -999,8 +999,7 @@ object Queries {
       val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val base = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_orderpriority"), rowCents.as("price_cents"))
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
       graft.io.ManifestTable.deleteKeys(s, path,
         base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
@@ -1019,8 +1018,7 @@ object Queries {
     // leakage of the undone merge breaks it).
     "m12_restore" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
       graft.io.ManifestTable.merge(s, path, updates)
       graft.io.ManifestTable.restoreVersion(s, path, 1L)
@@ -1042,8 +1040,7 @@ object Queries {
     // its ordering and the readAsOfTime resolution instead.
     "m11_table_history" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8,
         keepVersions = 3)
       graft.io.ManifestTable.merge(s, path, updates)
@@ -1065,8 +1062,7 @@ object Queries {
     // so the hash gates the hybrid fold+recompute strategy end to end.
     "m10_view_extremes" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString
+      val root = mtabTmp()
       val src = s"$root/t"; val view = s"$root/view"
       graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
       graft.io.AggView.bootstrapExtremes(s, src, view,
@@ -1106,8 +1102,7 @@ object Queries {
           .select((col("o_orderkey") + lit(mk)).as("o_orderkey"),
             lit("CINS").as("o_orderpriority"), col("price_cents"),
             lit(0L).as("delta")))
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(b, path, "o_orderkey", numFiles = 8)
       import graft.io.ManifestTable.{WhenMatched, UpdateSet, DeleteMatched}
       graft.io.ManifestTable.mergeInto(s, path, src, Seq(
@@ -1130,8 +1125,7 @@ object Queries {
     // deeper window a consumer that misses a cycle needs.
     "m8_time_travel_deep" -> ((s, dir) => {
       val (base, updates) = ordersMergeFixture(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory(indexTmpRoot, "mtab").toString + "/t"
+      val path = mtabTmp() + "/t"
       graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8,
         keepVersions = 3)
       graft.io.ManifestTable.merge(s, path, updates)              // v2

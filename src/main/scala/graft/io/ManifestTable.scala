@@ -479,7 +479,7 @@ object ManifestTable {
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
           statsCols), m.tag, Some((zColA, zColB)), m.retain,
         op = "compact-zorder")
-      retire(spark, path, keepFrom = nextV - (m.retain - 1))
+      retireKeeping(spark, path, nextV, m.retain)
     }
 
   /** Drive one commit `attempt` against the latest manifest with
@@ -786,7 +786,7 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
         op = "evolve-schema")
-      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+      retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
   /** Metadata-only commit: same file list, new tag — used when a sync
@@ -800,7 +800,7 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
         op = "set-tag")
-      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+      retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
   /** Metadata-only commit changing the retention window (`keepVersions`
@@ -814,7 +814,7 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
         op = "set-retention")
-      retire(spark, path, keepFrom = m.version + 1 - (keepVersions - 1))
+      retireKeeping(spark, path, m.version + 1, keepVersions)
     }
 
   /** Fresh, collision-free txn dir for one commit ATTEMPT. Unique per
@@ -942,7 +942,7 @@ object ManifestTable {
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
         setTag.orElse(base.tag), base.zCols, base.retain, op)
-      retire(spark, path, keepFrom = nextV - (base.retain - 1))
+      retireKeeping(spark, path, nextV, base.retain)
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
         carriedNow.size)
     }
@@ -1217,7 +1217,7 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
         old.schema, old.statsCols, old.entries, m.tag, old.zCols,
         m.retain, op = s"restore(v$v)")
-      retire(spark, path, keepFrom = m.version + 1 - (m.retain - 1))
+      retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
   /** Manual VACUUM: run the retention sweep now, without a commit —
@@ -1232,7 +1232,7 @@ object ManifestTable {
     * burn a version. */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val m = readManifest(spark, path)
-    retire(spark, path, keepFrom = m.version - (m.retain - 1))
+    retireKeeping(spark, path, m.version, m.retain)
   }
 
   /** Full rewrite into `numFiles` files on the table's RECORDED layout
@@ -1264,7 +1264,7 @@ object ManifestTable {
             m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
               m.statsCols), m.tag, zCols = None, retain = m.retain,
             op = "compact")
-          retire(spark, path, keepFrom = nextV - (m.retain - 1))
+          retireKeeping(spark, path, nextV, m.retain)
         }
     }
 
@@ -1341,6 +1341,15 @@ object ManifestTable {
     }
     spark.createDataFrame(rows.asJava, fields)
   }
+
+  /** The one place the retention-window arithmetic lives: after
+    * `latestV` is the newest committed version, keep the last `retain`
+    * versions (latestV − retain + 1 .. latestV) — every commit path and
+    * [[vacuum]] must retire through this, a slipped `− 1` elsewhere
+    * would silently widen or narrow the window. */
+  private def retireKeeping(spark: SparkSession, path: String,
+                            latestV: Long, retain: Int): Unit =
+    retire(spark, path, keepFrom = latestV - (retain - 1))
 
   /** Retention: keep every file referenced by a manifest >= `keepFrom`
     * (the manifest's `retain` window of superseded versions stays fully
