@@ -330,6 +330,9 @@ object ManifestTable {
         m.entries.size.toLong, m.entries.map(_.rows).sum,
         m.tag.orNull)
     }
+    // loud on a missing/empty table (same contract as readManifest) —
+    // a typo'd path must not masquerade as a fully-retired history
+    require(rows.nonEmpty, s"no committed manifest under $path")
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava,
@@ -653,8 +656,8 @@ object ManifestTable {
         } else require(source.columns.contains(key),
           s"source lacks the merge key column '$key'")
 
-        val touched = touchSet(spark, src.select(col(key)).distinct(),
-          col(key), m)
+        val srcKeys = src.select(col(key)).distinct()
+        val touched = touchSet(spark, srcKeys, col(key), m)
         val touchedE = m.entries.filter(e => touched(e.relPath))
         val target =
           if (touchedE.isEmpty)
@@ -695,22 +698,29 @@ object ManifestTable {
             else Some(src.alias("s")
               .join(target.select(col(key)), Seq(key), "left_anti")
               .select(tableCols.toSeq.map(c => col(c)): _*))
-          // ROW-empty outputs (not just structurally absent clauses)
+          // ROW-empty outcomes (not just structurally absent clauses)
           // must not burn a version: a periodic conditional merge whose
           // clauses match nothing would otherwise consume the
-          // time-travel/change-feed window and leave orphan empty files
-          val upserts = (updates ++ inserts0.toSeq)
-            .reduceOption(_ unionByName _).filterNot(_.isEmpty)
-          val dels = dels0.filterNot(_.isEmpty)
-          if (upserts.isEmpty && dels.isEmpty) {
+          // time-travel/change-feed window and leave orphan empty
+          // files. Probed from the PERSISTED acted rows + two cached
+          // counts — never by re-running the insert anti-join (that
+          // plan re-reads the touched files, which rewrite will read
+          // again anyway)
+          val hasActed = !acted.filter(col("__action") =!= -1).isEmpty
+          val hasInserts = insertUnmatched &&
+            src.count() > acted.count() // both cached; keys are unique
+          if (!hasActed && !hasInserts) {
             setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
             val n = m.entries.size
             return MergeStats(latestVersion(spark, path).getOrElse(m.version),
               n, 0, 0, n)
           }
-          try return rewrite(spark, path, upserts, dels, numFiles, setTag,
+          val upserts = (updates ++ inserts0.toSeq)
+            .reduceOption(_ unionByName _)
+          try return rewrite(spark, path, upserts, dels0, numFiles, setTag,
             maxRetries = left, op = "merge-conditional",
-            allowRedrive = false)
+            allowRedrive = false, snapshot = Some(m),
+            rebaseGuard = Some((srcKeys, touched)))
           catch { case e: ConcurrentCommitException =>
             // an overlapping winner invalidated the resolved
             // post-images — re-resolve against its state and retry
@@ -858,7 +868,10 @@ object ManifestTable {
                       numFiles: Int, setTag: Option[String],
                       maxRetries: Int = 3,
                       op: String = "",
-                      allowRedrive: Boolean = true): MergeStats = {
+                      allowRedrive: Boolean = true,
+                      snapshot: Option[Manifest] = None,
+                      rebaseGuard: Option[(DataFrame, Set[String])] = None)
+      : MergeStats = {
     val opName =
       if (op.nonEmpty) op
       else (upserts0, dels0) match {
@@ -873,8 +886,14 @@ object ManifestTable {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dels = dels0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try attemptRewrite(spark, path, readManifest(spark, path),
-      upserts, dels, numFiles, setTag, maxRetries, opName, allowRedrive)
+    // a caller whose inputs were RESOLVED against a snapshot (mergeInto)
+    // must commit against that same snapshot — re-reading latest here
+    // would silently adopt a winner that landed during the resolution
+    // and claim the next version uncontested with stale post-images
+    try attemptRewrite(spark, path,
+      snapshot.getOrElse(readManifest(spark, path)),
+      upserts, dels, numFiles, setTag, maxRetries, opName, allowRedrive,
+      rebaseGuard)
     finally {
       upserts.foreach(_.unpersist(blocking = false))
       dels.foreach(_.unpersist(blocking = false))
@@ -892,7 +911,9 @@ object ManifestTable {
                              dels: Option[DataFrame], numFiles: Int,
                              setTag: Option[String],
                              retriesLeft: Int, op: String,
-                             allowRedrive: Boolean = true): MergeStats = {
+                             allowRedrive: Boolean = true,
+                             rebaseGuard: Option[(DataFrame, Set[String])] =
+                               None): MergeStats = {
     // a batch carrying columns the table schema lacks would be silently
     // narrowed by the select(orderedCols) projection below — after a
     // source-side schema evolution that is exactly how direct merge()/
@@ -960,16 +981,24 @@ object ManifestTable {
                    retries: Int): MergeStats = {
       if (retries <= 0) throw conflictExhausted(path, e)
       val latest = readManifest(spark, path)
+      // rebaseGuard: a conditional merge's clauses READ more rows than
+      // its post-images touch (every source-matched key, and source-key
+      // presence for NOT MATCHED) — the disjointness check must cover
+      // that wider key set, or a winner that changed a
+      // matched-but-no-clause-fired row would rebase without the
+      // clauses being re-evaluated
+      val guardOk = rebaseGuard.forall { case (ks, expected) =>
+        touchSet(spark, ks, keyK, latest) == expected }
       val rebasable = latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
-        touchSet(spark, batchKeys, keyK, latest) == touched
+        guardOk && touchSet(spark, batchKeys, keyK, latest) == touched
       if (rebasable)
         try commitOn(latest)
         catch { case e2: ConcurrentCommitException =>
           onConflict(e2, retries - 1) }
       else if (allowRedrive)
         attemptRewrite(spark, path, latest, upserts, dels, numFiles,
-          setTag, retries - 1, op, allowRedrive)
+          setTag, retries - 1, op, allowRedrive, rebaseGuard)
       else
         // the caller's inputs are FUNCTIONS of the snapshot (mergeInto's
         // resolved post-images) — an overlapping winner invalidates
@@ -1201,12 +1230,20 @@ object ManifestTable {
     * between the bad version and the restore cancels to exactly the
     * undone rows) and converge like any other commit. Restoring to a
     * retired version fails loudly (FileNotFoundException from the
-    * manifest read — widen `keepVersions` before you need it). The
-    * restored snapshot's schema/layout/stats REPLACE the current ones
-    * (that is the point of a rollback: a bad evolveSchema is undone
-    * too); the consumer tag is preserved — cursors describe the
-    * DESTINATION's applied position and must survive a source
-    * rollback. */
+    * manifest read — widen `keepVersions` before you need it).
+    *
+    * Restore rolls back DATA, not schema: the CURRENT schema is kept
+    * (additive evolution is metadata-only, so it is always a widening
+    * of the restored version's — pre-evolution files null-extend
+    * exactly as before the restore, and the change feed's
+    * to-side-is-widest invariant holds, so evolved consumers converge
+    * instead of wedging on a narrowed feed). The restored version's
+    * TAG comes back WITH its data — tag and data were committed
+    * atomically at that version, and a consumer destination rolled
+    * back to old data under a newer cursor would silently never
+    * re-apply the undone window. Layout and stats tracking follow the
+    * restored FILES (they are the physical truth being re-pointed
+    * at). */
   def restoreVersion(spark: SparkSession, path: String, v: Long,
                      maxRetries: Int = 3): Unit =
     retryingCommit(spark, path, maxRetries) { m =>
@@ -1215,7 +1252,7 @@ object ManifestTable {
       val old = readManifestAt(spark, path, v)
       commitFence()
       writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
-        old.schema, old.statsCols, old.entries, m.tag, old.zCols,
+        m.schema, old.statsCols, old.entries, old.tag, old.zCols,
         m.retain, op = s"restore(v$v)")
       retireKeeping(spark, path, m.version + 1, m.retain)
     }

@@ -222,6 +222,39 @@ class ManifestConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("mergeInto's rebase guard covers ALL matched keys: a winner " +
+    "changing a matched-but-no-clause-fired row forces re-resolution " +
+    "(conditions re-evaluate on the winner's values)") {
+    import ManifestTable.{WhenMatched, UpdateSet}
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // source matches keys 98 (grp 0 — clause fires) and 900 (grp 4 —
+      // clause silent), so the POST-IMAGE keys are {98} only and the
+      // files around 900 look disjoint to the narrow check. The winner
+      // flips 900's grp to 0 in exactly those files: serial order
+      // demands the clause now fire for 900 too.
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((900L, "w", 0)).toDF("id", "name", "grp"))
+        ()
+      }
+      ManifestTable.mergeInto(spark, path,
+        Seq((98L, "X98"), (900L, "X900")).toDF("id", "tagv"),
+        Seq(WhenMatched(Some(col("t.grp") === 0),
+          UpdateSet(Map("name" -> col("s.tagv"))))),
+        insertUnmatched = false)
+      val got = content(ManifestTable.read(spark, path))
+      assert(got.contains((98L, "X98", 0)))
+      assert(got.contains((900L, "X900", 0)),
+        s"the re-resolved clause must fire on the winner's value: " +
+        s"${got.find(_._1 == 900L)}")
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
   test("a mergeInto whose clauses match nothing burns NO version " +
     "(row-empty outputs take the metadata-only path)") {
     import ManifestTable.{WhenMatched, UpdateSet}

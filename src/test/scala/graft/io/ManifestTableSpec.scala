@@ -371,6 +371,10 @@ class ManifestTableSpec extends SparkSpec {
         ManifestTable.readAsOfTime(spark, path, t1 - 100000L)
       }
       assert(e.getMessage.contains("widen keepVersions"))
+      // a typo'd path is loud, not an empty history
+      intercept[IllegalArgumentException] {
+        ManifestTable.history(spark, s"$path-nonexistent")
+      }
 
       // the window slides: after one more commit v1 is retired, so t1
       // now resolves nothing
@@ -382,6 +386,52 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.readAsOfTime(spark, path,
         System.currentTimeMillis).count() == 99L)
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("restore across an additive evolution keeps the WIDE schema " +
+    "(evolved consumers converge, no narrowed feed) and brings back " +
+    "the restored version's tag with its data") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restev")
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(base(40), src, "id", numFiles = 2,
+        keepVersions = 5)
+      graft.jobs.TableMirrorJob.run(spark, src, dst)          // tag 1
+      ManifestTable.evolveSchema(spark, src,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))))           // v2
+      ManifestTable.merge(spark, src,
+        Seq((3L, "x", 9, 777L)).toDF("id", "name", "grp", "score")) // v3
+      ManifestTable.evolveSchema(spark, dst,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))))
+      graft.jobs.TableMirrorJob.run(spark, src, dst)          // tag 3
+      // roll the source back to PRE-evolution v1: the schema must stay
+      // wide (score, all null) — a narrowed feed would wedge the
+      // evolved mirror
+      ManifestTable.restoreVersion(spark, src, 1L)            // v4
+      val m4 = ManifestTable.readManifest(spark, src)
+      assert(m4.schema.fieldNames.contains("score"),
+        "restore must keep the evolved (wide) schema")
+      assert(ManifestTable.read(spark, src)
+        .filter(col("score").isNotNull).count() == 0L)
+      graft.jobs.TableMirrorJob.run(spark, src, dst)          // tag 4
+      assert(ManifestTable.read(spark, dst)
+        .filter(col("score").isNotNull).count() == 0L,
+        "the evolved mirror must converge through the rollback")
+      assert(ManifestTable.read(spark, dst).count() == 40L)
+
+      // tag rolls back WITH the data (they were atomic at that version)
+      val tpath = s"$root/tagged"
+      ManifestTable.create(base(10), tpath, "id", numFiles = 1,
+        tag = Some("10"), keepVersions = 3)
+      ManifestTable.setTagOnly(spark, tpath, "20")            // v2
+      ManifestTable.restoreVersion(spark, tpath, 1L)          // v3
+      assert(ManifestTable.readTag(spark, tpath).contains("10"),
+        "the restored version's tag must come back with its data")
+    } finally Fs.deleteRecursively(root)
   }
 
   test("vacuum sweeps aged orphans without a commit; fresh unreferenced " +
