@@ -324,15 +324,18 @@ object ManifestTable {
     // readRetained, not a direct read: a concurrent writer's retention
     // may retire a listed version before it is read — a transient
     // miss, not an error, under the multi-writer model
-    val rows = readRetained(spark, path,
-        listVersions(spark, path).reverse).map { m =>
+    val versions = listVersions(spark, path)
+    // loud on a missing/empty table (same contract as readManifest) —
+    // a typo'd path must not masquerade as a fully-retired history.
+    // The guard sits on the LISTING: if versions existed but every one
+    // retired between the list and the read (a fast concurrent writer),
+    // the result is transiently empty, not an error
+    require(versions.nonEmpty, s"no committed manifest under $path")
+    val rows = readRetained(spark, path, versions.reverse).map { m =>
       org.apache.spark.sql.Row(m.version, m.op, m.commitTs,
         m.entries.size.toLong, m.entries.map(_.rows).sum,
         m.tag.orNull)
     }
-    // loud on a missing/empty table (same contract as readManifest) —
-    // a typo'd path must not masquerade as a fully-retired history
-    require(rows.nonEmpty, s"no committed manifest under $path")
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava,
@@ -707,8 +710,9 @@ object ManifestTable {
           // plan re-reads the touched files, which rewrite will read
           // again anyway)
           val hasActed = !acted.filter(col("__action") =!= -1).isEmpty
-          val hasInserts = insertUnmatched &&
-            src.count() > acted.count() // both cached; keys are unique
+          // the count probes (cached; keys unique) only run when no
+          // clause fired — the common non-no-op case skips them
+          def hasInserts = insertUnmatched && src.count() > acted.count()
           if (!hasActed && !hasInserts) {
             setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
             val n = m.entries.size
@@ -986,8 +990,9 @@ object ManifestTable {
       // presence for NOT MATCHED) — the disjointness check must cover
       // that wider key set, or a winner that changed a
       // matched-but-no-clause-fired row would rebase without the
-      // clauses being re-evaluated
-      val guardOk = rebaseGuard.forall { case (ks, expected) =>
+      // clauses being re-evaluated. A def, not a val: its touch-set
+      // job only runs once the cheap metadata equalities pass
+      def guardOk = rebaseGuard.forall { case (ks, expected) =>
         touchSet(spark, ks, keyK, latest) == expected }
       val rebasable = latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
@@ -997,8 +1002,12 @@ object ManifestTable {
         catch { case e2: ConcurrentCommitException =>
           onConflict(e2, retries - 1) }
       else if (allowRedrive)
+        // the guard's expected touch set was computed against the
+        // ORIGINAL snapshot — meaningless for a re-driven attempt's new
+        // base, so drop it (today's only guarded caller forbids
+        // re-drive anyway)
         attemptRewrite(spark, path, latest, upserts, dels, numFiles,
-          setTag, retries - 1, op, allowRedrive, rebaseGuard)
+          setTag, retries - 1, op, allowRedrive, rebaseGuard = None)
       else
         // the caller's inputs are FUNCTIONS of the snapshot (mergeInto's
         // resolved post-images) — an overlapping winner invalidates
