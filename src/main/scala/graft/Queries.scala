@@ -2391,11 +2391,19 @@ object Queries {
     "ext_bpe_learn" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val merges = Bpe.learnMerges(docs, numMerges = 16, minFreq = 2)
-      val wordFreq = docs
+      // Both sides learn over the SAME top-capped word-frequency table
+      // (freq desc, word asc — deterministic TakeOrdered), so the
+      // driver-side collect for the sequential twin stays bounded at
+      // vocabCap strings even on a pathological corpus; under the cap
+      // (all test scales) this is identical to uncapped learning.
+      val vocabCap = 200000
+      val wfCapped = docs
         .select(explode(GraftFunctions.tokens_lc(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .as[(String, Long)].collect().toMap
+        .orderBy(col("freq").desc, col("w")).limit(vocabCap)
+      val merges = Bpe.learnMergesFromWordFreq(wfCapped,
+        numMerges = 16, minFreq = 2)
+      val wordFreq = wfCapped.as[(String, Long)].collect().toMap
       val expected = Bpe.learnMergesLocal(wordFreq, numMerges = 16,
         minFreq = 2)
       Seq((merges.nonEmpty, merges == expected)).toDF("learned", "ok")

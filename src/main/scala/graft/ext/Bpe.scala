@@ -51,14 +51,27 @@ object Bpe {
   def learnMerges(df: DataFrame, textCol: String = "text",
                   numMerges: Int = 32, minFreq: Long = 2,
                   checkpointDir: Option[String] = None,
-                  batchSize: Int = 1): Merges = {
-    require(batchSize >= 1, "batchSize must be >= 1")
-    val ck = new RoundCheckpointer(df.sparkSession.sparkContext, checkpointDir)
-    // word-frequency table + initial character symbols (1-based substring
-    // over non-empty tokens; tokens_lc never emits empty strings)
-    var words = ck.snap(
+                  batchSize: Int = 1): Merges =
+    learnMergesFromWordFreq(
       df.select(explode(GraftFunctions.tokens_lc(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      numMerges, minFreq, checkpointDir, batchSize)
+
+  /** [[learnMerges]] starting from an existing word-frequency table
+    * (columns `w: string`, `freq: long`) — lets callers share one corpus
+    * scan across the trainer and other vocabulary consumers, or learn
+    * over a capped vocabulary. */
+  def learnMergesFromWordFreq(wordFreq: DataFrame,
+                              numMerges: Int = 32, minFreq: Long = 2,
+                              checkpointDir: Option[String] = None,
+                              batchSize: Int = 1): Merges = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val ck = new RoundCheckpointer(
+      wordFreq.sparkSession.sparkContext, checkpointDir)
+    // initial character symbols (1-based substring over non-empty
+    // tokens; tokens_lc never emits empty strings)
+    var words = ck.snap(
+      wordFreq
         .select(col("freq"), expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")))
     val merges = collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -330,7 +330,7 @@ object Curation {
         floor(sqrt(col("n_g").cast("double")) * 1000000L + 0.5)
           .cast("long").as("w_g"))
     val tot = counts.agg(sum(col("w_g")).as("sum_w"))
-    val rates = counts.crossJoin(tot)
+    val rates = counts.crossJoin(broadcast(tot))
       .select(col(groupCol).as("__g"),
         least(lit(1.0),
           lit(targetDocs) * col("w_g").cast("double") /

@@ -73,8 +73,9 @@ object AggView {
       .agg(sum(col("__s")).as("dn"),
         sum(col("__s") * col(valCol)).as("dtotal"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyDeltas(spark, viewPath, deltas, latest, grpCol)
-    finally deltas.unpersist(blocking = false)
+    try ManifestTable.materializingWindow("view", from, latest) {
+      applyDeltas(spark, viewPath, deltas, latest, grpCol)
+    } finally deltas.unpersist(blocking = false)
     Some((from, latest))
   }
 
@@ -157,11 +158,11 @@ object AggView {
           (col("xmn") <= col("mn") || col("xmx") >= col("mx")))
           .as("__recompute"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try ManifestTable.materializingWindow("view", from, latest) {
       if (folded.isEmpty) {
         ManifestTable.setTagOnly(spark, viewPath, latest.toString)
-        return Some((from, latest))
-      }
+        Some((from, latest))
+      } else {
       val neg = folded.filter(col("n") < 0L).limit(1).collect()
       if (neg.nonEmpty) throw new IllegalStateException(
         s"feed drives group '${neg(0).get(0)}' below zero rows — the " +
@@ -184,6 +185,7 @@ object AggView {
       ManifestTable.upsertAndDelete(spark, viewPath, upserts, gone,
         setTag = Some(latest.toString))
       Some((from, latest))
+      }
     } finally folded.unpersist(blocking = false)
   }
 

@@ -126,6 +126,23 @@ object ManifestTable {
     * competing commit inside the race window. Never set outside tests. */
   private[io] var commitFence: () => Unit = () => ()
 
+  /** JVM-wide per-table-path commit locks. The version claim below is
+    * exists-check + rename; rename-fails-if-destination-exists holds on
+    * HDFS (a true atomic claim) but NOT on POSIX local filesystems
+    * (java.io.File#renameTo silently replaces), so two in-JVM writers
+    * racing the same version could both pass the exists check and the
+    * later rename would silently swallow the earlier commit. This lock
+    * closes that TOCTOU window for every writer in the same JVM — the
+    * scenario single-driver deployments and tests actually hit.
+    * Cross-PROCESS multi-writer safety additionally requires a
+    * filesystem whose rename fails on an existing destination (HDFS) —
+    * the same atomic-vs-best-effort LogStore split production table
+    * formats make for object stores. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(path: String): Object =
+    commitLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
+
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
     * (untouched, forwarded by reference, zero bytes moved). */
@@ -206,7 +223,17 @@ object ManifestTable {
     sb ++= s"keytype\t${enc(keyType.json)}\n"
     sb ++= s"schema\t${enc(schema.json)}\n"
     sb ++= s"retain\t$retain\n"
-    sb ++= s"op\t${enc(op)}\t${System.currentTimeMillis}\n"
+    // commitTs is clamped to be strictly monotone in version: with
+    // uncoordinated writers, clock skew could stamp version N+1 earlier
+    // than N, and readAsOfTime's highest-version-with-ts<=query pick
+    // would then serve commits stamped after the asked-for time. Reading
+    // the predecessor is one small-file read; retention always keeps the
+    // immediately superseded version at claim time (retain >= 2).
+    val prevTs =
+      if (v <= 1L) 0L
+      else scala.util.Try(readManifestAt(spark, path, v - 1).commitTs)
+        .getOrElse(0L)
+    sb ++= s"op\t${enc(op)}\t${math.max(System.currentTimeMillis, prevTs + 1)}\n"
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
@@ -235,11 +262,16 @@ object ManifestTable {
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
     // Commit = rename tmp → final. On HDFS, rename FAILS if the
     // destination exists — a true atomic claim. POSIX rename overwrites,
-    // so on a local FS the exists-check below is the (non-atomic) guard;
-    // either way a second writer racing the same version loses loudly
-    // instead of silently replacing the first commit.
+    // so on a local FS the exists-check below is the guard; the JVM-wide
+    // per-table lock makes exists+rename atomic against every other
+    // writer in this process (see [[commitLock]]), so a second writer
+    // racing the same version loses loudly instead of silently
+    // replacing the first commit.
     val dst = manifestFile(path, v)
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    val claimed = commitLock(path).synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!claimed) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
         s"concurrent commit: $path/manifest-$v already exists " +
@@ -710,9 +742,13 @@ object ManifestTable {
           // plan re-reads the touched files, which rewrite will read
           // again anyway)
           val hasActed = !acted.filter(col("__action") =!= -1).isEmpty
-          // the count probes (cached; keys unique) only run when no
-          // clause fired — the common non-no-op case skips them
-          def hasInserts = insertUnmatched && src.count() > acted.count()
+          // probed directly from the insert anti-join (touch-set-bounded,
+          // lazy — only runs when no clause fired). NOT count arithmetic
+          // (src.count > acted.count): that is only valid while the
+          // target is strictly key-unique, and a duplicate target key (a
+          // contract violation other paths surface loudly) would inflate
+          // acted and silently swallow genuine inserts as a no-op
+          def hasInserts = inserts0.exists(i => !i.isEmpty)
           if (!hasActed && !hasInserts) {
             setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
             val n = m.entries.size
@@ -1163,16 +1199,40 @@ object ManifestTable {
     val (adds, dels, mTo) =
       try changeSidesBetween(spark, srcPath, from, latest)
       catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"$consumerNoun tag v$from lagged past the source's " +
-            s"retention window (latest v$latest; the source keeps its " +
-            s"last `retain` versions) — re-bootstrap the $consumerNoun " +
-            "from a full source read, or widen the source's retention " +
-            "(ManifestTable.setRetention)")
+        case e: java.io.FileNotFoundException =>
+          throw lagError(consumerNoun, from, latest, e)
       }
     Some((from, latest, adds, dels, mTo))
   }
+
+  private def lagError(consumerNoun: String, from: Long, latest: Long,
+                       cause: Throwable): IllegalStateException =
+    new IllegalStateException(
+      s"$consumerNoun tag v$from lagged past the source's " +
+      s"retention window (latest v$latest; the source keeps its " +
+      s"last `retain` versions) — re-bootstrap the $consumerNoun " +
+      "from a full source read, or widen the source's retention " +
+      "(ManifestTable.setRetention)", cause)
+
+  /** Wrap a consumer's MATERIALIZATION of a change window.
+    * [[consumerWindow]] reads only the two manifests eagerly — the
+    * window's data-file reads are lazy DataFrames that materialize
+    * later, inside the consumer's own join/commit work, so a concurrent
+    * writer's retention sweep deleting files mid-sync would surface as
+    * an opaque Spark task FileNotFoundException instead of the loud lag
+    * error. This maps any FileNotFoundException in the failure's cause
+    * chain back to that error (with its re-bootstrap / widen-retention
+    * remedies), keeping the refusal semantics uniform across the whole
+    * sync, not just its manifest reads. */
+  private[io] def materializingWindow[T](consumerNoun: String, from: Long,
+                                         latest: Long)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable if Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(16)
+          .exists(_.isInstanceOf[java.io.FileNotFoundException]) =>
+        throw lagError(consumerNoun, from, latest, e)
+    }
 
   def syncMirror(spark: SparkSession, srcPath: String,
                  dstPath: String): Option[(Long, Long)] = {
@@ -1194,7 +1254,7 @@ object ManifestTable {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val delsP = dels.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try materializingWindow("mirror", from, latest) {
       if (addsP.isEmpty && delsP.isEmpty)
         // no data change (e.g. the window covered only a compaction):
         // still advance the tag so the empty diff is not recomputed
