@@ -27,10 +27,13 @@ object Sinks {
 
   /** K1: Kafka value sink. The input must have a `value` string column
     * (use [[graft.ops.Csv.format]]). At-least-once; pair with
-    * idempotent/dedup-on-read consumers for effective exactly-once. */
+    * idempotent/dedup-on-read consumers for effective exactly-once.
+    * `format` swaps the connector: "kafka" (default) or "kafkamock"
+    * (the in-JVM protocol twin the e2e tests drive this wiring with). */
   def kafkaStream(df: DataFrame, brokers: String, topic: String,
-                  checkpointDir: String): DataStreamWriter[Row] =
-    df.writeStream.format("kafka")
+                  checkpointDir: String,
+                  format: String = "kafka"): DataStreamWriter[Row] =
+    df.writeStream.format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)

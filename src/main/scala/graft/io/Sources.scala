@@ -23,10 +23,14 @@ object Sources {
 
   /** S1/S2: Kafka topic subscription, value-only strings.
     * `startingOffsets`: "latest" (reference default), "earliest", or a
-    * per-partition timestamp JSON (T6). */
+    * per-partition timestamp JSON (T6). `format` swaps the connector
+    * implementation — "kafka" (the real connector, default) or
+    * "kafkamock" ([[graft.io.kafkamock.KafkaMockProvider]], the in-JVM
+    * protocol twin the e2e tests run this exact wiring through). */
   def kafkaStream(spark: SparkSession, brokers: String, topic: String,
-                  groupId: String, startingOffsets: String = "latest"): DataFrame =
-    spark.readStream.format("kafka")
+                  groupId: String, startingOffsets: String = "latest",
+                  format: String = "kafka"): DataFrame =
+    spark.readStream.format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("kafka.group.id", groupId)
@@ -36,8 +40,9 @@ object Sources {
 
   /** S1 bounded variant: batch replay of a topic (Spark's unified API —
     * the reference reruns the same job in BATCH runtime mode, T5). */
-  def kafkaBatch(spark: SparkSession, brokers: String, topic: String): DataFrame =
-    spark.read.format("kafka")
+  def kafkaBatch(spark: SparkSession, brokers: String, topic: String,
+                 format: String = "kafka"): DataFrame =
+    spark.read.format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")

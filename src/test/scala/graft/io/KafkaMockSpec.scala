@@ -1,0 +1,161 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.kafkamock.MockBroker
+import graft.ops.{Csv, Transforms}
+
+/**
+ * Runtime evidence for the S1/S2/K1/T6 operator rows (SURVEY.md §2.1,
+ * §2.2, §2.7): the PRODUCTION wiring — [[Sources.kafkaStream]] /
+ * [[Sources.kafkaBatch]] / [[Sinks.kafkaStream]], exactly as the jobs
+ * in [[graft.jobs]] call it — executed end-to-end against the in-JVM
+ * mock broker ([[graft.io.kafkamock]]), which reproduces the Kafka
+ * connector's protocol surface (subscribe, startingOffsets
+ * earliest/latest, per-partition offsets, checkpointed resume, keyed
+ * hash-partitioned writes, at-least-once fire-and-forget sink). The
+ * sandbox has no broker and no Kafka jars, so this is the strongest
+ * executable evidence available; only the format name differs from
+ * production ("kafkamock" vs "kafka") — every option, schema, and
+ * transform in between is the production code path.
+ */
+class KafkaMockSpec extends SparkSpec {
+
+  private val brokers = "mockhost:9092" // recorded, never dialed
+  private var n = 0
+  private def freshTopic(parts: Int): String = {
+    n += 1; val t = s"kmock-t$n"; MockBroker.createTopic(t, parts); t
+  }
+  private def ckpt(): String =
+    Files.createTempDirectory("kmock-ckpt").toString
+
+  /** The reference app's input lines: NYSE daily-price CSV. */
+  private val lines = Seq(
+    "NYSE,ABB,2010-03-05,10.0,50.0,9.0,12.0,100,12.0",
+    "NYSE,IBM,2010-07-09,20.0,60.0,19.0,22.0,200,22.0",
+    "NYSE,CAT,2011-01-02,30.0,70.0,29.0,32.0,300,32.0",
+    "NYSE,GE,2010-05-05,40.0,80.0,39.0,42.0,400,42.0",
+    "NYSE,MSO,2011-09-09,50.0,50.0,10.0,52.0,500,52.0",
+    "NYSE,ABB,2012-11-11,11.0,90.0,10.5,13.0,150,13.0")
+
+  /** flinkStreamProcessing's three branches (symbol-set, threshold,
+    * compound), enriched to CSV `value` lines and recombined — the
+    * full job dataflow over any source of raw lines. */
+  private def threeBranchPipeline(raw: DataFrame, topic: String): DataFrame = {
+    val prices = Csv.parse(raw, Csv.dailyPriceSchema)
+    val clock = Some(1234L) // injectable clock (SURVEY §5 item 6)
+    val b1 = Transforms.enrichCsvLine(
+      Transforms.symbolSetFilter(prices, Seq("ABB", "IBM", "CAT")), topic, clock)
+    val b2 = Transforms.enrichCsvLine(
+      Transforms.thresholdFilter(prices, "GE", 75.0, 5.0), topic, clock)
+    val b3 = Transforms.enrichCsvLine(
+      Transforms.compoundFilter(prices, Seq("ABB", "IBM", "CAT"), 50.0, 10.0,
+        2010, 2011), topic, clock)
+    b1.unionByName(b2).unionByName(b3)
+  }
+
+  test("S1+K1 e2e: source → parse → 3 filter branches → sink through the mock broker (earliest)") {
+    val in = freshTopic(parts = 3)
+    val out = freshTopic(parts = 2)
+    // keyed produce → stable hash routing across the 3 partitions
+    lines.foreach(l => MockBroker.produce(in, l, key = l.split(",")(1)))
+
+    val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+      startingOffsets = "earliest", format = "kafkamock")
+    val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
+      ckpt(), format = "kafkamock").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the batch twin over the same lines IS the expected output (T5
+    // unified batch/stream: same LogicalPipeline both modes)
+    val expected = threeBranchPipeline(
+      Sources.memoryLines(spark, lines), in)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(MockBroker.valuesOf(out).sorted == expected)
+    // 4 symbol-set rows + 1 threshold row + 2 compound rows
+    assert(expected.size == 7)
+  }
+
+  test("T6: startingOffsets latest skips pre-existing records, sees only post-start produces") {
+    val in = freshTopic(parts = 2)
+    val out = freshTopic(parts = 1)
+    MockBroker.produce(in, lines(0)) // pre-existing: must be skipped
+    MockBroker.produce(in, lines(1))
+
+    val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+      startingOffsets = "latest", format = "kafkamock")
+    val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
+      ckpt(), format = "kafkamock").start()
+    try {
+      q.processAllAvailable() // forces initialOffset to snapshot NOW
+      MockBroker.produce(in, lines(2)) // CAT — passes branch 1 and 3
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = MockBroker.valuesOf(out)
+    // CAT passes only the symbol-set branch (high/low miss the others)
+    assert(got.size == 1 && got.forall(_.contains(",CAT,")),
+      s"latest-offset stream must see only the post-start CAT line, got $got")
+  }
+
+  test("T6: checkpointed stream resumes from its committed offsets — no loss, no duplicates") {
+    val in = freshTopic(parts = 3)
+    val out = freshTopic(parts = 1)
+    val dir = ckpt()
+    def run(): Unit = {
+      val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+        startingOffsets = "earliest", format = "kafkamock")
+      val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
+        dir, format = "kafkamock").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lines.take(3).foreach(l => MockBroker.produce(in, l, key = l))
+    run() // first incarnation consumes lines 0-2
+    lines.drop(3).foreach(l => MockBroker.produce(in, l, key = l))
+    run() // resumed incarnation must consume ONLY lines 3-5
+
+    val expected = threeBranchPipeline(Sources.memoryLines(spark, lines), in)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(MockBroker.valuesOf(out).sorted == expected,
+      "restart from checkpoint must deliver each input exactly once")
+  }
+
+  test("S1 batch twin: kafkaBatch replays the whole topic earliest→latest") {
+    val in = freshTopic(parts = 3)
+    lines.foreach(l => MockBroker.produce(in, l, key = l.split(",")(1)))
+    val got = Sources.kafkaBatch(spark, brokers, in, format = "kafkamock")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == lines.sorted)
+  }
+
+  test("option wiring parity: missing bootstrap servers / unknown topic fail loudly") {
+    val e1 = intercept[Exception] {
+      spark.read.format("kafkamock").option("subscribe", "whatever").load()
+    }
+    assert(e1.getMessage.contains("kafka.bootstrap.servers"))
+    val e2 = intercept[Exception] {
+      Sources.kafkaBatch(spark, brokers, "no-such-topic", format = "kafkamock")
+        .collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
+  test("K1 semantics: keyed writes route stably by key hash; sink is at-least-once by design") {
+    val out = freshTopic(parts = 4)
+    import spark.implicits._
+    val df = Seq(("k1", "v1"), ("k1", "v2"), ("k2", "v3"))
+      .toDF("key", "value")
+    df.write.format("kafkamock").mode("append")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", out).save()
+    // same key → same partition (the default partitioner's contract)
+    val ends = MockBroker.endOffsets(out)
+    assert(ends.sum == 3)
+    assert(ends.count(_ > 0) <= 2, "k1's two records must share a partition")
+    assert(MockBroker.valuesOf(out).sorted == Seq("v1", "v2", "v3"))
+  }
+}
