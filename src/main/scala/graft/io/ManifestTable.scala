@@ -113,7 +113,8 @@ object ManifestTable {
                       entries: Seq[FileEntry], tag: Option[String] = None,
                       zCols: Option[(String, String)] = None,
                       retain: Int = 2, op: String = "unknown",
-                      commitTs: Long = 0L)
+                      commitTs: Long = 0L,
+                      partCol: Option[String] = None)
 
   /** The atomic version claim was lost to a concurrent committer — the
     * retryable conflict signal ([[rewrite]] rebases or re-drives on it;
@@ -213,7 +214,8 @@ object ManifestTable {
                             tag: Option[String] = None,
                             zCols: Option[(String, String)] = None,
                             retain: Int = 2,
-                            op: String = "unknown"): Unit = {
+                            op: String = "unknown",
+                            partCol: Option[String] = None): Unit = {
     require(retain >= 2, s"retain=$retain: the window must keep at least " +
       "the current and one superseded version (changesBetween needs both " +
       "sides of the last commit)")
@@ -237,6 +239,7 @@ object ManifestTable {
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
+    partCol.foreach(p => sb ++= s"partcol\t${enc(p)}\n")
     if (statsCols.nonEmpty)
       sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
@@ -300,6 +303,7 @@ object ManifestTable {
     var retain: Int = 2 // pre-retention manifests carry no line: old window
     var op: String = "unknown"
     var commitTs: Long = 0L
+    var partCol: Option[String] = None
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -313,6 +317,7 @@ object ManifestTable {
         case "op"      => op = dec(parts(1)); commitTs = parts(2).toLong
         case "tag"     => tag = Some(dec(parts(1)))
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
+        case "partcol" => partCol = Some(dec(parts(1)))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
@@ -331,7 +336,7 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols, retain, op, commitTs)
+      zCols, retain, op, commitTs, partCol)
   }
 
   // ----------------------------------------------------------------- reads
@@ -516,7 +521,7 @@ object ManifestTable {
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
           statsCols), m.tag, Some((zColA, zColB)), m.retain,
-        op = "compact-zorder")
+        op = "compact-zorder", partCol = m.partCol)
       retireKeeping(spark, path, nextV, m.retain)
     }
 
@@ -553,7 +558,12 @@ object ManifestTable {
     val dir = s"$root/$txnRel"
     val extraAggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string")))
-    val rows = spark.read.schema(schema).parquet(dir)
+    // recursiveFileLookup: a partition-pure txn ([[Tables
+    // .writePartitionPure]]) nests files under `__p=<value>/` — read
+    // them as plain leaves instead of letting partition discovery
+    // invent a `__p` column outside the schema (flat txns unaffected)
+    val rows = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
       .select(col(keyCol).as("__k") +: col("_metadata.file_path").as("__f")
         +: statsCols.map(col): _*)
       .groupBy("__f")
@@ -567,7 +577,12 @@ object ManifestTable {
       require(r.getLong(1) == r.getLong(2),
         s"null merge key in $abs: ${r.getLong(1) - r.getLong(2)} row(s) — " +
         "merge keys must be non-null")
-      val rel = txnRel + "/" + abs.substring(abs.lastIndexOf('/') + 1)
+      // rel = everything from the txn dir down (partition-pure txns
+      // nest one `__p=<value>` level; flat txns have the file directly)
+      val marker = "/" + txnRel + "/"
+      val at = abs.indexOf(marker)
+      require(at >= 0, s"file $abs not under txn dir $txnRel")
+      val rel = abs.substring(at + 1)
       val extra = statsCols.zipWithIndex.flatMap { case (c, i) =>
         (Option(r.getString(5 + 2 * i)), Option(r.getString(6 + 2 * i))) match {
           case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
@@ -835,7 +850,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
-        op = "evolve-schema")
+        op = "evolve-schema", partCol = m.partCol)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -849,7 +864,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
-        op = "set-tag")
+        op = "set-tag", partCol = m.partCol)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -863,6 +878,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
+        partCol = m.partCol,
         op = "set-retention")
       retireKeeping(spark, path, m.version + 1, keepVersions)
     }
@@ -1002,7 +1018,8 @@ object ManifestTable {
       val nextV = base.version + 1
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
-        setTag.orElse(base.tag), base.zCols, base.retain, op)
+        setTag.orElse(base.tag), base.zCols, base.retain, op,
+        partCol = base.partCol)
       retireKeeping(spark, path, nextV, base.retain)
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
         carriedNow.size)
@@ -1322,7 +1339,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
         m.schema, old.statsCols, old.entries, old.tag, old.zCols,
-        m.retain, op = s"restore(v$v)")
+        m.retain, op = s"restore(v$v)", partCol = old.partCol)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1369,7 +1386,7 @@ object ManifestTable {
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
             m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
               m.statsCols), m.tag, zCols = None, retain = m.retain,
-            op = "compact")
+            op = "compact", partCol = m.partCol)
           retireKeeping(spark, path, nextV, m.retain)
         }
     }

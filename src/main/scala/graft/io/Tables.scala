@@ -51,6 +51,28 @@ object Tables {
       .parquet(path)
 
   /**
+   * PARTITION-PURE layout for [[ManifestTable.createPartitioned]]: every
+   * output file holds exactly ONE value of `partCol`, so a manifest
+   * recording per-file (min, max) of the column sees min == max and can
+   * serve partition-level deletes/overwrites as metadata-only commits
+   * and partition reads as manifest-pruned file lists. Fully
+   * distributed — one shuffle clustering rows by partition value, then
+   * the `partitionBy` writer splits each task's rows per value (the
+   * duplicate `__p` column is consumed by the writer; `partCol` itself
+   * stays IN the data files, so every read path sees the full schema).
+   * Rows are sorted by (`partCol`, `sortCol`) within tasks, so per-file
+   * key stats stay tight too.
+   */
+  def writePartitionPure(df: DataFrame, path: String, partCol: String,
+                         sortCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__p", col(partCol))
+      .repartition(col("__p"))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.partitionBy("__p").mode("overwrite").parquet(path)
+  }
+
+  /**
    * Small-file compaction: rewrite a parquet directory into
    * `ceil(bytes / targetFileBytes)` files. Streaming sinks and
    * fine-grained partition writes accumulate small files; at 100 TB the
