@@ -1051,6 +1051,57 @@ object Queries {
         .select(col("version"), col("op"), col("n_rows"))
     }),
 
+    // PARTITION-NATIVE table ops (ManifestTable.createPartitioned):
+    // orders lands PARTITION-PURE on o_orderpriority (every file holds
+    // one priority, recorded in the manifest), then the two standard
+    // warehouse mutations run as MANIFEST-ONLY commits — the lowest
+    // priority partition is DROPPED (zero files read or written;
+    // MergeStats filesRewritten==0 is pinned in PartitionedTableSpec)
+    // and the highest is dynamically OVERWRITTEN with re-priced rows
+    // (one fresh partition written, every other carried by reference).
+    // At 100 TB this is the drop-a-day / backfill-a-day layout: both
+    // ops cost one manifest commit regardless of table size. The oracle
+    // replays delete+overwrite in SQL over orders, so the hash gates
+    // the partition addressing (stored min==max values) end to end.
+    "m13_partition_ops" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val r = base.agg(min("o_orderpriority"), max("o_orderpriority")).first()
+      val (pmin, pmax) = (r.getString(0), r.getString(1))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.createPartitioned(base, path, "o_orderkey",
+        "o_orderpriority")
+      graft.io.ManifestTable.deletePartitions(s, path, Seq(pmin))
+      graft.io.ManifestTable.overwritePartitions(s, path,
+        base.filter(col("o_orderpriority") === pmax)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("price_cents") + 5000L).as("price_cents")))
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // Partition-PRUNED read (ManifestTable.readPartitions): the file
+    // list for the two requested priorities is cut DRIVER-SIDE against
+    // the manifest's recorded per-file value — no Spark job, no footer
+    // opened for the other partitions' files. The oracle is the plain
+    // IN-filter, so the hash gates pruning completeness (a dropped
+    // qualifying file breaks it) as well as correctness.
+    "m14_partition_read" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val r = base.agg(min("o_orderpriority"), max("o_orderpriority")).first()
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.createPartitioned(base, path, "o_orderkey",
+        "o_orderpriority")
+      graft.io.ManifestTable.readPartitions(s, path,
+        Seq(r.getString(0), r.getString(1)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -2732,6 +2783,37 @@ object Queries {
         |SELECT CAST(3 AS BIGINT), 'delete',
         |  (SELECT CAST(count(*) AS BIGINT) FROM merged
         |   WHERE o_orderkey % 13 <> 4)""".stripMargin),
+
+    // m13 drops the lowest-priority partition and overwrites the
+    // highest with +5000-cent rows; the oracle replays both in SQL.
+    "m13_partition_ops" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT min(o_orderpriority) AS pmin,
+        |             max(o_orderpriority) AS pmax FROM base)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents + CASE WHEN o_orderpriority =
+        |    (SELECT pmax FROM b) THEN 5000 ELSE 0 END) AS BIGINT)
+        |    AS total_cents
+        |FROM base WHERE o_orderpriority <> (SELECT pmin FROM b)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // m14 reads two partitions through the manifest-pruned file list;
+    // the oracle is the plain IN-filter.
+    "m14_partition_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT min(o_orderpriority) AS pmin,
+        |             max(o_orderpriority) AS pmax FROM base)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM base WHERE o_orderpriority IN
+        |  ((SELECT pmin FROM b), (SELECT pmax FROM b))
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // m10's final state is the merged table minus the deleted keys; the
     // oracle recomputes count/sum/min/max directly, so the hash gates

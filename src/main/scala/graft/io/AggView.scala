@@ -73,7 +73,7 @@ object AggView {
       .agg(sum(col("__s")).as("dn"),
         sum(col("__s") * col(valCol)).as("dtotal"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try ManifestTable.materializingWindow("view", from, latest) {
+    try ManifestTable.materializingWindow("view", from, latest, srcPath) {
       applyDeltas(spark, viewPath, deltas, latest, grpCol)
     } finally deltas.unpersist(blocking = false)
     Some((from, latest))
@@ -158,7 +158,7 @@ object AggView {
           (col("xmn") <= col("mn") || col("xmx") >= col("mx")))
           .as("__recompute"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try ManifestTable.materializingWindow("view", from, latest) {
+    try ManifestTable.materializingWindow("view", from, latest, srcPath) {
       if (folded.isEmpty) {
         ManifestTable.setTagOnly(spark, viewPath, latest.toString)
         Some((from, latest))

@@ -141,8 +141,14 @@ object ManifestTable {
     * formats make for object stores. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def commitLock(path: String): Object =
-    commitLocks.computeIfAbsent(new Path(path).toString, _ => new Object)
+  // the key is FILESYSTEM-QUALIFIED: two in-JVM writers addressing the
+  // same table via different spellings ("/t" vs "file:/t", or a relative
+  // path) must take the SAME lock, or the TOCTOU window reopens exactly
+  // for the racing-writer case the lock exists to close
+  private def commitLock(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Object =
+    commitLocks.computeIfAbsent(
+      fs.makeQualified(new Path(path)).toString, _ => new Object)
 
   /** What a copy-on-write commit did — the evidence that skipping worked:
     * `filesRewritten` (touched, read + rewritten) vs `filesCarried`
@@ -271,7 +277,7 @@ object ManifestTable {
     // racing the same version loses loudly instead of silently
     // replacing the first commit.
     val dst = manifestFile(path, v)
-    val claimed = commitLock(path).synchronized {
+    val claimed = commitLock(fs, path).synchronized {
       !fs.exists(dst) && fs.rename(tmp, dst)
     }
     if (!claimed) {
@@ -424,14 +430,24 @@ object ManifestTable {
     readFiles(spark, path, best)
   }
 
+  /** The one manifest-file read: explicit file list, manifest schema,
+    * recursiveFileLookup — the option disables directory-partition
+    * inference, so a partition-pure file living under `__p=<value>/`
+    * can never have a `__p` column invented outside the schema (flat
+    * files are unaffected). */
+  private def readEntries(spark: SparkSession, path: String,
+                          schema: StructType,
+                          entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("recursiveFileLookup", "true")
+        .parquet(entries.map(e => s"$path/${e.relPath}"): _*)
+
   private def readFiles(spark: SparkSession, path: String,
                         m: Manifest): DataFrame =
-    if (m.entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.schema)
-    else
-      spark.read.schema(m.schema)
-        .parquet(m.entries.map(e => s"$path/${e.relPath}"): _*)
+    readEntries(spark, path, m.schema, m.entries)
 
   // ---------------------------------------------------------------- writes
 
@@ -496,6 +512,231 @@ object ManifestTable {
       zCols = Some((zColA, zColB)), op = "create-zorder")
   }
 
+  // --------------------------------------------------- partitioned tables
+
+  /** The partition-key contract, same reasoning as the merge key's: the
+    * partition value is compared as its manifest-stored STRING (driver-
+    * side equality for the metadata-only ops), so its type must
+    * round-trip exactly through a string cast. */
+  private def requirePartitionColType(partCol: String, dt: DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    require(ok, s"partition column '$partCol' has type ${dt.simpleString}; " +
+      "only integral and string partition values round-trip exactly " +
+      "through the manifest's string-encoded stats (the metadata-only " +
+      "partition ops compare them driver-side)")
+  }
+
+  private def requirePartitioned(m: Manifest, path: String): String =
+    m.partCol.getOrElse(throw new IllegalStateException(
+      s"$path is not a partitioned table (created by create/createZOrdered," +
+      " not createPartitioned) — partition-level ops need the " +
+      "partition-pure layout"))
+
+  /** The layout invariant every commit path on a partitioned table must
+    * re-establish: each file holds exactly ONE partition value (stored
+    * min == max), and the value is recorded — a file with NO recorded
+    * range means null partition values (rows the writer routed to the
+    * hive default partition), which the partition ops could neither
+    * address nor preserve, so they are refused at write time. */
+  private def requirePartitionPure(partCol: String, entries: Seq[FileEntry],
+                                   path: String): Unit =
+    entries.foreach { e =>
+      e.extra.get(partCol) match {
+        case Some((mn, mx)) =>
+          require(mn == mx, s"$path/${e.relPath} spans partition values " +
+            s"[$mn, $mx] of '$partCol' — not partition-pure; the table's " +
+            "layout invariant is broken")
+        case None => throw new IllegalStateException(
+          s"$path/${e.relPath} has no recorded '$partCol' range — the " +
+          "batch carries NULL partition values; partition columns must " +
+          "be non-null")
+      }
+    }
+
+  /** The single partition value a file of a partitioned table holds. */
+  private def partValueOf(m: Manifest, e: FileEntry, path: String): String = {
+    val pc = requirePartitioned(m, path)
+    e.extra.get(pc) match {
+      case Some((mn, mx)) if mn == mx => mn
+      case _ => throw new IllegalStateException(
+        s"$path/${e.relPath} is not partition-pure on '$pc' — was this " +
+        "table written by createPartitioned and mutated only through " +
+        "ManifestTable commit paths?")
+    }
+  }
+
+  /** PARTITIONED create ([[Tables.writePartitionPure]] layout): every
+    * data file holds exactly one value of `partCol` and the manifest
+    * records it, so the standard warehouse partition ops become
+    * MANIFEST-ONLY commits — [[deletePartitions]] /
+    * [[overwritePartitions]] drop/replace the matching entries with
+    * ZERO untouched bytes rewritten, and [[readPartitions]] cuts the
+    * file list driver-side before any footer opens. This is the
+    * north-star 100 TB fact-table layout (drop a day, backfill a day,
+    * read a day — each at metadata cost); copy-on-write [[merge]] /
+    * [[deleteKeys]] still work and re-establish purity on every
+    * rewrite. `partCol` values must be non-null; the key must still be
+    * a mergeable type. Within each partition's file, rows are key-
+    * sorted, so per-file KEY ranges stay tight for the merge touch
+    * set. */
+  def createPartitioned(df: DataFrame, path: String, keyCol: String,
+                        partCol: String, statsCols: Seq[String] = Seq.empty,
+                        tag: Option[String] = None,
+                        keepVersions: Int = 2): Unit = {
+    // validate BEFORE the destructive delete (same contract as create)
+    val missing = (Seq(keyCol, partCol) ++ statsCols)
+      .filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
+      s"schema ${df.schema.fieldNames.mkString(",")}")
+    require(partCol != keyCol, s"partition column must differ from the " +
+      s"merge key '$keyCol' (partitioning by a unique key makes one file " +
+      "per row)")
+    requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
+    requirePartitionColType(partCol, df.schema(partCol).dataType)
+    val spark = df.sparkSession
+    val root = new Path(path)
+    hfs(spark, root).delete(root, true)
+    val txnRel = "data/txn-1"
+    Tables.writePartitionPure(df, s"$path/$txnRel", partCol, keyCol)
+    // partCol always leads the tracked stats — the partition ops read
+    // the per-file (min==max) value from them
+    val allStats = (partCol +: statsCols).distinct
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, allStats)
+    requirePartitionPure(partCol, entries, path)
+    writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
+      df.schema, allStats, entries, tag, retain = keepVersions,
+      op = "create-partitioned", partCol = Some(partCol))
+  }
+
+  /** METADATA-ONLY partition drop: remove every file whose partition
+    * value is in `values` from the manifest — no data file is read or
+    * written (retention retires the dropped files after the window).
+    * The returned [[MergeStats]] is the evidence: filesRewritten ==
+    * filesWritten == 0 always. A value matching nothing burns no
+    * version (at most a tag-only commit). Incremental consumers see the
+    * drop as an ordinary change window (the dropped files' rows diff
+    * out as deletes). */
+  def deletePartitions(spark: SparkSession, path: String, values: Seq[Any],
+                       setTag: Option[String] = None,
+                       maxRetries: Int = 3): MergeStats =
+    retryingCommit(spark, path, maxRetries) { m =>
+      requirePartitioned(m, path)
+      val vals = values.map(String.valueOf).toSet
+      val (dropped, kept) =
+        m.entries.partition(e => vals(partValueOf(m, e, path)))
+      if (dropped.isEmpty) {
+        setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
+        val n = m.entries.size
+        MergeStats(latestVersion(spark, path).getOrElse(m.version), n, 0, 0, n)
+      } else {
+        commitFence()
+        writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+          m.schema, m.statsCols, kept, setTag.orElse(m.tag), m.zCols,
+          m.retain, op = "delete-partitions", partCol = m.partCol)
+        retireKeeping(spark, path, m.version + 1, m.retain)
+        MergeStats(m.version + 1, m.entries.size, 0, 0, kept.size)
+      }
+    }
+
+  /** DYNAMIC partition overwrite (the `partitionOverwriteMode=dynamic`
+    * shape): exactly the partition values PRESENT in `replacement` are
+    * replaced wholesale; every other partition is carried by reference,
+    * untouched on disk. The replacement lands partition-pure in a fresh
+    * txn dir, its values are read off the new entries' stats (driver-
+    * side — no extra pass over the data), and the commit swaps the
+    * matching manifest entries — so a day-level backfill rewrites one
+    * day and commits one manifest, whatever the table's size.
+    * `replacement` must carry exactly the table schema. An EMPTY
+    * replacement replaces nothing (and burns no version) — use
+    * [[deletePartitions]] to drop a partition. Conflicts rebase: the
+    * written files are snapshot-independent, so a lost claim recommits
+    * against the winner's entries (the standard retry budget). */
+  def overwritePartitions(spark: SparkSession, path: String,
+                          replacement: DataFrame,
+                          setTag: Option[String] = None,
+                          maxRetries: Int = 3): MergeStats = {
+    val m0 = readManifest(spark, path)
+    val pc = requirePartitioned(m0, path)
+    val missing = m0.schema.fieldNames.filterNot(replacement.columns.contains)
+    val extra = replacement.columns.filterNot(m0.schema.fieldNames.contains)
+    require(missing.isEmpty && extra.isEmpty,
+      s"replacement schema must match the table's exactly; missing: " +
+      s"${missing.mkString(",")} extra: ${extra.mkString(",")} " +
+      "(evolve the table first, or project the batch)")
+    val ordered = replacement.select(
+      m0.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val txnRel = freshTxnRel(m0.version + 1)
+    Tables.writePartitionPure(ordered, s"$path/$txnRel", pc, m0.keyCol)
+    val newE = statsFor(spark, path, txnRel, m0.keyCol, m0.schema,
+      m0.statsCols)
+    requirePartitionPure(pc, newE, path)
+    val replaced = newE.map(e => e.extra(pc)._1).toSet
+    retryingCommit(spark, path, maxRetries) { base =>
+      // the files above are snapshot-INDEPENDENT, so committing them on
+      // a winner's base is always serial-equivalent — as long as the
+      // table's identity metadata still matches what they were written
+      // under (additive schema evolution is fine: the new files simply
+      // null-extend like every pre-evolution file)
+      require(base.partCol.contains(pc) && base.statsCols == m0.statsCols,
+        s"$path changed layout/stats tracking under this overwrite — " +
+        "re-drive it against the current table")
+      if (replaced.isEmpty) {
+        setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
+        val n = base.entries.size
+        MergeStats(latestVersion(spark, path).getOrElse(base.version),
+          n, 0, 0, n)
+      } else {
+        val kept =
+          base.entries.filterNot(e => replaced(partValueOf(base, e, path)))
+        commitFence()
+        writeManifest(spark, path, base.version + 1, base.keyCol,
+          base.keyType, base.schema, base.statsCols, kept ++ newE,
+          setTag.orElse(base.tag), base.zCols, base.retain,
+          op = "overwrite-partitions", partCol = base.partCol)
+        retireKeeping(spark, path, base.version + 1, base.retain)
+        MergeStats(base.version + 1, base.entries.size, 0, newE.size,
+          kept.size)
+      }
+    }
+  }
+
+  /** Partition-pruned read: the file list is cut to the requested
+    * values DRIVER-SIDE against the manifest's recorded per-file value
+    * — no Spark job, no footer opened, before the scan even plans. The
+    * complement of [[prunedRead]] (range pruning on any tracked stats
+    * column) for the exact-partition case. */
+  def readPartitions(spark: SparkSession, path: String,
+                     values: Seq[Any]): DataFrame = {
+    val m = readManifest(spark, path)
+    requirePartitioned(m, path)
+    val vals = values.map(String.valueOf).toSet
+    readEntries(spark, path, m.schema,
+      m.entries.filter(e => vals(partValueOf(m, e, path))))
+  }
+
+  /** The live partition inventory — ops visibility, manifest-only: one
+    * row per partition value with its file and row counts. */
+  def describePartitions(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(spark, path)
+    requirePartitioned(m, path)
+    import scala.jdk.CollectionConverters._
+    val rows = m.entries.groupBy(e => partValueOf(m, e, path)).toSeq
+      .sortBy(_._1)
+      .map { case (v, es) =>
+        org.apache.spark.sql.Row(v, es.size.toLong, es.map(_.rows).sum) }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType))))
+  }
+
   /** The Z-layout's compaction: rewrite onto a fresh Morton curve
     * (merges land key-sorted txns that fall off the curve; this puts
     * the whole table back on it) — also the MIGRATION from a key-sorted
@@ -508,6 +749,10 @@ object ManifestTable {
                            zColA: String, zColB: String,
                            maxRetries: Int = 3): Unit =
     retryingCommit(spark, path, maxRetries) { m =>
+      require(m.partCol.isEmpty, s"$path is partition-pure on " +
+        s"'${m.partCol.get}' — the Z and partition layouts are mutually " +
+        "exclusive (a Morton rewrite would break the metadata-only " +
+        "partition ops); recreate the table to change layout")
       val missing = Seq(zColA, zColB).filterNot(m.schema.fieldNames.contains)
       require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
         s"the table schema ${m.schema.fieldNames.mkString(",")}")
@@ -573,14 +818,26 @@ object ManifestTable {
         +: extraAggs: _*)
       .collect()
     rows.map { r =>
-      val abs = r.getString(0)
+      // _metadata.file_path is URL-ENCODED (SparkPath.urlEncoded): a
+      // partition dir holding a space ("__p=4-NOT SPECIFIED") comes
+      // back as "%20" here while the on-disk name has the literal
+      // space — decode to the FILESYSTEM form before slicing the rel
+      // path, or every later read/sweep of the entry resolves to a
+      // nonexistent file
+      val abs0 = r.getString(0)
+      val abs =
+        try new java.net.URI(abs0).getPath
+        catch { case _: java.net.URISyntaxException => abs0 }
       require(r.getLong(1) == r.getLong(2),
         s"null merge key in $abs: ${r.getLong(1) - r.getLong(2)} row(s) — " +
         "merge keys must be non-null")
       // rel = everything from the txn dir down (partition-pure txns
-      // nest one `__p=<value>` level; flat txns have the file directly)
+      // nest one `__p=<value>` level; flat txns have the file directly).
+      // lastIndexOf: the txn dir is always the DEEPEST match — a table
+      // root whose own path happens to contain a matching segment (e.g.
+      // /data/txn-1/mytable) must not slice the rel path early
       val marker = "/" + txnRel + "/"
-      val at = abs.indexOf(marker)
+      val at = abs.lastIndexOf(marker)
       require(at >= 0, s"file $abs not under txn dir $txnRel")
       val rel = abs.substring(at + 1)
       val extra = statsCols.zipWithIndex.flatMap { case (c, i) =>
@@ -709,13 +966,7 @@ object ManifestTable {
         val srcKeys = src.select(col(key)).distinct()
         val touched = touchSet(spark, srcKeys, col(key), m)
         val touchedE = m.entries.filter(e => touched(e.relPath))
-        val target =
-          if (touchedE.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              m.schema)
-          else spark.read.schema(m.schema)
-            .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
+        val target = readEntries(spark, path, m.schema, touchedE)
         val joined = target.alias("t")
           .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
         // first-match-wins clause index per matched row (−1 = no clause
@@ -752,10 +1003,8 @@ object ManifestTable {
           // must not burn a version: a periodic conditional merge whose
           // clauses match nothing would otherwise consume the
           // time-travel/change-feed window and leave orphan empty
-          // files. Probed from the PERSISTED acted rows + two cached
-          // counts — never by re-running the insert anti-join (that
-          // plan re-reads the touched files, which rewrite will read
-          // again anyway)
+          // files. The matched side probes the PERSISTED acted rows;
+          // the insert side probes the anti-join DIRECTLY (below)
           val hasActed = !acted.filter(col("__action") =!= -1).isEmpty
           // probed directly from the insert anti-join (touch-set-bounded,
           // lazy — only runs when no clause fired). NOT count arithmetic
@@ -997,8 +1246,7 @@ object ManifestTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       else
-        spark.read.schema(m.schema)
-          .parquet(touchedE.map(e => s"$path/${e.relPath}"): _*)
+        readEntries(spark, path, m.schema, touchedE)
           .join(batchKeys, Seq(m.keyCol), "left_anti")
     val newData = upserts match {
       case Some(u) => survivors.unionByName(u.select(orderedCols: _*))
@@ -1010,8 +1258,18 @@ object ManifestTable {
       if (numFiles > 0) numFiles
       else math.max(1,
         touchedE.size + (if (upserts.isDefined && touchedE.isEmpty) 1 else 0))
-    Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
+    // a PARTITIONED table's rewrites stay partition-pure (every commit
+    // path preserves the layout invariant the metadata-only partition
+    // ops depend on); numFiles is layout-driven there — one file per
+    // touched partition value
+    m.partCol match {
+      case Some(pc) =>
+        Tables.writePartitionPure(newData, s"$path/$txnRel", pc, m.keyCol)
+      case None =>
+        Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
+    }
     val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
+    m.partCol.foreach(pc => requirePartitionPure(pc, newE, path))
 
     def commitOn(base: Manifest): MergeStats = {
       val carriedNow = base.entries.filterNot(e => touched(e.relPath))
@@ -1129,14 +1387,9 @@ object ManifestTable {
     // and the positional exceptAll compares like with like (a window
     // spanning an evolution commit would otherwise fail at analysis
     // time on mismatched column counts)
-    def side(entries: Seq[FileEntry], other: Set[String]): DataFrame = {
-      val only = entries.filterNot(e => other.contains(e.relPath))
-      if (only.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mTo.schema)
-      else spark.read.schema(mTo.schema)
-        .parquet(only.map(e => s"$path/${e.relPath}"): _*)
-    }
+    def side(entries: Seq[FileEntry], other: Set[String]): DataFrame =
+      readEntries(spark, path, mTo.schema,
+        entries.filterNot(e => other.contains(e.relPath)))
     val oldRows = side(mFrom.entries, toRel)
     val newRows = side(mTo.entries, fromRel)
     (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows), mTo)
@@ -1237,18 +1490,27 @@ object ManifestTable {
     * later, inside the consumer's own join/commit work, so a concurrent
     * writer's retention sweep deleting files mid-sync would surface as
     * an opaque Spark task FileNotFoundException instead of the loud lag
-    * error. This maps any FileNotFoundException in the failure's cause
+    * error. This maps a FileNotFoundException in the failure's cause
     * chain back to that error (with its re-bootstrap / widen-retention
-    * remedies), keeping the refusal semantics uniform across the whole
-    * sync, not just its manifest reads. */
+    * remedies) — but ONLY when the missing file lives under `srcPath`:
+    * the wrapped body also materializes the consumer's OWN files and
+    * commit work, and a missing/corrupt view or mirror file needs a
+    * different remedy than "re-bootstrap the consumer", so those
+    * surface unmapped. */
   private[io] def materializingWindow[T](consumerNoun: String, from: Long,
-                                         latest: Long)(body: => T): T =
+                                         latest: Long, srcPath: String)
+                                        (body: => T): T =
     try body
     catch {
-      case e: Throwable if Iterator.iterate(e)(_.getCause)
-          .takeWhile(_ != null).take(16)
-          .exists(_.isInstanceOf[java.io.FileNotFoundException]) =>
-        throw lagError(consumerNoun, from, latest, e)
+      case e: Throwable if {
+        // scheme-insensitive containment: task errors report absolute
+        // URIs ("file:/tmp/.../t/data/txn-…") while callers may hold a
+        // bare path — compare on the URI path component
+        val srcMark = new Path(srcPath).toUri.getPath
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+          .exists(t => t.isInstanceOf[java.io.FileNotFoundException] &&
+            Option(t.getMessage).exists(_.contains(srcMark)))
+      } => throw lagError(consumerNoun, from, latest, e)
     }
 
   def syncMirror(spark: SparkSession, srcPath: String,
@@ -1271,7 +1533,7 @@ object ManifestTable {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val delsP = dels.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try materializingWindow("mirror", from, latest) {
+    try materializingWindow("mirror", from, latest, srcPath) {
       if (addsP.isEmpty && delsP.isEmpty)
         // no data change (e.g. the window covered only a compaction):
         // still advance the tag so the empty diff is not recomputed
@@ -1380,12 +1642,23 @@ object ManifestTable {
             "onto the recorded layout")
           val nextV = m.version + 1
           val txnRel = freshTxnRel(nextV)
-          Tables.writeSortedBy(readFiles(spark, path, m), s"$path/$txnRel",
-            numFiles, m.keyCol)
+          // a partitioned table compacts back onto its partition-pure
+          // layout (one file per partition value) — a key-sorted rewrite
+          // would silently break the metadata-only partition ops
+          m.partCol match {
+            case Some(pc) =>
+              Tables.writePartitionPure(readFiles(spark, path, m),
+                s"$path/$txnRel", pc, m.keyCol)
+            case None =>
+              Tables.writeSortedBy(readFiles(spark, path, m),
+                s"$path/$txnRel", numFiles, m.keyCol)
+          }
+          val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+            m.statsCols)
+          m.partCol.foreach(pc => requirePartitionPure(pc, newE, path))
           commitFence()
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-            m.statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-              m.statsCols), m.tag, zCols = None, retain = m.retain,
+            m.statsCols, newE, m.tag, zCols = None, retain = m.retain,
             op = "compact", partCol = m.partCol)
           retireKeeping(spark, path, nextV, m.retain)
         }
@@ -1426,12 +1699,8 @@ object ManifestTable {
             col("__mn") <= lit(hi).cast(colType))
           .select("__f").collect().map(_.getString(0)).toSet
       }
-    val files = (statted.filter(e => keep(e.relPath)) ++ blind)
-      .map(e => s"$path/${e.relPath}")
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(files: _*)
+    readEntries(spark, path, m.schema,
+      statted.filter(e => keep(e.relPath)) ++ blind)
   }
 
   /** The live file inventory as a DataFrame — ops visibility: per file
@@ -1512,16 +1781,26 @@ object ManifestTable {
         fs.delete(st.getPath, false)
     }
     // unreferenced data files out (once past the grace); then empty
-    // txn dirs
+    // dirs bottom-up. RECURSIVE below the txn level: a partition-pure
+    // txn ([[Tables.writePartitionPure]]) nests its files one
+    // `__p=<value>/` level down, and rel paths in the manifest carry
+    // that level — a flat sweep would neither match nor clean them
     val dataDir = new Path(s"$path/data")
     if (!fs.exists(dataDir)) return
-    fs.listStatus(dataDir).filter(_.isDirectory).foreach { txn =>
-      fs.listStatus(txn.getPath).foreach { f =>
-        val rel = s"data/${txn.getPath.getName}/${f.getPath.getName}"
-        if (!referenced.contains(rel) &&
+    def sweep(dir: Path, relPrefix: String): Unit = {
+      fs.listStatus(dir).foreach { f =>
+        val rel = s"$relPrefix/${f.getPath.getName}"
+        if (f.isDirectory) {
+          sweep(f.getPath, rel)
+          if (fs.listStatus(f.getPath).isEmpty)
+            fs.delete(f.getPath, false)
+        } else if (!referenced.contains(rel) &&
             now - f.getModificationTime > graceMs)
           fs.delete(f.getPath, false)
       }
+    }
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { txn =>
+      sweep(txn.getPath, s"data/${txn.getPath.getName}")
       if (fs.listStatus(txn.getPath).isEmpty) fs.delete(txn.getPath, false)
     }
   }

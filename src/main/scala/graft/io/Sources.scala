@@ -23,20 +23,30 @@ object Sources {
 
   /** S1/S2: Kafka topic subscription, value-only strings.
     * `startingOffsets`: "latest" (reference default), "earliest", or a
-    * per-partition timestamp JSON (T6). `format` swaps the connector
-    * implementation — "kafka" (the real connector, default) or
-    * "kafkamock" ([[graft.io.kafkamock.KafkaMockProvider]], the in-JVM
-    * protocol twin the e2e tests run this exact wiring through). */
+    * per-partition OFFSET JSON. The reference's commented timestamp
+    * init (flinkStreamProcessing.scala:98-99) maps to the connector's
+    * separate `startingOffsetsByTimestamp` option — pass the
+    * per-partition ms JSON (`{"topic":{"0":<ms>}}`) as
+    * `startingTimestamps` and leave `startingOffsets` at its default
+    * (the connector refuses both together, T6). `format` swaps the
+    * connector implementation — "kafka" (the real connector, default)
+    * or "kafkamock" ([[graft.io.kafkamock.KafkaMockProvider]], the
+    * in-JVM protocol twin the e2e tests run this exact wiring
+    * through). */
   def kafkaStream(spark: SparkSession, brokers: String, topic: String,
                   groupId: String, startingOffsets: String = "latest",
-                  format: String = "kafka"): DataFrame =
-    spark.readStream.format(format)
+                  format: String = "kafka",
+                  startingTimestamps: Option[String] = None): DataFrame = {
+    val base = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("kafka.group.id", groupId)
-      .option("startingOffsets", startingOffsets)
+    startingTimestamps
+      .fold(base.option("startingOffsets", startingOffsets))(ts =>
+        base.option("startingOffsetsByTimestamp", ts))
       .load()
       .select(col("value").cast("string").as("value"))
+  }
 
   /** S1 bounded variant: batch replay of a topic (Spark's unified API —
     * the reference reruns the same job in BATCH runtime mode, T5). */

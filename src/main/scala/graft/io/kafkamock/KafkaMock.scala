@@ -31,10 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - the Kafka source schema (key/value binary, topic, partition,
  *    offset, timestamp, timestampType);
  *  - `subscribe` single-topic subscription over a fixed partition set;
- *  - `startingOffsets` earliest/latest resolved exactly like the real
- *    source: `latest` snapshots end offsets at stream start, `earliest`
- *    reads from offset 0; a checkpointed stream resumes from its
- *    serialized per-partition offsets instead (T6 replay);
+ *  - `startingOffsets` resolved exactly like the real source: `latest`
+ *    snapshots end offsets at stream start, `earliest` reads from
+ *    offset 0, a specific-offset JSON (`{"t":{"0":23,"1":-1}}`, -2 =
+ *    earliest, -1 = latest) pins per-partition starts, and
+ *    `startingOffsetsByTimestamp` (`{"t":{"0":<ms>}}`) starts each
+ *    partition at its first record at-or-after the timestamp (end when
+ *    none — the offsetsForTimes contract); defaults are PER MODE
+ *    (streaming latest, batch earliest, like the real connector); a
+ *    checkpointed stream resumes from its serialized per-partition
+ *    offsets instead (T6 replay);
  *  - per-partition monotone offsets; one input partition per topic
  *    partition (the real source's partition→task mapping);
  *  - the sink's fire-and-forget append (at-least-once under epoch
@@ -87,15 +93,29 @@ object MockBroker {
     produceTo(topic, pid, value, key)
   }
 
+  /** `tsMillis` < 0 = stamp with the wall clock (production path); an
+    * explicit record timestamp lets tests drive the timestamp-offset
+    * resolution ([[offsetForTime]]) deterministically. */
   def produceTo(topic: String, partition: Int, value: String,
-                key: String = null): Unit = {
+                key: String = null, tsMillis: Long = -1L): Unit = {
     val parts = partitionsOf(topic)
     val buf = parts(partition)
     val rec = Record(
       if (key == null) null else key.getBytes("UTF-8"),
       if (value == null) null else value.getBytes("UTF-8"),
-      System.currentTimeMillis())
+      if (tsMillis < 0) System.currentTimeMillis() else tsMillis)
     buf.synchronized { buf += rec }
+  }
+
+  /** The earliest offset whose record timestamp is >= `tsMillis`, or the
+    * END offset when no record qualifies — the `offsetsForTimes`
+    * contract the real source's timestamp start resolution sits on. */
+  def offsetForTime(topic: String, partition: Int, tsMillis: Long): Long = {
+    val buf = partitionsOf(topic)(partition)
+    buf.synchronized {
+      val i = buf.indexWhere(_.ts >= tsMillis)
+      if (i < 0) buf.length.toLong else i.toLong
+    }
   }
 
   private[kafkamock] def appendRaw(topic: String, partition: Int,
@@ -145,11 +165,51 @@ private[kafkamock] object KafkaMock {
       .map { case (p, o) => s""""$p":$o""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
 
-  private val entryRe = """"(\d+)"\s*:\s*(\d+)""".r
+  private val entryRe = """"(\d+)"\s*:\s*(-?\d+)""".r
 
   def offsetsFromJson(json: String): Map[Int, Long] =
     entryRe.findAllMatchIn(json)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+
+  /** Per-partition start offsets for a scan, resolved exactly like the
+    * real source: `startingOffsetsByTimestamp` JSON wins (each
+    * partition starts at the first offset whose record timestamp >= its
+    * ts, or the end when none qualifies) and must cover every
+    * partition; else `startingOffsets` — "earliest"/"latest" named
+    * policies, or a specific-offset JSON where -2 = earliest and -1 =
+    * latest; else `default` (per READ MODE: streaming latest, batch
+    * earliest). */
+  def resolveStart(topic: String, starting: Option[String],
+                   byTimestamp: Option[String],
+                   default: String): Map[Int, Long] = {
+    val ends = MockBroker.endOffsets(topic)
+    byTimestamp match {
+      case Some(js) =>
+        val ts = offsetsFromJson(js)
+        ends.indices.map { p =>
+          val t = ts.getOrElse(p, throw new IllegalArgumentException(
+            s"startingOffsetsByTimestamp must specify every partition of " +
+            s"'$topic'; missing partition $p"))
+          p -> MockBroker.offsetForTime(topic, p, t)
+        }.toMap
+      case None => starting.getOrElse(default) match {
+        case "earliest" => ends.indices.map(_ -> 0L).toMap
+        case "latest" => ends.indices.map(p => p -> ends(p)).toMap
+        case js =>
+          val offs = offsetsFromJson(js)
+          ends.indices.map { p =>
+            val o = offs.getOrElse(p, throw new IllegalArgumentException(
+              s"startingOffsets JSON must specify every partition of " +
+              s"'$topic'; missing partition $p"))
+            p -> (o match {
+              case -2L => 0L
+              case -1L => ends(p)
+              case n => n
+            })
+          }.toMap
+      }
+    }
+  }
 }
 
 final case class MockOffset(topic: String, offsets: Map[Int, Long]) extends Offset {
@@ -190,13 +250,23 @@ final class MockTable(options: CaseInsensitiveStringMap)
     KafkaMock.requireBootstrap(readOptions)
     val topic = readOptions.get("subscribe")
     require(topic != null, "Option 'subscribe' must be specified for reads")
-    val starting = readOptions.getOrDefault("startingOffsets", "latest")
-    require(starting == "latest" || starting == "earliest",
-      s"startingOffsets must be earliest|latest, got '$starting'")
+    // the raw option, NOT a resolved default: the real connector's
+    // default is PER MODE — streaming starts at latest, batch reads the
+    // whole topic from earliest — and the mode is only known at
+    // toBatch/toMicroBatchStream time, so MockScan resolves it there
+    val starting = readOptions.get("startingOffsets")
+    require(starting == null || starting == "latest" ||
+      starting == "earliest" || starting.trim.startsWith("{"),
+      s"startingOffsets must be earliest|latest|<offset json>, got '$starting'")
+    val byTs = readOptions.get("startingOffsetsByTimestamp")
+    require(byTs == null || byTs.trim.startsWith("{"),
+      s"startingOffsetsByTimestamp must be a per-partition ts JSON, got '$byTs'")
+    require(starting == null || byTs == null,
+      "set only one of startingOffsets / startingOffsetsByTimestamp")
     val ending = readOptions.getOrDefault("endingOffsets", "latest")
     require(ending == "latest",
       s"endingOffsets supports only 'latest', got '$ending'")
-    () => new MockScan(topic, starting)
+    () => new MockScan(topic, Option(starting), Option(byTs))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -218,18 +288,22 @@ final class MockTable(options: CaseInsensitiveStringMap)
   }
 }
 
-final class MockScan(topic: String, startingOffsets: String) extends Scan {
+final class MockScan(topic: String, startingOffsets: Option[String],
+                     byTimestamp: Option[String]) extends Scan {
   override def readSchema(): StructType = KafkaMock.readSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MockMicroBatchStream(topic, startingOffsets)
+    new MockMicroBatchStream(topic, startingOffsets, byTimestamp)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val ends = MockBroker.endOffsets(topic)
+      // batch default = EARLIEST (the real connector reads the whole
+      // topic on a plain spark.read; only streaming defaults to latest)
+      val from = KafkaMock.resolveStart(topic, startingOffsets,
+        byTimestamp, default = "earliest")
       ends.indices.map { p =>
-        val from = if (startingOffsets == "earliest") 0L else ends(p)
-        MockInputPartition(topic, p, from, ends(p)): InputPartition
+        MockInputPartition(topic, p, from(p), ends(p)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -237,16 +311,14 @@ final class MockScan(topic: String, startingOffsets: String) extends Scan {
   }
 }
 
-final class MockMicroBatchStream(topic: String, startingOffsets: String)
+final class MockMicroBatchStream(topic: String,
+                                 startingOffsets: Option[String],
+                                 byTimestamp: Option[String])
     extends MicroBatchStream {
 
-  override def initialOffset(): Offset = {
-    val ends = MockBroker.endOffsets(topic)
-    val start =
-      if (startingOffsets == "earliest") ends.indices.map(_ -> 0L)
-      else ends.indices.map(p => p -> ends(p))
-    MockOffset(topic, start.toMap)
-  }
+  override def initialOffset(): Offset =
+    MockOffset(topic, KafkaMock.resolveStart(topic, startingOffsets,
+      byTimestamp, default = "latest"))
 
   override def latestOffset(): Offset =
     MockOffset(topic,
