@@ -124,6 +124,89 @@ class KafkaMockSpec extends SparkSpec {
       "restart from checkpoint must deliver each input exactly once")
   }
 
+  test("T6: timestamp start (startingOffsetsByTimestamp) begins each " +
+    "partition at its first record at-or-after the ts — the reference's " +
+    "commented timestamp init, executed through the production wiring") {
+    val in = freshTopic(parts = 2)
+    val out = freshTopic(parts = 1)
+    // two epochs of records with explicit timestamps: the stream must
+    // skip the t=1000 epoch and read from t=2000 on — per partition
+    MockBroker.produceTo(in, 0, lines(0), tsMillis = 1000L) // skipped
+    MockBroker.produceTo(in, 1, lines(1), tsMillis = 1000L) // skipped
+    MockBroker.produceTo(in, 0, lines(2), tsMillis = 2000L) // CAT: read
+    MockBroker.produceTo(in, 1, lines(3), tsMillis = 2500L) // GE: read
+
+    val tsJson = s"""{"$in":{"0":2000,"1":2000}}"""
+    val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+      format = "kafkamock", startingTimestamps = Some(tsJson))
+    val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
+      ckpt(), format = "kafkamock").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the batch twin over ONLY the t>=2000 lines is the expected
+    // output; any epoch-1 leakage (ABB/IBM rows) breaks the equality
+    val expected = threeBranchPipeline(
+      Sources.memoryLines(spark, Seq(lines(2), lines(3))), in)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(expected.nonEmpty &&
+      MockBroker.valuesOf(out).sorted == expected,
+      s"timestamp start must begin at the t>=2000 records only, got " +
+      s"${MockBroker.valuesOf(out)}")
+  }
+
+  test("T6: a timestamp past every record resolves to the END offset " +
+    "(offsetsForTimes contract) — the stream sees only later produces") {
+    val in = freshTopic(parts = 1)
+    val out = freshTopic(parts = 1)
+    MockBroker.produceTo(in, 0, lines(0), tsMillis = 1000L)
+    val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+      format = "kafkamock",
+      startingTimestamps = Some(s"""{"$in":{"0":5000}}"""))
+    val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
+      ckpt(), format = "kafkamock").start()
+    try {
+      q.processAllAvailable()
+      MockBroker.produceTo(in, 0, lines(2), tsMillis = 9000L) // CAT
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = threeBranchPipeline(
+      Sources.memoryLines(spark, Seq(lines(2))), in)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(expected.nonEmpty &&
+      MockBroker.valuesOf(out).sorted == expected,
+      s"ts-past-end must behave like latest, got ${MockBroker.valuesOf(out)}")
+  }
+
+  test("S1: specific-offset JSON start (-2 earliest, -1 latest, pinned n)") {
+    val in = freshTopic(parts = 3)
+    // one line per explicit partition: p0 via -2 (earliest), p1 via -1
+    // (latest → skipped), p2 via a pinned absolute offset 0
+    lines.take(3).zipWithIndex.foreach { case (l, p) =>
+      MockBroker.produceTo(in, p, l) }
+    val got = spark.read.format("kafkamock")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", in)
+      .option("startingOffsets", s"""{"$in":{"0":-2,"1":-1,"2":0}}""")
+      .load().select(col("value").cast("string"), col("partition"))
+      .collect().map(r => (r.getInt(1), r.getString(0))).toSeq
+    assert(got.map(_._1).toSet == Set(0, 2),
+      s"partition 1 pinned to latest must yield nothing, got $got")
+  }
+
+  test("S1: a plain batch read with no startingOffsets defaults to " +
+    "EARLIEST (whole topic), like the real connector") {
+    val in = freshTopic(parts = 2)
+    lines.take(4).foreach(l => MockBroker.produce(in, l))
+    val got = spark.read.format("kafkamock")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", in)
+      .load().select(col("value").cast("string"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == lines.take(4).sorted,
+      "batch default must be earliest — a silent zero-row read is the " +
+      "mock diverging from the real connector")
+  }
+
   test("S1 batch twin: kafkaBatch replays the whole topic earliest→latest") {
     val in = freshTopic(parts = 3)
     lines.foreach(l => MockBroker.produce(in, l, key = l.split(",")(1)))
