@@ -37,10 +37,15 @@ import org.apache.spark.sql.functions._
 object AggView {
 
   /** Build the view from the source's CURRENT content; the view's tag
-    * records the source version it reflects. */
+    * records the source version it reflects. `numFiles` defaults to 1:
+    * a view is group-cardinality-sized, and a single-file view rides
+    * the cheapest commit path on every sync — no touch-set job (the
+    * only candidate file is the file) and write-job-fused stats — so
+    * the default optimizes the maintenance loop the view exists for;
+    * pass a higher count only for genuinely huge group spaces. */
   def bootstrap(spark: SparkSession, srcPath: String, viewPath: String,
                 grpCol: String, valCol: String,
-                numFiles: Int = 4): Long = {
+                numFiles: Int = 1): Long = {
     val srcV = ManifestTable.readManifest(spark, srcPath).version
     // read the content AT the version the tag will record — resolving
     // "latest" again here would race a concurrent source commit, and a
@@ -79,6 +84,59 @@ object AggView {
     Some((from, latest))
   }
 
+  /** Sync SEVERAL count/sum views of the SAME source in one pass,
+    * materializing each distinct change window ONCE and folding it into
+    * every view that sits at that cursor — a dashboard keeping N
+    * rollups per source commit otherwise re-reads and re-diffs the
+    * window's files N times (the diff read is the sync's data cost; at
+    * 100 TB sources it dwarfs the per-view fold). Views at different
+    * cursors group by window; each view still commits independently
+    * with its own atomic tag (per-view crash semantics identical to
+    * [[sync]] — this is a read-sharing optimization, not a cross-view
+    * transaction). Returns per view what [[sync]] would. */
+  def syncMany(spark: SparkSession, srcPath: String,
+               views: Seq[(String, String, String)])
+      : Seq[Option[(Long, Long)]] = {
+    val latest = ManifestTable.latestVersion(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest under $srcPath"))
+    val froms = views.map { case (vp, _, _) =>
+      ManifestTable.numericTag(spark, vp,
+        s"no sync tag on $vp — bootstrap the view first") }
+    val results = Array.fill[Option[(Long, Long)]](views.size)(None)
+    froms.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (from, idxs) =>
+        if (from < latest) {
+          val (adds, dels, _) =
+            try ManifestTable.changeSidesBetween(spark, srcPath, from, latest)
+            catch { case e: java.io.FileNotFoundException =>
+              throw ManifestTable.lagError("view", from, latest, e) }
+          val addsP = adds.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val delsP = dels.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try idxs.foreach { case (_, i) =>
+            val (viewPath, grpCol, valCol) = views(i)
+            val deltas = addsP
+              .select(col(grpCol), col(valCol), lit(1L).as("__s"))
+              .unionByName(delsP
+                .select(col(grpCol), col(valCol), lit(-1L).as("__s")))
+              .groupBy(grpCol)
+              .agg(sum(col("__s")).as("dn"),
+                sum(col("__s") * col(valCol)).as("dtotal"))
+            ManifestTable.materializingWindow("view", from, latest, srcPath) {
+              applyDeltas(spark, viewPath, deltas, latest, grpCol)
+            }
+            results(i) = Some((from, latest))
+          } finally {
+            addsP.unpersist(blocking = false)
+            delsP.unpersist(blocking = false)
+          }
+        }
+      }
+    results.toSeq
+  }
+
   /** Fold one feed (the [[ManifestTable.changesBetween]] shape) into the
     * view in ONE atomic commit tagged `targetV`: affected groups with a
     * surviving count upsert, groups whose count reaches zero delete,
@@ -115,7 +173,7 @@ object AggView {
     * pre-integered contract as the sums). */
   def bootstrapExtremes(spark: SparkSession, srcPath: String,
                         viewPath: String, grpCol: String, valCol: String,
-                        numFiles: Int = 4): Long = {
+                        numFiles: Int = 1): Long = {
     val srcV = ManifestTable.readManifest(spark, srcPath).version
     val view = ManifestTable.readAt(spark, srcPath, srcV)
       .groupBy(grpCol)
@@ -159,13 +217,18 @@ object AggView {
           .as("__recompute"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try ManifestTable.materializingWindow("view", from, latest, srcPath) {
-      if (folded.isEmpty) {
+      // one fused probe job (emptiness + negative witness), same
+      // rationale as applyDeltas'
+      val probe = folded.agg(count(lit(1)).as("n_all"),
+        sum(when(col("n") < 0L, 1L).otherwise(0L)).as("n_neg"),
+        min(when(col("n") < 0L, col(grpCol).cast("string")))
+          .as("neg_grp")).first()
+      if (probe.getLong(0) == 0L) {
         ManifestTable.setTagOnly(spark, viewPath, latest.toString)
         Some((from, latest))
       } else {
-      val neg = folded.filter(col("n") < 0L).limit(1).collect()
-      if (neg.nonEmpty) throw new IllegalStateException(
-        s"feed drives group '${neg(0).get(0)}' below zero rows — the " +
+      if (probe.getLong(1) > 0L) throw new IllegalStateException(
+        s"feed drives group '${probe.getString(2)}' below zero rows — the " +
         s"feed window does not match the view's state (tag mismatch?)")
       // exact extremes for the delete-affected groups: one source read
       // at the synced version, SEMI-JOINED down to those groups before
@@ -194,12 +257,72 @@ object AggView {
   private def applyDeltas(spark: SparkSession, viewPath: String,
                           deltas: DataFrame, targetV: Long,
                           grpCol: String): Unit = {
-      if (deltas.isEmpty) {
-        // no data change in the window (e.g. a source compaction):
-        // advance the tag so the empty diff is not recomputed forever
-        ManifestTable.setTagOnly(spark, viewPath, targetV.toString)
+    var left = 3
+    while (true) {
+      val mView = ManifestTable.readManifest(spark, viewPath)
+      // a concurrent sync of the SAME view may have applied this window
+      // (or a wider one) between our window resolution and here —
+      // additive deltas double-count, so the cursor is the guard on
+      // every (re-)drive
+      if (mView.tag.exists(t => t.nonEmpty && t.forall(_.isDigit) &&
+          t.toLong >= targetV)) return
+      if (mView.entries.size > 1) {
+        applyDeltasGeneral(spark, viewPath, deltas, targetV, grpCol)
         return
       }
+      // ≤1-file view: the ENTIRE sync is ONE Spark job — fold, probes,
+      // replacement content, file stats all ride the single swap write
+      // (per-sync job count dominates small-view maintenance cost; the
+      // general path below pays a separate probe job + rewrite)
+      try { applyDeltasFused(spark, viewPath, mView, deltas, targetV,
+        grpCol); return }
+      catch { case e: ManifestTable.ConcurrentCommitException =>
+        // newContent derived from a superseded view snapshot — re-read
+        // and re-drive (the tag guard above absorbs same-window winners)
+        if (left <= 0) throw new IllegalStateException(
+          s"commit conflict on $viewPath: retry budget exhausted", e)
+        left -= 1
+      }
+    }
+  }
+
+  private def applyDeltasFused(spark: SparkSession, viewPath: String,
+                               mView: ManifestTable.Manifest,
+                               deltas: DataFrame, targetV: Long,
+                               grpCol: String): Unit = {
+    val cur = ManifestTable.readFiles(spark, viewPath, mView)
+    val applied = deltas.join(cur, Seq(grpCol), "left")
+      .select(col(grpCol),
+        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("total"), lit(0L)) + col("dtotal")).as("total"))
+    val probe = org.apache.spark.sql.Observation()
+    val probed = applied.observe(probe,
+      count(lit(1)).as("n_all"),
+      sum(when(col("n") < 0L, 1L).otherwise(0L)).as("n_neg"),
+      min(when(col("n") < 0L, col(grpCol).cast("string"))).as("neg_grp"))
+    // replacement content: untouched groups carried + surviving folds
+    // (the observe node sits UPSTREAM of the n>0 filter, so the gate
+    // sees every folded group — including the negatives it must refuse)
+    val newView = cur
+      .join(deltas.select(col(grpCol)), Seq(grpCol), "left_anti")
+      .unionByName(probed.filter(col("n") > 0L))
+    ManifestTable.commitSingleFileSwap(spark, viewPath, mView, newView,
+      setTag = targetV.toString, op = "view-sync") { () =>
+      val p = probe.get
+      if (p("n_neg").asInstanceOf[Long] > 0L)
+        throw new IllegalStateException(
+          s"feed drives group '${p("neg_grp")}' below zero rows — the " +
+          "feed window does not match the view's state (tag mismatch?)")
+      if (p("n_all").asInstanceOf[Long] == 0L) Some("empty-window")
+      else None
+    }
+  }
+
+  /** The pre-swap general path: any number of view files, one probe job
+    * + the standard copy-on-write commit underneath. */
+  private def applyDeltasGeneral(spark: SparkSession, viewPath: String,
+                                 deltas: DataFrame, targetV: Long,
+                                 grpCol: String): Unit = {
       val cur = ManifestTable.read(spark, viewPath)
       val applied = deltas.join(cur, Seq(grpCol), "left")
         .select(col(grpCol),
@@ -207,13 +330,25 @@ object AggView {
           (coalesce(col("total"), lit(0L)) + col("dtotal")).as("total"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // a negative count means the feed does not compose with the
-        // view's state (wrong window, foreign feed) — silently dropping
-        // it would leave a stale row, so fail loudly instead
-        val neg = applied.filter(col("n") < 0L).limit(1).collect()
-        if (neg.nonEmpty) throw new IllegalStateException(
-          s"feed drives group '${neg(0).get(0)}' below zero rows — the " +
-          s"feed window does not match the view's state (tag mismatch?)")
+        // ONE probe job over the persisted fold: emptiness (a window
+        // with no data change — e.g. a source compaction — still
+        // advances the tag so the empty diff is not recomputed forever)
+        // and a negative-count witness (a feed that does not compose
+        // with the view's state — wrong window, foreign feed — must
+        // fail loudly, not leave a stale row). The former separate
+        // isEmpty + collect pair cost a job each; per-sync job count is
+        // the dominant cost of small-view maintenance
+        val probe = applied.agg(count(lit(1)).as("n_all"),
+          sum(when(col("n") < 0L, 1L).otherwise(0L)).as("n_neg"),
+          min(when(col("n") < 0L, col(grpCol).cast("string")))
+            .as("neg_grp")).first()
+        if (probe.getLong(0) == 0L) {
+          ManifestTable.setTagOnly(spark, viewPath, targetV.toString)
+          return
+        }
+        if (probe.getLong(1) > 0L) throw new IllegalStateException(
+          s"feed drives group '${probe.getString(2)}' below zero rows — " +
+          "the feed window does not match the view's state (tag mismatch?)")
         val upserts = applied.filter(col("n") > 0L)
         val gone = applied.filter(col("n") === 0L).select(col(grpCol))
         ManifestTable.upsertAndDelete(spark, viewPath, upserts, gone,

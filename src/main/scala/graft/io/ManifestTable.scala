@@ -445,8 +445,8 @@ object ManifestTable {
       spark.read.schema(schema).option("recursiveFileLookup", "true")
         .parquet(entries.map(e => s"$path/${e.relPath}"): _*)
 
-  private def readFiles(spark: SparkSession, path: String,
-                        m: Manifest): DataFrame =
+  private[io] def readFiles(spark: SparkSession, path: String,
+                            m: Manifest): DataFrame =
     readEntries(spark, path, m.schema, m.entries)
 
   // ---------------------------------------------------------------- writes
@@ -851,6 +851,85 @@ object ManifestTable {
     }.toSeq.sortBy(_.relPath)
   }
 
+  /** Single-file txn write with the per-file stats OBSERVED during the
+    * write job itself — for one output file, the file's stats ARE the
+    * batch's global aggregates, so the [[statsFor]] re-read of the
+    * just-written bytes is a whole second Spark job of pure overhead.
+    * Frequently-committed small tables (group-cardinality agg views
+    * syncing every source commit) live on this path; the arrangement
+    * (one partition, key-sorted) matches `writeSortedBy(numFiles = 1)`
+    * exactly, so the physical layout is indistinguishable. */
+  private def writeSingleFileObserved(spark: SparkSession, root: String,
+                                      txnRel: String, df: DataFrame,
+                                      keyCol: String,
+                                      statsCols: Seq[String]): Seq[FileEntry] = {
+    val dir = s"$root/$txnRel"
+    val obs = org.apache.spark.sql.Observation()
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
+        min(col(keyCol)).cast("string").as("mn"),
+        max(col(keyCol)).cast("string").as("mx")) ++
+      statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c)).cast("string").as(s"mn$i"),
+        max(col(c)).cast("string").as(s"mx$i")) }
+    df.repartition(1).sortWithinPartitions(col(keyCol))
+      .observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(dir)
+    val mm = obs.get
+    val n = mm("n").asInstanceOf[Long]
+    if (n == 0L) return Seq.empty // statsFor parity: empty file, no entry
+    require(n == mm("nk").asInstanceOf[Long],
+      s"null merge key in $dir: ${n - mm("nk").asInstanceOf[Long]} " +
+      "row(s) — merge keys must be non-null")
+    val p = new Path(dir)
+    val fs = hfs(spark, p)
+    val files = fs.listStatus(p).map(_.getPath.getName)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_")).sorted
+    require(files.length == 1,
+      s"expected exactly one data file in $dir, got ${files.length}")
+    val extra = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      (Option(mm(s"mn$i").asInstanceOf[String]),
+        Option(mm(s"mx$i").asInstanceOf[String])) match {
+        case (Some(a), Some(b)) => Some(c -> (a, b))
+        case _ => None
+      }
+    }.toMap
+    Seq(FileEntry(s"$txnRel/${files.head}", n,
+      Option(mm("mn").asInstanceOf[String]),
+      Option(mm("mx").asInstanceOf[String]), extra))
+  }
+
+  /** FULL single-file swap of a TINY table's content, gated by metrics
+    * observed during the write — the ONE-JOB commit primitive for
+    * consumer tables (agg views) whose whole state is one file: the
+    * caller bakes its validity probes into `newContent`'s plan as
+    * Observations, this writes the file (stats fused, same job), then
+    * calls `gate` — which reads the now-complete observations — BEFORE
+    * any manifest is committed. gate None = commit the swap (all-new
+    * entries, tag atomic with the data); gate Some = the window carried
+    * no change, commit tag-only (the written copy becomes a grace-period
+    * orphan); gate throw = nothing committed at all. A lost version
+    * claim surfaces as [[ConcurrentCommitException]] for the caller to
+    * re-drive — `newContent` derives from snapshot `m`, so a conflicting
+    * winner invalidates it. */
+  private[io] def commitSingleFileSwap(spark: SparkSession, path: String,
+                                       m: Manifest, newContent: DataFrame,
+                                       setTag: String, op: String)
+                                      (gate: () => Option[String]): Unit = {
+    require(m.partCol.isEmpty && m.zCols.isEmpty,
+      "single-file swap is for flat key-sorted tables only")
+    val txnRel = freshTxnRel(m.version + 1)
+    val newE = writeSingleFileObserved(spark, path, txnRel, newContent,
+      m.keyCol, m.statsCols)
+    gate() match {
+      case Some(_) => setTagOnly(spark, path, setTag)
+      case None =>
+        writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+          m.schema, m.statsCols, newE, Some(setTag), m.zCols, m.retain, op)
+        retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+  }
+
   /** Copy-on-write UPSERT: rows of `updates` replace same-key rows; new
     * keys are inserted. Only files whose [min,max] key range contains an
     * update key are read and rewritten; everything else is carried by
@@ -1237,7 +1316,16 @@ object ManifestTable {
     val keySets = upserts.map(_.select(keyK)).toSeq ++
       dels.map(_.select(keyK)).toSeq
     val batchKeys = keySets.reduce(_ unionByName _).distinct()
-    val touched = touchSet(spark, batchKeys, keyK, m)
+    // ≤1 live file: the only possible touch set is that file, and
+    // probing whether the batch actually intersects its range costs
+    // exactly the Spark job the skip saves. An out-of-range pure insert
+    // then rewrites one single-task file instead of carrying it — the
+    // right trade below the file count where touch-set pruning has
+    // anything to prune (group-cardinality agg views hit this on every
+    // sync; commit-path job count is their dominant cost)
+    val touched =
+      if (m.entries.size <= 1) m.entries.map(_.relPath).toSet
+      else touchSet(spark, batchKeys, keyK, m)
 
     val (touchedE, carriedE) = m.entries.partition(e => touched(e.relPath))
     val orderedCols = m.schema.fields.map(f => col(f.name).cast(f.dataType))
@@ -1261,15 +1349,22 @@ object ManifestTable {
     // a PARTITIONED table's rewrites stay partition-pure (every commit
     // path preserves the layout invariant the metadata-only partition
     // ops depend on); numFiles is layout-driven there — one file per
-    // touched partition value
-    m.partCol match {
+    // touched partition value. Single-file flat writes fuse the stats
+    // pass INTO the write job (observed metrics) — one job instead of
+    // two, the dominant saving for small frequently-committed tables
+    val newE = m.partCol match {
       case Some(pc) =>
         Tables.writePartitionPure(newData, s"$path/$txnRel", pc, m.keyCol)
+        val e = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
+        requirePartitionPure(pc, e, path)
+        e
+      case None if nFiles == 1 =>
+        writeSingleFileObserved(spark, path, txnRel, newData, m.keyCol,
+          m.statsCols)
       case None =>
         Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
+        statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
     }
-    val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
-    m.partCol.foreach(pc => requirePartitionPure(pc, newE, path))
 
     def commitOn(base: Manifest): MergeStats = {
       val carriedNow = base.entries.filterNot(e => touched(e.relPath))
@@ -1475,7 +1570,7 @@ object ManifestTable {
     Some((from, latest, adds, dels, mTo))
   }
 
-  private def lagError(consumerNoun: String, from: Long, latest: Long,
+  private[io] def lagError(consumerNoun: String, from: Long, latest: Long,
                        cause: Throwable): IllegalStateException =
     new IllegalStateException(
       s"$consumerNoun tag v$from lagged past the source's " +
@@ -1787,12 +1882,18 @@ object ManifestTable {
     // that level — a flat sweep would neither match nor clean them
     val dataDir = new Path(s"$path/data")
     if (!fs.exists(dataDir)) return
+    // empty-dir deletion is AGE-GATED like the files: an in-flight
+    // writer creates its (momentarily empty) _temporary scaffolding
+    // right as it starts — a concurrent winner's sweep deleting a fresh
+    // empty dir rips the directory out from under the writing task
+    // (found by the 4-writer stress test racing this very sweep)
     def sweep(dir: Path, relPrefix: String): Unit = {
       fs.listStatus(dir).foreach { f =>
         val rel = s"$relPrefix/${f.getPath.getName}"
         if (f.isDirectory) {
           sweep(f.getPath, rel)
-          if (fs.listStatus(f.getPath).isEmpty)
+          if (now - f.getModificationTime > graceMs &&
+              fs.listStatus(f.getPath).isEmpty)
             fs.delete(f.getPath, false)
         } else if (!referenced.contains(rel) &&
             now - f.getModificationTime > graceMs)
@@ -1801,7 +1902,9 @@ object ManifestTable {
     }
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { txn =>
       sweep(txn.getPath, s"data/${txn.getPath.getName}")
-      if (fs.listStatus(txn.getPath).isEmpty) fs.delete(txn.getPath, false)
+      if (now - txn.getModificationTime > graceMs &&
+          fs.listStatus(txn.getPath).isEmpty)
+        fs.delete(txn.getPath, false)
     }
   }
 }

@@ -31,7 +31,10 @@ class AggViewSpec extends SparkSpec {
         (0L to 59L).map(i => (i, s"g${i % 5}", i * 10))
           .toDF("id", "grp", "val"),
         src, "id", numFiles = 4)
-      AggView.bootstrap(spark, src, view, "grp", "val")
+      // numFiles 4: a MULTI-file view drives the general (probe job +
+      // copy-on-write) sync path; the 1-file default elsewhere covers
+      // the fused single-job swap — both paths must stay green
+      AggView.bootstrap(spark, src, view, "grp", "val", numFiles = 4)
       assert(viewContent(view) == recompute(src))
 
       // update values + insert a brand-new group
@@ -53,6 +56,44 @@ class AggViewSpec extends SparkSpec {
       assert(viewContent(view) == recompute(src))
       assert(!viewContent(view).exists(_._1 == "gNEW"),
         "vanished group must leave the view")
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("syncMany: one materialized window serves several views; views at " +
+    "different cursors get their own windows; per-view tags advance") {
+    val root = java.nio.file.Files.createTempDirectory("graft_aggmany")
+    val src = s"$root/src"
+    val v1 = s"$root/v1"; val v2 = s"$root/v2"
+    try {
+      ManifestTable.create(
+        (0L to 59L).map(i => (i, s"g${i % 5}", s"h${i % 3}", i * 10))
+          .toDF("id", "grp", "g2", "val"),
+        // keepVersions 3: v2 deliberately lags TWO source commits in
+        // this fixture, which the default window would rightly refuse
+        src, "id", numFiles = 4, keepVersions = 3)
+      AggView.bootstrap(spark, src, v1, "grp", "val")
+      AggView.bootstrap(spark, src, v2, "g2", "val")
+      ManifestTable.merge(spark, src,
+        Seq((3L, "g3", "h0", 5000L), (100L, "gNEW", "hNEW", 7L))
+          .toDF("id", "grp", "g2", "val"))                     // src v2
+      // advance only v1 → the cursors diverge
+      assert(AggView.sync(spark, src, v1, "grp", "val").contains((1L, 2L)))
+      ManifestTable.deleteKeys(spark, src, Seq(100L).toDF("id")) // src v3
+      val res = AggView.syncMany(spark, src,
+        Seq((v1, "grp", "val"), (v2, "g2", "val")))
+      assert(res == Seq(Some((2L, 3L)), Some((1L, 3L))),
+        s"each view must get exactly its own unseen window, got $res")
+      def re(c: String) = ManifestTable.read(spark, src).groupBy(c)
+        .agg(count(lit(1)).as("n"), sum("val").as("total"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(viewContent(v1) == re("grp"))
+      assert(ManifestTable.read(spark, v2).select("g2", "n", "total")
+        .as[(String, Long, Long)].collect().toSet == re("g2"))
+      assert(!viewContent(v1).exists(_._1 == "gNEW"),
+        "the vanished group must leave v1 through the shared window too")
+      // caught up: all None, no version burned
+      assert(AggView.syncMany(spark, src,
+        Seq((v1, "grp", "val"), (v2, "g2", "val"))).forall(_.isEmpty))
     } finally Fs.deleteRecursively(root)
   }
 
