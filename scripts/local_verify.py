@@ -8,6 +8,7 @@ what our determinism rules guarantee. Usage:
     python3 scripts/local_verify.py [sfdir] [outdir] [query...]
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -56,8 +57,13 @@ def main():
     # depend on the host's local timezone
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # driver testdata ships single parquet FILES; scaled scratch data
+        # (tools/ScaleData) writes Spark-style DIRECTORIES — glob those
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     import glob
     ok = fail = 0
