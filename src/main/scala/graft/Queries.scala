@@ -1102,6 +1102,41 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // PER-PARTITION compaction (ManifestTable.compactPartitions — the
+    // `OPTIMIZE … WHERE pt = x` shape) on the RANGE-SPLIT partitioned
+    // layout: orders lands partitioned on o_orderpriority with large
+    // partitions split into several key-disjoint files (numFiles=8 —
+    // the parallel-write shape a 100 GB partition needs), a merge of
+    // beyond-range keys fragments the highest priority with an
+    // insert-only file, and compactPartitions folds THAT partition's
+    // fragments back together (numFiles=4) while every other partition
+    // is carried by reference (PartitionedTableSpec pins the carried
+    // relPaths + MergeStats evidence). Compaction is content-invariant,
+    // so the oracle replays only create+merge in SQL — the hash gates
+    // that the rewrite lost/duplicated nothing and the multi-file
+    // layout reads back exactly.
+    "m15_partition_compact" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val r = base.agg(max("o_orderpriority"), max("o_orderkey")).first()
+      val (pmax, maxKey) = (r.getString(0), r.getLong(1))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.createPartitioned(base, path, "o_orderkey",
+        "o_orderpriority", numFiles = 8)
+      graft.io.ManifestTable.merge(s, path,
+        base.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + maxKey + 1).as("o_orderkey"),
+            lit(pmax).as("o_orderpriority"),
+            (col("price_cents") + 7L).as("price_cents")))
+      graft.io.ManifestTable.compactPartitions(s, path, Seq(pmax),
+        numFiles = 4)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -2814,6 +2849,26 @@ object Queries {
         |FROM base WHERE o_orderpriority IN
         |  ((SELECT pmin FROM b), (SELECT pmax FROM b))
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // m15's compaction is content-invariant, so the oracle replays only
+    // the create + beyond-range-key merge; the hash gates the rewrite.
+    "m15_partition_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderpriority) AS pmax,
+        |             max(o_orderkey) AS maxk FROM base),
+        |merged AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT maxk FROM b) + 1,
+        |         (SELECT pmax FROM b), price_cents + 7
+        |  FROM base WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
 
     // m10's final state is the merged table minus the deleted keys; the
     // oracle recomputes count/sum/min/max directly, so the hash gates

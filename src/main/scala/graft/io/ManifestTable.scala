@@ -582,11 +582,18 @@ object ManifestTable {
     * rewrite. `partCol` values must be non-null; the key must still be
     * a mergeable type. Within each partition's file, rows are key-
     * sorted, so per-file KEY ranges stay tight for the merge touch
-    * set. */
+    * set.
+    *
+    * `numFiles` = 0 writes one file per partition value (fine when
+    * values are many and similar-sized); > 0 range-splits the write
+    * across that many tasks so a LARGE partition value becomes several
+    * key-disjoint files written in parallel instead of one single-task
+    * straggler file — see [[Tables.writePartitionPure]]. The partition
+    * ops are file-count-agnostic either way. */
   def createPartitioned(df: DataFrame, path: String, keyCol: String,
                         partCol: String, statsCols: Seq[String] = Seq.empty,
                         tag: Option[String] = None,
-                        keepVersions: Int = 2): Unit = {
+                        keepVersions: Int = 2, numFiles: Int = 0): Unit = {
     // validate BEFORE the destructive delete (same contract as create)
     val missing = (Seq(keyCol, partCol) ++ statsCols)
       .filterNot(df.schema.fieldNames.contains)
@@ -601,7 +608,8 @@ object ManifestTable {
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
     val txnRel = "data/txn-1"
-    Tables.writePartitionPure(df, s"$path/$txnRel", partCol, keyCol)
+    Tables.writePartitionPure(df, s"$path/$txnRel", partCol, keyCol,
+      numFiles)
     // partCol always leads the tracked stats — the partition ops read
     // the per-file (min==max) value from them
     val allStats = (partCol +: statsCols).distinct
@@ -654,11 +662,13 @@ object ManifestTable {
     * replacement replaces nothing (and burns no version) — use
     * [[deletePartitions]] to drop a partition. Conflicts rebase: the
     * written files are snapshot-independent, so a lost claim recommits
-    * against the winner's entries (the standard retry budget). */
+    * against the winner's entries (the standard retry budget).
+    * `numFiles` > 0 range-splits a large backfill across that many
+    * write tasks ([[Tables.writePartitionPure]]). */
   def overwritePartitions(spark: SparkSession, path: String,
                           replacement: DataFrame,
                           setTag: Option[String] = None,
-                          maxRetries: Int = 3): MergeStats = {
+                          maxRetries: Int = 3, numFiles: Int = 0): MergeStats = {
     val m0 = readManifest(spark, path)
     val pc = requirePartitioned(m0, path)
     val missing = m0.schema.fieldNames.filterNot(replacement.columns.contains)
@@ -670,7 +680,8 @@ object ManifestTable {
     val ordered = replacement.select(
       m0.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val txnRel = freshTxnRel(m0.version + 1)
-    Tables.writePartitionPure(ordered, s"$path/$txnRel", pc, m0.keyCol)
+    Tables.writePartitionPure(ordered, s"$path/$txnRel", pc, m0.keyCol,
+      numFiles)
     val newE = statsFor(spark, path, txnRel, m0.keyCol, m0.schema,
       m0.statsCols)
     requirePartitionPure(pc, newE, path)
@@ -717,6 +728,47 @@ object ManifestTable {
     readEntries(spark, path, m.schema,
       m.entries.filter(e => vals(partValueOf(m, e, path))))
   }
+
+  /** PER-PARTITION compaction (the `OPTIMIZE … WHERE pt IN (…)` shape):
+    * rewrite ONLY the named partitions' files — every other partition
+    * is carried by reference, untouched on disk. This is the
+    * maintenance op the streaming-CDC-into-partitioned-table loop
+    * needs: merges accumulate files in the hot partitions while cold
+    * history stays put, so compaction cost must scale with the HOT SET,
+    * not the table ([[compactTable]] rewrites everything — wrong shape
+    * at 100 TB). Content is unchanged (same rows, fresh layout);
+    * `numFiles` > 0 range-splits the rewrite, 0 writes one file per
+    * value. Values matching nothing burn no version. The returned
+    * [[MergeStats]] is the evidence: filesRewritten == the selected
+    * partitions' old file count, filesCarried == everything else.
+    * Conflicts re-drive the rewrite against the winner's entries. */
+  def compactPartitions(spark: SparkSession, path: String, values: Seq[Any],
+                        numFiles: Int = 0,
+                        maxRetries: Int = 3): MergeStats =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val pc = requirePartitioned(m, path)
+      val vals = values.map(String.valueOf).toSet
+      val (selected, kept) =
+        m.entries.partition(e => vals(partValueOf(m, e, path)))
+      if (selected.isEmpty) {
+        val n = m.entries.size
+        MergeStats(latestVersion(spark, path).getOrElse(m.version), n, 0, 0, n)
+      } else {
+        val nextV = m.version + 1
+        val txnRel = freshTxnRel(nextV)
+        Tables.writePartitionPure(readEntries(spark, path, m.schema, selected),
+          s"$path/$txnRel", pc, m.keyCol, numFiles)
+        val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+          m.statsCols)
+        requirePartitionPure(pc, newE, path)
+        commitFence()
+        writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+          m.statsCols, kept ++ newE, m.tag, m.zCols, m.retain,
+          op = "compact-partitions", partCol = m.partCol)
+        retireKeeping(spark, path, nextV, m.retain)
+        MergeStats(nextV, m.entries.size, selected.size, newE.size, kept.size)
+      }
+    }
 
   /** The live partition inventory — ops visibility, manifest-only: one
     * row per partition value with its file and row counts. */
@@ -1738,12 +1790,13 @@ object ManifestTable {
           val nextV = m.version + 1
           val txnRel = freshTxnRel(nextV)
           // a partitioned table compacts back onto its partition-pure
-          // layout (one file per partition value) — a key-sorted rewrite
-          // would silently break the metadata-only partition ops
+          // layout (numFiles range-split, one file per value when 0) —
+          // a key-sorted rewrite would silently break the metadata-only
+          // partition ops
           m.partCol match {
             case Some(pc) =>
               Tables.writePartitionPure(readFiles(spark, path, m),
-                s"$path/$txnRel", pc, m.keyCol)
+                s"$path/$txnRel", pc, m.keyCol, numFiles)
             case None =>
               Tables.writeSortedBy(readFiles(spark, path, m),
                 s"$path/$txnRel", numFiles, m.keyCol)

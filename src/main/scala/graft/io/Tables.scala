@@ -62,12 +62,29 @@ object Tables {
    * stays IN the data files, so every read path sees the full schema).
    * Rows are sorted by (`partCol`, `sortCol`) within tasks, so per-file
    * key stats stay tight too.
+   *
+   * `numFiles` picks the write shape. 0 (default): hash-cluster on the
+   * partition value — ONE shuffle, no sampling pass, one file per value
+   * — right for small commit batches (a CDC merge's touched rows).
+   * >0: RANGE-partition on (`partCol`, `sortCol`) into `numFiles`
+   * tasks — a large partition value spans several contiguous tasks, so
+   * a 100 GB partition becomes ~`numFiles × its row share` files
+   * written in parallel instead of one single-task straggler file, and
+   * its files carry DISJOINT key ranges (tight merge touch-sets). A
+   * task straddling two values still writes pure files — the
+   * `partitionBy` writer splits by value within the task. Costs one
+   * extra sampling job; use it for creates/overwrites/compactions of
+   * big partitions, not per-commit batches.
    */
   def writePartitionPure(df: DataFrame, path: String, partCol: String,
-                         sortCol: String): Unit = {
+                         sortCol: String, numFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("__p", col(partCol))
-      .repartition(col("__p"))
+    val tagged = df.withColumn("__p", col(partCol))
+    val shaped =
+      if (numFiles > 0)
+        tagged.repartitionByRange(numFiles, col(partCol), col(sortCol))
+      else tagged.repartition(col("__p"))
+    shaped
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write.partitionBy("__p").mode("overwrite").parquet(path)
   }

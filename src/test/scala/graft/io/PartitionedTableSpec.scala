@@ -183,6 +183,87 @@ class PartitionedTableSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("createPartitioned(numFiles): a large partition range-splits " +
+    "into several pure files with DISJOINT key ranges; partition ops " +
+    "stay metadata-only on the multi-file layout") {
+    val path = tmp()
+    try {
+      // 2 values, heavily skewed — the big one must not be one file
+      val rows = (0 until 600).map(i =>
+        (i.toLong, if (i < 500) "big" else "small", s"v_$i"))
+        .toDF("id", "pt", "payload")
+      ManifestTable.createPartitioned(rows, path, "id", "pt", numFiles = 6)
+      val m = ManifestTable.readManifest(spark, path)
+      val byPart = m.entries.groupBy(_.extra("pt")._1)
+      m.entries.foreach { e =>
+        val (mn, mx) = e.extra("pt")
+        assert(mn == mx, s"range-split broke purity: ${e.relPath}")
+      }
+      assert(byPart("big").size > 1,
+        s"the 500-row partition stayed a single file — the range split " +
+        s"did not parallelize the write (files: ${byPart("big").size})")
+      // within a partition, files carry disjoint key ranges (tight
+      // merge touch-sets — the point of range over hash splitting)
+      byPart.values.foreach { es =>
+        val ranges = es.map(e => (e.min.get.toLong, e.max.get.toLong))
+          .sortBy(_._1)
+        ranges.zip(ranges.tail).foreach { case ((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin,
+            s"overlapping key ranges within a partition: $ranges")
+        }
+      }
+      assert(content(ManifestTable.read(spark, path)) == content(rows))
+      // the partition ops are file-count-agnostic
+      val st = ManifestTable.deletePartitions(spark, path, Seq("small"))
+      assert(st.filesRewritten == 0 && st.filesWritten == 0)
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(rows.filter(col("pt") === "big")))
+    } finally cleanup(path)
+  }
+
+  test("compactPartitions rewrites ONLY the selected partitions: " +
+    "content unchanged, other partitions' files carried verbatim, " +
+    "unknown values burn no version") {
+    val path = tmp()
+    try {
+      ManifestTable.createPartitioned(base(), path, "id", "pt")
+      // fragment p1 with several small merges
+      ManifestTable.merge(spark, path,
+        Seq((1L, "p1", "u1")).toDF("id", "pt", "payload"))
+      ManifestTable.merge(spark, path,
+        Seq((400L, "p1", "n1")).toDF("id", "pt", "payload"))
+      val before = ManifestTable.readManifest(spark, path)
+      val p1Before = before.entries.filter(_.extra("pt")._1 == "p1")
+      val othersBefore = before.entries.filterNot(_.extra("pt")._1 == "p1")
+        .map(_.relPath).toSet
+      assert(p1Before.size > 1, "fixture must fragment p1")
+
+      val st = ManifestTable.compactPartitions(spark, path, Seq("p1"))
+      assert(st.filesRewritten == p1Before.size,
+        s"must rewrite exactly p1's old files, got $st")
+      val after = ManifestTable.readManifest(spark, path)
+      val p1After = after.entries.filter(_.extra("pt")._1 == "p1")
+      assert(p1After.size == 1,
+        s"p1 should compact to one file, got ${p1After.size}")
+      assert(after.entries.filterNot(_.extra("pt")._1 == "p1")
+        .map(_.relPath).toSet == othersBefore,
+        "untouched partitions must be carried by reference")
+      val expect = content(base()) - ((1L, "p1", "v_1")) +
+        ((1L, "p1", "u1")) + ((400L, "p1", "n1"))
+      assert(content(ManifestTable.read(spark, path)) == expect)
+      // compaction preserves purity and the table stays operable
+      p1After.foreach { e =>
+        val (mn, mx) = e.extra("pt"); assert(mn == mx) }
+
+      // unknown value: no version burned
+      val v = after.version
+      val st2 = ManifestTable.compactPartitions(spark, path, Seq("nope"))
+      assert(st2.version == v && st2.filesRewritten == 0 &&
+        st2.filesWritten == 0)
+      assert(ManifestTable.latestVersion(spark, path).contains(v))
+    } finally cleanup(path)
+  }
+
   test("refusals: null partition values, non-exact partition type, " +
     "partCol == keyCol, partition ops on an unpartitioned table") {
     val path = tmp()
