@@ -135,6 +135,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Load gate: a loaded start window inflates every pass roughly
+    // uniformly, so the pass-agreement `stable` check below cannot catch
+    // it (rounds 9/10 recorded start loads of 2.7–4.7 with stable:true —
+    // r10's numbers ran +26..135 % over the idle-window figures). Wait,
+    // bounded, for the 1-min loadavg to decay below the gate before the
+    // warmup; if it never clears, stamp the artifact `contaminated` and
+    // force stable:false so the numbers are never compared across rounds.
+    // Only the PRE-warmup sample is attributable to external load — the
+    // bench itself drives loadavg up once 32 threads go hot, so per-pass
+    // samples after pass 1 measure us, not the window.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT", "300").toInt
+    val waitT0 = System.nanoTime()
+    var loadStart = loadavg
+    while (loadStart > loadGate &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      Thread.sleep(10000)
+      loadStart = loadavg
+    }
+    val loadWaitSec = (System.nanoTime() - waitT0) / 1e9
+    // loadavg may be unreported (-1) on some JVMs — treat unknown as clean
+    val contaminated = loadStart > loadGate
+
     runOnce("a3_minmax_year") // warmup (untimed)
 
     // 3 passes over the whole set, report the per-query MEDIAN: single
@@ -184,7 +207,7 @@ object Bench {
     // stable = the steady-state passes finally agreed within 1.5×; false
     // means even the extra passes disagreed — treat the numbers as
     // load-contaminated and re-run, don't compare them across rounds.
-    val stable = steadyTotals.min > 0 &&
+    val stable = !contaminated && steadyTotals.min > 0 &&
       steadyTotals.max <= steadyTotals.min * 1.5
     def medianOf(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
@@ -206,7 +229,7 @@ object Bench {
       f"""{"total":${p.times.values.filter(_ >= 0).sum}%.3f,"loadavg":${p.load}%.2f,"gc_sec":${p.gcSec}%.2f}""")
       .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passMeta,"stable":$stable,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passMeta,"stable":$stable,"contaminated":$contaminated,"load_start":$loadStart%.2f,"load_wait_sec":$loadWaitSec%.0f,"sf":"$sfDir"}"""
     // The bare JSON goes to stdout (unprefixed: run/outputStrategy is
     // StdoutOutput) AND to a file whose entire content is the one line,
     // so the driver can parse either.
