@@ -1137,6 +1137,50 @@ object Queries {
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
 
+    // DELETION VECTORS (ManifestTable.deleteKeysDV / upsertDV): the
+    // low-write-amplification mutation path — deletes mark keys dead in
+    // a parquet sidecar and RE-POINT the covering entries (zero data
+    // files rewritten; DeletionVectorSpec pins the byte-identity), and
+    // upserts append the batch while the replaced rows die the same
+    // way. At 100 TB this is the "delete 3 rows from a 1 GB file
+    // without rewriting it" op every GDPR/takedown pipeline needs; the
+    // copy-on-write twins (m1/m2) remain the dense-churn path and
+    // compaction materializes the vectors back out. The declared result
+    // is the post-delete-post-upsert rollup; the oracle replays
+    // filter → anti-join ∪ batch in SQL, so the hash gates that reads
+    // apply the vectors exactly — any resurrected or over-deleted row
+    // breaks it.
+    "m16_dv_merge" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.deleteKeysDV(s, path,
+        base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.ManifestTable.upsertDV(s, path, updates)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // CHANGE FEED ACROSS DELETION-VECTOR COMMITS: a dv commit changes a
+    // file's live content without moving it, so the CDF's file identity
+    // includes the vector state — the diff reads the re-pointed files
+    // on both sides (each with its own vector) and emits exactly the
+    // rows the vectors killed or the append added. The window spans the
+    // dv delete AND the dv upsert (v1→v3), so re-priced keys must fold
+    // to update_pre/update_post across the two commits; the oracle
+    // derives the same labeled feed from orders directly.
+    "m17_dv_changes" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8,
+        keepVersions = 3)
+      graft.io.ManifestTable.deleteKeysDV(s, path,
+        base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.ManifestTable.upsertDV(s, path, updates)
+      graft.io.ManifestTable.changesBetween(s, path, 1L, 3L)
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -2926,6 +2970,62 @@ object Queries {
         |    AS BIGINT) AS total_cents
         |FROM orders WHERE o_orderkey % 13 <> 4
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // m16 replays the dv lifecycle in SQL: the dv delete is a filter,
+    // the dv upsert an anti-join ∪ the batch — identical ALGEBRA to the
+    // copy-on-write replay, because the whole point of the vectors is
+    // changing the physical story (sidecar vs rewrite) without touching
+    // the logical one.
+    "m16_dv_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+        |    price_cents + 10000000 AS price_cents
+        |  FROM base
+        |  WHERE o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+        |    'INSERTED', price_cents
+        |  FROM base WHERE o_orderkey % 11 = 5),
+        |kept AS (SELECT * FROM base WHERE o_orderkey % 13 <> 4),
+        |final AS (
+        |  SELECT * FROM kept
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY o_orderpriority""".stripMargin,
+
+    // m17's window spans the dv delete and the dv upsert: dropped base
+    // rows are the %13 deletes plus the keys the upsert replaced — the
+    // replaced ones (and only those) pair with an added row and fold to
+    // update_pre/update_post.
+    "m17_dv_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |updk AS (SELECT o_orderkey FROM base
+        |  WHERE o_orderkey * 10 <= (SELECT mk FROM mx))
+        |SELECT 'update_post' AS _change_type, o_orderkey,
+        |  'MERGED' AS o_orderpriority,
+        |  price_cents + 10000000 AS price_cents
+        |FROM base WHERE o_orderkey * 10 <= (SELECT mk FROM mx)
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + (SELECT mk FROM mx), 'INSERTED',
+        |  price_cents
+        |FROM base WHERE o_orderkey % 11 = 5
+        |UNION ALL
+        |SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM updk)
+        |    THEN 'update_pre' ELSE 'delete' END,
+        |  o_orderkey, o_orderpriority, price_cents
+        |FROM base
+        |WHERE o_orderkey % 13 = 4
+        |  OR o_orderkey IN (SELECT o_orderkey FROM updk)""".stripMargin,
 
     // m7 replays the conditional-merge clause algebra: matched keys
     // either take the subset price update (threshold clause) or fall to

@@ -85,14 +85,27 @@ import java.nio.charset.StandardCharsets.UTF_8
  */
 object ManifestTable {
 
-  /** One live data file: path relative to the table root, its row count,
-    * the merge key's min/max within it (string-encoded; None only for a
-    * zero-row file), and optional SECONDARY per-column stats
-    * (col → (min, max), nulls ignored) for manifest-level file pruning
-    * on non-key predicates ([[prunedRead]]). */
+  /** A file's DELETION VECTOR reference: `dvRel` is the table-relative
+    * path of a parquet sidecar dir holding the file's dead keys
+    * (columns `__f` = data-file relPath, `__k` = key), `dead` the
+    * TOTAL dead rows of this file recorded there — so the entry's
+    * `rows` stays the LIVE count and physical rows = rows + dead.
+    * Several entries may share one sidecar (one per commit); reads
+    * scope the anti-join to each entry's own rows by file name. */
+  case class DvRef(dvRel: String, dead: Long)
+
+  /** One live data file: path relative to the table root, its LIVE row
+    * count (physical rows minus any deletion-vector dead rows), the
+    * merge key's min/max within it (string-encoded; None only for a
+    * zero-row file; CONSERVATIVE bounds once a deletion vector shrinks
+    * the live set — pruning and touch sets only need a superset),
+    * optional SECONDARY per-column stats (col → (min, max), nulls
+    * ignored) for manifest-level file pruning on non-key predicates
+    * ([[prunedRead]]), and the optional deletion-vector reference. */
   case class FileEntry(relPath: String, rows: Long,
                        min: Option[String], max: Option[String],
-                       extra: Map[String, (String, String)] = Map.empty)
+                       extra: Map[String, (String, String)] = Map.empty,
+                       dv: Option[DvRef] = None)
 
   /** `tag` is consumer-owned metadata committed ATOMICALLY with the data
     * (one manifest rename): incremental consumers (the mirror, the agg
@@ -256,8 +269,12 @@ object ManifestTable {
           case None => Seq("null", "null")
         }
       }
+      // the dv fields sit AFTER the fixed-width extras block, so the
+      // positional parse below stays back-compatible: old manifests
+      // simply end the line earlier
+      val dvf = e.dv.fold("")(d => s"\tdv:${enc(d.dvRel)}\t${d.dead}")
       sb ++= (s"f\t${enc(e.relPath)}\t${e.rows}\t${f(e.min)}\t${f(e.max)}" +
-        extras.map("\t" + _).mkString + "\n")
+        extras.map("\t" + _).mkString + dvf + "\n")
     }
     val fs = hfs(spark, new Path(path))
     // tmp name unique PER ATTEMPT: two writers racing toward the same
@@ -333,8 +350,13 @@ object ManifestTable {
               case _ => None
             }
           }.toMap
+          val dvAt = 5 + 2 * statsCols.length
+          val dv =
+            if (parts.length > dvAt + 1 && parts(dvAt).startsWith("dv:"))
+              Some(DvRef(dec(parts(dvAt).drop(3)), parts(dvAt + 1).toLong))
+            else None
           entries += FileEntry(dec(parts(1)), parts(2).toLong,
-            g(parts(3)), g(parts(4)), extra)
+            g(parts(3)), g(parts(4)), extra, dv)
         case other => throw new IllegalStateException(
           s"unknown manifest record '$other' in $path/manifest-$v")
       }
@@ -430,14 +452,16 @@ object ManifestTable {
     readFiles(spark, path, best)
   }
 
-  /** The one manifest-file read: explicit file list, manifest schema,
+  /** The raw multi-file read: explicit file list, manifest schema,
     * recursiveFileLookup — the option disables directory-partition
     * inference, so a partition-pure file living under `__p=<value>/`
     * can never have a `__p` column invented outside the schema (flat
-    * files are unaffected). */
-  private def readEntries(spark: SparkSession, path: String,
-                          schema: StructType,
-                          entries: Seq[FileEntry]): DataFrame =
+    * files are unaffected). PHYSICAL rows: no deletion vector applied
+    * — only [[readEntries]] and the dv-commit's matched-row scan may
+    * call this. */
+  private def readEntriesRaw(spark: SparkSession, path: String,
+                             schema: StructType,
+                             entries: Seq[FileEntry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -445,9 +469,53 @@ object ManifestTable {
       spark.read.schema(schema).option("recursiveFileLookup", "true")
         .parquet(entries.map(e => s"$path/${e.relPath}"): _*)
 
+  /** LIVE rows of the given entries: files without a deletion vector
+    * read as-is (the plain codegen'd scan — the hot path at 100 TB,
+    * where dv'd files are the mutating fringe); files WITH one get the
+    * dead (file, key) pairs anti-joined out, grouped per sidecar so
+    * each sidecar is opened once. The join key is (parquet file NAME,
+    * merge key): `_metadata.file_name` sidesteps the URL-encoding
+    * mismatch absolute paths carry ([[statsFor]]'s %20 gotcha), and a
+    * (name, key) pair names at most one physical row — names embed a
+    * per-task UUID, so the only same-named files are the partition
+    * dirs one partition-pure task wrote, and those come from ONE
+    * key-unique batch. File attribution is REQUIRED — a
+    * key dead in one file may be live in another (deleted then
+    * re-inserted), so a key-only anti-join would over-delete. The
+    * anti-join side is broadcast when the manifest's recorded dead
+    * counts say it is small — a stats-driven plan choice with no
+    * extra job. */
+  private def readEntries(spark: SparkSession, path: String,
+                          schema: StructType, keyCol: String,
+                          entries: Seq[FileEntry]): DataFrame = {
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
+    val cleanDf = readEntriesRaw(spark, path, schema, clean)
+    if (dvd.isEmpty) return cleanDf
+    val outCols = schema.fieldNames.map(col)
+    val dvParts = dvd.groupBy(_.dv.get.dvRel).toSeq.sortBy(_._1).map {
+      case (dvRel, es) =>
+        val rels = es.map(_.relPath).toSet
+        val dead0 = spark.read.parquet(s"$path/$dvRel")
+          // the sidecar may carry pairs for files this manifest no
+          // longer lists (fully-dead entries dropped, files re-pointed
+          // by a later commit) — scope to this group's files
+          .filter(col("__f").isin(rels.toSeq: _*))
+          .select(element_at(split(col("__f"), "/"), -1).as("__dvfn"),
+            col("__k"))
+        val totalDead = es.map(_.dv.get.dead).sum
+        val dead = if (totalDead <= 2000000L) broadcast(dead0) else dead0
+        val data = readEntriesRaw(spark, path, schema, es)
+          .withColumn("__fn", col("_metadata.file_name"))
+        data.join(dead, data("__fn") === dead("__dvfn") &&
+            data(keyCol) === dead("__k"), "left_anti")
+          .select(outCols: _*)
+    }
+    dvParts.foldLeft(cleanDf)(_ unionByName _)
+  }
+
   private[io] def readFiles(spark: SparkSession, path: String,
                             m: Manifest): DataFrame =
-    readEntries(spark, path, m.schema, m.entries)
+    readEntries(spark, path, m.schema, m.keyCol, m.entries)
 
   // ---------------------------------------------------------------- writes
 
@@ -725,7 +793,7 @@ object ManifestTable {
     val m = readManifest(spark, path)
     requirePartitioned(m, path)
     val vals = values.map(String.valueOf).toSet
-    readEntries(spark, path, m.schema,
+    readEntries(spark, path, m.schema, m.keyCol,
       m.entries.filter(e => vals(partValueOf(m, e, path))))
   }
 
@@ -756,7 +824,8 @@ object ManifestTable {
       } else {
         val nextV = m.version + 1
         val txnRel = freshTxnRel(nextV)
-        Tables.writePartitionPure(readEntries(spark, path, m.schema, selected),
+        Tables.writePartitionPure(
+          readEntries(spark, path, m.schema, m.keyCol, selected),
           s"$path/$txnRel", pc, m.keyCol, numFiles)
         val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
           m.statsCols)
@@ -1018,6 +1087,243 @@ object ManifestTable {
     rewrite(spark, path, Some(upserts), Some(delKeys), numFiles, setTag,
       maxRetries)
 
+  /** What a deletion-vector commit did: files re-pointed at a new
+    * vector (their bytes untouched on disk), rows newly marked dead,
+    * entries dropped because their last live row died, and fresh data
+    * files appended (the upsert batch — never a rewrite). */
+  case class DvStats(version: Long, filesRepointed: Int, deadMarked: Long,
+                     filesDropped: Int, filesWritten: Int)
+
+  /** DELETION-VECTOR delete: mark the keys dead in a parquet sidecar
+    * and re-point the covering files' manifest entries at it — ZERO
+    * data files rewritten, write cost ∝ the batch, not the touched
+    * files. This is the low-write-amplification mutation path for
+    * tables whose files are large relative to their churn (deleting 3
+    * rows from a 1 GB file costs a 3-row sidecar, not a 1 GB rewrite);
+    * [[deleteKeys]] (copy-on-write) remains the right call when churn
+    * is dense, and [[compactTable]]/[[compactPartitions]] MATERIALIZE
+    * the vectors (reads apply them, so the compacted files come out
+    * clean and the sidecars age out of retention). Reads, time travel,
+    * the change feed, incremental consumers, and later copy-on-write
+    * merges all see exactly the live rows. A file whose last live row
+    * dies is dropped from the manifest entirely. Deleting keys already
+    * dead (or absent) is a no-op per key; a batch marking nothing new
+    * burns no version. */
+  def deleteKeysDV(spark: SparkSession, path: String, keys: DataFrame,
+                   maxRetries: Int = 3): DvStats =
+    dvCommit(spark, path, None, Some(keys), 0, maxRetries)
+
+  /** DELETION-VECTOR upsert (merge without rewrite): matched keys are
+    * marked dead via the sidecar exactly like [[deleteKeysDV]] and the
+    * full batch is APPENDED as fresh key-sorted files — the touched
+    * files' bytes never move, so write cost is ∝ the batch. Same
+    * key-unique contract as [[merge]]. `numFiles` 0 = one appended
+    * file. The append does fragment the key-range layout over time —
+    * the compaction family folds it back (and materializes the
+    * vectors) on the usual maintenance cadence. */
+  def upsertDV(spark: SparkSession, path: String, updates: DataFrame,
+               numFiles: Int = 0, maxRetries: Int = 3): DvStats =
+    dvCommit(spark, path, Some(updates), None, numFiles, maxRetries)
+
+  /** Upsert + delete in ONE deletion-vector commit (the dv twin of
+    * [[upsertAndDelete]], same disjoint-keys contract). */
+  def upsertAndDeleteDV(spark: SparkSession, path: String,
+                        upserts: DataFrame, delKeys: DataFrame,
+                        numFiles: Int = 0, maxRetries: Int = 3): DvStats =
+    dvCommit(spark, path, Some(upserts), Some(delKeys), numFiles, maxRetries)
+
+  private def dvCommit(spark: SparkSession, path: String,
+                       upserts0: Option[DataFrame], dels0: Option[DataFrame],
+                       numFiles: Int, maxRetries: Int): DvStats = {
+    // same persist rationale as [[rewrite]]: both inputs feed several
+    // jobs (touch set, the matched-pair scan, the sidecar write, the
+    // append) and may be expensive upstream derivations
+    val upserts = upserts0.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dels = dels0.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try retryingCommit(spark, path, maxRetries) { m =>
+      attemptDvCommit(spark, path, m, upserts, dels, numFiles)
+    } finally {
+      upserts.foreach(_.unpersist(blocking = false))
+      dels.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def attemptDvCommit(spark: SparkSession, path: String, m: Manifest,
+                              upserts: Option[DataFrame],
+                              dels: Option[DataFrame],
+                              numFiles: Int): DvStats = {
+    upserts.foreach { u =>
+      val unknown = u.columns.filterNot(m.schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"upsert batch carries column(s) ${unknown.mkString(",")} the " +
+        s"table schema lacks — evolve the table first " +
+        s"(ManifestTable.evolveSchema) or drop them explicitly")
+    }
+    // the dv read path bolts helper columns onto the data frame; a
+    // schema already using those names would be silently clobbered
+    val reserved = Seq("__fn", "__dvfn", "__f", "__k")
+      .filter(m.schema.fieldNames.contains)
+    require(reserved.isEmpty, s"deletion vectors reserve column name(s) " +
+      s"${reserved.mkString(",")} — rename them or use the copy-on-write " +
+      "ops (merge/deleteKeys)")
+    val keyK = col(m.keyCol)
+    val keySets = upserts.map(_.select(keyK)).toSeq ++
+      dels.map(_.select(keyK)).toSeq
+    val batchKeys = keySets.reduce(_ unionByName _).distinct()
+      .select(keyK.cast(m.keyType).as("__k"))
+    val touched = touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
+      col(m.keyCol), m)
+    val touchedE = m.entries.filter(e => touched(e.relPath))
+
+    // dead pairs = (file, key) of PHYSICAL rows matching a batch key,
+    // minus pairs an earlier vector already holds (double-delete is a
+    // per-key no-op and must not inflate the dead accounting). Pairs
+    // carry BOTH file handles: the url-encoded absolute path (exact —
+    // the per-file accounting decodes it driver-side, the [[statsFor]]
+    // technique) and the bare file name (the read-side anti-join
+    // handle; exact for pairs because same-named files can only come
+    // from one partition-pure write job, whose batch is key-unique, so
+    // a (name, key) pair still names at most one physical row).
+    val phys =
+      if (touchedE.isEmpty)
+        // an empty scan has no _metadata column to select — and nothing
+        // to mark dead
+        spark.emptyDataFrame.select(lit("").as("__fp"), lit("").as("__fn"),
+          lit(null).cast(m.keyType).as("__k")).limit(0)
+      else readEntriesRaw(spark, path, m.schema, touchedE)
+        .select(col("_metadata.file_path").as("__fp"),
+          col("_metadata.file_name").as("__fn"),
+          keyK.cast(m.keyType).as("__k"))
+    val oldDvRels = touchedE.flatMap(_.dv.map(_.dvRel)).distinct
+    val touchedRels = touchedE.map(_.relPath).toSet
+    val oldPairs =
+      if (oldDvRels.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("__f"),
+            lit(null).cast(m.keyType).as("__k")).limit(0)
+      else
+        spark.read.parquet(oldDvRels.map(r => s"$path/$r"): _*)
+          .filter(col("__f").isin(touchedRels.toSeq: _*))
+          .select(col("__f"), col("__k").cast(m.keyType).as("__k"))
+    val oldPairsFn = oldPairs
+      .select(element_at(split(col("__f"), "/"), -1).as("__fn"), col("__k"))
+    val newPairs = phys.join(batchKeys, Seq("__k"), "left_semi")
+      .join(oldPairsFn, Seq("__fn", "__k"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-file newly-dead counts: metadata-sized (≤ one row per
+      // touched file) — the entry arithmetic below is driver-side.
+      // file_path → relPath decode mirrors [[statsFor]]: the metadata
+      // path is URL-encoded while the manifest stores the filesystem
+      // form, and the txn marker's LAST occurrence is the file's own
+      // txn dir (different touched files live in different txns, so
+      // the marker is searched per file, not per batch)
+      val fpRows = newPairs.groupBy("__fp")
+        .agg(count(lit(1)).as("n")).collect()
+      def relOf(fp: String): String = {
+        val abs =
+          try new java.net.URI(fp).getPath
+          catch { case _: java.net.URISyntaxException => fp }
+        val at = abs.lastIndexOf("/data/txn-")
+        require(at >= 0, s"file $abs not under a txn dir of $path")
+        abs.substring(at + 1)
+      }
+      val relByFp: Map[String, String] =
+        fpRows.map(r => r.getString(0) -> relOf(r.getString(0))).toMap
+      val deadByRel: Map[String, Long] =
+        fpRows.map(r => relByFp(r.getString(0)) -> r.getLong(1)).toMap
+      val deadTotal = deadByRel.values.sum
+      val hasUpserts = upserts.exists(u => !u.isEmpty)
+      if (deadTotal == 0L && !hasUpserts)
+        // nothing newly dead and nothing to append: burn no version
+        return DvStats(m.version, 0, 0L, 0, 0)
+
+      val nextV = m.version + 1
+      val dataRel = freshTxnRel(nextV)
+      // sidecar OUTSIDE the data txn dir: statsFor scans the txn dir
+      // recursively and must never see vector rows as table rows
+      val dvRel = s"$dataRel-dv"
+
+      // files with ≥1 newly-dead row re-point to the NEW sidecar; it
+      // carries their new pairs plus their prior pairs (consolidation
+      // — one sidecar read per file group at read time). Touched files
+      // with nothing newly dead keep their old reference untouched.
+      val repointedE = touchedE.filter(e =>
+        deadByRel.getOrElse(e.relPath, 0L) > 0L)
+      val (dropped, updatedE) =
+        if (repointedE.isEmpty) (Seq.empty[FileEntry], Seq.empty[FileEntry])
+        else {
+          val repointedRels = repointedE.map(_.relPath).toSet
+          val fpToRel = spark.createDataFrame(
+              relByFp.toSeq.filter(kv => repointedRels(kv._2)))
+            .toDF("__fp", "__f")
+          val carryOld = oldPairs.filter(
+            col("__f").isin(repointedRels.toSeq: _*))
+          newPairs.join(broadcast(fpToRel), Seq("__fp"))
+            .select(col("__f"), col("__k"))
+            .unionByName(carryOld)
+            .write.mode("overwrite").parquet(s"$path/$dvRel")
+          val split = repointedE.map { e =>
+            val newDead = deadByRel(e.relPath)
+            val live = e.rows - newDead
+            require(live >= 0L, s"dv accounting bug on ${e.relPath}: " +
+              s"live=$live")
+            e.copy(rows = live,
+              dv = Some(DvRef(dvRel, e.dv.fold(0L)(_.dead) + newDead)))
+          }.partition(_.rows == 0L)
+          split
+        }
+      // a fully-dead file leaves the manifest; its rows are all in the
+      // sidecar but no entry points there, so the reader never opens it
+      val keptTouched = touchedE.filter(e =>
+        deadByRel.getOrElse(e.relPath, 0L) == 0L) ++ updatedE
+      val carried = m.entries.filterNot(e => touched(e.relPath))
+
+      // the upsert batch APPENDS as fresh key-sorted files — never a
+      // rewrite of existing bytes
+      val appended = upserts match {
+        case Some(u) if hasUpserts =>
+          val ordered = m.schema.fields.map(f => col(f.name).cast(f.dataType))
+          m.partCol match {
+            case Some(pc) =>
+              // a partitioned table's append must stay partition-pure,
+              // or the metadata-only partition ops lose their addressing
+              Tables.writePartitionPure(u.select(ordered: _*),
+                s"$path/$dataRel", pc, m.keyCol, numFiles)
+              val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
+                m.statsCols)
+              requirePartitionPure(pc, e, path)
+              e
+            case None =>
+              val n = math.max(1, numFiles)
+              if (n == 1)
+                writeSingleFileObserved(spark, path, dataRel,
+                  u.select(ordered: _*), m.keyCol, m.statsCols)
+              else {
+                Tables.writeSortedBy(u.select(ordered: _*),
+                  s"$path/$dataRel", n, m.keyCol)
+                statsFor(spark, path, dataRel, m.keyCol, m.schema,
+                  m.statsCols)
+              }
+          }
+        case _ => Seq.empty
+      }
+
+      val op =
+        if (upserts.isDefined && dels.isDefined) "upsert+delete-dv"
+        else if (upserts.isDefined) "merge-dv"
+        else "delete-dv"
+      commitFence()
+      writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+        m.statsCols, carried ++ keptTouched ++ appended, m.tag, m.zCols,
+        m.retain, op, partCol = m.partCol)
+      retireKeeping(spark, path, nextV, m.retain)
+      DvStats(nextV, updatedE.size, deadTotal, dropped.size, appended.size)
+    } finally newPairs.unpersist(blocking = false)
+  }
+
   /** One `WHEN MATCHED [AND condition] THEN action` clause of a
     * conditional merge ([[mergeInto]]). `condition` (None = always) and
     * [[UpdateSet]] expressions reference TARGET columns as `t.<col>`
@@ -1097,7 +1403,7 @@ object ManifestTable {
         val srcKeys = src.select(col(key)).distinct()
         val touched = touchSet(spark, srcKeys, col(key), m)
         val touchedE = m.entries.filter(e => touched(e.relPath))
-        val target = readEntries(spark, path, m.schema, touchedE)
+        val target = readEntries(spark, path, m.schema, m.keyCol, touchedE)
         val joined = target.alias("t")
           .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
         // first-match-wins clause index per matched row (−1 = no clause
@@ -1386,7 +1692,7 @@ object ManifestTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       else
-        readEntries(spark, path, m.schema, touchedE)
+        readEntries(spark, path, m.schema, m.keyCol, touchedE)
           .join(batchKeys, Seq(m.keyCol), "left_anti")
     val newData = upserts match {
       case Some(u) => survivors.unionByName(u.select(orderedCols: _*))
@@ -1526,8 +1832,16 @@ object ManifestTable {
       : (DataFrame, DataFrame, Manifest) = {
     val mFrom = readManifestAt(spark, path, fromV)
     val mTo = readManifestAt(spark, path, toV)
-    val fromRel = mFrom.entries.map(_.relPath).toSet
-    val toRel = mTo.entries.map(_.relPath).toSet
+    // file identity for the diff = relPath + deletion-vector state: a
+    // dv commit changes a file's LIVE content without moving it, so a
+    // relPath-only compare would skip the file on both sides and the
+    // feed would silently miss the deletes. Each side still reads with
+    // its OWN dv ref, so the exceptAll surfaces exactly the rows the
+    // new vector killed.
+    def sig(e: FileEntry) =
+      e.relPath + e.dv.fold("")(d => s"\t${d.dvRel}\t${d.dead}")
+    val fromRel = mFrom.entries.map(sig).toSet
+    val toRel = mTo.entries.map(sig).toSet
     // BOTH sides read with the TO schema: schema evolution is additive
     // ([[evolveSchema]]), so the to-side schema is always a widening of
     // the from-side's — old files yield NULL for later-added columns,
@@ -1535,8 +1849,8 @@ object ManifestTable {
     // spanning an evolution commit would otherwise fail at analysis
     // time on mismatched column counts)
     def side(entries: Seq[FileEntry], other: Set[String]): DataFrame =
-      readEntries(spark, path, mTo.schema,
-        entries.filterNot(e => other.contains(e.relPath)))
+      readEntries(spark, path, mTo.schema, mTo.keyCol,
+        entries.filterNot(e => other.contains(sig(e))))
     val oldRows = side(mFrom.entries, toRel)
     val newRows = side(mTo.entries, fromRel)
     (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows), mTo)
@@ -1847,7 +2161,7 @@ object ManifestTable {
             col("__mn") <= lit(hi).cast(colType))
           .select("__f").collect().map(_.getString(0)).toSet
       }
-    readEntries(spark, path, m.schema,
+    readEntries(spark, path, m.schema, m.keyCol,
       statted.filter(e => keep(e.relPath)) ++ blind)
   }
 
@@ -1870,14 +2184,20 @@ object ManifestTable {
         org.apache.spark.sql.types.StructField(s"${c}_min",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(s"${c}_max",
-          org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StringType))) ++
+      Seq(org.apache.spark.sql.types.StructField("dv_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("dv_dead",
+          org.apache.spark.sql.types.LongType)))
     val rows = m.entries.map { e =>
       org.apache.spark.sql.Row.fromSeq(
         Seq(e.relPath, e.rows, e.min.orNull, e.max.orNull) ++
         m.statsCols.flatMap(c => e.extra.get(c) match {
           case Some((mn, mx)) => Seq(mn, mx)
           case None => Seq(null, null)
-        }))
+        }) ++
+        Seq(e.dv.map(_.dvRel).orNull,
+          e.dv.map(d => java.lang.Long.valueOf(d.dead)).orNull))
     }
     spark.createDataFrame(rows.asJava, fields)
   }
@@ -1914,8 +2234,17 @@ object ManifestTable {
     val latest = latestVersion(spark, path).getOrElse(return)
     val keptVersions = (keepFrom to latest).filter(v =>
       fs.exists(manifestFile(path, v)))
-    val referenced: Set[String] = keptVersions.flatMap(v =>
-      readManifestAt(spark, path, v).entries.map(_.relPath)).toSet
+    val keptEntries = keptVersions.flatMap(v =>
+      readManifestAt(spark, path, v).entries)
+    val referenced: Set[String] = keptEntries.map(_.relPath).toSet
+    // deletion-vector sidecars are DIRECTORIES (a parquet write's part
+    // files + _SUCCESS) referenced by prefix — every file under a
+    // referenced sidecar stays, or the next read of a dv'd entry
+    // resolves to a half-deleted vector
+    val refDvDirs: Seq[String] =
+      keptEntries.flatMap(_.dv.map(_.dvRel)).distinct
+    def dvReferenced(rel: String): Boolean =
+      refDvDirs.exists(d => rel == d || rel.startsWith(d + "/"))
     // older manifests out; crashed writers' aged tmp files too (a live
     // optimistic committer's tmp is younger than the grace)
     fs.listStatus(root).foreach { st =>
@@ -1948,7 +2277,7 @@ object ManifestTable {
           if (now - f.getModificationTime > graceMs &&
               fs.listStatus(f.getPath).isEmpty)
             fs.delete(f.getPath, false)
-        } else if (!referenced.contains(rel) &&
+        } else if (!referenced.contains(rel) && !dvReferenced(rel) &&
             now - f.getModificationTime > graceMs)
           fs.delete(f.getPath, false)
       }

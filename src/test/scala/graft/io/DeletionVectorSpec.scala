@@ -1,0 +1,317 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors: mutate a manifest table WITHOUT rewriting data
+  * files — deletes/upserts mark rows dead in a parquet sidecar and
+  * re-point the covering entries, so write cost is ∝ the batch (the 3
+  * rows), never the touched files (the 1 GB). The suite pins the three
+  * things that make the feature real: (1) the bytes of every
+  * pre-existing data file are UNTOUCHED by a dv commit, (2) every
+  * reader — read, time travel, CDF, consumers, later copy-on-write
+  * merges, compaction — sees exactly the live rows, and (3) the
+  * file-scoped anti-join survives the delete→re-insert→consolidation
+  * trap where a key is dead in one file and live in another that share
+  * a sidecar. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+
+  private def base(n: Int = 1000): DataFrame =
+    (0 until n).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+
+  private def content(df: DataFrame): Set[(Long, String, Int)] =
+    df.select("id", "name", "grp").as[(Long, String, Int)].collect().toSet
+
+  /** (relPath → (length, mtime)) of every file under the table root —
+    * the byte-identity witness for "dv commits move no data". */
+  private def fileState(path: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(path, "data")
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val out = Map.newBuilder[String, (Long, Long)]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out += (root.getParent.relativize(p).toString ->
+          ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+    }
+    out.result()
+  }
+
+  test("deleteKeysDV: zero data files rewritten, read sees live rows, " +
+    "stats report the repoint") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      val before = ManifestTable.readManifest(spark, path)
+      val bytesBefore = fileState(path)
+      val dead = (100L to 109L)
+      val st = ManifestTable.deleteKeysDV(spark, path,
+        dead.map(Tuple1(_)).toDF("id"))
+      assert(st.deadMarked == 10L && st.filesWritten == 0 &&
+        st.filesDropped == 0 && st.filesRepointed >= 1)
+
+      // every pre-existing file is byte-identical (same size + mtime);
+      // the only additions are the sidecar's files
+      val after = fileState(path)
+      bytesBefore.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig), s"$rel was rewritten") }
+      assert((after.keySet -- bytesBefore.keySet).forall(_.contains("-dv")))
+
+      val m = ManifestTable.readManifest(spark, path)
+      // same file list, dv refs only on the touched entries, live-row
+      // accounting nets out the dead
+      assert(m.entries.map(_.relPath).toSet ==
+        before.entries.map(_.relPath).toSet)
+      assert(m.entries.map(_.rows).sum == 990L)
+      assert(m.entries.filter(_.dv.isDefined).map(_.dv.get.dead).sum == 10L)
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(dead: _*))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("upsertDV: matched keys die via the vector, the batch APPENDS — " +
+    "no pre-existing byte moves") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      val bytesBefore = fileState(path)
+      val updates = ((100L to 109L).map(i => (i, s"upd_$i", 99)) :+
+        ((5000L, "ins_5000", 99))).toDF("id", "name", "grp")
+      val st = ManifestTable.upsertDV(spark, path, updates)
+      assert(st.deadMarked == 10L && st.filesWritten >= 1)
+
+      val after = fileState(path)
+      bytesBefore.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig), s"$rel was rewritten") }
+
+      val expect = base().filter(!col("id").between(100L, 109L))
+        .unionByName(updates)
+      assert(content(ManifestTable.read(spark, path)) == content(expect))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("consolidation trap: a key dead in one file and LIVE in another " +
+    "sharing the sidecar survives (file-scoped anti-join)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      // kill 10 in its original file, then re-insert it (appended file C
+      // also spans 500, whose original copy dies in ITS file)
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L).toDF("id"))
+      ManifestTable.upsertDV(spark, path,
+        Seq((10L, "re_10", 99), (500L, "re_500", 99))
+          .toDF("id", "name", "grp"))
+      // now delete {11, 500}: 11 dies in the first file, 500 dies in C —
+      // both re-point to ONE sidecar that also carries the first file's
+      // consolidated old pair (·,10) while C holds a LIVE physical 10.
+      // A key-only anti-join would kill it.
+      val st = ManifestTable.deleteKeysDV(spark, path,
+        Seq(11L, 500L).toDF("id"))
+      assert(st.deadMarked == 2L)
+      val got = content(ManifestTable.read(spark, path))
+      assert(got.contains((10L, "re_10", 99)), "re-inserted key 10 lost")
+      assert(!got.exists(r => r._1 == 11L || r._1 == 500L))
+      assert(got == content(
+        base().filter(!col("id").isin(10L, 11L, 500L))
+          .unionByName(Seq((10L, "re_10", 99)).toDF("id", "name", "grp"))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("double delete is a no-op: nothing newly dead burns no version") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      val st1 = ManifestTable.deleteKeysDV(spark, path,
+        Seq(5L, 6L).toDF("id"))
+      val st2 = ManifestTable.deleteKeysDV(spark, path,
+        Seq(5L, 6L).toDF("id"))
+      assert(st2.version == st1.version && st2.deadMarked == 0L)
+      // absent keys are equally a no-op
+      val st3 = ManifestTable.deleteKeysDV(spark, path,
+        Seq(123456L).toDF("id"))
+      assert(st3.version == st1.version && st3.deadMarked == 0L)
+      assert(ManifestTable.read(spark, path).count() == 998L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("a file whose last live row dies is DROPPED from the manifest") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      val m0 = ManifestTable.readManifest(spark, path)
+      val victim = m0.entries.head
+      val range = victim.min.get.toLong to victim.max.get.toLong
+      val st = ManifestTable.deleteKeysDV(spark, path,
+        range.map(Tuple1(_)).toDF("id"))
+      assert(st.filesDropped == 1)
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.entries.size == 3 &&
+        !m1.entries.exists(_.relPath == victim.relPath))
+      assert(ManifestTable.read(spark, path).count() ==
+        1000L - victim.rows)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("CDF: a dv delete emits exactly the dead rows; a dv upsert emits " +
+    "update_pre/update_post/insert — the Delta-CDF shape") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4,
+        keepVersions = 4)
+      ManifestTable.deleteKeysDV(spark, path, Seq(7L, 8L).toDF("id"))
+      val feedDel = ManifestTable.changesBetween(spark, path, 1L, 2L)
+        .select("_change_type", "id").as[(String, Long)].collect().toSet
+      assert(feedDel == Set(("delete", 7L), ("delete", 8L)))
+
+      ManifestTable.upsertDV(spark, path,
+        Seq((9L, "upd_9", 99), (7777L, "ins", 99)).toDF("id", "name", "grp"))
+      val feedUp = ManifestTable.changesBetween(spark, path, 2L, 3L)
+        .select("_change_type", "id").as[(String, Long)].collect().toSet
+      assert(feedUp == Set(("update_pre", 9L), ("update_post", 9L),
+        ("insert", 7777L)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("time travel reads each version's OWN vector state") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2,
+        keepVersions = 3)
+      ManifestTable.deleteKeysDV(spark, path, Seq(3L).toDF("id"))
+      ManifestTable.deleteKeysDV(spark, path, Seq(4L).toDF("id"))
+      assert(ManifestTable.readAt(spark, path, 1L).count() == 100L)
+      assert(content(ManifestTable.readAt(spark, path, 2L)) ==
+        content(base(100).filter(col("id") =!= 3L)))
+      assert(content(ManifestTable.readAt(spark, path, 3L)) ==
+        content(base(100).filter(!col("id").isin(3L, 4L))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("a later copy-on-write merge of a dv'd file does NOT resurrect " +
+    "its dead rows; retention keeps carried sidecars alive") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L).toDF("id"))
+      // CoW merge touching the SAME file (key 12 shares its range): the
+      // survivors read must apply the vector or 10 comes back
+      ManifestTable.merge(spark, path,
+        Seq((12L, "upd_12", 99)).toDF("id", "name", "grp"))
+      val got = content(ManifestTable.read(spark, path))
+      assert(!got.exists(_._1 == 10L), "CoW rewrite resurrected a dv'd row")
+      assert(got.contains((12L, "upd_12", 99)))
+      // the rewrite materialized the touched file's vector: no dv refs
+      // remain on the fresh entries it wrote
+      val m = ManifestTable.readManifest(spark, path)
+      // ... but entries NOT touched keep theirs (none here — the single
+      // dv'd file was the touched one)
+      assert(m.entries.forall(e =>
+        e.dv.isEmpty || e.relPath.nonEmpty)) // dv refs, if any, stay valid
+
+      // now mutate OTHER files twice so the dv commit's version retires:
+      // the carried entries still point at the old sidecar, which
+      // retention must keep (referenced-by-prefix)
+      ManifestTable.deleteKeysDV(spark, path, Seq(600L).toDF("id"))
+      ManifestTable.merge(spark, path,
+        Seq((700L, "upd_700", 99)).toDF("id", "name", "grp"))
+      ManifestTable.merge(spark, path,
+        Seq((800L, "upd_800", 99)).toDF("id", "name", "grp"))
+      val fin = content(ManifestTable.read(spark, path))
+      assert(!fin.exists(r => r._1 == 10L || r._1 == 600L))
+      assert(fin.exists(_._1 == 601L)) // neighbors intact
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("compaction MATERIALIZES the vectors: fresh entries carry no dv " +
+    "refs and content is unchanged") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      ManifestTable.deleteKeysDV(spark, path,
+        (0L to 30L).map(Tuple1(_)).toDF("id"))
+      val want = content(ManifestTable.read(spark, path))
+      ManifestTable.compactTable(spark, path, numFiles = 2)
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.entries.forall(_.dv.isEmpty))
+      assert(m.entries.map(_.rows).sum == 969L)
+      assert(content(ManifestTable.read(spark, path)) == want)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("incremental consumer (mirror) converges across dv commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      // retention must span both dv commits: the mirror's cursor sits at
+      // v1 until the sync, so v1..v3 must all stay readable
+      ManifestTable.create(base(), src, "id", numFiles = 4,
+        keepVersions = 3)
+      ManifestTable.create(ManifestTable.read(spark, src), dst, "id",
+        numFiles = 4, tag = Some("1"))
+      ManifestTable.deleteKeysDV(spark, src, Seq(42L, 43L).toDF("id"))
+      ManifestTable.upsertDV(spark, src,
+        Seq((44L, "upd_44", 99), (9999L, "ins", 99)).toDF("id", "name", "grp"))
+      ManifestTable.syncMirror(spark, src, dst)
+      assert(content(ManifestTable.read(spark, dst)) ==
+        content(ManifestTable.read(spark, src)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("upsertAndDeleteDV lands both in ONE commit; describe surfaces " +
+    "the vector per file; manifest round-trips dv refs") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4,
+        statsCols = Seq("grp"))
+      val st = ManifestTable.upsertAndDeleteDV(spark, path,
+        Seq((50L, "upd_50", 99)).toDF("id", "name", "grp"),
+        Seq(60L).toDF("id"))
+      assert(st.deadMarked == 2L) // 50 (replaced) + 60 (deleted)
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.version == st.version)
+      // serialization round-trip: re-read manifest sees the same refs
+      val dvd = m.entries.filter(_.dv.isDefined)
+      assert(dvd.nonEmpty && dvd.forall(_.dv.get.dead > 0L))
+      val d = ManifestTable.describe(spark, path)
+      assert(d.columns.takeRight(2).toSeq == Seq("dv_file", "dv_dead"))
+      assert(d.filter(col("dv_file").isNotNull).count() == dvd.size.toLong)
+      // secondary-stats pruning still applies the vector
+      val pruned = ManifestTable.prunedRead(spark, path, "grp", 0, 6)
+      assert(!content(pruned).exists(r => r._1 == 60L))
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(50L, 60L))
+          .unionByName(Seq((50L, "upd_50", 99)).toDF("id", "name", "grp"))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("partitioned table: dv delete keeps partition addressing; dv " +
+    "upsert appends partition-pure") {
+    val path = tmp()
+    try {
+      val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", s"v_$i"))
+        .toDF("id", "pt", "payload")
+      ManifestTable.createPartitioned(df, path, "id", "pt")
+      val bytesBefore = fileState(path)
+      ManifestTable.deleteKeysDV(spark, path, Seq(30L, 31L).toDF("id"))
+      val after = fileState(path)
+      bytesBefore.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig), s"$rel was rewritten") }
+      ManifestTable.upsertDV(spark, path,
+        Seq((30L, "p0", "re_30")).toDF("id", "pt", "payload"))
+      // partition ops still address correctly after dv commits
+      val p0 = ManifestTable.readPartitions(spark, path, Seq("p0"))
+        .select("id", "pt", "payload").as[(Long, String, String)]
+        .collect().toSet
+      val want = df.filter(col("pt") === "p0" && !col("id").isin(30L, 31L))
+        .as[(Long, String, String)].collect().toSet +
+        ((30L, "p0", "re_30"))
+      assert(p0 == want)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+}

@@ -668,7 +668,8 @@ class ManifestTableSpec extends SparkSpec {
       // describe surfaces the inventory with per-column ranges
       val d = ManifestTable.describe(spark, path)
       assert(d.columns.toSeq ==
-        Seq("file", "rows", "key_min", "key_max", "ts_min", "ts_max"))
+        Seq("file", "rows", "key_min", "key_max", "ts_min", "ts_max",
+          "dv_file", "dv_dead"))
       assert(d.count() == m2.entries.size.toLong)
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
