@@ -94,7 +94,13 @@ object Bench {
     // with k-counter partial aggregation (tracks the custom
     // TypedImperativeAggregate's per-row cost; the exact twin it is
     // verdict-checked against is the ext_vocab_rank machinery)
-    "ext_heavy_hitters")
+    "ext_heavy_hitters",
+    // round 11: the deletion-vector lifecycle, CREATE-INCLUDED by
+    // design — the dv delete + dv upsert commits are the cheap part
+    // being demonstrated (sidecar-sized writes), so the entry tracks
+    // that the whole create → delete-dv → upsert-dv → rollup loop
+    // stays bounded by the create, not the mutations
+    "m16_dv_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

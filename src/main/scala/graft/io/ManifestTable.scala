@@ -2029,6 +2029,26 @@ object ManifestTable {
     else { compactTable(spark, path, numFiles); true }
   }
 
+  /** Dead-ratio auto-compaction trigger — [[maybeCompactTable]]'s twin
+    * for DELETION-VECTOR churn: dv commits never add files, so the
+    * file-count trigger never fires on them, but every read of a dv'd
+    * file pays the anti-join and scans rows it then discards. Compact
+    * (materializing the vectors) once the table-wide dead fraction
+    * `dead / (live + dead)` exceeds `maxDeadRatio` — the standard
+    * rewrite-when-vectors-accumulate policy, decided from ONE manifest
+    * read (the dead counts are recorded per entry; no data file is
+    * opened). Returns true when a compaction ran. */
+  def maybeCompactDeadRatio(spark: SparkSession, path: String,
+                            maxDeadRatio: Double, numFiles: Int): Boolean = {
+    require(maxDeadRatio > 0.0 && maxDeadRatio < 1.0,
+      s"maxDeadRatio=$maxDeadRatio must be in (0, 1)")
+    val m = readManifest(spark, path)
+    val live = m.entries.map(_.rows).sum
+    val dead = m.entries.flatMap(_.dv).map(_.dead).sum
+    if (dead == 0L || dead.toDouble / (live + dead) <= maxDeadRatio) false
+    else { compactTable(spark, path, numFiles); true }
+  }
+
   /** RESTORE: roll the table back to retained version `v` as a NEW
     * commit (the Delta `RESTORE` shape) — a metadata-only commit
     * re-pointing the manifest at the old version's files, which the

@@ -244,6 +244,31 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("dead-ratio trigger: below threshold no-op, above it compacts " +
+    "and clears the vectors") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      // strided deletes: dead rows spread over every file, so no file
+      // fully dies (a dropped entry takes its dead count OUT of the
+      // manifest — correctly: its read cost is gone too)
+      ManifestTable.deleteKeysDV(spark, path,
+        (0L until 1000L by 10).map(Tuple1(_)).toDF("id")) // 10% dead
+      assert(!ManifestTable.maybeCompactDeadRatio(spark, path, 0.2, 2))
+      assert(ManifestTable.readManifest(spark, path)
+        .entries.exists(_.dv.isDefined))
+      ManifestTable.deleteKeysDV(spark, path,
+        (1L until 1000L by 5).map(Tuple1(_)).toDF("id")) // ~30% dead
+      assert(ManifestTable.maybeCompactDeadRatio(spark, path, 0.2, 2))
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.entries.forall(_.dv.isEmpty))
+      // 100 (≡0 mod 10) + 200 (≡1 mod 5 is disjoint from ≡0 mod 10)
+      assert(ManifestTable.read(spark, path).count() == 700L)
+      // post-compaction the ratio is 0 again
+      assert(!ManifestTable.maybeCompactDeadRatio(spark, path, 0.2, 2))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("incremental consumer (mirror) converges across dv commits") {
     val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
     val src = s"$root/src"; val dst = s"$root/dst"
