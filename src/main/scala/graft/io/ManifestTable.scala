@@ -1840,6 +1840,23 @@ object ManifestTable {
     // new vector killed.
     def sig(e: FileEntry) =
       e.relPath + e.dv.fold("")(d => s"\t${d.dvRel}\t${d.dead}")
+    // DV-DELTA FAST PATH: a file present in BOTH manifests whose only
+    // disagreement is its vector state changed no bytes — its diff is
+    // exactly the rows whose (file, key) pairs moved in or out of the
+    // dead set. The generic path would read the file TWICE (once per
+    // side's vector) and push both copies through a full-width
+    // exceptAll; the fast path reads it ONCE raw and semi-joins the
+    // sidecar-pair delta — the consumer-cost shape that makes dv
+    // mutations cheap to FOLLOW, not just to make. Multiset safety of
+    // splitting these files out of the exceptAll: keys are unique
+    // within a manifest, so a dv-delta file's rows can never cancel
+    // against another disagreeing file's rows. Both directions are
+    // live: restore can re-point to an entry with FEWER dead rows, and
+    // those resurrected rows must surface as adds.
+    val fromByRel = mFrom.entries.map(e => e.relPath -> e).toMap
+    val dvDeltaTo = mTo.entries.filter(e =>
+      fromByRel.get(e.relPath).exists(f => sig(f) != sig(e)))
+    val dvDeltaRels = dvDeltaTo.map(_.relPath).toSet
     val fromRel = mFrom.entries.map(sig).toSet
     val toRel = mTo.entries.map(sig).toSet
     // BOTH sides read with the TO schema: schema evolution is additive
@@ -1850,10 +1867,46 @@ object ManifestTable {
     // time on mismatched column counts)
     def side(entries: Seq[FileEntry], other: Set[String]): DataFrame =
       readEntries(spark, path, mTo.schema, mTo.keyCol,
-        entries.filterNot(e => other.contains(sig(e))))
+        entries.filterNot(e =>
+          other.contains(sig(e)) || dvDeltaRels.contains(e.relPath)))
     val oldRows = side(mFrom.entries, toRel)
     val newRows = side(mTo.entries, fromRel)
-    (newRows.exceptAll(oldRows), oldRows.exceptAll(newRows), mTo)
+    var adds = newRows.exceptAll(oldRows)
+    var dels = oldRows.exceptAll(newRows)
+    if (dvDeltaTo.nonEmpty) {
+      // dead (name, key) pairs of the delta files under each side's
+      // vector — sidecars are pair-sized, the delta smaller still
+      def pairsOf(entries: Seq[FileEntry]): DataFrame = {
+        val withDv = entries.filter(_.dv.isDefined)
+        if (withDv.isEmpty)
+          spark.emptyDataFrame.select(lit("").as("__fn"),
+            lit(null).cast(mTo.keyType).as("__k")).limit(0)
+        else
+          spark.read.parquet(
+              withDv.map(_.dv.get.dvRel).distinct.map(r => s"$path/$r"): _*)
+            .filter(col("__f").isin(withDv.map(_.relPath): _*))
+            .select(element_at(split(col("__f"), "/"), -1).as("__fn"),
+              col("__k").cast(mTo.keyType).as("__k"))
+      }
+      val fromDelta = mFrom.entries.filter(e => dvDeltaRels(e.relPath))
+      val pTo = pairsOf(dvDeltaTo)
+      val pFrom = pairsOf(fromDelta)
+      val newlyDead = pTo.exceptAll(pFrom)   // dead at to, live at from
+      val revived = pFrom.exceptAll(pTo)     // dead at from, live at to
+      val raw = readEntriesRaw(spark, path, mTo.schema, dvDeltaTo)
+        .withColumn("__fn", col("_metadata.file_name"))
+      val outCols = mTo.schema.fieldNames.map(col)
+      def rowsFor(pairs0: DataFrame): DataFrame = {
+        val p = pairs0.withColumnRenamed("__k", "__dk")
+          .withColumnRenamed("__fn", "__dfn")
+        raw.join(p, raw("__fn") === p("__dfn") &&
+            raw(mTo.keyCol) === p("__dk"), "left_semi")
+          .select(outCols: _*)
+      }
+      dels = dels.unionByName(rowsFor(newlyDead))
+      adds = adds.unionByName(rowsFor(revived))
+    }
+    (adds, dels, mTo)
   }
 
   /** Apply a change feed (the [[changesBetween]] shape) to ANOTHER

@@ -178,6 +178,21 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("CDF across a RESTORE that rewinds a vector: resurrected rows " +
+    "surface as inserts (the fast path's reverse direction)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 2,
+        keepVersions = 4)
+      ManifestTable.deleteKeysDV(spark, path, Seq(7L, 8L).toDF("id"))
+      ManifestTable.restoreVersion(spark, path, 1L)
+      val feed = ManifestTable.changesBetween(spark, path, 2L, 3L)
+        .select("_change_type", "id").as[(String, Long)].collect().toSet
+      assert(feed == Set(("insert", 7L), ("insert", 8L)))
+      assert(ManifestTable.read(spark, path).count() == 100L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("time travel reads each version's OWN vector state") {
     val path = tmp()
     try {
