@@ -1181,6 +1181,38 @@ object Queries {
       graft.io.ManifestTable.changesBetween(s, path, 1L, 3L)
     }),
 
+    // INCREMENTAL OPTIMIZE (ManifestTable.compactSmallFiles — the
+    // `OPTIMIZE` every CDC-fed table needs on a cadence): three small
+    // insert-only merges fragment the key-sorted layout with
+    // batch-sized files next to the table-sized create files; the
+    // small-file compaction folds ONLY the fragment mass (rewrite cost
+    // ∝ small-file rows — the 100 TB constraint; a full compactTable
+    // would pay the whole table) while the big files are carried by
+    // reference, byte-untouched (pinned in ManifestTableSpec). Content
+    // is invariant, so the oracle replays only create + the three
+    // inserts — the hash gates that the fold lost/duplicated nothing.
+    "m18_small_file_compact" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val mk = base.agg(max("o_orderkey")).first().getLong(0)
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 4)
+      (1 to 3).foreach { j =>
+        graft.io.ManifestTable.merge(s, path,
+          base.filter(col("o_orderkey") % 10 === j)
+            .select((col("o_orderkey") + lit(j) * (mk + 1)).as("o_orderkey"),
+              lit(s"INS_$j").as("o_orderpriority"),
+              (col("price_cents") + j).as("price_cents")))
+      }
+      graft.io.ManifestTable.compactSmallFiles(s, path,
+        targetRows = base.count() / 5)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3026,6 +3058,30 @@ object Queries {
         |FROM base
         |WHERE o_orderkey % 13 = 4
         |  OR o_orderkey IN (SELECT o_orderkey FROM updk)""".stripMargin,
+
+    // m18's compaction is content-invariant, so the oracle replays only
+    // create + the three insert merges.
+    "m18_small_file_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |final AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 1 * (mk + 1), 'INS_1', price_cents + 1
+        |  FROM base, mx WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * (mk + 1), 'INS_2', price_cents + 2
+        |  FROM base, mx WHERE o_orderkey % 10 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 3 * (mk + 1), 'INS_3', price_cents + 3
+        |  FROM base, mx WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM final GROUP BY o_orderpriority""".stripMargin,
 
     // m7 replays the conditional-merge clause algebra: matched keys
     // either take the subset price update (threshold clause) or fall to

@@ -2199,6 +2199,59 @@ object ManifestTable {
         }
     }
 
+  /** INCREMENTAL OPTIMIZE — bin-pack ONLY the small files: every merge
+    * appends batch-sized files next to table-sized ones, and a full
+    * [[compactTable]] pays a whole-table rewrite to fold them back
+    * (the wrong shape at 100 TB: rewrite cost must scale with the
+    * SMALL-FILE MASS, not the table). Files with fewer than
+    * `targetRows` live rows — and every file still carrying a deletion
+    * vector, whose reads pay the anti-join — are rewritten together
+    * into ~target-sized key-sorted files; everything else is carried
+    * by reference, byte-untouched. A single qualifying file with no
+    * vector is left alone (rewriting one small file buys nothing).
+    * Decided from the manifest's recorded row counts alone; returns
+    * the [[MergeStats]] evidence (filesRewritten == the small-file
+    * count). Flat key-sorted tables only: partitioned tables have
+    * [[compactPartitions]] (their maintenance must stay
+    * partition-pure) and Z tables re-cluster onto their curve via
+    * [[compactTable]]'s dispatch. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetRows: Long,
+                        maxRetries: Int = 3): MergeStats = {
+    require(targetRows > 0, s"targetRows=$targetRows must be positive")
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(m.partCol.isEmpty, s"$path is partitioned — use " +
+        "compactPartitions (maintenance must stay partition-pure)")
+      require(m.zCols.isEmpty, s"$path is Z-ordered — use compactTable " +
+        "(maintenance must stay on the recorded curve)")
+      val (small, big) = m.entries.partition(e =>
+        e.rows < targetRows || e.dv.isDefined)
+      if (small.isEmpty ||
+          (small.size == 1 && small.head.dv.isEmpty)) {
+        val n = m.entries.size
+        MergeStats(m.version, n, 0, 0, n)
+      } else {
+        val nextV = m.version + 1
+        val txnRel = freshTxnRel(nextV)
+        val rows = small.map(_.rows).sum
+        val nFiles = math.max(1, (rows / math.max(1L, targetRows)).toInt)
+        // readEntries applies any deletion vectors, so the rewrite
+        // MATERIALIZES them — the folded files come out clean
+        Tables.writeSortedBy(
+          readEntries(spark, path, m.schema, m.keyCol, small),
+          s"$path/$txnRel", nFiles, m.keyCol)
+        val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+          m.statsCols)
+        commitFence()
+        writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+          m.statsCols, big ++ newE, m.tag, zCols = None, retain = m.retain,
+          op = "compact-small", partCol = None)
+        retireKeeping(spark, path, nextV, m.retain)
+        MergeStats(nextV, m.entries.size, small.size, newE.size, big.size)
+      }
+    }
+  }
+
   /** MANIFEST-LEVEL file pruning on a secondary stats column: read only
     * the files whose recorded [min, max] for `statsCol` intersects
     * [lo, hi] — the decision happens against the manifest's interval

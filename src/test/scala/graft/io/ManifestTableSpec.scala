@@ -888,4 +888,49 @@ class ManifestTableSpec extends SparkSpec {
       assert(content(ManifestTable.read(spark, path)) == expect)
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
+
+  test("compactSmallFiles folds ONLY the fragment mass: big files " +
+    "byte-untouched, dv'd files materialized, singleton no-op") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(1000), path, "id", numFiles = 2)
+      // three small insert-only merges fragment the layout
+      (1 to 3).foreach { j =>
+        ManifestTable.merge(spark, path,
+          (0 until 20).map(i => (10000L * j + i, s"ins${j}_$i", j))
+            .toDF("id", "name", "grp"))
+      }
+      val before = ManifestTable.readManifest(spark, path)
+      assert(before.entries.size == 5)
+      val bigRels = before.entries.filter(_.rows >= 400L).map(_.relPath)
+      assert(bigRels.size == 2)
+      val want = content(ManifestTable.read(spark, path))
+
+      val st = ManifestTable.compactSmallFiles(spark, path,
+        targetRows = 400L)
+      assert(st.filesRewritten == 3 && st.filesCarried == 2 &&
+        st.filesWritten == 1)
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(bigRels.forall(r => m1.entries.exists(_.relPath == r)),
+        "big files must be carried by reference")
+      assert(content(ManifestTable.read(spark, path)) == want)
+
+      // the folded 60-row file is still < target but now a SINGLETON
+      // clean small file: folding it again buys nothing — no-op
+      val st2 = ManifestTable.compactSmallFiles(spark, path,
+        targetRows = 400L)
+      assert(st2.version == st.version && st2.filesRewritten == 0)
+
+      // a deletion vector on a BIG file makes it a candidate: the
+      // rewrite materializes the vector
+      ManifestTable.deleteKeysDV(spark, path, Seq(5L).toDF("id"))
+      val st3 = ManifestTable.compactSmallFiles(spark, path,
+        targetRows = 400L)
+      assert(st3.filesRewritten == 2) // the dv'd big + the 60-row small
+      val m3 = ManifestTable.readManifest(spark, path)
+      assert(m3.entries.forall(_.dv.isEmpty))
+      assert(content(ManifestTable.read(spark, path)) ==
+        (want -- want.filter(_._1 == 5L)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
 }
