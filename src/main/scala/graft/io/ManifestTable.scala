@@ -1110,8 +1110,9 @@ object ManifestTable {
     * dead (or absent) is a no-op per key; a batch marking nothing new
     * burns no version. */
   def deleteKeysDV(spark: SparkSession, path: String, keys: DataFrame,
+                   setTag: Option[String] = None,
                    maxRetries: Int = 3): DvStats =
-    dvCommit(spark, path, None, Some(keys), 0, maxRetries)
+    dvCommit(spark, path, None, Some(keys), 0, setTag, maxRetries)
 
   /** DELETION-VECTOR upsert (merge without rewrite): matched keys are
     * marked dead via the sidecar exactly like [[deleteKeysDV]] and the
@@ -1122,19 +1123,23 @@ object ManifestTable {
     * the compaction family folds it back (and materializes the
     * vectors) on the usual maintenance cadence. */
   def upsertDV(spark: SparkSession, path: String, updates: DataFrame,
-               numFiles: Int = 0, maxRetries: Int = 3): DvStats =
-    dvCommit(spark, path, Some(updates), None, numFiles, maxRetries)
+               numFiles: Int = 0, setTag: Option[String] = None,
+               maxRetries: Int = 3): DvStats =
+    dvCommit(spark, path, Some(updates), None, numFiles, setTag, maxRetries)
 
   /** Upsert + delete in ONE deletion-vector commit (the dv twin of
     * [[upsertAndDelete]], same disjoint-keys contract). */
   def upsertAndDeleteDV(spark: SparkSession, path: String,
                         upserts: DataFrame, delKeys: DataFrame,
-                        numFiles: Int = 0, maxRetries: Int = 3): DvStats =
-    dvCommit(spark, path, Some(upserts), Some(delKeys), numFiles, maxRetries)
+                        numFiles: Int = 0, setTag: Option[String] = None,
+                        maxRetries: Int = 3): DvStats =
+    dvCommit(spark, path, Some(upserts), Some(delKeys), numFiles, setTag,
+      maxRetries)
 
   private def dvCommit(spark: SparkSession, path: String,
                        upserts0: Option[DataFrame], dels0: Option[DataFrame],
-                       numFiles: Int, maxRetries: Int): DvStats = {
+                       numFiles: Int, setTag: Option[String],
+                       maxRetries: Int): DvStats = {
     // same persist rationale as [[rewrite]]: both inputs feed several
     // jobs (touch set, the matched-pair scan, the sidecar write, the
     // append) and may be expensive upstream derivations
@@ -1143,7 +1148,7 @@ object ManifestTable {
     val dels = dels0.map(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try retryingCommit(spark, path, maxRetries) { m =>
-      attemptDvCommit(spark, path, m, upserts, dels, numFiles)
+      attemptDvCommit(spark, path, m, upserts, dels, numFiles, setTag)
     } finally {
       upserts.foreach(_.unpersist(blocking = false))
       dels.foreach(_.unpersist(blocking = false))
@@ -1153,7 +1158,8 @@ object ManifestTable {
   private def attemptDvCommit(spark: SparkSession, path: String, m: Manifest,
                               upserts: Option[DataFrame],
                               dels: Option[DataFrame],
-                              numFiles: Int): DvStats = {
+                              numFiles: Int,
+                              setTag: Option[String]): DvStats = {
     upserts.foreach { u =>
       val unknown = u.columns.filterNot(m.schema.fieldNames.contains)
       require(unknown.isEmpty,
@@ -1236,9 +1242,13 @@ object ManifestTable {
         fpRows.map(r => relByFp(r.getString(0)) -> r.getLong(1)).toMap
       val deadTotal = deadByRel.values.sum
       val hasUpserts = upserts.exists(u => !u.isEmpty)
-      if (deadTotal == 0L && !hasUpserts)
-        // nothing newly dead and nothing to append: burn no version
+      if (deadTotal == 0L && !hasUpserts) {
+        // nothing newly dead and nothing to append: burn no version —
+        // but a consumer's cursor must still advance, or its window
+        // (e.g. deletes of keys its mirror never had) replays forever
+        setTag.foreach(t => setTagOnly(spark, path, t))
         return DvStats(m.version, 0, 0L, 0, 0)
+      }
 
       val nextV = m.version + 1
       val dataRel = freshTxnRel(nextV)
@@ -1317,8 +1327,8 @@ object ManifestTable {
         else "delete-dv"
       commitFence()
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
-        m.statsCols, carried ++ keptTouched ++ appended, m.tag, m.zCols,
-        m.retain, op, partCol = m.partCol)
+        m.statsCols, carried ++ keptTouched ++ appended,
+        setTag.orElse(m.tag), m.zCols, m.retain, op, partCol = m.partCol)
       retireKeeping(spark, path, nextV, m.retain)
       DvStats(nextV, updatedE.size, deadTotal, dropped.size, appended.size)
     } finally newPairs.unpersist(blocking = false)
@@ -1919,7 +1929,8 @@ object ManifestTable {
     * that crashed between apply and cursor advance self-heals. */
   def applyChanges(spark: SparkSession, targetPath: String,
                    changes0: DataFrame,
-                   setTag: Option[String] = None): Unit = {
+                   setTag: Option[String] = None,
+                   dv: Boolean = false): Unit = {
     val m = readManifest(spark, targetPath)
     // a feed carrying columns the destination does not know would be
     // silently narrowed by the projection below — after a source
@@ -1950,8 +1961,15 @@ object ManifestTable {
         setTag.foreach(t => setTagOnly(spark, targetPath, t))
       else {
         // ONE atomic commit: upserts + deletes + tag land together, so
-        // there is no half-applied crash window between them
-        upsertAndDelete(spark, targetPath, upserts, dels, setTag = setTag)
+        // there is no half-applied crash window between them. `dv`
+        // routes through the deletion-vector twin — the consumer's
+        // write cost drops to ∝ the batch (sidecar + append) instead
+        // of the touched files; the usual compaction cadence
+        // materializes the vectors back out
+        if (dv) upsertAndDeleteDV(spark, targetPath, upserts, dels,
+          setTag = setTag)
+        else upsertAndDelete(spark, targetPath, upserts, dels,
+          setTag = setTag)
         ()
       }
     } finally changes.unpersist(blocking = false)

@@ -22,17 +22,20 @@ import graft.streaming.StreamingJobs
 object StreamingUpsertJob {
 
   /** args: watchDir tablePath keyCol checkpointDir [schemaDdl]
-    * [numFiles] [maxFilesPerTrigger] [cdf] — schemaDdl may be the empty
-    * string when the table already exists. */
+    * [numFiles] [maxFilesPerTrigger] [cdf] [dv] — schemaDdl may be the
+    * empty string when the table already exists; dv=true lands each
+    * micro-batch through the deletion-vector commit (sidecar + append,
+    * zero data files rewritten — pair with a compaction cadence). */
   def main(args: Array[String]): Unit = {
     val Array(watchDir, tablePath, keyCol, checkpointDir) = args.take(4)
     val schemaDdl = args.lift(4).filter(_.nonEmpty)
     val numFiles = args.lift(5).map(_.toInt).getOrElse(8)
     val maxFilesPerTrigger = args.lift(6).map(_.toInt).getOrElse(1)
     val cdf = args.lift(7).exists(_.toBoolean)
+    val dv = args.lift(8).exists(_.toBoolean)
     val spark = graft.GraftSession.create("graft-streaming-upsert")
     val q = start(spark, watchDir, tablePath, keyCol, checkpointDir,
-      schemaDdl, numFiles, maxFilesPerTrigger, cdf)
+      schemaDdl, numFiles, maxFilesPerTrigger, cdf, dv)
     q.awaitTermination()
   }
 
@@ -47,7 +50,7 @@ object StreamingUpsertJob {
             keyCol: String, checkpointDir: String,
             schemaDdl: Option[String] = None, numFiles: Int = 8,
             maxFilesPerTrigger: Int = 1,
-            cdf: Boolean = false): StreamingQuery = {
+            cdf: Boolean = false, dv: Boolean = false): StreamingQuery = {
     val ddl = schemaDdl.getOrElse {
       val base = ManifestTable.readManifest(spark, tablePath).schema.toDDL
       if (cdf) s"_change_type STRING, $base" else base
@@ -57,7 +60,7 @@ object StreamingUpsertJob {
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(watchDir)
     StreamingJobs.streamingTableUpsert(batches, tablePath, keyCol,
-      numFiles, cdf)
+      numFiles, cdf, dv)
       .option("checkpointLocation", checkpointDir)
       .start()
   }

@@ -507,7 +507,7 @@ object StreamingJobs {
    */
   def streamingTableUpsert(batches: DataFrame, tablePath: String,
                            keyCol: String, numFiles: Int = 8,
-                           cdf: Boolean = false) =
+                           cdf: Boolean = false, dv: Boolean = false) =
     batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       if (!batch.isEmpty) {
@@ -518,8 +518,17 @@ object StreamingJobs {
             else batch
           graft.io.ManifestTable.create(rows, tablePath, keyCol, numFiles)
         } else if (cdf)
-          graft.io.ManifestTable.applyChanges(spark, tablePath, batch)
-        else {
+          // dv: apply the feed through the deletion-vector commit —
+          // sidecar + append per micro-batch instead of rewriting the
+          // touched files (replay still converges: re-marking dead keys
+          // and re-appending the same upserts are both idempotent in
+          // content, and compaction folds the accumulated fragments)
+          graft.io.ManifestTable.applyChanges(spark, tablePath, batch,
+            dv = dv)
+        else if (dv) {
+          graft.io.ManifestTable.upsertDV(spark, tablePath, batch)
+          ()
+        } else {
           graft.io.ManifestTable.merge(spark, tablePath, batch)
           ()
         }

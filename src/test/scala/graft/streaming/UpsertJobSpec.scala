@@ -125,4 +125,84 @@ class UpsertJobSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(
       java.nio.file.Paths.get(root))
   }
+
+  test("dv stream: micro-batches land as deletion-vector commits — " +
+    "bootstrap files never rewritten, content converges on replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsd").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/watch"))
+    val table = s"$root/table"
+    def run(cdf: Boolean): Unit = {
+      val ddl = if (cdf) "_change_type STRING, id LONG, v STRING"
+                else "id LONG, v STRING"
+      val q = StreamingUpsertJob.start(spark, s"$root/watch", table, "id",
+        s"$root/ckpt", schemaDdl = Some(ddl), numFiles = 2,
+        cdf = cdf, dv = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(root, "d1", (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+      run(cdf = false)
+      val m0 = ManifestTable.readManifest(spark, table)
+      val bootRels = m0.entries.map(_.relPath).toSet
+      val bootSig = bootRels.map { rel =>
+        val p = java.nio.file.Paths.get(s"$table/$rel")
+        rel -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+
+      drop(root, "d2", Seq((3L, "updated"), (20L, "new")).toDF("id", "v"))
+      run(cdf = false)
+      val after = (0L to 9L).map(i =>
+        (i, if (i == 3) "updated" else s"v$i")).toSet + ((20L, "new"))
+      assert(content(table) == after)
+      // the dv path's whole point: bootstrap files are byte-untouched —
+      // the replaced row died in a sidecar, the batch appended
+      val m1 = ManifestTable.readManifest(spark, table)
+      assert(bootRels.subsetOf(m1.entries.map(_.relPath).toSet),
+        "bootstrap files must be carried, not rewritten")
+      bootSig.foreach { case (rel, sig) =>
+        val p = java.nio.file.Paths.get(s"$table/$rel")
+        assert((java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis) == sig,
+          s"$rel was rewritten")
+      }
+      assert(m1.entries.exists(_.dv.isDefined))
+
+      // replay convergence (crash between commit and checkpoint): the
+      // exact batch body re-runs; content identical, one version burned
+      val vBefore = ManifestTable.latestVersion(spark, table).get
+      ManifestTable.upsertDV(spark, table,
+        Seq((3L, "updated"), (20L, "new")).toDF("id", "v"))
+      assert(content(table) == after, "dv replay must converge")
+      assert(ManifestTable.latestVersion(spark, table).contains(vBefore + 1))
+    } finally graft.io.Fs.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+
+  test("dv cdf stream: the feed applies through one dv commit per " +
+    "micro-batch; deletes of absent keys still advance cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsdc").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/watch"))
+    val table = s"$root/table"
+    def run(): Unit = {
+      val q = StreamingUpsertJob.start(spark, s"$root/watch", table, "id",
+        s"$root/ckpt",
+        schemaDdl = Some("_change_type STRING, id LONG, v STRING"),
+        numFiles = 2, cdf = true, dv = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(root, "c1", Seq(("insert", 1L, "a"), ("insert", 2L, "b"),
+        ("insert", 4L, "d")).toDF("_change_type", "id", "v"))
+      run()
+      drop(root, "c2", Seq(("update_pre", 1L, "a"), ("update_post", 1L, "a2"),
+        ("delete", 2L, "b"), ("insert", 3L, "c"), ("delete", 99L, "absent"))
+        .toDF("_change_type", "id", "v"))
+      run()
+      assert(content(table) == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    } finally graft.io.Fs.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
 }
