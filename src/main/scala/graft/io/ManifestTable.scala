@@ -1768,9 +1768,19 @@ object ManifestTable {
       // job only runs once the cheap metadata equalities pass
       def guardOk = rebaseGuard.forall { case (ks, expected) =>
         touchSet(spark, ks, keyK, latest) == expected }
+      // the files this attempt read must be IDENTICAL in the winner's
+      // manifest, not merely same-named: a deletion-vector commit
+      // re-points an entry without moving the file, and rebasing over
+      // it would commit survivors read WITHOUT the winner's vector —
+      // resurrecting the very rows it killed
+      def sameTouchedEntries = {
+        val latestByRel = latest.entries.map(e => e.relPath -> e).toMap
+        touchedE.forall(e => latestByRel.get(e.relPath).contains(e))
+      }
       val rebasable = latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
-        guardOk && touchSet(spark, batchKeys, keyK, latest) == touched
+        guardOk && touchSet(spark, batchKeys, keyK, latest) == touched &&
+        sameTouchedEntries
       if (rebasable)
         try commitOn(latest)
         catch { case e2: ConcurrentCommitException =>

@@ -321,4 +321,58 @@ class ManifestConcurrencySpec extends SparkSpec {
       Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
     }
   }
+
+  test("dv delete loses the claim to a CoW merge: the dv commit " +
+    "re-drives against the winner's rewritten files") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // winner REWRITES the file holding key 105 while the dv delete of
+      // {105, 500} is in flight — the re-drive must find 105 in the
+      // winner's fresh file and mark it there
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          (100L to 109L).map(i => (i, s"win_$i", 50))
+            .toDF("id", "name", "grp"))
+        ()
+      }
+      val st = ManifestTable.deleteKeysDV(spark, path,
+        Seq(105L, 500L).toDF("id"))
+      assert(st.version == 3L && st.deadMarked == 2L)
+      val got = content(ManifestTable.read(spark, path))
+      assert(!got.exists(r => r._1 == 105L || r._1 == 500L))
+      assert(got.contains((104L, "win_104", 50)), "winner's merge kept")
+      assert(got.size == 998)
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("CoW merge loses the claim to a dv delete that re-pointed a file " +
+    "it read: the loser must RE-DRIVE (a rebase would resurrect the " +
+    "winner's dead rows)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // winner dv-deletes key 105; loser's merge of key 100 READ the
+      // same file (same range) without the winner's vector — touch sets
+      // match by relPath, so only the entry-identity check forces the
+      // re-drive
+      fenceOnce {
+        ManifestTable.deleteKeysDV(spark, path, Seq(105L).toDF("id"))
+        ()
+      }
+      ManifestTable.merge(spark, path,
+        Seq((100L, "upd_100", 50)).toDF("id", "name", "grp"))
+      val got = content(ManifestTable.read(spark, path))
+      assert(!got.exists(_._1 == 105L),
+        "rebase over a dv winner resurrected its dead row")
+      assert(got.contains((100L, "upd_100", 50)))
+      assert(got.size == 999)
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
 }
