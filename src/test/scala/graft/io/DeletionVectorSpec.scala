@@ -330,6 +330,53 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("read plan shape: a clean table reads as a plain scan (no join " +
+    "anywhere); a dv'd table anti-joins ONLY the re-pointed files' " +
+    "branch, broadcast per the manifest's dead counts") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      val cleanPlan =
+        ManifestTable.read(spark, path).queryExecution.executedPlan.toString
+      assert(!cleanPlan.contains("Join"),
+        s"clean read must be a bare scan:\n$cleanPlan")
+      ManifestTable.deleteKeysDV(spark, path, Seq(5L).toDF("id"))
+      val dvPlan =
+        ManifestTable.read(spark, path).queryExecution.executedPlan.toString
+      assert(dvPlan.contains("LeftAnti"), s"dv read must anti-join:\n$dvPlan")
+      assert(dvPlan.contains("BroadcastHashJoin"),
+        s"small dead set must broadcast:\n$dvPlan")
+      // the clean files' branch stays join-free: exactly one anti-join
+      // (one sidecar group), not one per file
+      assert(dvPlan.split("LeftAnti").length == 2,
+        s"expected exactly one anti-join:\n$dvPlan")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("Z-ordered table: dv ops preserve the curve (no rewrite), and the " +
+    "Z-aware compaction materializes the vectors") {
+    val path = tmp()
+    try {
+      val df = base()
+      ManifestTable.createZOrdered(df, path, "id", numFiles = 4,
+        zColA = "id", zColB = "grp")
+      val bytesBefore = fileState(path)
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L, 20L).toDF("id"))
+      val after = fileState(path)
+      bytesBefore.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig), s"$rel was rewritten") }
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.zCols.contains(("id", "grp")), "layout record preserved")
+      // compactTable dispatches onto the recorded curve and applies the
+      // vectors while rewriting
+      ManifestTable.compactTable(spark, path, numFiles = 2)
+      val m2 = ManifestTable.readManifest(spark, path)
+      assert(m2.zCols.contains(("id", "grp")) && m2.entries.forall(_.dv.isEmpty))
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(10L, 20L))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("partitioned table: dv delete keeps partition addressing; dv " +
     "upsert appends partition-pure") {
     val path = tmp()
