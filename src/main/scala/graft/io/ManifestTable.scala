@@ -2227,6 +2227,45 @@ object ManifestTable {
         }
     }
 
+  /** Consolidate every live deletion vector into ONE sidecar — the
+    * metadata-tier maintenance between dv commits and a materializing
+    * compaction: repeated dv commits leave the dv'd entries pointing at
+    * several sidecars (each read pays one anti-join GROUP per sidecar),
+    * and this folds all current dead pairs into a single fresh sidecar
+    * and re-points every dv'd entry at it. No data file is touched;
+    * cost ∝ the total dead-pair count (sidecar-sized). Entries' dead
+    * counts are preserved verbatim — a file's pair set in its CURRENT
+    * sidecar is always the complete one (consolidating commits carry
+    * old pairs forward), and the cross-sidecar union is deduplicated
+    * in case a still-referenced older sidecar holds a stale subset.
+    * Already-single (or vector-free) tables are a no-op. */
+  def consolidateDv(spark: SparkSession, path: String,
+                    maxRetries: Int = 3): Boolean =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val dvd = m.entries.filter(_.dv.isDefined)
+      val rels = dvd.map(_.dv.get.dvRel).distinct
+      if (rels.size <= 1) false
+      else {
+        val nextV = m.version + 1
+        val dvRel = s"${freshTxnRel(nextV)}-dv"
+        val dvdRels = dvd.map(_.relPath)
+        spark.read.parquet(rels.map(r => s"$path/$r"): _*)
+          .filter(col("__f").isin(dvdRels: _*))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$path/$dvRel")
+        val entries = m.entries.map(e => e.dv match {
+          case Some(d) => e.copy(dv = Some(DvRef(dvRel, d.dead)))
+          case None => e
+        })
+        commitFence()
+        writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
+          m.statsCols, entries, m.tag, m.zCols, m.retain,
+          op = "consolidate-dv", partCol = m.partCol)
+        retireKeeping(spark, path, nextV, m.retain)
+        true
+      }
+    }
+
   /** INCREMENTAL OPTIMIZE — bin-pack ONLY the small files: every merge
     * appends batch-sized files next to table-sized ones, and a full
     * [[compactTable]] pays a whole-table rewrite to fold them back

@@ -353,6 +353,36 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("consolidateDv folds several sidecars into one: one anti-join " +
+    "group, content and dead counts unchanged, no data file touched") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      // two deletes touching DIFFERENT files → two sidecar groups
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L).toDF("id"))
+      ManifestTable.deleteKeysDV(spark, path, Seq(800L).toDF("id"))
+      val m0 = ManifestTable.readManifest(spark, path)
+      assert(m0.entries.flatMap(_.dv.map(_.dvRel)).distinct.size == 2)
+      val want = content(ManifestTable.read(spark, path))
+      val bytesBefore = fileState(path).filter(!_._1.contains("-dv"))
+
+      assert(ManifestTable.consolidateDv(spark, path))
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.entries.flatMap(_.dv.map(_.dvRel)).distinct.size == 1)
+      assert(m1.entries.flatMap(_.dv).map(_.dead).sum == 2L)
+      val after = fileState(path)
+      bytesBefore.foreach { case (rel, sig) =>
+        assert(after.get(rel).contains(sig), s"$rel was touched") }
+      assert(content(ManifestTable.read(spark, path)) == want)
+      val plan =
+        ManifestTable.read(spark, path).queryExecution.executedPlan.toString
+      assert(plan.split("LeftAnti").length == 2,
+        s"consolidated read must have ONE anti-join group:\n$plan")
+      // idempotent: already-single is a no-op
+      assert(!ManifestTable.consolidateDv(spark, path))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("Z-ordered table: dv ops preserve the curve (no rewrite), and the " +
     "Z-aware compaction materializes the vectors") {
     val path = tmp()
