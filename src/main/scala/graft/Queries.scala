@@ -3231,22 +3231,31 @@ object Queries {
         |  true AS ok25, true AS ok50, true AS ok75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // Sessionized over DISTINCT (user, ts): with duplicate event rows
+    // the two-window form (per-row lag, then a running sum over a ties-
+    // carrying ORDER BY) is nondeterministic — the two window operators
+    // may order tied timestamps differently, splitting a session
+    // boundary's duplicate group across sessions (surfaced by the sf1
+    // replication, which copies events verbatim). Sessionizing the
+    // distinct timestamps and joining multiplicities back is the same
+    // logical feed, tie-free.
     "e5_sessionize" ->
       """WITH e2 AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 1000 AS ts_us
-        |  FROM events),
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 1000 AS ts_us,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
         |gaps AS (
-        |  SELECT user_id, ts_us,
+        |  SELECT user_id, ts_us, cnt,
         |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
         |              >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
         |  FROM e2),
         |sess AS (
-        |  SELECT user_id, ts_us,
+        |  SELECT user_id, ts_us, cnt,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM gaps)
         |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS sess_start_us,
-        |  CAST(count(*) AS BIGINT) AS n_events
+        |  CAST(sum(cnt) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // epoch_ns bounds, not naive timestamp literals: epoch_ns is exact on

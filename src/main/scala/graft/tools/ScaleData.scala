@@ -70,16 +70,36 @@ object ScaleData {
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * suppS)) }, 16)
     write("events", scaled(t("events")) { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * evtS)) }, 8)
+    // suffix WITHOUT a separator: "word~k" tokenizes ([^a-z0-9]+ split)
+    // as TWO tokens with the digit interleaved between every word, which
+    // collapses half of all shingles onto unigram document frequencies —
+    // the df-cut then binds corpus-wide and the capped n-gram operators
+    // diverge from their uncapped SQL replays (round-11 sf1 finding).
+    // "wordk" stays ONE token: copies share no shingles AND every df
+    // class is exactly copy-0's.
     write("documents", scaled(t("documents")) { (df, k) =>
       val mutated =
         if (k == 0) df
         else df
           .withColumn("text", array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$k"))), " "))
+            w => concat(w, lit(s"$k"))), " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
       mutated.withColumn("doc_id", col("doc_id") + lit(k * docS)) }, 4)
+    // per-copy DIMENSION ROTATION (an orthogonal transform): intra-copy
+    // cosines are exactly copy-0's, so ANN/near-dup structure replicates,
+    // while cross-copy pairs decohere — verbatim replication instead
+    // creates 10-cliques of IDENTICAL vectors whose all-pairs mass
+    // overflows LSH bucket caps (the other round-11 sf1 finding)
     write("embeddings", scaled(t("embeddings")) { (df, k) =>
-      df.withColumn("vec_id", col("vec_id") + lit(k * vecS)) }, 4)
+      val rotated =
+        if (k == 0) df
+        else {
+          val dim = 64
+          val idx = (0 until dim).map(i => (i + k) % dim)
+          df.withColumn("embedding",
+            array(idx.map(i => col("embedding").getItem(i)): _*))
+        }
+      rotated.withColumn("vec_id", col("vec_id") + lit(k * vecS)) }, 4)
     println(s"done: $dst (x$copies of $src)")
     spark.stop()
   }
