@@ -1177,22 +1177,23 @@ object ManifestTable {
     val keyK = col(m.keyCol)
     val keySets = upserts.map(_.select(keyK)).toSeq ++
       dels.map(_.select(keyK)).toSeq
-    // consumed by three jobs (touch set, the matched-pair semi-join,
-    // and the sidecar write through newPairs) — persist the distinct
-    // key set rather than re-deriving its upstream per job
+    // materialized by two actions (the touch-set collect and newPairs'
+    // first action) — persist the distinct key set rather than
+    // re-deriving its upstream filter per action
     val batchKeys = keySets.reduce(_ unionByName _).distinct()
       .select(keyK.cast(m.keyType).as("__k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try attemptDvBody(spark, path, m, upserts, dels, numFiles, setTag,
-      keyK, batchKeys)
+      batchKeys)
     finally batchKeys.unpersist(blocking = false)
   }
 
   private def attemptDvBody(spark: SparkSession, path: String, m: Manifest,
                             upserts: Option[DataFrame],
                             dels: Option[DataFrame], numFiles: Int,
-                            setTag: Option[String], keyK: Column,
+                            setTag: Option[String],
                             batchKeys: DataFrame): DvStats = {
+    val keyK = col(m.keyCol)
     val touched = touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
       col(m.keyCol), m)
     val touchedE = m.entries.filter(e => touched(e.relPath))
