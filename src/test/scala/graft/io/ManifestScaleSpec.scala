@@ -82,4 +82,45 @@ class ManifestScaleSpec extends SparkSpec {
         f"interval cut $tTouch%.0f ms, manifest $bytes bytes")
     } finally Fs.deleteRecursively(root)
   }
+
+  test("wide deletion-vector touch set: one dv commit re-pointing 400 " +
+    "files plans/executes with bounded driver work and a single " +
+    "anti-join group") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mscaledv")
+    val path = s"$root/t"
+    try {
+      // 400 real files (0.4k keys each — small, but the shape is what's
+      // under test: the per-group isin list, the file-name join, and
+      // the per-entry accounting all scale with the touch set)
+      val df = (0 until 160000).map(i => (i.toLong, i % 97)).toDF("id", "v")
+      ManifestTable.create(df, path, "id", numFiles = 400)
+      assert(ManifestTable.readManifest(spark, path).entries.size == 400)
+
+      // stride-400 delete: every file loses exactly one row
+      val t0 = System.nanoTime()
+      val st = ManifestTable.deleteKeysDV(spark, path,
+        (0L until 160000L by 400L).map(Tuple1(_)).toDF("id"))
+      val tCommit = (System.nanoTime() - t0) / 1e6
+      // range-partitioner boundaries are SAMPLED, so files are uneven:
+      // a few hold two strided keys, a few none — the dead count is
+      // exact, the repoint count merely near-full
+      assert(st.deadMarked == 400L && st.filesRepointed >= 350)
+
+      val t1 = System.nanoTime()
+      val n = ManifestTable.read(spark, path).count()
+      val tRead = (System.nanoTime() - t1) / 1e6
+      assert(n == 159600L)
+      val plan =
+        ManifestTable.read(spark, path).queryExecution.executedPlan.toString
+      assert(plan.split("LeftAnti").length == 2,
+        "400 re-pointed files must share ONE sidecar anti-join group")
+
+      // generous wall bounds — the assertion is O(touch set) driver
+      // work, not machine speed
+      assert(tCommit < 120000 && tRead < 60000,
+        f"dv commit $tCommit%.0f ms / read $tRead%.0f ms")
+      info(f"400-file dv commit $tCommit%.0f ms, dv read $tRead%.0f ms")
+    } finally Fs.deleteRecursively(root)
+  }
 }
