@@ -1194,8 +1194,14 @@ object ManifestTable {
                             setTag: Option[String],
                             batchKeys: DataFrame): DvStats = {
     val keyK = col(m.keyCol)
-    val touched = touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
-      col(m.keyCol), m)
+    // ≤1 live file: same trade as the copy-on-write path — probing
+    // whether the batch intersects the one file's range costs a Spark
+    // job, and the dead-pair scan below finds the same answer anyway
+    // (zero matches commits nothing)
+    val touched =
+      if (m.entries.size <= 1) m.entries.map(_.relPath).toSet
+      else touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
+        col(m.keyCol), m)
     val touchedE = m.entries.filter(e => touched(e.relPath))
 
     // dead pairs = (file, key) of PHYSICAL rows matching a batch key,
