@@ -513,6 +513,35 @@ object ManifestTable {
     dvParts.foldLeft(cleanDf)(_ unionByName _)
   }
 
+  /** Dead (file, key) pairs of `entries` under their OWN vectors, one
+    * scoped read per sidecar GROUP — never a union of all sidecars
+    * filtered by file membership. The distinction is load-bearing for
+    * multiset consumers: a file's stale pair subset can survive in
+    * ANOTHER entry's still-referenced sidecar (a later repoint carries
+    * pairs forward while the old sidecar stays live for its other
+    * files), and a membership-only filter over the union would read
+    * those pairs twice — `exceptAll` in [[changeSidesBetween]] does
+    * not cancel duplicates, so a double-counted pair surfaces as a
+    * phantom add/delete in the change feed. Scoping each group to the
+    * relPaths that point at its sidecar (the [[readEntries]] shape)
+    * reads every pair exactly once. Columns: `__f` (sidecar path
+    * form), `__k` cast to `keyType`. */
+  private def deadPairsScoped(spark: SparkSession, path: String,
+                              keyType: DataType,
+                              entries: Seq[FileEntry]): DataFrame = {
+    val withDv = entries.filter(_.dv.isDefined)
+    if (withDv.isEmpty)
+      spark.emptyDataFrame.select(lit("").as("__f"),
+        lit(null).cast(keyType).as("__k")).limit(0)
+    else
+      withDv.groupBy(_.dv.get.dvRel).toSeq.sortBy(_._1).map {
+        case (dvRel, es) =>
+          spark.read.parquet(s"$path/$dvRel")
+            .filter(col("__f").isin(es.map(_.relPath): _*))
+            .select(col("__f"), col("__k").cast(keyType).as("__k"))
+      }.reduce(_ unionByName _)
+  }
+
   private[io] def readFiles(spark: SparkSession, path: String,
                             m: Manifest): DataFrame =
     readEntries(spark, path, m.schema, m.keyCol, m.entries)
@@ -1223,17 +1252,14 @@ object ManifestTable {
         .select(col("_metadata.file_path").as("__fp"),
           col("_metadata.file_name").as("__fn"),
           keyK.cast(m.keyType).as("__k"))
-    val oldDvRels = touchedE.flatMap(_.dv.map(_.dvRel)).distinct
-    val touchedRels = touchedE.map(_.relPath).toSet
-    val oldPairs =
-      if (oldDvRels.isEmpty)
-        spark.emptyDataFrame
-          .select(lit("").as("__f"),
-            lit(null).cast(m.keyType).as("__k")).limit(0)
-      else
-        spark.read.parquet(oldDvRels.map(r => s"$path/$r"): _*)
-          .filter(col("__f").isin(touchedRels.toSeq: _*))
-          .select(col("__f"), col("__k").cast(m.keyType).as("__k"))
+    // each entry's FULL dead set lives in its own sidecar (repoints
+    // consolidate pairs forward), so the per-sidecar-group scoped read
+    // is complete — and, unlike a union filtered by file membership,
+    // never double-reads a file whose stale pairs also survive in
+    // another still-referenced sidecar (carryOld below writes these
+    // pairs into the NEXT sidecar; duplicates there would inflate it
+    // and poison later changesBetween multiset diffs)
+    val oldPairs = deadPairsScoped(spark, path, m.keyType, touchedE)
     val oldPairsFn = oldPairs
       .select(element_at(split(col("__f"), "/"), -1).as("__fn"), col("__k"))
     val newPairs = phys.join(batchKeys, Seq("__k"), "left_semi")
@@ -1292,9 +1318,16 @@ object ManifestTable {
             .toDF("__fp", "__f")
           val carryOld = oldPairs.filter(
             col("__f").isin(repointedRels.toSeq: _*))
+          // sidecars are kept (file, key)-unique by construction — the
+          // scoped carryOld + the anti-joined newPairs cannot collide —
+          // and the distinct() pins that invariant against any sidecar
+          // a prior writer left duplicated (consolidateDv parity); the
+          // set is pair-sized, so the dedup shuffle is trivial next to
+          // the data-file scan above
           newPairs.join(broadcast(fpToRel), Seq("__fp"))
             .select(col("__f"), col("__k"))
             .unionByName(carryOld)
+            .distinct()
             .write.mode("overwrite").parquet(s"$path/$dvRel")
           val split = repointedE.map { e =>
             val newDead = deadByRel(e.relPath)
@@ -1916,19 +1949,16 @@ object ManifestTable {
     var dels = oldRows.exceptAll(newRows)
     if (dvDeltaTo.nonEmpty) {
       // dead (name, key) pairs of the delta files under each side's
-      // vector — sidecars are pair-sized, the delta smaller still
-      def pairsOf(entries: Seq[FileEntry]): DataFrame = {
-        val withDv = entries.filter(_.dv.isDefined)
-        if (withDv.isEmpty)
-          spark.emptyDataFrame.select(lit("").as("__fn"),
-            lit(null).cast(mTo.keyType).as("__k")).limit(0)
-        else
-          spark.read.parquet(
-              withDv.map(_.dv.get.dvRel).distinct.map(r => s"$path/$r"): _*)
-            .filter(col("__f").isin(withDv.map(_.relPath): _*))
-            .select(element_at(split(col("__f"), "/"), -1).as("__fn"),
-              col("__k").cast(mTo.keyType).as("__k"))
-      }
+      // vector — sidecars are pair-sized, the delta smaller still.
+      // MUST be the per-sidecar-group scoped read ([[deadPairsScoped]]):
+      // the exceptAll below is multiset arithmetic, and a union read
+      // that double-counts a file whose stale pairs survive in another
+      // delta file's sidecar would emit a still-dead row as an ADD (or
+      // a live one as a phantom delete) into the change feed
+      def pairsOf(entries: Seq[FileEntry]): DataFrame =
+        deadPairsScoped(spark, path, mTo.keyType, entries)
+          .select(element_at(split(col("__f"), "/"), -1).as("__fn"),
+            col("__k"))
       val fromDelta = mFrom.entries.filter(e => dvDeltaRels(e.relPath))
       val pTo = pairsOf(dvDeltaTo)
       val pFrom = pairsOf(fromDelta)
@@ -2068,11 +2098,21 @@ object ManifestTable {
       case e: Throwable if {
         // scheme-insensitive containment: task errors report absolute
         // URIs ("file:/tmp/.../t/data/txn-…") while callers may hold a
-        // bare path — compare on the URI path component
+        // bare path — compare on the URI path component. Filesystems
+        // also differ in ENCODING: a path with spaces or unicode may
+        // arrive URL-encoded ("%20", the [[statsFor]] gotcha), so the
+        // message is matched both raw and URL-decoded.
         val srcMark = new Path(srcPath).toUri.getPath
+        def mentionsSrc(msg: String): Boolean =
+          msg.contains(srcMark) || {
+            val decoded =
+              try URLDecoder.decode(msg, UTF_8)
+              catch { case _: IllegalArgumentException => msg }
+            decoded.contains(srcMark)
+          }
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
           .exists(t => t.isInstanceOf[java.io.FileNotFoundException] &&
-            Option(t.getMessage).exists(_.contains(srcMark)))
+            Option(t.getMessage).exists(mentionsSrc))
       } => throw lagError(consumerNoun, from, latest, e)
     }
 

@@ -28,22 +28,27 @@ object Sources {
     * separate `startingOffsetsByTimestamp` option — pass the
     * per-partition ms JSON (`{"topic":{"0":<ms>}}`) as
     * `startingTimestamps` and leave `startingOffsets` at its default
-    * (the connector refuses both together, T6). `format` swaps the
-    * connector implementation — "kafka" (the real connector, default)
-    * or "kafkamock" ([[graft.io.kafkamock.KafkaMockProvider]], the
-    * in-JVM protocol twin the e2e tests run this exact wiring
-    * through). */
+    * (the connector refuses both together, T6). A timestamp no record
+    * qualifies for follows `timestampStrategy`
+    * (`startingOffsetsByTimestampStrategy`): the connector default is
+    * "error" (fail the query); "latest" starts that partition at its
+    * end. `format` swaps the connector implementation — "kafka" (the
+    * real connector, default) or "kafkamock"
+    * ([[graft.io.kafkamock.KafkaMockProvider]], the in-JVM protocol
+    * twin the e2e tests run this exact wiring through). */
   def kafkaStream(spark: SparkSession, brokers: String, topic: String,
                   groupId: String, startingOffsets: String = "latest",
                   format: String = "kafka",
-                  startingTimestamps: Option[String] = None): DataFrame = {
+                  startingTimestamps: Option[String] = None,
+                  timestampStrategy: String = "error"): DataFrame = {
     val base = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("kafka.group.id", groupId)
     startingTimestamps
       .fold(base.option("startingOffsets", startingOffsets))(ts =>
-        base.option("startingOffsetsByTimestamp", ts))
+        base.option("startingOffsetsByTimestamp", ts)
+          .option("startingOffsetsByTimestampStrategy", timestampStrategy))
       .load()
       .select(col("value").cast("string").as("value"))
   }

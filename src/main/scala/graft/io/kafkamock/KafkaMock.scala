@@ -36,8 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *    offset 0, a specific-offset JSON (`{"t":{"0":23,"1":-1}}`, -2 =
  *    earliest, -1 = latest) pins per-partition starts, and
  *    `startingOffsetsByTimestamp` (`{"t":{"0":<ms>}}`) starts each
- *    partition at its first record at-or-after the timestamp (end when
- *    none — the offsetsForTimes contract); defaults are PER MODE
+ *    partition at its first record at-or-after the timestamp; a
+ *    timestamp matching no record follows
+ *    `startingOffsetsByTimestampStrategy` like the real connector —
+ *    default "error" fails the query (offsetsForTimes returned
+ *    nothing), opt-in "latest" starts at the end; defaults are PER MODE
  *    (streaming latest, batch earliest, like the real connector); a
  *    checkpointed stream resumes from its serialized per-partition
  *    offsets instead (T6 replay);
@@ -107,14 +110,17 @@ object MockBroker {
     buf.synchronized { buf += rec }
   }
 
-  /** The earliest offset whose record timestamp is >= `tsMillis`, or the
-    * END offset when no record qualifies — the `offsetsForTimes`
-    * contract the real source's timestamp start resolution sits on. */
-  def offsetForTime(topic: String, partition: Int, tsMillis: Long): Long = {
+  /** The earliest offset whose record timestamp is >= `tsMillis`, or
+    * None when no record qualifies — `offsetsForTimes` returns null in
+    * that case, and what happens next is a POLICY decision
+    * (`startingOffsetsByTimestampStrategy`, resolved in
+    * [[KafkaMock.resolveStart]]), not this lookup's. */
+  def offsetForTime(topic: String, partition: Int,
+                    tsMillis: Long): Option[Long] = {
     val buf = partitionsOf(topic)(partition)
     buf.synchronized {
       val i = buf.indexWhere(_.ts >= tsMillis)
-      if (i < 0) buf.length.toLong else i.toLong
+      if (i < 0) None else Some(i.toLong)
     }
   }
 
@@ -174,14 +180,18 @@ private[kafkamock] object KafkaMock {
   /** Per-partition start offsets for a scan, resolved exactly like the
     * real source: `startingOffsetsByTimestamp` JSON wins (each
     * partition starts at the first offset whose record timestamp >= its
-    * ts, or the end when none qualifies) and must cover every
-    * partition; else `startingOffsets` — "earliest"/"latest" named
-    * policies, or a specific-offset JSON where -2 = earliest and -1 =
-    * latest; else `default` (per READ MODE: streaming latest, batch
-    * earliest). */
+    * ts) and must cover every partition; else `startingOffsets` —
+    * "earliest"/"latest" named policies, or a specific-offset JSON
+    * where -2 = earliest and -1 = latest; else `default` (per READ
+    * MODE: streaming latest, batch earliest). A timestamp no record
+    * qualifies for follows `tsStrategy`
+    * (`startingOffsetsByTimestampStrategy`): the connector DEFAULT is
+    * "error" — offsetsForTimes matched nothing, fail the query —
+    * with "latest" (start at the partition end) the opt-in. */
   def resolveStart(topic: String, starting: Option[String],
                    byTimestamp: Option[String],
-                   default: String): Map[Int, Long] = {
+                   default: String,
+                   tsStrategy: String = "error"): Map[Int, Long] = {
     val ends = MockBroker.endOffsets(topic)
     byTimestamp match {
       case Some(js) =>
@@ -190,7 +200,13 @@ private[kafkamock] object KafkaMock {
           val t = ts.getOrElse(p, throw new IllegalArgumentException(
             s"startingOffsetsByTimestamp must specify every partition of " +
             s"'$topic'; missing partition $p"))
-          p -> MockBroker.offsetForTime(topic, p, t)
+          p -> MockBroker.offsetForTime(topic, p, t).getOrElse {
+            if (tsStrategy == "latest") ends(p)
+            else throw new IllegalArgumentException(
+              s"no offset matched timestamp $t for '$topic'-$p " +
+              s"(startingOffsetsByTimestampStrategy=error; set it to " +
+              s"'latest' to start at the end instead)")
+          }
         }.toMap
       case None => starting.getOrElse(default) match {
         case "earliest" => ends.indices.map(_ -> 0L).toMap
@@ -266,7 +282,12 @@ final class MockTable(options: CaseInsensitiveStringMap)
     val ending = readOptions.getOrDefault("endingOffsets", "latest")
     require(ending == "latest",
       s"endingOffsets supports only 'latest', got '$ending'")
-    () => new MockScan(topic, Option(starting), Option(byTs))
+    val tsStrategy = readOptions.getOrDefault(
+      "startingOffsetsByTimestampStrategy", "error")
+    require(tsStrategy == "error" || tsStrategy == "latest",
+      s"startingOffsetsByTimestampStrategy must be error|latest, " +
+      s"got '$tsStrategy'")
+    () => new MockScan(topic, Option(starting), Option(byTs), tsStrategy)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -289,11 +310,12 @@ final class MockTable(options: CaseInsensitiveStringMap)
 }
 
 final class MockScan(topic: String, startingOffsets: Option[String],
-                     byTimestamp: Option[String]) extends Scan {
+                     byTimestamp: Option[String],
+                     tsStrategy: String = "error") extends Scan {
   override def readSchema(): StructType = KafkaMock.readSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MockMicroBatchStream(topic, startingOffsets, byTimestamp)
+    new MockMicroBatchStream(topic, startingOffsets, byTimestamp, tsStrategy)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -301,7 +323,7 @@ final class MockScan(topic: String, startingOffsets: Option[String],
       // batch default = EARLIEST (the real connector reads the whole
       // topic on a plain spark.read; only streaming defaults to latest)
       val from = KafkaMock.resolveStart(topic, startingOffsets,
-        byTimestamp, default = "earliest")
+        byTimestamp, default = "earliest", tsStrategy = tsStrategy)
       ends.indices.map { p =>
         MockInputPartition(topic, p, from(p), ends(p)): InputPartition
       }.toArray
@@ -313,12 +335,13 @@ final class MockScan(topic: String, startingOffsets: Option[String],
 
 final class MockMicroBatchStream(topic: String,
                                  startingOffsets: Option[String],
-                                 byTimestamp: Option[String])
+                                 byTimestamp: Option[String],
+                                 tsStrategy: String = "error")
     extends MicroBatchStream {
 
   override def initialOffset(): Offset =
     MockOffset(topic, KafkaMock.resolveStart(topic, startingOffsets,
-      byTimestamp, default = "latest"))
+      byTimestamp, default = "latest", tsStrategy = tsStrategy))
 
   override def latestOffset(): Offset =
     MockOffset(topic,

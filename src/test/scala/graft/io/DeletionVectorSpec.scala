@@ -383,6 +383,82 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  /** Referenced sidecars' (file, key) pair multisets, one map per
+    * sidecar — the duplicate-pair witness. */
+  private def sidecarPairs(path: String): Map[String, Seq[(String, Long)]] =
+    ManifestTable.readManifest(spark, path)
+      .entries.flatMap(_.dv.map(_.dvRel)).distinct.map { rel =>
+        rel -> spark.read.parquet(s"$path/$rel")
+          .select(col("__f"), col("__k").cast("long"))
+          .as[(String, Long)].collect().toSeq.sorted
+      }.toMap
+
+  test("a file's stale pairs surviving in ANOTHER still-referenced " +
+    "sidecar must not double-count: the change feed across a " +
+    "consolidation is EMPTY (no phantom resurrection of dead rows)") {
+    val path = tmp()
+    try {
+      // two files X (ids 0-499) and Y (500-999)
+      ManifestTable.create(base(), path, "id", numFiles = 2,
+        keepVersions = 6)
+      // d1 touches BOTH files → one shared sidecar S1
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L, 600L).toDF("id"))
+      // d2 touches X only → X re-points to S2 (carrying its S1 pair);
+      // S1 stays live for Y, so X's stale (X,10) pair SURVIVES in S1
+      ManifestTable.deleteKeysDV(spark, path, Seq(20L).toDF("id"))
+      val v3 = ManifestTable.readManifest(spark, path).version
+      assert(ManifestTable.readManifest(spark, path)
+        .entries.flatMap(_.dv.map(_.dvRel)).distinct.size == 2)
+
+      // consolidation changes no live content — the feed across it must
+      // be empty. A union-membership pair read would count (X,10) twice
+      // on the from side (S2 carried + S1 stale) vs once on the to side
+      // and exceptAll would emit dead row id=10 as a phantom ADD, which
+      // a mirror or agg view would then silently resurrect.
+      assert(ManifestTable.consolidateDv(spark, path))
+      val v4 = ManifestTable.readManifest(spark, path).version
+      val feed = ManifestTable.changesBetween(spark, path, v3, v4)
+      assert(feed.isEmpty,
+        s"consolidation emitted phantom changes: ${feed.collect().toSeq}")
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(10L, 600L, 20L))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("carryOld writes each file's pairs from its OWN sidecar: a " +
+    "repoint whose stale pairs also live in another live sidecar stays " +
+    "(file, key)-unique, and the feed across it is exactly the batch") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 2,
+        keepVersions = 6)
+      // shared S1 (X+Y), then X-only S2: X's stale pairs persist in S1
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L, 600L).toDF("id"))
+      ManifestTable.deleteKeysDV(spark, path, Seq(20L).toDF("id"))
+      val vBefore = ManifestTable.readManifest(spark, path).version
+      // d3 repoints BOTH files into one new sidecar; X's carryOld must
+      // come from S2 alone — a union-membership read would also pick up
+      // X's stale S1 subset and write (X,10) twice into the new sidecar
+      ManifestTable.deleteKeysDV(spark, path, Seq(30L, 610L).toDF("id"))
+      val m = ManifestTable.readManifest(spark, path)
+      val vAfter = m.version
+      sidecarPairs(path).foreach { case (rel, pairs) =>
+        assert(pairs.distinct == pairs,
+          s"sidecar $rel carries duplicate pairs: $pairs")
+      }
+      // per-file dead accounting intact through the consolidating repoint
+      assert(m.entries.flatMap(_.dv).map(_.dead).sum == 5L)
+      // and the feed over the repoint window is exactly the d3 batch
+      val feed = ManifestTable.changesBetween(spark, path, vBefore, vAfter)
+      assert(feed.select("_change_type", "id").as[(String, Long)]
+        .collect().toSet == Set(("delete", 30L), ("delete", 610L)),
+        "feed must be exactly the two deleted rows")
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(
+          !col("id").isin(10L, 600L, 20L, 30L, 610L))))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("Z-ordered table: dv ops preserve the curve (no rewrite), and the " +
     "Z-aware compaction materializes the vectors") {
     val path = tmp()

@@ -154,14 +154,34 @@ class KafkaMockSpec extends SparkSpec {
       s"${MockBroker.valuesOf(out)}")
   }
 
+  test("T6: a timestamp past every record FAILS under the connector's " +
+    "default startingOffsetsByTimestampStrategy=error (offsetsForTimes " +
+    "matched nothing)") {
+    val in = freshTopic(parts = 1)
+    MockBroker.produceTo(in, 0, lines(0), tsMillis = 1000L)
+    val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
+      format = "kafkamock",
+      startingTimestamps = Some(s"""{"$in":{"0":5000}}"""))
+    val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers,
+      freshTopic(parts = 1), ckpt(), format = "kafkamock").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => Option(t.getMessage)
+        .exists(_.contains("startingOffsetsByTimestampStrategy"))),
+      s"beyond-end ts must fail loudly under strategy=error, got $e")
+  }
+
   test("T6: a timestamp past every record resolves to the END offset " +
-    "(offsetsForTimes contract) — the stream sees only later produces") {
+    "under strategy=latest — the stream sees only later produces") {
     val in = freshTopic(parts = 1)
     val out = freshTopic(parts = 1)
     MockBroker.produceTo(in, 0, lines(0), tsMillis = 1000L)
     val raw = Sources.kafkaStream(spark, brokers, in, "graft-e2e",
       format = "kafkamock",
-      startingTimestamps = Some(s"""{"$in":{"0":5000}}"""))
+      startingTimestamps = Some(s"""{"$in":{"0":5000}}"""),
+      timestampStrategy = "latest")
     val q = Sinks.kafkaStream(threeBranchPipeline(raw, in), brokers, out,
       ckpt(), format = "kafkamock").start()
     try {
