@@ -1288,20 +1288,55 @@ object ManifestTable {
       val deadByRel: Map[String, Long] =
         fpRows.map(r => relByFp(r.getString(0)) -> r.getLong(1)).toMap
       val deadTotal = deadByRel.values.sum
-      val hasUpserts = upserts.exists(u => !u.isEmpty)
-      if (deadTotal == 0L && !hasUpserts) {
-        // nothing newly dead and nothing to append: burn no version —
-        // but a consumer's cursor must still advance, or its window
-        // (e.g. deletes of keys its mirror never had) replays forever
-        setTag.foreach(t => setTagOnly(spark, path, t))
-        return DvStats(m.version, 0, 0L, 0, 0)
-      }
 
       val nextV = m.version + 1
       val dataRel = freshTxnRel(nextV)
       // sidecar OUTSIDE the data txn dir: statsFor scans the txn dir
       // recursively and must never see vector rows as table rows
       val dvRel = s"$dataRel-dv"
+
+      // the upsert batch APPENDS as fresh key-sorted files — never a
+      // rewrite of existing bytes. WRITE-FIRST: the append's own
+      // recorded stats reveal emptiness, so the common non-empty case
+      // pays no separate isEmpty probe job; an all-empty batch leaves
+      // only an orphan txn dir (uuid-suffixed, grace-aged retention
+      // sweeps it) and burns no version.
+      val appended = upserts match {
+        case Some(u) =>
+          val ordered = m.schema.fields.map(f => col(f.name).cast(f.dataType))
+          val written = m.partCol match {
+            case Some(pc) =>
+              // a partitioned table's append must stay partition-pure,
+              // or the metadata-only partition ops lose their addressing
+              Tables.writePartitionPure(u.select(ordered: _*),
+                s"$path/$dataRel", pc, m.keyCol, numFiles)
+              val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
+                m.statsCols)
+              requirePartitionPure(pc, e, path)
+              e
+            case None =>
+              val n = math.max(1, numFiles)
+              if (n == 1)
+                writeSingleFileObserved(spark, path, dataRel,
+                  u.select(ordered: _*), m.keyCol, m.statsCols)
+              else {
+                Tables.writeSortedBy(u.select(ordered: _*),
+                  s"$path/$dataRel", n, m.keyCol)
+                statsFor(spark, path, dataRel, m.keyCol, m.schema,
+                  m.statsCols)
+              }
+          }
+          written.filter(_.rows > 0L)
+        case None => Seq.empty
+      }
+
+      if (deadTotal == 0L && appended.isEmpty) {
+        // nothing newly dead and nothing to append: burn no version —
+        // but a consumer's cursor must still advance, or its window
+        // (e.g. deletes of keys its mirror never had) replays forever
+        setTag.foreach(t => setTagOnly(spark, path, t))
+        return DvStats(m.version, 0, 0L, 0, 0)
+      }
 
       // files with ≥1 newly-dead row re-point to the NEW sidecar; it
       // carries their new pairs plus their prior pairs (consolidation
@@ -1344,36 +1379,6 @@ object ManifestTable {
       val keptTouched = touchedE.filter(e =>
         deadByRel.getOrElse(e.relPath, 0L) == 0L) ++ updatedE
       val carried = m.entries.filterNot(e => touched(e.relPath))
-
-      // the upsert batch APPENDS as fresh key-sorted files — never a
-      // rewrite of existing bytes
-      val appended = upserts match {
-        case Some(u) if hasUpserts =>
-          val ordered = m.schema.fields.map(f => col(f.name).cast(f.dataType))
-          m.partCol match {
-            case Some(pc) =>
-              // a partitioned table's append must stay partition-pure,
-              // or the metadata-only partition ops lose their addressing
-              Tables.writePartitionPure(u.select(ordered: _*),
-                s"$path/$dataRel", pc, m.keyCol, numFiles)
-              val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
-                m.statsCols)
-              requirePartitionPure(pc, e, path)
-              e
-            case None =>
-              val n = math.max(1, numFiles)
-              if (n == 1)
-                writeSingleFileObserved(spark, path, dataRel,
-                  u.select(ordered: _*), m.keyCol, m.statsCols)
-              else {
-                Tables.writeSortedBy(u.select(ordered: _*),
-                  s"$path/$dataRel", n, m.keyCol)
-                statsFor(spark, path, dataRel, m.keyCol, m.schema,
-                  m.statsCols)
-              }
-          }
-        case _ => Seq.empty
-      }
 
       val op =
         if (upserts.isDefined && dels.isDefined) "upsert+delete-dv"
@@ -1658,9 +1663,13 @@ object ManifestTable {
         .toDF("__f", "__mn", "__mx")
         .select(col("__f"), col("__mn").cast(m.keyType).as("__mn"),
           col("__mx").cast(m.keyType).as("__mx"))
+      // collect_set dedups in the partial aggregation, so the probe is
+      // ONE job (a distinct().collect() pays an extra shuffle-stage
+      // job); the set is file-count-bounded — driver-safe
       batchKeys.join(broadcast(ranges),
           keyK >= col("__mn") && keyK <= col("__mx"))
-        .select("__f").distinct().collect().map(_.getString(0)).toSet
+        .agg(collect_set(col("__f")))
+        .first().getSeq[String](0).toSet
     }
 
   private def conflictExhausted(path: String, cause: Throwable) =
