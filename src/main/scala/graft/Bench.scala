@@ -100,7 +100,13 @@ object Bench {
     // being demonstrated (sidecar-sized writes), so the entry tracks
     // that the whole create → delete-dv → upsert-dv → rollup loop
     // stays bounded by the create, not the mutations
-    "m16_dv_merge")
+    "m16_dv_merge",
+    // round 12: the dv STEADY STATE — one combined upsert+delete dv
+    // tick against the session-fixture table (m1/m9 pattern: the
+    // create rides pass 1, the median reports the per-tick commit +
+    // post-tick rollup + restore), the operating point a 100 TB
+    // CDC-fed table lives at
+    "m19_dv_steady")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -459,6 +459,41 @@ class DeletionVectorSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("consolidateDv after a RESTORE: folds only the sidecars the " +
+    "restored manifest references — a retained newer sidecar holding a " +
+    "superset of a file's pairs must not leak its extra kills in") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 2,
+        keepVersions = 6)
+      // X-only then Y-only deletes → two referenced sidecars S1, S2
+      ManifestTable.deleteKeysDV(spark, path, Seq(10L).toDF("id"))
+      ManifestTable.deleteKeysDV(spark, path, Seq(600L).toDF("id"))
+      val vTwo = ManifestTable.readManifest(spark, path).version
+      // a third delete repoints X to S3 carrying {10, 20} — after the
+      // restore S3 is unreferenced but still retained on disk
+      ManifestTable.deleteKeysDV(spark, path, Seq(20L).toDF("id"))
+      ManifestTable.restoreVersion(spark, path, vTwo)
+      val vRestored = ManifestTable.readManifest(spark, path).version
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(10L, 600L))),
+        "restore must resurrect id=20")
+
+      assert(ManifestTable.consolidateDv(spark, path))
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.entries.flatMap(_.dv.map(_.dvRel)).distinct.size == 1)
+      assert(m.entries.flatMap(_.dv).map(_.dead).sum == 2L)
+      // id=20's kill lives only in the unreferenced S3 — the folded
+      // sidecar must not have picked it up
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base().filter(!col("id").isin(10L, 600L))))
+      val feed = ManifestTable.changesBetween(spark, path, vRestored,
+        m.version)
+      assert(feed.isEmpty,
+        s"consolidation after restore emitted ${feed.collect().toSeq}")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("Z-ordered table: dv ops preserve the curve (no rewrite), and the " +
     "Z-aware compaction materializes the vectors") {
     val path = tmp()
