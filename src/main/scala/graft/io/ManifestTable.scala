@@ -127,7 +127,8 @@ object ManifestTable {
                       zCols: Option[(String, String)] = None,
                       retain: Int = 2, op: String = "unknown",
                       commitTs: Long = 0L,
-                      partCol: Option[String] = None)
+                      partCol: Option[String] = None,
+                      constraints: Seq[(String, String)] = Seq.empty)
 
   /** The atomic version claim was lost to a concurrent committer — the
     * retryable conflict signal ([[rewrite]] rebases or re-drives on it;
@@ -234,7 +235,12 @@ object ManifestTable {
                             zCols: Option[(String, String)] = None,
                             retain: Int = 2,
                             op: String = "unknown",
-                            partCol: Option[String] = None): Unit = {
+                            partCol: Option[String] = None,
+                            // NO default: table policy must be threaded
+                            // through EVERY commit path explicitly — a
+                            // defaulted parameter would let a new commit
+                            // site silently drop the table's constraints
+                            constraints: Seq[(String, String)]): Unit = {
     require(retain >= 2, s"retain=$retain: the window must keep at least " +
       "the current and one superseded version (changesBetween needs both " +
       "sides of the last commit)")
@@ -259,6 +265,8 @@ object ManifestTable {
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
     partCol.foreach(p => sb ++= s"partcol\t${enc(p)}\n")
+    constraints.foreach { case (n, ex) =>
+      sb ++= s"check\t${enc(n)}\t${enc(ex)}\n" }
     if (statsCols.nonEmpty)
       sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
@@ -327,6 +335,7 @@ object ManifestTable {
     var op: String = "unknown"
     var commitTs: Long = 0L
     var partCol: Option[String] = None
+    val constraints = Seq.newBuilder[(String, String)]
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -341,6 +350,7 @@ object ManifestTable {
         case "tag"     => tag = Some(dec(parts(1)))
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
         case "partcol" => partCol = Some(dec(parts(1)))
+        case "check"   => constraints += (dec(parts(1)) -> dec(parts(2)))
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
@@ -364,7 +374,7 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols, retain, op, commitTs, partCol)
+      zCols, retain, op, commitTs, partCol, constraints.result())
   }
 
   // ----------------------------------------------------------------- reads
@@ -573,7 +583,7 @@ object ManifestTable {
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag, retain = keepVersions,
-      op = "create")
+      op = "create", constraints = Seq.empty)
   }
 
   /** Z-ORDERED create: rows land on the Morton curve of (`zColA`,
@@ -606,7 +616,8 @@ object ManifestTable {
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag = None,
-      zCols = Some((zColA, zColB)), op = "create-zorder")
+      zCols = Some((zColA, zColB)), op = "create-zorder",
+      constraints = Seq.empty)
   }
 
   // --------------------------------------------------- partitioned tables
@@ -714,7 +725,8 @@ object ManifestTable {
     requirePartitionPure(partCol, entries, path)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, allStats, entries, tag, retain = keepVersions,
-      op = "create-partitioned", partCol = Some(partCol))
+      op = "create-partitioned", partCol = Some(partCol),
+      constraints = Seq.empty)
   }
 
   /** METADATA-ONLY partition drop: remove every file whose partition
@@ -741,7 +753,8 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
           m.schema, m.statsCols, kept, setTag.orElse(m.tag), m.zCols,
-          m.retain, op = "delete-partitions", partCol = m.partCol)
+          m.retain, op = "delete-partitions", partCol = m.partCol,
+          constraints = m.constraints)
         retireKeeping(spark, path, m.version + 1, m.retain)
         MergeStats(m.version + 1, m.entries.size, 0, 0, kept.size)
       }
@@ -777,8 +790,10 @@ object ManifestTable {
     val ordered = replacement.select(
       m0.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val txnRel = freshTxnRel(m0.version + 1)
-    Tables.writePartitionPure(ordered, s"$path/$txnRel", pc, m0.keyCol,
+    val (gatedRepl, verifyChecks) = observeChecks(ordered, m0.constraints)
+    Tables.writePartitionPure(gatedRepl, s"$path/$txnRel", pc, m0.keyCol,
       numFiles)
+    verifyChecks()
     val newE = statsFor(spark, path, txnRel, m0.keyCol, m0.schema,
       m0.statsCols)
     requirePartitionPure(pc, newE, path)
@@ -789,9 +804,10 @@ object ManifestTable {
       // table's identity metadata still matches what they were written
       // under (additive schema evolution is fine: the new files simply
       // null-extend like every pre-evolution file)
-      require(base.partCol.contains(pc) && base.statsCols == m0.statsCols,
-        s"$path changed layout/stats tracking under this overwrite — " +
-        "re-drive it against the current table")
+      require(base.partCol.contains(pc) && base.statsCols == m0.statsCols &&
+        base.constraints == m0.constraints,
+        s"$path changed layout/stats tracking/constraints under this " +
+        "overwrite — re-drive it against the current table")
       if (replaced.isEmpty) {
         setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
         val n = base.entries.size
@@ -804,7 +820,8 @@ object ManifestTable {
         writeManifest(spark, path, base.version + 1, base.keyCol,
           base.keyType, base.schema, base.statsCols, kept ++ newE,
           setTag.orElse(base.tag), base.zCols, base.retain,
-          op = "overwrite-partitions", partCol = base.partCol)
+          op = "overwrite-partitions", partCol = base.partCol,
+          constraints = base.constraints)
         retireKeeping(spark, path, base.version + 1, base.retain)
         MergeStats(base.version + 1, base.entries.size, 0, newE.size,
           kept.size)
@@ -862,7 +879,8 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, kept ++ newE, m.tag, m.zCols, m.retain,
-          op = "compact-partitions", partCol = m.partCol)
+          op = "compact-partitions", partCol = m.partCol,
+          constraints = m.constraints)
         retireKeeping(spark, path, nextV, m.retain)
         MergeStats(nextV, m.entries.size, selected.size, newE.size, kept.size)
       }
@@ -916,7 +934,8 @@ object ManifestTable {
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
           statsCols), m.tag, Some((zColA, zColB)), m.retain,
-        op = "compact-zorder", partCol = m.partCol)
+        op = "compact-zorder", partCol = m.partCol,
+        constraints = m.constraints)
       retireKeeping(spark, path, nextV, m.retain)
     }
 
@@ -1009,6 +1028,41 @@ object ManifestTable {
     * syncing every source commit) live on this path; the arrangement
     * (one partition, key-sorted) matches `writeSortedBy(numFiles = 1)`
     * exactly, so the physical layout is indistinguishable. */
+  /** Gate a batch write on the table's CHECK constraints at ZERO extra
+    * job cost: the violation counts ride the write job itself as
+    * observed metrics (the [[writeSingleFileObserved]] technique), so
+    * enforcement never adds a second pass over the data — the property
+    * that makes constraints affordable at 100 TB ingest rates. Returns
+    * the instrumented frame to write and a verifier to call AFTER the
+    * write action but BEFORE the manifest commit: a violation throws
+    * with the constraint named, no manifest is written, and the
+    * already-written files are ordinary orphans for the grace-aged
+    * retention sweep. SQL CHECK semantics: a NULL predicate passes
+    * (violated only when the expression is definitely false). */
+  private def observeChecks(df: DataFrame,
+                            constraints: Seq[(String, String)])
+      : (DataFrame, () => Unit) =
+    if (constraints.isEmpty) (df, () => ())
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = constraints.zipWithIndex.map { case ((_, ex), i) =>
+        sum(when(not(coalesce(expr(ex).cast("boolean"), lit(true))), 1L)
+          .otherwise(0L)).as(s"__viol$i")
+      }
+      val gated = df.observe(obs, aggs.head, aggs.tail: _*)
+      (gated, () => {
+        val mm = obs.get
+        constraints.zipWithIndex.foreach { case ((n, ex), i) =>
+          val v = Option(mm(s"__viol$i")).fold(0L)(_.asInstanceOf[Long])
+          if (v > 0L) throw new IllegalStateException(
+            s"CHECK constraint '$n' ($ex) violated by $v row(s) in the " +
+            "written batch — commit refused; the table is unchanged " +
+            "(the attempt's files are unreferenced and will be " +
+            "grace-swept)")
+        }
+      })
+    }
+
   private def writeSingleFileObserved(spark: SparkSession, root: String,
                                       txnRel: String, df: DataFrame,
                                       keyCol: String,
@@ -1069,13 +1123,19 @@ object ManifestTable {
     require(m.partCol.isEmpty && m.zCols.isEmpty,
       "single-file swap is for flat key-sorted tables only")
     val txnRel = freshTxnRel(m.version + 1)
-    val newE = writeSingleFileObserved(spark, path, txnRel, newContent,
+    // constraint gating rides the same single write job as the swap's
+    // own fused probes/stats (observeChecks) — still ONE Spark job
+    val (gatedContent, verifyChecks) =
+      observeChecks(newContent, m.constraints)
+    val newE = writeSingleFileObserved(spark, path, txnRel, gatedContent,
       m.keyCol, m.statsCols)
+    verifyChecks()
     gate() match {
       case Some(_) => setTagOnly(spark, path, setTag)
       case None =>
         writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
-          m.schema, m.statsCols, newE, Some(setTag), m.zCols, m.retain, op)
+          m.schema, m.statsCols, newE, Some(setTag), m.zCols, m.retain, op,
+          constraints = m.constraints)
         retireKeeping(spark, path, m.version + 1, m.retain)
     }
   }
@@ -1304,11 +1364,15 @@ object ManifestTable {
       val appended = upserts match {
         case Some(u) =>
           val ordered = m.schema.fields.map(f => col(f.name).cast(f.dataType))
+          // CHECK constraints gate the appended batch inside its own
+          // write job (observed metrics — no second pass)
+          val (gatedU, verifyChecks) =
+            observeChecks(u.select(ordered: _*), m.constraints)
           val written = m.partCol match {
             case Some(pc) =>
               // a partitioned table's append must stay partition-pure,
               // or the metadata-only partition ops lose their addressing
-              Tables.writePartitionPure(u.select(ordered: _*),
+              Tables.writePartitionPure(gatedU,
                 s"$path/$dataRel", pc, m.keyCol, numFiles)
               val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
                 m.statsCols)
@@ -1318,14 +1382,15 @@ object ManifestTable {
               val n = math.max(1, numFiles)
               if (n == 1)
                 writeSingleFileObserved(spark, path, dataRel,
-                  u.select(ordered: _*), m.keyCol, m.statsCols)
+                  gatedU, m.keyCol, m.statsCols)
               else {
-                Tables.writeSortedBy(u.select(ordered: _*),
+                Tables.writeSortedBy(gatedU,
                   s"$path/$dataRel", n, m.keyCol)
                 statsFor(spark, path, dataRel, m.keyCol, m.schema,
                   m.statsCols)
               }
           }
+          verifyChecks()
           written.filter(_.rows > 0L)
         case None => Seq.empty
       }
@@ -1387,7 +1452,8 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         m.statsCols, carried ++ keptTouched ++ appended,
-        setTag.orElse(m.tag), m.zCols, m.retain, op, partCol = m.partCol)
+        setTag.orElse(m.tag), m.zCols, m.retain, op, partCol = m.partCol,
+        constraints = m.constraints)
       retireKeeping(spark, path, nextV, m.retain)
       DvStats(nextV, updatedE.size, deadTotal, dropped.size, appended.size)
     } finally newPairs.unpersist(blocking = false)
@@ -1605,7 +1671,8 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
-        op = "evolve-schema", partCol = m.partCol)
+        op = "evolve-schema", partCol = m.partCol,
+        constraints = m.constraints)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1619,7 +1686,8 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
-        op = "set-tag", partCol = m.partCol)
+        op = "set-tag", partCol = m.partCol,
+        constraints = m.constraints)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1634,8 +1702,62 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
         partCol = m.partCol,
-        op = "set-retention")
+        op = "set-retention", constraints = m.constraints)
       retireKeeping(spark, path, m.version + 1, keepVersions)
+    }
+
+  /** Add a CHECK constraint (Delta `ALTER TABLE … ADD CONSTRAINT`
+    * parity): `exprSql` is any boolean SQL expression over the table's
+    * columns; from this commit on, every batch a mutation writes is
+    * gated on it INSIDE the write job itself (observed metrics — zero
+    * extra passes, see [[observeChecks]]), and a violating commit is
+    * refused with the table unchanged. NOT NULL is the special case
+    * `"col IS NOT NULL"`. Standard SQL semantics: a NULL predicate
+    * passes. EXISTING rows are validated first (one short-circuiting
+    * scan through any deletion vectors) — a constraint the current
+    * content violates is refused, so holders can trust it describes
+    * the whole table, not just future writes. Content-invariant
+    * maintenance (compaction, consolidation) is exempt by
+    * construction; [[restoreVersion]] keeps the CURRENT constraint set
+    * while re-pointing at old data, so a restore past an
+    * add-constraint can reintroduce pre-validation rows — re-add the
+    * constraint to re-validate if that matters. Concurrency: adding a
+    * constraint conflicts with EVERY in-flight rewrite (the rebase
+    * check refuses a winner whose constraint set differs, forcing the
+    * loser to re-drive and re-validate its batch). */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+                         exprSql: String, maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(name.nonEmpty, "constraint name must be non-empty")
+      require(!m.constraints.exists(_._1 == name),
+        s"constraint '$name' already exists on $path (drop it first)")
+      val bad = readFiles(spark, path, m)
+        .filter(not(coalesce(expr(exprSql).cast("boolean"), lit(true))))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"existing rows violate '$name' ($exprSql), e.g. ${bad.head} — " +
+        "clean the table before adding the constraint")
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
+        op = s"add-constraint($name)", partCol = m.partCol,
+        constraints = m.constraints :+ (name -> exprSql))
+      retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+
+  /** Drop a CHECK constraint by name — metadata-only commit. */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String,
+                          maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(m.constraints.exists(_._1 == name),
+        s"no constraint '$name' on $path " +
+        s"(have: ${m.constraints.map(_._1).mkString(", ")})")
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
+        op = s"drop-constraint($name)", partCol = m.partCol,
+        constraints = m.constraints.filterNot(_._1 == name))
+      retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
   /** Fresh, collision-free txn dir for one commit ATTEMPT. Unique per
@@ -1783,19 +1905,24 @@ object ManifestTable {
     // touched partition value. Single-file flat writes fuse the stats
     // pass INTO the write job (observed metrics) — one job instead of
     // two, the dominant saving for small frequently-committed tables
+    // CHECK constraints gate the rewritten content inside the write job
+    // itself (observed metrics — no second pass); survivors re-pass by
+    // construction, so the gate is effectively on the batch
+    val (gatedData, verifyChecks) = observeChecks(newData, m.constraints)
     val newE = m.partCol match {
       case Some(pc) =>
-        Tables.writePartitionPure(newData, s"$path/$txnRel", pc, m.keyCol)
+        Tables.writePartitionPure(gatedData, s"$path/$txnRel", pc, m.keyCol)
         val e = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
         requirePartitionPure(pc, e, path)
         e
       case None if nFiles == 1 =>
-        writeSingleFileObserved(spark, path, txnRel, newData, m.keyCol,
+        writeSingleFileObserved(spark, path, txnRel, gatedData, m.keyCol,
           m.statsCols)
       case None =>
-        Tables.writeSortedBy(newData, s"$path/$txnRel", nFiles, m.keyCol)
+        Tables.writeSortedBy(gatedData, s"$path/$txnRel", nFiles, m.keyCol)
         statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
     }
+    verifyChecks()
 
     def commitOn(base: Manifest): MergeStats = {
       val carriedNow = base.entries.filterNot(e => touched(e.relPath))
@@ -1803,7 +1930,7 @@ object ManifestTable {
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
         setTag.orElse(base.tag), base.zCols, base.retain, op,
-        partCol = base.partCol)
+        partCol = base.partCol, constraints = base.constraints)
       retireKeeping(spark, path, nextV, base.retain)
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
         carriedNow.size)
@@ -1842,6 +1969,10 @@ object ManifestTable {
       }
       val rebasable = latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
+        // a winner that changed the CHECK constraint set invalidates
+        // this attempt's validation — the batch was gated against the
+        // snapshot's constraints, so it must re-drive and re-validate
+        latest.constraints == m.constraints &&
         guardOk && touchSet(spark, batchKeys, keyK, latest) == touched &&
         sameTouchedEntries
       if (rebasable)
@@ -2233,7 +2364,10 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
         m.schema, old.statsCols, old.entries, old.tag, old.zCols,
-        m.retain, op = s"restore(v$v)", partCol = old.partCol)
+        m.retain, op = s"restore(v$v)", partCol = old.partCol,
+        // constraints are table POLICY, not data — the restore keeps the
+        // CURRENT set (re-add to re-validate rewound content if needed)
+        constraints = m.constraints)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -2292,7 +2426,8 @@ object ManifestTable {
           commitFence()
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
             m.statsCols, newE, m.tag, zCols = None, retain = m.retain,
-            op = "compact", partCol = m.partCol)
+            op = "compact", partCol = m.partCol,
+            constraints = m.constraints)
           retireKeeping(spark, path, nextV, m.retain)
         }
     }
@@ -2330,7 +2465,8 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, entries, m.tag, m.zCols, m.retain,
-          op = "consolidate-dv", partCol = m.partCol)
+          op = "consolidate-dv", partCol = m.partCol,
+          constraints = m.constraints)
         retireKeeping(spark, path, nextV, m.retain)
         true
       }
@@ -2382,7 +2518,8 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, big ++ newE, m.tag, zCols = None, retain = m.retain,
-          op = "compact-small", partCol = None)
+          op = "compact-small", partCol = None,
+          constraints = m.constraints)
         retireKeeping(spark, path, nextV, m.retain)
         MergeStats(nextV, m.entries.size, small.size, newE.size, big.size)
       }

@@ -1,0 +1,176 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints on manifest tables (the Delta `ADD CONSTRAINT`
+  * parity): declared once, enforced on every mutating write INSIDE the
+  * write job (observed metrics — zero extra passes over the data), a
+  * violating commit refused with the table untouched. The suite pins
+  * the refusal semantics (no version burned, content unchanged), the
+  * SQL NULL-passes rule, existing-data validation at add time,
+  * enforcement across every mutation family (copy-on-write merge,
+  * deletion-vector upsert, partition overwrite), persistence across
+  * unrelated commits and restore, and the concurrency story — a
+  * constraint added mid-flight forces the losing writer to re-drive
+  * and re-validate. */
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ck").toString + "/t"
+
+  private def base(n: Int = 1000): DataFrame =
+    (0 until n).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+
+  private def content(df: DataFrame): Set[(Long, String, Int)] =
+    df.select("id", "name", "grp").as[(Long, String, Int)].collect().toSet
+
+  test("a violating merge is refused: constraint named in the error, " +
+    "no version burned, content unchanged; a valid merge passes") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      ManifestTable.addCheckConstraint(spark, path, "grp_range",
+        "grp >= 0 AND grp < 7")
+      val v = ManifestTable.readManifest(spark, path).version
+
+      val e = intercept[IllegalStateException] {
+        ManifestTable.merge(spark, path,
+          Seq((5000L, "bad", 99)).toDF("id", "name", "grp"))
+      }
+      assert(e.getMessage.contains("grp_range") &&
+        e.getMessage.contains("violated by 1 row"))
+      assert(ManifestTable.readManifest(spark, path).version == v,
+        "refused commit must burn no version")
+      assert(content(ManifestTable.read(spark, path)) == content(base()))
+
+      ManifestTable.merge(spark, path,
+        Seq((5000L, "ok", 6)).toDF("id", "name", "grp"))
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base()) + ((5000L, "ok", 6)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("SQL CHECK semantics: a NULL predicate passes (violated only " +
+    "when definitely false)") {
+    val path = tmp()
+    try {
+      val df = (0 until 10).map(i => (i.toLong, s"n_$i", i))
+        .toDF("id", "name", "grp")
+      ManifestTable.create(df, path, "id", numFiles = 1)
+      ManifestTable.addCheckConstraint(spark, path, "name_long",
+        "length(name) > 1")
+      // a NULL name makes the predicate UNKNOWN — standard SQL passes it
+      ManifestTable.merge(spark, path,
+        Seq((100L, null.asInstanceOf[String], 1)).toDF("id", "name", "grp"))
+      assert(ManifestTable.read(spark, path).count() == 11)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("adding a constraint the EXISTING content violates is refused; " +
+    "duplicate add and missing drop are refused") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.addCheckConstraint(spark, path, "grp_small", "grp < 3")
+      }
+      assert(e.getMessage.contains("existing rows violate"))
+      ManifestTable.addCheckConstraint(spark, path, "grp_ok", "grp < 7")
+      intercept[IllegalArgumentException] {
+        ManifestTable.addCheckConstraint(spark, path, "grp_ok", "grp < 9")
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.dropCheckConstraint(spark, path, "nope")
+      }
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("deletion-vector upsert is gated too: violating batch refused " +
+    "(table untouched), valid batch appends") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      ManifestTable.addCheckConstraint(spark, path, "grp_range", "grp < 7")
+      val v = ManifestTable.readManifest(spark, path).version
+      val e = intercept[IllegalStateException] {
+        ManifestTable.upsertDV(spark, path,
+          Seq((10L, "bad", 42)).toDF("id", "name", "grp"))
+      }
+      assert(e.getMessage.contains("grp_range"))
+      assert(ManifestTable.readManifest(spark, path).version == v)
+      assert(content(ManifestTable.read(spark, path)) == content(base()))
+      ManifestTable.upsertDV(spark, path,
+        Seq((10L, "upd", 3)).toDF("id", "name", "grp"))
+      assert(content(ManifestTable.read(spark, path)) ==
+        content(base()).filterNot(_._1 == 10L) + ((10L, "upd", 3)))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("partition overwrite is gated; drop lifts the gate; the set " +
+    "survives unrelated commits and restore") {
+    val path = tmp()
+    try {
+      val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i % 7))
+        .toDF("id", "pt", "grp")
+      ManifestTable.createPartitioned(df, path, "id", "pt", numFiles = 3)
+      ManifestTable.addCheckConstraint(spark, path, "grp_range", "grp < 7")
+      val bad = (0 until 10).map(i => (i.toLong, "p1", 50))
+        .toDF("id", "pt", "grp")
+      val e = intercept[IllegalStateException] {
+        ManifestTable.overwritePartitions(spark, path, bad)
+      }
+      assert(e.getMessage.contains("grp_range"))
+
+      // unrelated commit carries the set forward
+      ManifestTable.merge(spark, path,
+        Seq((1000L, "p1", 3)).toDF("id", "pt", "grp"))
+      assert(ManifestTable.readManifest(spark, path)
+        .constraints.map(_._1) == Seq("grp_range"))
+      // restore keeps the CURRENT policy while re-pointing data
+      val vNow = ManifestTable.readManifest(spark, path).version
+      ManifestTable.restoreVersion(spark, path, vNow - 1)
+      assert(ManifestTable.readManifest(spark, path)
+        .constraints.map(_._1) == Seq("grp_range"))
+
+      ManifestTable.dropCheckConstraint(spark, path, "grp_range")
+      ManifestTable.overwritePartitions(spark, path, bad)
+      assert(ManifestTable.readPartitions(spark, path, Seq("p1"))
+        .count() == 10)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
+  test("a constraint added by a RACING writer forces the loser to " +
+    "re-drive and re-validate (rebase refused on a changed set)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 4)
+      // the fence fires between the loser's data write and its manifest
+      // claim: the winner lands add-constraint first, so the loser's
+      // claim conflicts, the rebase check sees a changed constraint set,
+      // and the re-drive must refuse the (now-violating) batch
+      var fired = false
+      ManifestTable.commitFence = () => {
+        if (!fired) {
+          fired = true
+          ManifestTable.addCheckConstraint(spark, path, "grp_range",
+            "grp < 7")
+        }
+      }
+      try {
+        val e = intercept[IllegalStateException] {
+          ManifestTable.merge(spark, path,
+            Seq((5000L, "bad", 99)).toDF("id", "name", "grp"))
+        }
+        assert(e.getMessage.contains("grp_range"),
+          s"the re-driven merge must be gated by the racing constraint: $e")
+      } finally ManifestTable.commitFence = () => ()
+      assert(content(ManifestTable.read(spark, path)) == content(base()))
+      assert(ManifestTable.readManifest(spark, path)
+        .constraints.map(_._1) == Seq("grp_range"))
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+}

@@ -33,7 +33,8 @@ class ManifestScaleSpec extends SparkSpec {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType))),
-        Seq.empty, entries(10).map(_.copy(extra = Map.empty)))
+        Seq.empty, entries(10).map(_.copy(extra = Map.empty)),
+        constraints = Seq.empty)
       val es = entries(10000)
       val t0 = System.nanoTime()
       ManifestTable.writeManifest(spark, path, 1L, "id",
@@ -43,7 +44,7 @@ class ManifestScaleSpec extends SparkSpec {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.LongType))),
-        Seq("ts"), es)
+        Seq("ts"), es, constraints = Seq.empty)
       val tWrite = (System.nanoTime() - t0) / 1e6
       // the manifest is a flat text file: ~10k lines, single-digit MB
       val bytes = java.nio.file.Files.size(

@@ -166,10 +166,12 @@ class ManifestTableSpec extends SparkSpec {
       // second rename must fail the atomic claim, not overwrite
       val m = ManifestTable.readManifest(spark, path)
       ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
-        m.schema, m.statsCols, m.entries) // writer A wins
+        m.schema, m.statsCols, m.entries,
+        constraints = Seq.empty) // writer A wins
       val e = intercept[IllegalStateException] {
         ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
-          m.schema, m.statsCols, m.entries) // writer B must lose loudly
+          m.schema, m.statsCols, m.entries,
+          constraints = Seq.empty) // writer B must lose loudly
       }
       assert(e.getMessage.contains("concurrent commit"))
       // and the table is still fully readable at A's commit
