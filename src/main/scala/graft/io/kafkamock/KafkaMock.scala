@@ -46,6 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *    offsets instead (T6 replay);
  *  - per-partition monotone offsets; one input partition per topic
  *    partition (the real source's partition→task mapping);
+ *  - `maxOffsetsPerTrigger` admission control (SupportsAdmissionControl):
+ *    each micro-batch's total rows are capped, the cap spread across
+ *    partitions in proportion to their lag, the remainder delivered by
+ *    later triggers from the checkpointed cursor;
  *  - the sink's fire-and-forget append (at-least-once under epoch
  *    replay, exactly like Spark's Kafka sink — the §7.4 item-1 decision
  *    is reproduced, not papered over), `topic` option, string-or-binary
@@ -287,7 +291,12 @@ final class MockTable(options: CaseInsensitiveStringMap)
     require(tsStrategy == "error" || tsStrategy == "latest",
       s"startingOffsetsByTimestampStrategy must be error|latest, " +
       s"got '$tsStrategy'")
-    () => new MockScan(topic, Option(starting), Option(byTs), tsStrategy)
+    val maxPerTrigger = Option(readOptions.get("maxOffsetsPerTrigger"))
+      .map(_.toLong)
+    require(maxPerTrigger.forall(_ > 0L),
+      s"maxOffsetsPerTrigger must be positive, got $maxPerTrigger")
+    () => new MockScan(topic, Option(starting), Option(byTs), tsStrategy,
+      maxPerTrigger)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -311,11 +320,13 @@ final class MockTable(options: CaseInsensitiveStringMap)
 
 final class MockScan(topic: String, startingOffsets: Option[String],
                      byTimestamp: Option[String],
-                     tsStrategy: String = "error") extends Scan {
+                     tsStrategy: String = "error",
+                     maxPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = KafkaMock.readSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MockMicroBatchStream(topic, startingOffsets, byTimestamp, tsStrategy)
+    new MockMicroBatchStream(topic, startingOffsets, byTimestamp, tsStrategy,
+      maxPerTrigger)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -336,8 +347,11 @@ final class MockScan(topic: String, startingOffsets: Option[String],
 final class MockMicroBatchStream(topic: String,
                                  startingOffsets: Option[String],
                                  byTimestamp: Option[String],
-                                 tsStrategy: String = "error")
-    extends MicroBatchStream {
+                                 tsStrategy: String = "error",
+                                 maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset =
     MockOffset(topic, KafkaMock.resolveStart(topic, startingOffsets,
@@ -346,6 +360,45 @@ final class MockMicroBatchStream(topic: String,
   override def latestOffset(): Offset =
     MockOffset(topic,
       MockBroker.endOffsets(topic).zipWithIndex.map(_.swap).toMap)
+
+  /** `maxOffsetsPerTrigger` rate limiting, the real connector's
+    * admission-control surface: the TOTAL rows per micro-batch are
+    * capped and the cap is spread across partitions in proportion to
+    * each one's available lag (the connector's rateLimit shape — a
+    * hot partition gets most of the budget, an idle one none). The
+    * un-capped remainder stays in the broker and the next trigger
+    * picks it up from the checkpointed cursor. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxRows(n))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = MockBroker.endOffsets(topic)
+    val s = start.asInstanceOf[MockOffset].offsets
+    limit match {
+      case m: ReadMaxRows =>
+        val avail = ends.zipWithIndex.map { case (e, p) =>
+          p -> math.max(0L, e - s.getOrElse(p, 0L)) }
+        val total = avail.map(_._2).sum
+        if (total <= m.maxRows())
+          MockOffset(topic, ends.zipWithIndex.map(_.swap).toMap)
+        else {
+          // proportional split, floor-rounded; guarantee progress by
+          // granting at least one row to some lagging partition when
+          // rounding zeroes everything out
+          val granted = avail.map { case (p, a) =>
+            p -> (m.maxRows() * a / total) }.toMap
+          val fixed =
+            if (granted.values.sum == 0L)
+              avail.find(_._2 > 0L).map { case (p, _) =>
+                granted.updated(p, 1L) }.getOrElse(granted)
+            else granted
+          MockOffset(topic, avail.map { case (p, _) =>
+            p -> (s.getOrElse(p, 0L) + fixed(p)) }.toMap)
+        }
+      case _ =>
+        MockOffset(topic, ends.zipWithIndex.map(_.swap).toMap)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     MockOffset(topic, KafkaMock.offsetsFromJson(json))

@@ -197,6 +197,41 @@ class KafkaMockSpec extends SparkSpec {
       s"ts-past-end must behave like latest, got ${MockBroker.valuesOf(out)}")
   }
 
+  test("S1: maxOffsetsPerTrigger caps each micro-batch (admission " +
+    "control), spread across partitions by lag, nothing lost or " +
+    "duplicated across triggers") {
+    val in = freshTopic(parts = 2)
+    // 6 records on p0, 3 on p1: the proportional split must favor the
+    // lagging partition while the TOTAL stays under the cap
+    (0 until 6).foreach(i => MockBroker.produceTo(in, 0, s"a$i"))
+    (0 until 3).foreach(i => MockBroker.produceTo(in, 1, s"b$i"))
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("kafkamock")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", in)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", "4")
+      .load()
+      .select(col("value").cast("string").as("value"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val vs = df.collect().map(_.getString(0))
+        sizes.synchronized { sizes += vs.length.toLong; seen ++= vs }
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.sorted == ((0 until 6).map(i => s"a$i") ++
+      (0 until 3).map(i => s"b$i")).sorted,
+      s"exactly-once delivery across rate-limited triggers, got $seen")
+    assert(sizes.forall(_ <= 4L),
+      s"every micro-batch must respect the 4-row cap: $sizes")
+    assert(sizes.count(_ > 0L) >= 3,
+      s"the cap must force the backlog across multiple triggers: $sizes")
+  }
+
   test("S1: specific-offset JSON start (-2 earliest, -1 latest, pinned n)") {
     val in = freshTopic(parts = 3)
     // one line per explicit partition: p0 via -2 (earliest), p1 via -1
