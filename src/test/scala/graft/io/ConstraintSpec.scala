@@ -143,6 +143,43 @@ class ConstraintSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("enforcement costs ZERO extra Spark jobs: a gated merge runs " +
+    "the same job count as an ungated one (observed metrics ride the " +
+    "write job)") {
+    val pathA = tmp(); val pathB = tmp()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    try {
+      ManifestTable.create(base(), pathA, "id", numFiles = 4)
+      ManifestTable.create(base(), pathB, "id", numFiles = 4)
+      ManifestTable.addCheckConstraint(spark, pathB, "grp_range", "grp < 7")
+      val batch = Seq((10L, "upd", 3), (5000L, "ins", 4))
+        .toDF("id", "name", "grp")
+      def jobsOf(f: => Unit): Int = {
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          counter.set(0); f
+          // listenerBus is private[spark]; the events of a completed
+          // synchronous action drain within a beat
+          Thread.sleep(300)
+          counter.get()
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val ungated = jobsOf(ManifestTable.merge(spark, pathA, batch))
+      val gated = jobsOf(ManifestTable.merge(spark, pathB, batch))
+      assert(gated == ungated,
+        s"constraint gating must ride the write job: $gated jobs gated " +
+        s"vs $ungated ungated")
+    } finally {
+      Fs.deleteRecursively(java.nio.file.Paths.get(pathA).getParent)
+      Fs.deleteRecursively(java.nio.file.Paths.get(pathB).getParent)
+    }
+  }
+
   test("a constraint added by a RACING writer forces the loser to " +
     "re-drive and re-validate (rebase refused on a changed set)") {
     val path = tmp()
