@@ -52,7 +52,8 @@ import org.apache.spark.unsafe.types.UTF8String
  *    later triggers from the checkpointed cursor;
  *  - the sink's fire-and-forget append (at-least-once under epoch
  *    replay, exactly like Spark's Kafka sink — the §7.4 item-1 decision
- *    is reproduced, not papered over), `topic` option, string-or-binary
+ *    is reproduced, not papered over), `topic` option or per-row
+ *    `topic` column routing (option wins), string-or-binary
  *    `value`/optional-`key` columns, keyed records hash-partitioned on
  *    the key like the default Kafka partitioner.
  *
@@ -301,9 +302,14 @@ final class MockTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     KafkaMock.requireBootstrap(info.options())
-    val topic = info.options().get("topic")
-    require(topic != null, "Option 'topic' must be specified for writes")
     val schema = info.schema()
+    // the real sink's routing precedence: the 'topic' OPTION pins every
+    // record; without it each row must carry a string 'topic' column
+    val topic = Option(info.options().get("topic"))
+    require(topic.isDefined ||
+      schema.fields.exists(f => f.name == "topic" &&
+        f.dataType == StringType),
+      "set the 'topic' option or carry a string 'topic' column")
     require(schema.fieldNames.contains("value"),
       "the input must carry a 'value' column")
     Seq("key", "value").foreach { c =>
@@ -443,7 +449,7 @@ final class MockReaderFactory extends PartitionReaderFactory {
 
 /** Ships to executors — a top-level serializable case class (an inner
   * anonymous factory would drag a non-serializable `$outer` along). */
-final case class MockWriterFactory(topic: String, schema: StructType)
+final case class MockWriterFactory(topic: Option[String], schema: StructType)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MockDataWriter(topic, schema)
@@ -452,7 +458,7 @@ final case class MockWriterFactory(topic: String, schema: StructType)
     new MockDataWriter(topic, schema)
 }
 
-final class MockWrite(topic: String, schema: StructType) extends Write {
+final class MockWrite(topic: Option[String], schema: StructType) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       MockWriterFactory(topic, schema)
@@ -472,14 +478,16 @@ final class MockWrite(topic: String, schema: StructType) extends Write {
 
 private object MockCommit extends WriterCommitMessage
 
-final class MockDataWriter(topic: String, schema: StructType)
+final class MockDataWriter(topic: Option[String], schema: StructType)
     extends DataWriter[InternalRow] {
   private val valueIdx = schema.fieldIndex("value")
   private val valueIsString = schema(valueIdx).dataType == StringType
   private val keyIdx = if (schema.fieldNames.contains("key"))
     schema.fieldIndex("key") else -1
   private val keyIsString = keyIdx >= 0 && schema(keyIdx).dataType == StringType
-  private val nParts = MockBroker.numPartitions(topic)
+  // the topic OPTION pins routing; otherwise the per-row column decides
+  private val topicIdx =
+    if (topic.isEmpty) schema.fieldIndex("topic") else -1
 
   private def bytes(row: InternalRow, idx: Int, isString: Boolean): Array[Byte] =
     if (row.isNullAt(idx)) null
@@ -487,6 +495,12 @@ final class MockDataWriter(topic: String, schema: StructType)
     else row.getBinary(idx)
 
   override def write(row: InternalRow): Unit = {
+    val t = topic.getOrElse {
+      require(!row.isNullAt(topicIdx),
+        "null topic: no 'topic' option and the row's topic column is null")
+      row.getUTF8String(topicIdx).toString
+    }
+    val nParts = MockBroker.numPartitions(t)
     val key = if (keyIdx < 0) null else bytes(row, keyIdx, keyIsString)
     val value = bytes(row, valueIdx, valueIsString)
     // default-partitioner routing: keyed → stable hash; unkeyed → the
@@ -494,7 +508,7 @@ final class MockDataWriter(topic: String, schema: StructType)
     val pid =
       if (key != null) math.floorMod(java.util.Arrays.hashCode(key), nParts)
       else math.floorMod(org.apache.spark.TaskContext.getPartitionId(), nParts)
-    MockBroker.appendRaw(topic, pid, key, value)
+    MockBroker.appendRaw(t, pid, key, value)
   }
 
   override def commit(): WriterCommitMessage = MockCommit

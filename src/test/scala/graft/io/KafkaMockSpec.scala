@@ -270,6 +270,34 @@ class KafkaMockSpec extends SparkSpec {
     assert(got == lines.sorted)
   }
 
+  test("K1: per-row 'topic' column routes each record when no topic " +
+    "option is set; the option wins when both are present") {
+    val t1 = freshTopic(parts = 1)
+    val t2 = freshTopic(parts = 1)
+    import spark.implicits._
+    val batch = Seq((t1, "to-one"), (t2, "to-two"), (t1, "also-one"))
+      .toDF("topic", "value")
+    batch.write.format("kafkamock")
+      .option("kafka.bootstrap.servers", brokers).mode("append").save()
+    assert(MockBroker.valuesOf(t1).sorted == Seq("also-one", "to-one"))
+    assert(MockBroker.valuesOf(t2) == Seq("to-two"))
+
+    // precedence: the option pins routing regardless of the column
+    val t3 = freshTopic(parts = 1)
+    batch.write.format("kafkamock")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", t3).mode("append").save()
+    assert(MockBroker.valuesOf(t3).sorted ==
+      Seq("also-one", "to-one", "to-two"))
+
+    // neither option nor column: refused loudly
+    val e = intercept[Exception] {
+      Seq("x").toDF("value").write.format("kafkamock")
+        .option("kafka.bootstrap.servers", brokers).mode("append").save()
+    }
+    assert(e.getMessage.contains("topic"))
+  }
+
   test("option wiring parity: missing bootstrap servers / unknown topic fail loudly") {
     val e1 = intercept[Exception] {
       spark.read.format("kafkamock").option("subscribe", "whatever").load()
