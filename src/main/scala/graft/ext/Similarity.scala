@@ -107,7 +107,16 @@ object Similarity {
           val means = sample
             .select(nearest_centroids(col(vecCol), cents, dim, 1)
               .getItem(0).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-            .groupBy("cell", "pos").agg(avg("x").as("m"))
+            // fixed-point mean, NOT avg(double): float summation order
+            // varies with partitioning/scheduling run to run, and a
+            // last-bit centroid difference flips boundary assignments —
+            // at large SF that surfaced as recall verdicts flapping
+            // around their gate. Integer sums are order-independent, so
+            // training is bit-deterministic; 1e-7 quantization is far
+            // below k-means' own convergence tolerance.
+            .groupBy("cell", "pos")
+            .agg((sum(round(col("x") * 1e7).cast("long")).cast("double") /
+              count(lit(1)) / 1e7).as("m"))
             .collect() // ≤ numCentroids × dim rows — metadata-sized
           val next = cents.clone() // empty cells keep their old centroid
           means.foreach { r =>
@@ -511,7 +520,11 @@ object Similarity {
             // null c; they carry no direction and must not move any
             // sub-centroid
             .filter(col("c").isNotNull)
-            .groupBy("sub", "c", "t").agg(avg("x").as("mean"))
+            // fixed-point mean for bit-deterministic training — same
+            // rationale as [[trainQuantizer]]'s Lloyd update
+            .groupBy("sub", "c", "t")
+            .agg((sum(round(col("x") * 1e7).cast("long")).cast("double") /
+              count(lit(1)) / 1e7).as("mean"))
             .collect() // ≤ m × ksub × dsub rows — metadata-sized
           val next = cb.clone() // empty cells keep their old sub-centroid
           means.foreach { r =>

@@ -44,10 +44,10 @@ object ProbeM16 {
           override def onJobStart(
               j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             t0s.put(j.jobId, System.nanoTime())
-            descs.put(j.jobId, Option(j.properties)
-              .flatMap(p => Option(p.getProperty("spark.job.description"))
-                .orElse(Option(p.getProperty("callSite.short"))))
-              .getOrElse("?"))
+            // the final stage's name carries the action's callsite —
+            // enough to attribute each job to a ManifestTable line
+            descs.put(j.jobId, j.stageInfos.map(_.name).distinct
+              .mkString(" | ").take(160))
           }
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
