@@ -2607,6 +2607,61 @@ object ManifestTable {
     * versions (latestV − retain + 1 .. latestV) — every commit path and
     * [[vacuum]] must retire through this, a slipped `− 1` elsewhere
     * would silently widen or narrow the window. */
+  /** What the next retention pass would remove — [[vacuumPreview]]. */
+  case class VacuumPlan(keepFrom: Long, manifests: Seq[Long],
+                        files: Seq[String], pendingGrace: Seq[String])
+
+  /** DRY-RUN of the retention sweep (the `VACUUM DRY RUN` every
+    * operator wants before trusting an automated deleter): returns
+    * exactly what the NEXT commit's pass would delete — out-of-window
+    * manifest versions, data/sidecar files referenced by no retained
+    * manifest AND older than the orphan grace — plus `pendingGrace`,
+    * the unreferenced files the grace period is still protecting (a
+    * crashed attempt's files, or files a lagging rebase may yet
+    * commit). Read-only: nothing is touched. The spec pins this
+    * against the real sweep — everything previewed in `files` is gone
+    * after the next commit, everything else remains. */
+  def vacuumPreview(spark: SparkSession, path: String): VacuumPlan = {
+    val root = new Path(path)
+    val fs = hfs(spark, root)
+    val graceMs = spark.conf.getOption("graft.manifest.orphanGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis
+    val m = readManifest(spark, path)
+    val keepFrom = m.version - (m.retain - 1)
+    val keptVersions = (keepFrom to m.version).filter(v =>
+      fs.exists(manifestFile(path, v)))
+    val keptEntries = keptVersions.flatMap(v =>
+      readManifestAt(spark, path, v).entries)
+    val referenced: Set[String] = keptEntries.map(_.relPath).toSet
+    val refDvDirs: Seq[String] =
+      keptEntries.flatMap(_.dv.map(_.dvRel)).distinct
+    def dvReferenced(rel: String): Boolean =
+      refDvDirs.exists(d => rel == d || rel.startsWith(d + "/"))
+    val manifests = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !n.contains(".tmp"))
+      .map(_.drop("manifest-".length))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .filter(_ < keepFrom).toSeq.sorted
+    val files = Seq.newBuilder[String]
+    val pending = Seq.newBuilder[String]
+    val dataDir = new Path(s"$path/data")
+    def walk(dir: Path, relPrefix: String): Unit =
+      fs.listStatus(dir).foreach { f =>
+        val rel = s"$relPrefix/${f.getPath.getName}"
+        if (f.isDirectory) walk(f.getPath, rel)
+        else if (!referenced.contains(rel) && !dvReferenced(rel)) {
+          if (now - f.getModificationTime > graceMs) files += rel
+          else pending += rel
+        }
+      }
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach(txn =>
+        walk(txn.getPath, s"data/${txn.getPath.getName}"))
+    VacuumPlan(keepFrom, manifests, files.result().sorted,
+      pending.result().sorted)
+  }
+
   private def retireKeeping(spark: SparkSession, path: String,
                             latestV: Long, retain: Int): Unit =
     retire(spark, path, keepFrom = latestV - (retain - 1))
