@@ -570,20 +570,36 @@ object ManifestTable {
     * existing table are. */
   def create(df: DataFrame, path: String, keyCol: String,
              numFiles: Int, statsCols: Seq[String] = Seq.empty,
-             tag: Option[String] = None, keepVersions: Int = 2): Unit = {
+             tag: Option[String] = None, keepVersions: Int = 2,
+             checkConstraints: Seq[(String, String)] = Seq.empty): Unit = {
     require(statsCols.forall(df.schema.fieldNames.contains),
       s"statsCols not in schema: ${statsCols.filterNot(
         df.schema.fieldNames.contains)}")
     requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
+    requireConstraintNames(checkConstraints)
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
     val txnRel = "data/txn-1"
-    Tables.writeSortedBy(df, s"$path/$txnRel", numFiles, keyCol)
+    // constraints declared AT create validate the incoming content
+    // inside the create write itself (observed metrics) — no
+    // create-then-addCheckConstraint second scan over a just-written
+    // 100 TB table. A refused create commits no manifest: the path
+    // holds no table (create is destructive either way).
+    val (gated, verifyChecks) = observeChecks(df, checkConstraints)
+    Tables.writeSortedBy(gated, s"$path/$txnRel", numFiles, keyCol)
+    verifyChecks()
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag, retain = keepVersions,
-      op = "create", constraints = Seq.empty)
+      op = "create", constraints = checkConstraints)
+  }
+
+  private def requireConstraintNames(cs: Seq[(String, String)]): Unit = {
+    require(cs.forall(_._1.nonEmpty), "constraint names must be non-empty")
+    require(cs.map(_._1).distinct.size == cs.size,
+      s"duplicate constraint names: ${cs.map(_._1).diff(
+        cs.map(_._1).distinct).mkString(",")}")
   }
 
   /** Z-ORDERED create: rows land on the Morton curve of (`zColA`,
@@ -701,7 +717,9 @@ object ManifestTable {
   def createPartitioned(df: DataFrame, path: String, keyCol: String,
                         partCol: String, statsCols: Seq[String] = Seq.empty,
                         tag: Option[String] = None,
-                        keepVersions: Int = 2, numFiles: Int = 0): Unit = {
+                        keepVersions: Int = 2, numFiles: Int = 0,
+                        checkConstraints: Seq[(String, String)] = Seq.empty)
+      : Unit = {
     // validate BEFORE the destructive delete (same contract as create)
     val missing = (Seq(keyCol, partCol) ++ statsCols)
       .filterNot(df.schema.fieldNames.contains)
@@ -712,12 +730,15 @@ object ManifestTable {
       "per row)")
     requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
     requirePartitionColType(partCol, df.schema(partCol).dataType)
+    requireConstraintNames(checkConstraints)
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
     val txnRel = "data/txn-1"
-    Tables.writePartitionPure(df, s"$path/$txnRel", partCol, keyCol,
+    val (gated, verifyChecks) = observeChecks(df, checkConstraints)
+    Tables.writePartitionPure(gated, s"$path/$txnRel", partCol, keyCol,
       numFiles)
+    verifyChecks()
     // partCol always leads the tracked stats — the partition ops read
     // the per-file (min==max) value from them
     val allStats = (partCol +: statsCols).distinct
@@ -726,7 +747,7 @@ object ManifestTable {
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, allStats, entries, tag, retain = keepVersions,
       op = "create-partitioned", partCol = Some(partCol),
-      constraints = Seq.empty)
+      constraints = checkConstraints)
   }
 
   /** METADATA-ONLY partition drop: remove every file whose partition

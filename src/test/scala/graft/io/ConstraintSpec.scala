@@ -180,6 +180,36 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("constraints declared AT CREATE validate the incoming content " +
+    "inside the create write (refused create commits no manifest) and " +
+    "gate later mutations") {
+    val path = tmp()
+    try {
+      val e = intercept[IllegalStateException] {
+        ManifestTable.create(base(), path, "id", numFiles = 2,
+          checkConstraints = Seq("grp_small" -> "grp < 3"))
+      }
+      assert(e.getMessage.contains("grp_small"))
+      assert(ManifestTable.latestVersion(spark, path).isEmpty,
+        "a refused create must leave no committed table")
+
+      ManifestTable.create(base(), path, "id", numFiles = 2,
+        checkConstraints = Seq("grp_range" -> "grp < 7"))
+      assert(ManifestTable.readManifest(spark, path)
+        .constraints == Seq("grp_range" -> "grp < 7"))
+      intercept[IllegalStateException] {
+        ManifestTable.merge(spark, path,
+          Seq((5000L, "bad", 42)).toDF("id", "name", "grp"))
+      }
+      assert(content(ManifestTable.read(spark, path)) == content(base()))
+      // duplicate names refused before anything is destroyed or written
+      intercept[IllegalArgumentException] {
+        ManifestTable.create(base(), tmp(), "id", numFiles = 1,
+          checkConstraints = Seq("a" -> "grp < 7", "a" -> "grp > -1"))
+      }
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+  }
+
   test("a constraint added by a RACING writer forces the loser to " +
     "re-drive and re-validate (rebase refused on a changed set)") {
     val path = tmp()

@@ -133,9 +133,15 @@ class JoinsSpec extends SparkSpec {
     val (_, sb) = medianRanges(s"$tmp/by_a")
     // single-column sort: every file spans ~the full b range
     assert(sb > 0.8 * span, s"sorted-by-a median b-range $sb")
-    // z-order: the typical file is narrow on BOTH columns
-    assert(za < 0.4 * span, s"z median a-range $za")
-    assert(zb < 0.4 * span, s"z median b-range $zb")
+    // z-order: the typical file is narrow on BOTH columns. The bound is
+    // 0.5·span, not the 4×4-grid ideal of 0.25: repartitionByRange's
+    // boundary sampling is seeded from the RDD id, which shifts with
+    // suite composition, so per-file rectangles flutter a few percent
+    // run to run (a 0.4 bound flaked at 0.404 when an unrelated suite
+    // was added). 0.5 still cleanly separates "narrow on both" from the
+    // single-sort 0.8+ contrast above.
+    assert(za < 0.5 * span, s"z median a-range $za")
+    assert(zb < 0.5 * span, s"z median b-range $zb")
     // lossless
     val back = spark.read.parquet(s"$tmp/z")
     assert(back.count() == 20000)
