@@ -210,6 +210,44 @@ class ConstraintSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
   }
 
+  test("a VIEW's constraint gates the incremental sync swap: a fold " +
+    "that would violate it is refused, the cursor does not advance, " +
+    "and the retried sync converges once the constraint is dropped") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckv")
+    val src = s"$root/src"; val view = s"$root/view"
+    try {
+      val b = (0 until 100).map(i => (i.toLong, s"g${i % 4}", 10L))
+        .toDF("id", "grp", "v")
+      ManifestTable.create(b, src, "id", numFiles = 2)
+      AggView.bootstrap(spark, src, view, "grp", "v")
+      // per-group totals are 250; cap them below what the merge drives
+      ManifestTable.addCheckConstraint(spark, view, "total_cap",
+        "total < 100000")
+      val tagBefore = ManifestTable.readManifest(spark, view).tag
+      val viewBefore = ManifestTable.read(spark, view).collect().toSet
+
+      ManifestTable.merge(spark, src,
+        Seq((1000L, "g0", 1000000L)).toDF("id", "grp", "v"))
+      val e = intercept[IllegalStateException] {
+        AggView.sync(spark, src, view, "grp", "v")
+      }
+      assert(e.getMessage.contains("total_cap"),
+        s"the fold must be refused by the view's constraint: $e")
+      val m = ManifestTable.readManifest(spark, view)
+      assert(m.tag == tagBefore,
+        "a refused sync must not advance the cursor")
+      assert(ManifestTable.read(spark, view).collect().toSet == viewBefore)
+
+      // dropped: the SAME window replays and converges
+      ManifestTable.dropCheckConstraint(spark, view, "total_cap")
+      assert(AggView.sync(spark, src, view, "grp", "v").isDefined)
+      val g0 = ManifestTable.read(spark, view)
+        .filter(col("grp") === "g0").select("total")
+        .as[Long].collect().head
+      assert(g0 == 250L + 1000000L)
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("a constraint added by a RACING writer forces the loser to " +
     "re-drive and re-validate (rebase refused on a changed set)") {
     val path = tmp()
