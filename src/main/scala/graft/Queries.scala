@@ -1255,6 +1255,42 @@ object Queries {
       out
     }),
 
+    // COLUMN MAPPING (ManifestTable.renameColumn / dropColumn): schema
+    // changes as METADATA-ONLY commits — data files keep their stable
+    // PHYSICAL column names, so at 100 TB a rename or a GDPR column
+    // drop costs one manifest write and zero data files
+    // (ColumnMappingSpec pins the byte-identity). The entry drives the
+    // whole lifecycle: create (with a to-be-dropped status column) →
+    // rename o_orderpriority→priority → drop o_orderstatus → a merge
+    // speaks the NEW names (re-priced + beyond-range inserts, written
+    // physically under the OLD names) → rollup by the renamed column.
+    // The oracle replays it logically over orders, so the hash gates
+    // that the mapping layer loses nothing and leaks nothing — a read
+    // resurrecting the dropped column or misrouting a renamed one
+    // breaks it.
+    "m20_column_mapping" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"),
+        col("o_orderstatus"))
+      val mk = base.agg(max("o_orderkey")).first().getLong(0)
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.renameColumn(s, path,
+        "o_orderpriority", "priority")
+      graft.io.ManifestTable.dropColumn(s, path, "o_orderstatus")
+      val batch = base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("REMAPPED").as("priority"),
+          (col("price_cents") + 7L).as("price_cents"))
+        .unionByName(base.filter(col("o_orderkey") % 11 === 5)
+          .select((col("o_orderkey") + mk).as("o_orderkey"),
+            lit("REMAPPED").as("priority"), col("price_cents")))
+      graft.io.ManifestTable.merge(s, path, batch)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3100,6 +3136,31 @@ object Queries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM ticked GROUP BY o_orderpriority""".stripMargin,
+
+    // m20: replay the mapping lifecycle logically — the rename is the
+    // output's `priority` name, the drop never selects o_orderstatus,
+    // and the merge is the standard anti-join ∪ batch.
+    "m20_column_mapping" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'REMAPPED' AS priority,
+        |    price_cents + 7 AS price_cents
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT mk FROM mx), 'REMAPPED', price_cents
+        |  FROM base WHERE o_orderkey % 11 = 5),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY priority""".stripMargin,
 
     // m17's window spans the dv delete and the dv upsert: dropped base
     // rows are the %13 deletes plus the keys the upsert replaced — the

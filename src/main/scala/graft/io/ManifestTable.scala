@@ -128,7 +128,60 @@ object ManifestTable {
                       retain: Int = 2, op: String = "unknown",
                       commitTs: Long = 0L,
                       partCol: Option[String] = None,
-                      constraints: Seq[(String, String)] = Seq.empty)
+                      constraints: Seq[(String, String)] = Seq.empty,
+                      colMap: Seq[(String, String)] = Seq.empty,
+                      retiredPhys: Seq[String] = Seq.empty)
+
+  /** COLUMN MAPPING (Delta column-mapping / Iceberg schema-evolution
+    * parity): the manifest `schema` holds LOGICAL names — what readers
+    * and writers see — while data files on disk hold PHYSICAL names
+    * that NEVER change once written. `colMap` records the non-identity
+    * logical→physical pairs (empty for a table never renamed: physical
+    * = logical, zero overhead on that hot path), so
+    * [[renameColumn]]/[[dropColumn]] are METADATA-ONLY commits — at
+    * 100 TB, renaming or dropping a column costs one manifest write,
+    * zero data files. `retiredPhys` lists physical names of DROPPED
+    * columns: old files still hold their bytes, so a later
+    * [[evolveSchema]] must never hand that physical name to a new
+    * logical column (the stale values would resurrect) — it assigns a
+    * fresh suffixed physical name instead. Every scan reads files with
+    * the physical schema and projects to logical at the boundary;
+    * every write projects logical→physical just before the parquet
+    * writer. Manifest-level stats (`statsCols`, per-entry `extra`,
+    * key min/max) stay keyed by the manifest's own LOGICAL names —
+    * values are name-independent, and a rename commit rewrites the
+    * stats keys along with the schema. */
+  private[io] def physNameOf(colMap: Seq[(String, String)],
+                             logical: String): String = {
+    var i = 0
+    while (i < colMap.length) {
+      if (colMap(i)._1 == logical) return colMap(i)._2
+      i += 1
+    }
+    logical
+  }
+
+  private[io] def physSchemaOf(colMap: Seq[(String, String)],
+                               schema: StructType): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = physNameOf(colMap, f.name))))
+
+  /** Project a LOGICAL-named frame to PHYSICAL names in schema order —
+    * the write-boundary step. Identity-mapped tables skip the extra
+    * projection node entirely. */
+  private def toPhysical(colMap: Seq[(String, String)], schema: StructType,
+                         df: DataFrame): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(schema.fields.map(f =>
+      col(f.name).as(physNameOf(colMap, f.name))): _*)
+
+  /** The logical-side projection over a PHYSICAL-named scan. */
+  private def toLogical(colMap: Seq[(String, String)], schema: StructType,
+                        df: DataFrame): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(schema.fields.map(f =>
+      col(physNameOf(colMap, f.name)).as(f.name)): _*)
 
   /** The atomic version claim was lost to a concurrent committer — the
     * retryable conflict signal ([[rewrite]] rebases or re-drives on it;
@@ -240,7 +293,13 @@ object ManifestTable {
                             // through EVERY commit path explicitly — a
                             // defaulted parameter would let a new commit
                             // site silently drop the table's constraints
-                            constraints: Seq[(String, String)]): Unit = {
+                            constraints: Seq[(String, String)],
+                            // NO default for the same reason: dropping
+                            // the column mapping on a carry-forward
+                            // commit would misread every file written
+                            // before a rename
+                            colMap: Seq[(String, String)],
+                            retiredPhys: Seq[String]): Unit = {
     require(retain >= 2, s"retain=$retain: the window must keep at least " +
       "the current and one superseded version (changesBetween needs both " +
       "sides of the last commit)")
@@ -267,6 +326,10 @@ object ManifestTable {
     partCol.foreach(p => sb ++= s"partcol\t${enc(p)}\n")
     constraints.foreach { case (n, ex) =>
       sb ++= s"check\t${enc(n)}\t${enc(ex)}\n" }
+    colMap.foreach { case (l, p) =>
+      sb ++= s"colmap\t${enc(l)}\t${enc(p)}\n" }
+    if (retiredPhys.nonEmpty)
+      sb ++= s"physretired\t${retiredPhys.map(enc).mkString("\t")}\n"
     if (statsCols.nonEmpty)
       sb ++= s"statscols\t${statsCols.map(enc).mkString("\t")}\n"
     entries.foreach { e =>
@@ -336,6 +399,8 @@ object ManifestTable {
     var commitTs: Long = 0L
     var partCol: Option[String] = None
     val constraints = Seq.newBuilder[(String, String)]
+    val colMap = Seq.newBuilder[(String, String)]
+    var retiredPhys: Seq[String] = Seq.empty
     val entries = Seq.newBuilder[FileEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -351,6 +416,8 @@ object ManifestTable {
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
         case "partcol" => partCol = Some(dec(parts(1)))
         case "check"   => constraints += (dec(parts(1)) -> dec(parts(2)))
+        case "colmap"  => colMap += (dec(parts(1)) -> dec(parts(2)))
+        case "physretired" => retiredPhys = parts.drop(1).toSeq.map(dec)
         case "statscols" => statsCols = parts.drop(1).toSeq.map(dec)
         case "f" =>
           def g(s: String) = if (s == "null") None else Some(dec(s.drop(2)))
@@ -374,7 +441,8 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols, retain, op, commitTs, partCol, constraints.result())
+      zCols, retain, op, commitTs, partCol, constraints.result(),
+      colMap.result(), retiredPhys)
   }
 
   // ----------------------------------------------------------------- reads
@@ -497,11 +565,18 @@ object ManifestTable {
     * extra job. */
   private def readEntries(spark: SparkSession, path: String,
                           schema: StructType, keyCol: String,
-                          entries: Seq[FileEntry]): DataFrame = {
+                          entries: Seq[FileEntry],
+                          colMap: Seq[(String, String)]): DataFrame = {
+    // files hold PHYSICAL names (stable across renames) — scan physical,
+    // project to the caller's logical schema at the end. Identity-mapped
+    // tables take the colMap.isEmpty fast path inside the helpers: no
+    // extra projection node.
+    val pSchema = physSchemaOf(colMap, schema)
+    val pKey = physNameOf(colMap, keyCol)
     val (dvd, clean) = entries.partition(_.dv.isDefined)
-    val cleanDf = readEntriesRaw(spark, path, schema, clean)
+    val cleanDf = toLogical(colMap, schema,
+      readEntriesRaw(spark, path, pSchema, clean))
     if (dvd.isEmpty) return cleanDf
-    val outCols = schema.fieldNames.map(col)
     val dvParts = dvd.groupBy(_.dv.get.dvRel).toSeq.sortBy(_._1).map {
       case (dvRel, es) =>
         val rels = es.map(_.relPath).toSet
@@ -514,11 +589,12 @@ object ManifestTable {
             col("__k"))
         val totalDead = es.map(_.dv.get.dead).sum
         val dead = if (totalDead <= 2000000L) broadcast(dead0) else dead0
-        val data = readEntriesRaw(spark, path, schema, es)
+        val data = readEntriesRaw(spark, path, pSchema, es)
           .withColumn("__fn", col("_metadata.file_name"))
-        data.join(dead, data("__fn") === dead("__dvfn") &&
-            data(keyCol) === dead("__k"), "left_anti")
-          .select(outCols: _*)
+        toLogical(colMap, schema,
+          data.join(dead, data("__fn") === dead("__dvfn") &&
+              data(pKey) === dead("__k"), "left_anti")
+            .select(pSchema.fieldNames.map(col): _*))
     }
     dvParts.foldLeft(cleanDf)(_ unionByName _)
   }
@@ -554,7 +630,7 @@ object ManifestTable {
 
   private[io] def readFiles(spark: SparkSession, path: String,
                             m: Manifest): DataFrame =
-    readEntries(spark, path, m.schema, m.keyCol, m.entries)
+    readEntries(spark, path, m.schema, m.keyCol, m.entries, m.colMap)
 
   // ---------------------------------------------------------------- writes
 
@@ -589,10 +665,12 @@ object ManifestTable {
     val (gated, verifyChecks) = observeChecks(df, checkConstraints)
     Tables.writeSortedBy(gated, s"$path/$txnRel", numFiles, keyCol)
     verifyChecks()
-    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols,
+      Seq.empty)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag, retain = keepVersions,
-      op = "create", constraints = checkConstraints)
+      op = "create", constraints = checkConstraints,
+      colMap = Seq.empty, retiredPhys = Seq.empty)
   }
 
   private def requireConstraintNames(cs: Seq[(String, String)]): Unit = {
@@ -629,11 +707,12 @@ object ManifestTable {
     val txnRel = "data/txn-1"
     Tables.writeZOrdered(df, s"$path/$txnRel", numFiles, zColA, zColB)
     val statsCols = Seq(zColA, zColB).filterNot(_ == keyCol)
-    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, statsCols,
+      Seq.empty)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, statsCols, entries, tag = None,
       zCols = Some((zColA, zColB)), op = "create-zorder",
-      constraints = Seq.empty)
+      constraints = Seq.empty, colMap = Seq.empty, retiredPhys = Seq.empty)
   }
 
   // --------------------------------------------------- partitioned tables
@@ -742,12 +821,14 @@ object ManifestTable {
     // partCol always leads the tracked stats — the partition ops read
     // the per-file (min==max) value from them
     val allStats = (partCol +: statsCols).distinct
-    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, allStats)
+    val entries = statsFor(spark, path, txnRel, keyCol, df.schema, allStats,
+      Seq.empty)
     requirePartitionPure(partCol, entries, path)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, allStats, entries, tag, retain = keepVersions,
       op = "create-partitioned", partCol = Some(partCol),
-      constraints = checkConstraints)
+      constraints = checkConstraints,
+      colMap = Seq.empty, retiredPhys = Seq.empty)
   }
 
   /** METADATA-ONLY partition drop: remove every file whose partition
@@ -775,7 +856,8 @@ object ManifestTable {
         writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
           m.schema, m.statsCols, kept, setTag.orElse(m.tag), m.zCols,
           m.retain, op = "delete-partitions", partCol = m.partCol,
-          constraints = m.constraints)
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, m.version + 1, m.retain)
         MergeStats(m.version + 1, m.entries.size, 0, 0, kept.size)
       }
@@ -812,11 +894,12 @@ object ManifestTable {
       m0.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val txnRel = freshTxnRel(m0.version + 1)
     val (gatedRepl, verifyChecks) = observeChecks(ordered, m0.constraints)
-    Tables.writePartitionPure(gatedRepl, s"$path/$txnRel", pc, m0.keyCol,
-      numFiles)
+    Tables.writePartitionPure(toPhysical(m0.colMap, m0.schema, gatedRepl),
+      s"$path/$txnRel", physNameOf(m0.colMap, pc),
+      physNameOf(m0.colMap, m0.keyCol), numFiles)
     verifyChecks()
     val newE = statsFor(spark, path, txnRel, m0.keyCol, m0.schema,
-      m0.statsCols)
+      m0.statsCols, m0.colMap)
     requirePartitionPure(pc, newE, path)
     val replaced = newE.map(e => e.extra(pc)._1).toSet
     retryingCommit(spark, path, maxRetries) { base =>
@@ -826,7 +909,7 @@ object ManifestTable {
       // under (additive schema evolution is fine: the new files simply
       // null-extend like every pre-evolution file)
       require(base.partCol.contains(pc) && base.statsCols == m0.statsCols &&
-        base.constraints == m0.constraints,
+        base.constraints == m0.constraints && base.colMap == m0.colMap,
         s"$path changed layout/stats tracking/constraints under this " +
         "overwrite — re-drive it against the current table")
       if (replaced.isEmpty) {
@@ -842,7 +925,8 @@ object ManifestTable {
           base.keyType, base.schema, base.statsCols, kept ++ newE,
           setTag.orElse(base.tag), base.zCols, base.retain,
           op = "overwrite-partitions", partCol = base.partCol,
-          constraints = base.constraints)
+          constraints = base.constraints, colMap = base.colMap,
+          retiredPhys = base.retiredPhys)
         retireKeeping(spark, path, base.version + 1, base.retain)
         MergeStats(base.version + 1, base.entries.size, 0, newE.size,
           kept.size)
@@ -861,7 +945,7 @@ object ManifestTable {
     requirePartitioned(m, path)
     val vals = values.map(String.valueOf).toSet
     readEntries(spark, path, m.schema, m.keyCol,
-      m.entries.filter(e => vals(partValueOf(m, e, path))))
+      m.entries.filter(e => vals(partValueOf(m, e, path))), m.colMap)
   }
 
   /** PER-PARTITION compaction (the `OPTIMIZE … WHERE pt IN (…)` shape):
@@ -892,16 +976,20 @@ object ManifestTable {
         val nextV = m.version + 1
         val txnRel = freshTxnRel(nextV)
         Tables.writePartitionPure(
-          readEntries(spark, path, m.schema, m.keyCol, selected),
-          s"$path/$txnRel", pc, m.keyCol, numFiles)
+          toPhysical(m.colMap, m.schema,
+            readEntries(spark, path, m.schema, m.keyCol, selected,
+              m.colMap)),
+          s"$path/$txnRel", physNameOf(m.colMap, pc),
+          physNameOf(m.colMap, m.keyCol), numFiles)
         val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
-          m.statsCols)
+          m.statsCols, m.colMap)
         requirePartitionPure(pc, newE, path)
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, kept ++ newE, m.tag, m.zCols, m.retain,
           op = "compact-partitions", partCol = m.partCol,
-          constraints = m.constraints)
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
         MergeStats(nextV, m.entries.size, selected.size, newE.size, kept.size)
       }
@@ -949,14 +1037,17 @@ object ManifestTable {
       val txnRel = freshTxnRel(nextV)
       val statsCols = (m.statsCols ++
         Seq(zColA, zColB).filterNot(_ == m.keyCol)).distinct
-      Tables.writeZOrdered(readFiles(spark, path, m), s"$path/$txnRel",
-        numFiles, zColA, zColB)
+      Tables.writeZOrdered(
+        toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
+        s"$path/$txnRel", numFiles,
+        physNameOf(m.colMap, zColA), physNameOf(m.colMap, zColB))
       commitFence()
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
-          statsCols), m.tag, Some((zColA, zColB)), m.retain,
+          statsCols, m.colMap), m.tag, Some((zColA, zColB)), m.retain,
         op = "compact-zorder", partCol = m.partCol,
-        constraints = m.constraints)
+        constraints = m.constraints, colMap = m.colMap,
+        retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, nextV, m.retain)
     }
 
@@ -989,18 +1080,24 @@ object ManifestTable {
     * nor updated again. */
   private def statsFor(spark: SparkSession, root: String, txnRel: String,
                        keyCol: String, schema: StructType,
-                       statsCols: Seq[String]): Seq[FileEntry] = {
+                       statsCols: Seq[String],
+                       colMap: Seq[(String, String)]): Seq[FileEntry] = {
     val dir = s"$root/$txnRel"
-    val extraAggs = statsCols.flatMap(c => Seq(
+    // the just-written files hold PHYSICAL names; stats stay keyed by
+    // the manifest's LOGICAL statsCols (the index-zipped extra map)
+    val pSchema = physSchemaOf(colMap, schema)
+    val pKey = physNameOf(colMap, keyCol)
+    val pStats = statsCols.map(physNameOf(colMap, _))
+    val extraAggs = pStats.flatMap(c => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string")))
     // recursiveFileLookup: a partition-pure txn ([[Tables
     // .writePartitionPure]]) nests files under `__p=<value>/` — read
     // them as plain leaves instead of letting partition discovery
     // invent a `__p` column outside the schema (flat txns unaffected)
-    val rows = spark.read.schema(schema)
+    val rows = spark.read.schema(pSchema)
       .option("recursiveFileLookup", "true").parquet(dir)
-      .select(col(keyCol).as("__k") +: col("_metadata.file_path").as("__f")
-        +: statsCols.map(col): _*)
+      .select(col(pKey).as("__k") +: col("_metadata.file_path").as("__f")
+        +: pStats.map(col): _*)
       .groupBy("__f")
       .agg(count(lit(1)).as("n"), count("__k").as("nk")
         +: min("__k").cast("string").as("mn")
@@ -1086,8 +1183,9 @@ object ManifestTable {
 
   private def writeSingleFileObserved(spark: SparkSession, root: String,
                                       txnRel: String, df: DataFrame,
-                                      keyCol: String,
-                                      statsCols: Seq[String]): Seq[FileEntry] = {
+                                      keyCol: String, statsCols: Seq[String],
+                                      colMap: Seq[(String, String)],
+                                      schema: StructType): Seq[FileEntry] = {
     val dir = s"$root/$txnRel"
     val obs = org.apache.spark.sql.Observation()
     val aggs: Seq[Column] =
@@ -1097,8 +1195,11 @@ object ManifestTable {
       statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
         min(col(c)).cast("string").as(s"mn$i"),
         max(col(c)).cast("string").as(s"mx$i")) }
-    df.repartition(1).sortWithinPartitions(col(keyCol))
-      .observe(obs, aggs.head, aggs.tail: _*)
+    // stats observed on the LOGICAL frame; the physical projection is
+    // the last node before the writer (a pure rename — order preserved)
+    toPhysical(colMap, schema,
+      df.repartition(1).sortWithinPartitions(col(keyCol))
+        .observe(obs, aggs.head, aggs.tail: _*))
       .write.mode("overwrite").parquet(dir)
     val mm = obs.get
     val n = mm("n").asInstanceOf[Long]
@@ -1149,14 +1250,15 @@ object ManifestTable {
     val (gatedContent, verifyChecks) =
       observeChecks(newContent, m.constraints)
     val newE = writeSingleFileObserved(spark, path, txnRel, gatedContent,
-      m.keyCol, m.statsCols)
+      m.keyCol, m.statsCols, m.colMap, m.schema)
     verifyChecks()
     gate() match {
       case Some(_) => setTagOnly(spark, path, setTag)
       case None =>
         writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
           m.schema, m.statsCols, newE, Some(setTag), m.zCols, m.retain, op,
-          constraints = m.constraints)
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, m.version + 1, m.retain)
     }
   }
@@ -1329,10 +1431,11 @@ object ManifestTable {
         // to mark dead
         spark.emptyDataFrame.select(lit("").as("__fp"), lit("").as("__fn"),
           lit(null).cast(m.keyType).as("__k")).limit(0)
-      else readEntriesRaw(spark, path, m.schema, touchedE)
+      else readEntriesRaw(spark, path, physSchemaOf(m.colMap, m.schema),
+          touchedE)
         .select(col("_metadata.file_path").as("__fp"),
           col("_metadata.file_name").as("__fn"),
-          keyK.cast(m.keyType).as("__k"))
+          col(physNameOf(m.colMap, m.keyCol)).cast(m.keyType).as("__k"))
     // each entry's FULL dead set lives in its own sidecar (repoints
     // consolidate pairs forward), so the per-sidecar-group scoped read
     // is complete — and, unlike a union filtered by file membership,
@@ -1393,22 +1496,25 @@ object ManifestTable {
             case Some(pc) =>
               // a partitioned table's append must stay partition-pure,
               // or the metadata-only partition ops lose their addressing
-              Tables.writePartitionPure(gatedU,
-                s"$path/$dataRel", pc, m.keyCol, numFiles)
+              Tables.writePartitionPure(
+                toPhysical(m.colMap, m.schema, gatedU),
+                s"$path/$dataRel", physNameOf(m.colMap, pc),
+                physNameOf(m.colMap, m.keyCol), numFiles)
               val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
-                m.statsCols)
+                m.statsCols, m.colMap)
               requirePartitionPure(pc, e, path)
               e
             case None =>
               val n = math.max(1, numFiles)
               if (n == 1)
                 writeSingleFileObserved(spark, path, dataRel,
-                  gatedU, m.keyCol, m.statsCols)
+                  gatedU, m.keyCol, m.statsCols, m.colMap, m.schema)
               else {
-                Tables.writeSortedBy(gatedU,
-                  s"$path/$dataRel", n, m.keyCol)
+                Tables.writeSortedBy(
+                  toPhysical(m.colMap, m.schema, gatedU),
+                  s"$path/$dataRel", n, physNameOf(m.colMap, m.keyCol))
                 statsFor(spark, path, dataRel, m.keyCol, m.schema,
-                  m.statsCols)
+                  m.statsCols, m.colMap)
               }
           }
           verifyChecks()
@@ -1474,7 +1580,8 @@ object ManifestTable {
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         m.statsCols, carried ++ keptTouched ++ appended,
         setTag.orElse(m.tag), m.zCols, m.retain, op, partCol = m.partCol,
-        constraints = m.constraints)
+        constraints = m.constraints, colMap = m.colMap,
+        retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, nextV, m.retain)
       DvStats(nextV, updatedE.size, deadTotal, dropped.size, appended.size)
     } finally newPairs.unpersist(blocking = false)
@@ -1559,7 +1666,8 @@ object ManifestTable {
         val srcKeys = src.select(col(key)).distinct()
         val touched = touchSet(spark, srcKeys, col(key), m)
         val touchedE = m.entries.filter(e => touched(e.relPath))
-        val target = readEntries(spark, path, m.schema, m.keyCol, touchedE)
+        val target = readEntries(spark, path, m.schema, m.keyCol, touchedE,
+          m.colMap)
         val joined = target.alias("t")
           .join(src.alias("s"), col(s"t.$key") === col(s"s.$key"), "inner")
         // first-match-wins clause index per matched row (−1 = no clause
@@ -1671,10 +1779,10 @@ object ManifestTable {
     * readers supply the manifest schema to every scan, so files written
     * before the evolution yield NULL for the new columns (the parquet
     * missing-column contract), and later merges may carry them. Only
-    * ADDING nullable columns is supported; dropping, renaming, or
-    * retyping existing columns is refused loudly (those need a rewrite
-    * — `compactTable` after a mapping read — because old files would
-    * otherwise silently misread). */
+    * ADDING nullable columns here; renames and drops are their own
+    * metadata-only commits ([[renameColumn]], [[dropColumn]] — column
+    * mapping); RETYPING is refused loudly (it needs a rewrite, because
+    * old files would otherwise silently misread). */
   def evolveSchema(spark: SparkSession, path: String,
                    newCols: StructType, maxRetries: Int = 3): Unit =
     retryingCommit(spark, path, maxRetries) { m =>
@@ -1689,11 +1797,133 @@ object ManifestTable {
         "exist (drop/rename/retype require a rewrite)")
       val widened = StructType(m.schema.fields ++
         newCols.fields.map(_.copy(nullable = true)))
+      // physical-name assignment: a new logical column may reuse its
+      // own name ONLY if no live or RETIRED physical column holds it —
+      // a dropped column's bytes still live in old files, and handing
+      // its physical name to a new column would resurrect stale values
+      val usedPhys = m.schema.fieldNames.map(physNameOf(m.colMap, _)).toSet ++
+        m.retiredPhys
+      val newMaps = newCols.fieldNames.flatMap { n =>
+        if (!usedPhys(n)) None
+        else {
+          var i = m.version + 1
+          while (usedPhys(s"${n}__p$i")) i += 1
+          Some(n -> s"${n}__p$i")
+        }
+      }
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
         op = "evolve-schema", partCol = m.partCol,
-        constraints = m.constraints)
+        constraints = m.constraints, colMap = m.colMap ++ newMaps,
+        retiredPhys = m.retiredPhys)
+      retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+
+  /** The column names a CHECK constraint expression references —
+    * parsed, not resolved, so it works driver-side with no plan.
+    * Multi-part names keep their last part (flat tables only). */
+  private def constraintRefs(exprSql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  private def requireNoConstraintRefs(m: Manifest, name: String,
+                                      what: String): Unit = {
+    val lc = name.toLowerCase(java.util.Locale.ROOT)
+    val hit = m.constraints.filter(c => constraintRefs(c._2).contains(lc))
+    require(hit.isEmpty,
+      s"cannot $what column '$name': CHECK constraint(s) " +
+      s"${hit.map(_._1).mkString(", ")} reference it — drop the " +
+      "constraint(s) first and re-add them against the new schema")
+  }
+
+  /** RENAME a column as a METADATA-ONLY commit (Delta column-mapping
+    * parity): data files keep their PHYSICAL column names forever, so
+    * the rename rewrites one manifest — zero data files, whatever the
+    * table's size. Every name the manifest carries follows: the merge
+    * key, tracked stats columns (per-file stats are name-independent
+    * values and carry verbatim), the Z layout and the partition
+    * column. Time travel and RESTORE keep working across the rename
+    * (each retained version reads under its own names; restore
+    * translates through the stable physical identity). A column a
+    * CHECK constraint references is refused — the stored SQL text
+    * would silently stop matching; drop and re-add the constraint.
+    * Incremental consumers: a CDF window spanning the rename emits
+    * rows in the TO-side (new) names, same policy as additive
+    * evolution — mirrors must adopt the rename (their own
+    * renameColumn) before syncing past it. */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String, maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(m.schema.fieldNames.contains(oldName),
+        s"no column '$oldName' in $path " +
+        s"(have: ${m.schema.fieldNames.mkString(", ")})")
+      require(!m.schema.fieldNames.contains(newName),
+        s"column '$newName' already exists in $path")
+      require(newName.nonEmpty && !newName.contains('\t') &&
+        !newName.contains('\n'), s"invalid column name '$newName'")
+      requireNoConstraintRefs(m, oldName, "rename")
+      val phys = physNameOf(m.colMap, oldName)
+      val newSchema = StructType(m.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      // identity pairs stay OUT of the map (the hot-path fast test is
+      // colMap.isEmpty); a rename BACK to the physical name deletes
+      // its pair instead of recording (x, x)
+      val newMap = m.colMap.filterNot(_._1 == oldName) ++
+        (if (newName == phys) Seq.empty else Seq(newName -> phys))
+      def sub(c: String) = if (c == oldName) newName else c
+      commitFence()
+      writeManifest(spark, path, m.version + 1, sub(m.keyCol), m.keyType,
+        newSchema, m.statsCols.map(sub),
+        m.entries.map(e => e.copy(extra = e.extra.map {
+          case (c, mm) => sub(c) -> mm })),
+        m.tag, m.zCols.map { case (a, b) => (sub(a), sub(b)) }, m.retain,
+        op = s"rename-column($oldName->$newName)",
+        partCol = m.partCol.map(sub),
+        constraints = m.constraints, colMap = newMap,
+        retiredPhys = m.retiredPhys)
+      retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+
+  /** DROP a column as a METADATA-ONLY commit: the column leaves the
+    * schema and the tracked stats; its bytes stay in the already-
+    * written files, simply never read again (scans request only the
+    * manifest schema's physical columns) — at 100 TB, dropping a
+    * column costs one manifest write, and the bytes age out as files
+    * are rewritten by ordinary churn/compaction. The physical name is
+    * RETIRED: a later [[evolveSchema]] adding a same-named column gets
+    * a fresh physical name, so the old files' stale values can never
+    * resurrect (they read as NULL for the new column, like any
+    * pre-evolution file). Refused for the merge key, the partition
+    * column, a Z-layout column, and any column a CHECK constraint
+    * references. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(m.schema.fieldNames.contains(name),
+        s"no column '$name' in $path " +
+        s"(have: ${m.schema.fieldNames.mkString(", ")})")
+      require(name != m.keyCol,
+        s"cannot drop the merge key '$name' of $path")
+      require(!m.partCol.contains(name),
+        s"cannot drop the partition column '$name' of $path")
+      require(!m.zCols.exists(z => z._1 == name || z._2 == name),
+        s"cannot drop Z-layout column '$name' of $path (compact onto a " +
+        "different layout first)")
+      requireNoConstraintRefs(m, name, "drop")
+      val phys = physNameOf(m.colMap, name)
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        StructType(m.schema.fields.filterNot(_.name == name)),
+        m.statsCols.filterNot(_ == name),
+        m.entries.map(e => e.copy(extra = e.extra - name)),
+        m.tag, m.zCols, m.retain, op = s"drop-column($name)",
+        partCol = m.partCol, constraints = m.constraints,
+        colMap = m.colMap.filterNot(_._1 == name),
+        retiredPhys = (m.retiredPhys :+ phys).distinct)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1708,7 +1938,8 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
         op = "set-tag", partCol = m.partCol,
-        constraints = m.constraints)
+        constraints = m.constraints, colMap = m.colMap,
+        retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1723,7 +1954,8 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
         partCol = m.partCol,
-        op = "set-retention", constraints = m.constraints)
+        op = "set-retention", constraints = m.constraints,
+        colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, keepVersions)
     }
 
@@ -1762,7 +1994,8 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
         op = s"add-constraint($name)", partCol = m.partCol,
-        constraints = m.constraints :+ (name -> exprSql))
+        constraints = m.constraints :+ (name -> exprSql),
+        colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1777,7 +2010,8 @@ object ManifestTable {
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
         op = s"drop-constraint($name)", partCol = m.partCol,
-        constraints = m.constraints.filterNot(_._1 == name))
+        constraints = m.constraints.filterNot(_._1 == name),
+        colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -1908,7 +2142,7 @@ object ManifestTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       else
-        readEntries(spark, path, m.schema, m.keyCol, touchedE)
+        readEntries(spark, path, m.schema, m.keyCol, touchedE, m.colMap)
           .join(batchKeys, Seq(m.keyCol), "left_anti")
     val newData = upserts match {
       case Some(u) => survivors.unionByName(u.select(orderedCols: _*))
@@ -1932,16 +2166,21 @@ object ManifestTable {
     val (gatedData, verifyChecks) = observeChecks(newData, m.constraints)
     val newE = m.partCol match {
       case Some(pc) =>
-        Tables.writePartitionPure(gatedData, s"$path/$txnRel", pc, m.keyCol)
-        val e = statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
+        Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gatedData),
+          s"$path/$txnRel", physNameOf(m.colMap, pc),
+          physNameOf(m.colMap, m.keyCol))
+        val e = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+          m.statsCols, m.colMap)
         requirePartitionPure(pc, e, path)
         e
       case None if nFiles == 1 =>
         writeSingleFileObserved(spark, path, txnRel, gatedData, m.keyCol,
-          m.statsCols)
+          m.statsCols, m.colMap, m.schema)
       case None =>
-        Tables.writeSortedBy(gatedData, s"$path/$txnRel", nFiles, m.keyCol)
-        statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols)
+        Tables.writeSortedBy(toPhysical(m.colMap, m.schema, gatedData),
+          s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
+        statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
+          m.colMap)
     }
     verifyChecks()
 
@@ -1951,7 +2190,8 @@ object ManifestTable {
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
         setTag.orElse(base.tag), base.zCols, base.retain, op,
-        partCol = base.partCol, constraints = base.constraints)
+        partCol = base.partCol, constraints = base.constraints,
+        colMap = base.colMap, retiredPhys = base.retiredPhys)
       retireKeeping(spark, path, nextV, base.retain)
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
         carriedNow.size)
@@ -1994,6 +2234,10 @@ object ManifestTable {
         // this attempt's validation — the batch was gated against the
         // snapshot's constraints, so it must re-drive and re-validate
         latest.constraints == m.constraints &&
+        // a winner that changed the column MAPPING invalidates this
+        // attempt's already-written files (their physical names were
+        // projected under the snapshot's map)
+        latest.colMap == m.colMap && latest.retiredPhys == m.retiredPhys &&
         guardOk && touchSet(spark, batchKeys, keyK, latest) == touched &&
         sameTouchedEntries
       if (rebasable)
@@ -2100,10 +2344,15 @@ object ManifestTable {
     // and the positional exceptAll compares like with like (a window
     // spanning an evolution commit would otherwise fail at analysis
     // time on mismatched column counts)
+    // ... and with the TO-side COLUMN MAPPING: physical names are
+    // stable across renames, so projecting both sides through mTo's
+    // map reads a window spanning a rename consistently in the new
+    // logical names (the same policy as the schema choice above)
     def side(entries: Seq[FileEntry], other: Set[String]): DataFrame =
       readEntries(spark, path, mTo.schema, mTo.keyCol,
         entries.filterNot(e =>
-          other.contains(sig(e)) || dvDeltaRels.contains(e.relPath)))
+          other.contains(sig(e)) || dvDeltaRels.contains(e.relPath)),
+        mTo.colMap)
     val oldRows = side(mFrom.entries, toRel)
     val newRows = side(mTo.entries, fromRel)
     var adds = newRows.exceptAll(oldRows)
@@ -2125,15 +2374,17 @@ object ManifestTable {
       val pFrom = pairsOf(fromDelta)
       val newlyDead = pTo.exceptAll(pFrom)   // dead at to, live at from
       val revived = pFrom.exceptAll(pTo)     // dead at from, live at to
-      val raw = readEntriesRaw(spark, path, mTo.schema, dvDeltaTo)
+      val pSchemaTo = physSchemaOf(mTo.colMap, mTo.schema)
+      val raw = readEntriesRaw(spark, path, pSchemaTo, dvDeltaTo)
         .withColumn("__fn", col("_metadata.file_name"))
-      val outCols = mTo.schema.fieldNames.map(col)
+      val pKeyTo = physNameOf(mTo.colMap, mTo.keyCol)
       def rowsFor(pairs0: DataFrame): DataFrame = {
         val p = pairs0.withColumnRenamed("__k", "__dk")
           .withColumnRenamed("__fn", "__dfn")
-        raw.join(p, raw("__fn") === p("__dfn") &&
-            raw(mTo.keyCol) === p("__dk"), "left_semi")
-          .select(outCols: _*)
+        toLogical(mTo.colMap, mTo.schema,
+          raw.join(p, raw("__fn") === p("__dfn") &&
+              raw(pKeyTo) === p("__dk"), "left_semi")
+            .select(pSchemaTo.fieldNames.map(col): _*))
       }
       dels = dels.unionByName(rowsFor(newlyDead))
       adds = adds.unionByName(rowsFor(revived))
@@ -2382,13 +2633,40 @@ object ManifestTable {
       require(v < m.version, s"restore target v$v is not a PAST version " +
         s"(current v${m.version})")
       val old = readManifestAt(spark, path, v)
+      // the restored version's metadata is keyed by ITS OWN logical
+      // names; the commit keeps the CURRENT schema, so every carried
+      // name (key, stats, layout, partition) translates through the
+      // STABLE physical identity to its current logical name — a
+      // rename between v and now must not leave the manifest pointing
+      // at names the current schema lacks. A stats column whose
+      // current logical vanished (dropped) drops out of tracking.
+      def nowFor(oldLogical: String): Option[String] = {
+        val phys = physNameOf(old.colMap, oldLogical)
+        m.schema.fieldNames.find(n => physNameOf(m.colMap, n) == phys)
+      }
+      val keyNow = nowFor(old.keyCol).getOrElse(throw new IllegalStateException(
+        s"restore(v$v): the restored version's key column '${old.keyCol}' " +
+        s"no longer exists in the current schema of $path"))
+      val statsNow = old.statsCols.flatMap(c => nowFor(c).map(c -> _))
+      val statsRename = statsNow.toMap
+      val entriesNow =
+        if (old.statsCols.forall(c => statsRename.get(c).contains(c)))
+          old.entries
+        else old.entries.map(e => e.copy(extra = e.extra.flatMap {
+          case (c, mm) => statsRename.get(c).map(_ -> mm) }))
+      def bothNow(ab: (String, String)): Option[(String, String)] =
+        for (a <- nowFor(ab._1); b <- nowFor(ab._2)) yield (a, b)
       commitFence()
-      writeManifest(spark, path, m.version + 1, old.keyCol, old.keyType,
-        m.schema, old.statsCols, old.entries, old.tag, old.zCols,
-        m.retain, op = s"restore(v$v)", partCol = old.partCol,
+      writeManifest(spark, path, m.version + 1, keyNow, old.keyType,
+        m.schema, statsNow.map(_._2), entriesNow, old.tag,
+        old.zCols.flatMap(bothNow),
+        m.retain, op = s"restore(v$v)", partCol = old.partCol.flatMap(nowFor),
         // constraints are table POLICY, not data — the restore keeps the
         // CURRENT set (re-add to re-validate rewound content if needed)
-        constraints = m.constraints)
+        constraints = m.constraints,
+        // likewise the mapping: it describes the CURRENT schema's view
+        // of the stable physical names, and retirement is monotone
+        colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
@@ -2435,20 +2713,24 @@ object ManifestTable {
           // partition ops
           m.partCol match {
             case Some(pc) =>
-              Tables.writePartitionPure(readFiles(spark, path, m),
-                s"$path/$txnRel", pc, m.keyCol, numFiles)
+              Tables.writePartitionPure(
+                toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
+                s"$path/$txnRel", physNameOf(m.colMap, pc),
+                physNameOf(m.colMap, m.keyCol), numFiles)
             case None =>
-              Tables.writeSortedBy(readFiles(spark, path, m),
-                s"$path/$txnRel", numFiles, m.keyCol)
+              Tables.writeSortedBy(
+                toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
+                s"$path/$txnRel", numFiles, physNameOf(m.colMap, m.keyCol))
           }
           val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
-            m.statsCols)
+            m.statsCols, m.colMap)
           m.partCol.foreach(pc => requirePartitionPure(pc, newE, path))
           commitFence()
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
             m.statsCols, newE, m.tag, zCols = None, retain = m.retain,
             op = "compact", partCol = m.partCol,
-            constraints = m.constraints)
+            constraints = m.constraints, colMap = m.colMap,
+            retiredPhys = m.retiredPhys)
           retireKeeping(spark, path, nextV, m.retain)
         }
     }
@@ -2487,7 +2769,8 @@ object ManifestTable {
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, entries, m.tag, m.zCols, m.retain,
           op = "consolidate-dv", partCol = m.partCol,
-          constraints = m.constraints)
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
         true
       }
@@ -2532,15 +2815,17 @@ object ManifestTable {
         // readEntries applies any deletion vectors, so the rewrite
         // MATERIALIZES them — the folded files come out clean
         Tables.writeSortedBy(
-          readEntries(spark, path, m.schema, m.keyCol, small),
-          s"$path/$txnRel", nFiles, m.keyCol)
+          toPhysical(m.colMap, m.schema,
+            readEntries(spark, path, m.schema, m.keyCol, small, m.colMap)),
+          s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
         val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
-          m.statsCols)
+          m.statsCols, m.colMap)
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, big ++ newE, m.tag, zCols = None, retain = m.retain,
           op = "compact-small", partCol = None,
-          constraints = m.constraints)
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
         MergeStats(nextV, m.entries.size, small.size, newE.size, big.size)
       }
@@ -2583,7 +2868,7 @@ object ManifestTable {
           .select("__f").collect().map(_.getString(0)).toSet
       }
     readEntries(spark, path, m.schema, m.keyCol,
-      statted.filter(e => keep(e.relPath)) ++ blind)
+      statted.filter(e => keep(e.relPath)) ++ blind, m.colMap)
   }
 
   /** The live file inventory as a DataFrame — ops visibility: per file

@@ -34,7 +34,7 @@ class ManifestScaleSpec extends SparkSpec {
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType))),
         Seq.empty, entries(10).map(_.copy(extra = Map.empty)),
-        constraints = Seq.empty)
+        constraints = Seq.empty, colMap = Seq.empty, retiredPhys = Seq.empty)
       val es = entries(10000)
       val t0 = System.nanoTime()
       ManifestTable.writeManifest(spark, path, 1L, "id",
@@ -44,7 +44,7 @@ class ManifestScaleSpec extends SparkSpec {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.LongType))),
-        Seq("ts"), es, constraints = Seq.empty)
+        Seq("ts"), es, constraints = Seq.empty, colMap = Seq.empty, retiredPhys = Seq.empty)
       val tWrite = (System.nanoTime() - t0) / 1e6
       // the manifest is a flat text file: ~10k lines, single-digit MB
       val bytes = java.nio.file.Files.size(

@@ -167,11 +167,11 @@ class ManifestTableSpec extends SparkSpec {
       val m = ManifestTable.readManifest(spark, path)
       ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries,
-        constraints = Seq.empty) // writer A wins
+        constraints = Seq.empty, colMap = Seq.empty, retiredPhys = Seq.empty) // writer A wins
       val e = intercept[IllegalStateException] {
         ManifestTable.writeManifest(spark, path, 2L, m.keyCol, m.keyType,
           m.schema, m.statsCols, m.entries,
-          constraints = Seq.empty) // writer B must lose loudly
+          constraints = Seq.empty, colMap = Seq.empty, retiredPhys = Seq.empty) // writer B must lose loudly
       }
       assert(e.getMessage.contains("concurrent commit"))
       // and the table is still fully readable at A's commit
