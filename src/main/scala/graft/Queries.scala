@@ -1291,6 +1291,31 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // FILTER-PUSHDOWN READ (ManifestTable.readWhere): hand the table an
+    // arbitrary WHERE clause and the manifest's per-file stats cut the
+    // file list before any footer opens — the data-skipping front door
+    // a 100 TB table lives behind. The predicate exercises the whole
+    // matcher: a key range OR a tracked-stats date range (OR prunes
+    // only when both sides do), AND an untracked-column residual that
+    // must filter rows without pruning files. ReadWhereSpec pins that
+    // these shapes actually cut the file list and that pruning is
+    // sound; this entry gates end-to-end result equality vs SQL.
+    "m21_read_where" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_orderdate"), rowCents.as("price_cents"))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey",
+        numFiles = 8, statsCols = Seq("o_orderdate"))
+      graft.io.ManifestTable.readWhere(s, path,
+          (col("o_orderkey") <= lit(2000L) ||
+            col("o_orderdate") >=
+              lit(java.time.Instant.parse("1997-06-01T00:00:00Z"))) &&
+          col("o_orderpriority") =!= lit("3-MEDIUM"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3161,6 +3186,17 @@ object Queries {
         |SELECT priority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM merged GROUP BY priority""".stripMargin,
+
+    // m21: readWhere must equal a plain WHERE over the source rows —
+    // pruning is an access-path optimization, never a semantic one.
+    "m21_read_where" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE (o_orderkey <= 2000 OR o_orderdate >= DATE '1997-06-01')
+        |  AND o_orderpriority <> '3-MEDIUM'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // m17's window spans the dv delete and the dv upsert: dropped base
     // rows are the %13 deletes plus the keys the upsert replaced — the

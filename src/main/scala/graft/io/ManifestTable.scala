@@ -2871,6 +2871,160 @@ object ManifestTable {
       statted.filter(e => keep(e.relPath)) ++ blind, m.colMap)
   }
 
+  /** FILTER-PUSHDOWN READ: the query-shaped front door to manifest
+    * pruning — pass any boolean predicate and the file list is cut
+    * DRIVER-SIDE against the manifest's per-file stats before a single
+    * parquet footer opens, then the FULL predicate applies as an
+    * ordinary filter (pruning is file-granular; Spark's own parquet
+    * pushdown still handles row groups inside the kept files). This is
+    * what a table format's data-skipping layer does with a WHERE
+    * clause, without needing an explicit [[prunedRead]] column/range
+    * call per conjunct.
+    *
+    * Prunable shapes (on the merge key, any tracked stats column, and
+    * — partitioned tables — the partition column, which always leads
+    * the tracked stats): `=`, `<`, `<=`, `>`, `>=`, `IN`, null-safe
+    * equality to a non-null literal, string `startsWith`, and any
+    * AND/OR tree over those. Everything else — other columns,
+    * functions of columns, `NOT`, nulls tests — contributes no pruning
+    * (conservatively TRUE for the file decision) but still filters
+    * rows. An OR prunes only when BOTH sides prune (the sound rule).
+    * Files without recorded stats for a referenced column are read
+    * conservatively. Interval comparisons run IN SPARK with the
+    * column's stored type over the file-count-sized range table (the
+    * [[prunedRead]] / touch-set technique) — exact ordering, no
+    * driver-side string compares, one metadata-sized job. */
+  def readWhere(spark: SparkSession, path: String, cond: Column): DataFrame = {
+    val m = readManifest(spark, path)
+    readEntries(spark, path, m.schema, m.keyCol,
+      entriesWhere(spark, m, cond), m.colMap).filter(cond)
+  }
+
+  /** The file-pruning half of [[readWhere]], reusable by any caller
+    * that wants the kept entry list (ops visibility, tests). */
+  private[io] def entriesWhere(spark: SparkSession, m: Manifest,
+                               cond: Column): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.{expressions => cexp}
+    // resolve an attribute to its schema-cased name, only when its
+    // stats are actually recorded (key min/max or a tracked column)
+    def tracked(e: cexp.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        m.schema.fieldNames
+          .find(_.equalsIgnoreCase(a.nameParts.last))
+          .filter(n => n == m.keyCol || m.statsCols.contains(n))
+      case a: cexp.Attribute =>
+        m.schema.fieldNames.find(_.equalsIgnoreCase(a.name))
+          .filter(n => n == m.keyCol || m.statsCols.contains(n))
+      case _ => None
+    }
+    def litOf(e: cexp.Expression): Option[cexp.Literal] = e match {
+      case l: cexp.Literal if l.value != null => Some(l)
+      case _ => None
+    }
+    // per-conjunct interval predicate over the range table's columns
+    // (__mn_<c>, __mx_<c>); None = unprunable (≡ TRUE for the file).
+    // NULL-safe by construction: a missing range yields NULL, and the
+    // final coalesce(pred, true) keeps the file conservatively.
+    def mn(c: String) = col(s"__mn_$c")
+    def mx(c: String) = col(s"__mx_$c")
+    // the literal keeps ITS OWN type (its internal value matches it)
+    // and goes through a cast to the stored stats type — never a
+    // re-typed Literal, whose internal representation would not match
+    // catalyst Literal → Column publicly: render to its SQL form
+    // (types carried: 5L, 'x', DATE '…') and re-parse
+    def typedLit(c: String, l: cexp.Literal): Column =
+      expr(l.sql).cast(m.schema(c).dataType)
+    def prune(e: cexp.Expression): Option[Column] = e match {
+      case cexp.And(l, r) => (prune(l), prune(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // TRUE ∧ p = p
+      }
+      case cexp.Or(l, r) => for (a <- prune(l); b <- prune(r)) yield a || b
+      case cexp.EqualTo(a, v) => eq(a, v).orElse(eq(v, a))
+      case cexp.EqualNullSafe(a, v) => eq(a, v).orElse(eq(v, a))
+      case cexp.LessThan(a, v) =>
+        ineq(a, v)((c, l) => mn(c) < l).orElse(ineq(v, a)((c, l) => mx(c) > l))
+      case cexp.LessThanOrEqual(a, v) =>
+        ineq(a, v)((c, l) => mn(c) <= l)
+          .orElse(ineq(v, a)((c, l) => mx(c) >= l))
+      case cexp.GreaterThan(a, v) =>
+        ineq(a, v)((c, l) => mx(c) > l).orElse(ineq(v, a)((c, l) => mn(c) < l))
+      case cexp.GreaterThanOrEqual(a, v) =>
+        ineq(a, v)((c, l) => mx(c) >= l)
+          .orElse(ineq(v, a)((c, l) => mn(c) <= l))
+      case cexp.In(a, vs) =>
+        val lits = vs.flatMap(litOf)
+        if (lits.length == vs.length && lits.nonEmpty)
+          tracked(a).map(c => lits.map(v =>
+            mn(c) <= typedLit(c, v) && mx(c) >= typedLit(c, v))
+            .reduce(_ || _))
+        else None
+      case cexp.StartsWith(a, p) =>
+        for (c <- tracked(a); v <- litOf(p)) yield {
+          val prefix = v.value.toString
+          // [prefix, next(prefix)) — next = last char incremented;
+          // all-max-char prefixes fall back to the lower bound only
+          val bumped = prefix.reverseIterator.zipWithIndex
+            .collectFirst { case (ch, i) if ch != Char.MaxValue =>
+              prefix.dropRight(i + 1) + (ch + 1).toChar }
+          val t = m.schema(c).dataType
+          val lower = mx(c) >= lit(prefix).cast(t)
+          bumped.fold(lower)(nx => lower && mn(c) < lit(nx).cast(t))
+        }
+      case _ => None
+    }
+    def eq(a: cexp.Expression, v: cexp.Expression): Option[Column] =
+      for (c <- tracked(a); l <- litOf(v)) yield
+        mn(c) <= typedLit(c, l) && mx(c) >= typedLit(c, l)
+    def ineq(a: cexp.Expression, v: cexp.Expression)
+            (f: (String, Column) => Column): Option[Column] =
+      for (c <- tracked(a); l <- litOf(v)) yield f(c, typedLit(c, l))
+
+    // Column → catalyst Expression without the private[sql] bridge: an
+    // ANALYZED probe plan over an empty frame with the table schema.
+    // The raw plan won't do — Spark 4's Column DSL builds
+    // UnresolvedFunction('=') nodes, and only the analyzer rewrites
+    // them to EqualTo/LessThan/... that the matcher below reads.
+    // Driver-only, no job; analysis failures (unknown column) fall
+    // back to no pruning and surface on the real read.
+    val expr0 = scala.util.Try(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }).toOption.flatten.getOrElse(return m.entries)
+    prune(expr0) match {
+      case None => m.entries // nothing prunable — read everything
+      case Some(pred) =>
+        if (m.entries.isEmpty) return m.entries
+        // referenced columns' ranges, typed via cast (stats are stored
+        // string-encoded); unrecorded ranges stay NULL → kept
+        val cols = (m.keyCol +: m.statsCols).distinct
+        def range(e: FileEntry, c: String): (String, String) =
+          if (c == m.keyCol) (e.min.orNull, e.max.orNull)
+          else e.extra.get(c).map(x => (x._1, x._2)).getOrElse((null, null))
+        val rows = m.entries.map(e =>
+          org.apache.spark.sql.Row.fromSeq(e.relPath +:
+            cols.flatMap(c => { val (a, b) = range(e, c); Seq(a, b) })))
+        val schema = StructType(
+          org.apache.spark.sql.types.StructField("__f",
+            org.apache.spark.sql.types.StringType) +:
+          cols.flatMap(c => Seq(
+            org.apache.spark.sql.types.StructField(s"__rmn_$c",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(s"__rmx_$c",
+              org.apache.spark.sql.types.StringType))))
+        import scala.jdk.CollectionConverters._
+        val ranges = spark.createDataFrame(rows.asJava, schema)
+          .select(col("__f") +: cols.flatMap(c => Seq(
+            col(s"__rmn_$c").cast(m.schema(c).dataType).as(s"__mn_$c"),
+            col(s"__rmx_$c").cast(m.schema(c).dataType).as(s"__mx_$c"))): _*)
+        val keep = ranges.filter(coalesce(pred, lit(true)))
+          .select("__f").collect().map(_.getString(0)).toSet
+        m.entries.filter(e => keep(e.relPath))
+    }
+  }
+
   /** The live file inventory as a DataFrame — ops visibility: per file
     * its row count, key range, and each tracked secondary column's
     * range (null when unrecorded). */
