@@ -3,7 +3,8 @@ package graft.io
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType,
+  DateType, IntegerType, LongType, ShortType, StringType, StructType}
 
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
@@ -1082,6 +1083,21 @@ object ManifestTable {
                        keyCol: String, schema: StructType,
                        statsCols: Seq[String],
                        colMap: Seq[(String, String)]): Seq[FileEntry] = {
+    // FOOTER FAST PATH: the just-written parquet footers already carry
+    // exact per-file row counts, null counts, and min/max for the
+    // integer/long/string/date/boolean types every table here keys and
+    // tracks on — so the common commit collects its manifest stats as a
+    // METADATA-ONLY driver pass (zero Spark jobs) instead of re-reading
+    // the bytes it just wrote. At 100 TB the difference is writing the
+    // data once vs writing it and reading it all back. Types whose
+    // chunk statistics are not exact element values (float/double's
+    // signed-zero widening, INT96 timestamps which carry no stats,
+    // oversized binaries that parquet drops) return None and take the
+    // scan below — correctness never depends on the fast path.
+    footerStats(spark, root, txnRel, keyCol, schema, statsCols, colMap) match {
+      case Some(entries) => return entries
+      case None =>
+    }
     val dir = s"$root/$txnRel"
     // the just-written files hold PHYSICAL names; stats stay keyed by
     // the manifest's LOGICAL statsCols (the index-zipped extra map)
@@ -1136,6 +1152,179 @@ object ManifestTable {
       FileEntry(rel, r.getLong(1), Option(r.getString(3)),
         Option(r.getString(4)), extra)
     }.toSeq.sortBy(_.relPath)
+  }
+
+  /** [[statsFor]]'s metadata-only fast path: manifest stats straight
+    * from the parquet FOOTERS of a just-written txn. None = some
+    * needed column's chunk statistics are not exact element values on
+    * this layout — caller re-scans. The supported types' footer
+    * min/max ARE exact values from the data (parquet drops, never
+    * truncates, column-chunk stats by default), and their orderings
+    * agree with Spark's (signed numeric; unsigned byte-wise for UTF8
+    * strings, same as UTF8String); the string rendering below matches
+    * `cast(col AS string)` for each, so entries are bit-identical to
+    * the scan's. Null merge keys are a REAL error (same refusal as the
+    * scan), never a fallback. Footer reads parallelize on a bounded
+    * driver pool — ~KB each, so even a 10⁵-file commit stays in
+    * seconds; the scan they replace would be the whole txn's bytes. */
+  private[io] def footerStats(spark: SparkSession, root: String,
+                              txnRel: String,
+                              keyCol: String, schema: StructType,
+                              statsCols: Seq[String],
+                              colMap: Seq[(String, String)])
+      : Option[Seq[FileEntry]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val pKey = physNameOf(colMap, keyCol)
+    val pStats = statsCols.map(physNameOf(colMap, _))
+    val needed = (pKey +: pStats).zip(keyCol +: statsCols)
+    // a needed column whose SPARK type footer stats can't represent
+    // exactly rules the whole txn out before any footer is opened
+    def footerable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | ShortType | ByteType | StringType |
+           DateType | BooleanType => true
+      case _ => false
+    }
+    if (!needed.forall { case (_, l) => footerable(schema(l).dataType) })
+      return None
+    val dirPath = new Path(s"$root/$txnRel")
+    val fs = hfs(spark, dirPath)
+    val files = {
+      val it = fs.listFiles(dirPath, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")) b += st
+      }
+      b.result()
+    }
+    if (files.isEmpty) return Some(Seq.empty)
+
+    // unsigned byte-wise compare — UTF8String / parquet UTF8 ordering
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    // (value, stats-string) per supported type; None = primitive/type
+    // mismatch (not this path's layout — bail out)
+    def extract(dt: DataType,
+                c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+        : Option[(Any, Any)] = {
+      val s = c.getStatistics
+      val prim = c.getPrimitiveType.getPrimitiveTypeName
+      val ok = dt match {
+        case IntegerType | ShortType | ByteType | DateType => prim == INT32
+        case LongType => prim == INT64
+        case StringType => prim == BINARY
+        case BooleanType => prim == BOOLEAN
+        case _ => false
+      }
+      if (!ok || s == null || !s.hasNonNullValue) None
+      else Some((s.genericGetMin, s.genericGetMax))
+    }
+    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case StringType => cmpBytes(
+        a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+        b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes) < 0
+      case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _ => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    }
+    def render(dt: DataType, v: Any): String = dt match {
+      case StringType => new String(
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, UTF_8)
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ => v.toString
+    }
+
+    // per file: rows, key nulls (None = footer doesn't say → rescan),
+    // per needed column Option[(min,max)] (None = all-null in file) —
+    // wrapped in an outer Option: None = this file defeats the path
+    case class FStat(rel: String, rows: Long, keyNulls: Long,
+                     cols: Map[String, Option[(String, String)]])
+    def statOne(st: org.apache.hadoop.fs.FileStatus): Option[Option[FStat]] = {
+      import scala.jdk.CollectionConverters._
+      val abs = st.getPath.toUri.getPath
+      val marker = "/" + txnRel + "/"
+      val at = abs.lastIndexOf(marker)
+      require(at >= 0, s"file $abs not under txn dir $txnRel")
+      val rel = abs.substring(at + 1)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, fs.getConf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.filter(_.getRowCount > 0L)
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0L) return Some(None) // empty file: no entry (scan parity)
+        var keyNulls = 0L
+        val acc = scala.collection.mutable.Map
+          .empty[String, Option[(Any, Any)]] // None = all-null so far
+        for (b <- blocks; (p, l) <- needed) {
+          val dt = schema(l).dataType
+          val c = b.getColumns.asScala
+            .find(c => c.getPath.size == 1 && c.getPath.toDotString == p)
+            .getOrElse(return None)
+          val s = c.getStatistics
+          if (p == pKey) {
+            if (s == null || !s.isNumNullsSet) return None
+            keyNulls += s.getNumNulls
+          }
+          extract(dt, c) match {
+            case Some((mn, mx)) => acc(p) = Some(acc.getOrElse(p, None) match {
+              case Some((a, b0)) => (if (lt(dt, mn, a)) mn else a,
+                if (lt(dt, b0, mx)) mx else b0)
+              case None => (mn, mx)
+            })
+            case None =>
+              // no min/max: exact only when provably an all-null chunk
+              if (s == null || !s.isNumNullsSet ||
+                  s.getNumNulls != b.getRowCount) return None
+              if (!acc.contains(p)) acc(p) = None
+          }
+        }
+        if (keyNulls > 0L)
+          throw new IllegalArgumentException(
+            s"requirement failed: null merge key in $abs: $keyNulls " +
+            "row(s) — merge keys must be non-null")
+        Some(Some(FStat(rel, rows, keyNulls, needed.map { case (p, l) =>
+          p -> acc(p).map { case (a, b) =>
+            val dt = schema(l).dataType
+            (render(dt, a), render(dt, b))
+          }
+        }.toMap)))
+      } finally rd.close()
+    }
+
+    // bounded driver pool: footers are metadata-sized point reads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(files.length, 32))
+    val results =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.duration._
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(files)(f =>
+            scala.concurrent.Future(statOne(f))),
+          Duration.Inf)
+      } finally pool.shutdown()
+    if (results.contains(None)) return None // some file defeats the path
+    Some(results.flatMap(_.get).map { f =>
+      val extra = statsCols.flatMap { l =>
+        f.cols(physNameOf(colMap, l)).map(l -> _)
+      }.toMap
+      val (kmn, kmx) = f.cols(pKey).getOrElse(
+        return None) // unreachable: keyNulls==0 ⇒ key has values
+      FileEntry(f.rel, f.rows, Some(kmn), Some(kmx), extra)
+    }.sortBy(_.relPath))
   }
 
   /** Single-file txn write with the per-file stats OBSERVED during the
