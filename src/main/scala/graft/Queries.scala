@@ -1316,6 +1316,31 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // PREDICATE DELETE (ManifestTable.deleteWhere — `DELETE FROM t
+    // WHERE …` with the three-tier cost model): files the key range
+    // PROVES fully dead leave the manifest metadata-only (never
+    // opened — dropping the low quarter of a key-ranged table is a
+    // manifest write), the boundary file takes a deletion-vector
+    // sidecar, the priority conjunct kills rows everywhere else
+    // through the same single dv commit, and untouched files stay
+    // byte-identical (DeleteWhereSpec pins all three tiers). The
+    // oracle replays the delete as `WHERE NOT (…)` — SQL semantics,
+    // so the hash gates over- AND under-deletion.
+    "m22_delete_where" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val cut = base.agg(max("o_orderkey")).first().getLong(0) / 4L
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.deleteWhere(s, path,
+        col("o_orderkey") <= lit(cut) ||
+          col("o_orderpriority") === lit("1-URGENT"))
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3186,6 +3211,20 @@ object Queries {
         |SELECT priority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM merged GROUP BY priority""".stripMargin,
+
+    // m22: the delete's survivors are WHERE NOT(pred) — metadata drops,
+    // the dv boundary, and plain vectored kills must all agree with it.
+    "m22_delete_where" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(max(o_orderkey) / 4) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey <= (SELECT c FROM cut)
+        |  OR o_orderpriority = '1-URGENT')
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // m21: readWhere must equal a plain WHERE over the source rows —
     // pruning is an access-path optimization, never a semantic one.

@@ -1528,6 +1528,45 @@ object ManifestTable {
                maxRetries: Int = 3): DvStats =
     dvCommit(spark, path, Some(updates), None, numFiles, setTag, maxRetries)
 
+  /** PREDICATE DELETE (`DELETE FROM t WHERE cond`) at metadata speed
+    * where the stats allow it, and deletion-vector speed everywhere
+    * else — ONE atomic commit, ZERO data files rewritten:
+    *
+    *   - files whose stats PROVE every row matches (merge-key
+    *     comparisons covering the whole [min,max] range — the key is
+    *     non-null by contract, so range coverage is row coverage)
+    *     leave the manifest outright: never opened, never sidecar'd.
+    *     Dropping a year of a time-keyed table is a manifest write.
+    *   - files that POSSIBLY hold a match are read (file-pruned — the
+    *     [[readWhere]] sets), and their matching LIVE keys are marked
+    *     dead through the usual sidecar re-point.
+    *   - files the stats rule out are untouched, byte-identical.
+    *
+    * `cond` must be deterministic (it is evaluated once against stats
+    * and once against rows); SQL DELETE semantics apply — rows where
+    * `cond` is NULL survive. Returns the dv accounting: `deadMarked`
+    * includes the dropped files' rows, `filesDropped` the metadata
+    * drops (plus any file the sidecar fully killed). Re-derives its
+    * row set from the fresh snapshot on each optimistic-concurrency
+    * retry, so a conflicting winner's changes are honored. */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+                  setTag: Option[String] = None,
+                  maxRetries: Int = 3): DvStats =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val (possible, covered) = whereSets(spark, m, cond)
+      val partial = possible.filterNot(e => covered(e.relPath))
+      if (partial.isEmpty && covered.isEmpty) {
+        // predicate provably matches nothing: burn no version
+        setTag.foreach(t => setTagOnly(spark, path, t))
+        DvStats(m.version, 0, 0L, 0, 0)
+      } else {
+        val keys = readEntries(spark, path, m.schema, m.keyCol, partial,
+          m.colMap).filter(cond).select(col(m.keyCol))
+        attemptDvCommit(spark, path, m, None, Some(keys), 0, setTag,
+          covered)
+      }
+    }
+
   /** Upsert + delete in ONE deletion-vector commit (the dv twin of
     * [[upsertAndDelete]], same disjoint-keys contract). */
   def upsertAndDeleteDV(spark: SparkSession, path: String,
@@ -1560,7 +1599,8 @@ object ManifestTable {
                               upserts: Option[DataFrame],
                               dels: Option[DataFrame],
                               numFiles: Int,
-                              setTag: Option[String]): DvStats = {
+                              setTag: Option[String],
+                              dropRels: Set[String] = Set.empty): DvStats = {
     upserts.foreach { u =>
       val unknown = u.columns.filterNot(m.schema.fieldNames.contains)
       require(unknown.isEmpty,
@@ -1585,7 +1625,7 @@ object ManifestTable {
       .select(keyK.cast(m.keyType).as("__k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try attemptDvBody(spark, path, m, upserts, dels, numFiles, setTag,
-      batchKeys)
+      batchKeys, dropRels)
     finally batchKeys.unpersist(blocking = false)
   }
 
@@ -1593,16 +1633,26 @@ object ManifestTable {
                             upserts: Option[DataFrame],
                             dels: Option[DataFrame], numFiles: Int,
                             setTag: Option[String],
-                            batchKeys: DataFrame): DvStats = {
+                            batchKeys: DataFrame,
+                            // [[deleteWhere]]'s metadata-drop set:
+                            // entries removed WHOLESALE (every row
+                            // proved dead) — never scanned, never
+                            // sidecar'd, just absent from the next
+                            // manifest (the CoW-delete file-drop shape,
+                            // so CDF and retention treat them alike)
+                            dropRels: Set[String] = Set.empty): DvStats = {
     val keyK = col(m.keyCol)
     // ≤1 live file: same trade as the copy-on-write path — probing
     // whether the batch intersects the one file's range costs a Spark
     // job, and the dead-pair scan below finds the same answer anyway
     // (zero matches commits nothing)
-    val touched =
+    val touched0 =
       if (m.entries.size <= 1) m.entries.map(_.relPath).toSet
       else touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
         col(m.keyCol), m)
+    // a dropped file may still RANGE-cover batch keys (overlapping key
+    // ranges); it must not be scanned or re-added through keptTouched
+    val touched = touched0 -- dropRels
     val touchedE = m.entries.filter(e => touched(e.relPath))
 
     // dead pairs = (file, key) of PHYSICAL rows matching a batch key,
@@ -1711,7 +1761,7 @@ object ManifestTable {
         case None => Seq.empty
       }
 
-      if (deadTotal == 0L && appended.isEmpty) {
+      if (deadTotal == 0L && appended.isEmpty && dropRels.isEmpty) {
         // nothing newly dead and nothing to append: burn no version —
         // but a consumer's cursor must still advance, or its window
         // (e.g. deletes of keys its mirror never had) replays forever
@@ -1759,10 +1809,14 @@ object ManifestTable {
       // sidecar but no entry points there, so the reader never opens it
       val keptTouched = touchedE.filter(e =>
         deadByRel.getOrElse(e.relPath, 0L) == 0L) ++ updatedE
-      val carried = m.entries.filterNot(e => touched(e.relPath))
+      val carried = m.entries.filterNot(e =>
+        touched(e.relPath) || dropRels(e.relPath))
+      val dropRows = m.entries.filter(e => dropRels(e.relPath))
+        .map(_.rows).sum
 
       val op =
-        if (upserts.isDefined && dels.isDefined) "upsert+delete-dv"
+        if (dropRels.nonEmpty) "delete-where-dv"
+        else if (upserts.isDefined && dels.isDefined) "upsert+delete-dv"
         else if (upserts.isDefined) "merge-dv"
         else "delete-dv"
       commitFence()
@@ -1772,7 +1826,8 @@ object ManifestTable {
         constraints = m.constraints, colMap = m.colMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, nextV, m.retain)
-      DvStats(nextV, updatedE.size, deadTotal, dropped.size, appended.size)
+      DvStats(nextV, updatedE.size, deadTotal + dropRows,
+        dropped.size + dropRels.size, appended.size)
     } finally newPairs.unpersist(blocking = false)
   }
 
@@ -3092,7 +3147,22 @@ object ManifestTable {
   /** The file-pruning half of [[readWhere]], reusable by any caller
     * that wants the kept entry list (ops visibility, tests). */
   private[io] def entriesWhere(spark: SparkSession, m: Manifest,
-                               cond: Column): Seq[FileEntry] = {
+                               cond: Column): Seq[FileEntry] =
+    whereSets(spark, m, cond)._1
+
+  /** Both halves of predicate-vs-stats reasoning in ONE metadata-sized
+    * pass: `_1` = files that POSSIBLY hold a matching row (the sound
+    * read/prune set — see [[readWhere]] for the shapes), `_2` = rel
+    * paths PROVABLY matched on every row, the [[deleteWhere]]
+    * metadata-drop set. Coverage proofs use the MERGE KEY only: it is
+    * non-null by table contract, so "the whole [min,max] range
+    * satisfies the comparison" really does mean every row matches —
+    * a tracked stats column may hold nulls the stats don't record, and
+    * a null makes the predicate non-true for that row, so stats-column
+    * coverage would over-delete. AND needs both sides proved; OR
+    * either; anything else proves nothing (conservatively uncovered). */
+  private[io] def whereSets(spark: SparkSession, m: Manifest,
+                            cond: Column): (Seq[FileEntry], Set[String]) = {
     import org.apache.spark.sql.catalyst.{expressions => cexp}
     // resolve an attribute to its schema-cased name, only when its
     // stats are actually recorded (key min/max or a tracked column)
@@ -3169,6 +3239,55 @@ object ManifestTable {
             (f: (String, Column) => Column): Option[Column] =
       for (c <- tracked(a); l <- litOf(v)) yield f(c, typedLit(c, l))
 
+    // ---- the COVERAGE dual: Some(col) = "predicate provably TRUE for
+    // every row of the file" (merge key only — see scaladoc) ----
+    def keyed(e: cexp.Expression): Option[String] =
+      tracked(e).filter(_ == m.keyCol)
+    def keq(a: cexp.Expression, v: cexp.Expression): Option[Column] =
+      for (c <- keyed(a); l <- litOf(v)) yield
+        mn(c) === typedLit(c, l) && mx(c) === typedLit(c, l)
+    def kineq(a: cexp.Expression, v: cexp.Expression)
+             (f: (String, Column) => Column): Option[Column] =
+      for (c <- keyed(a); l <- litOf(v)) yield f(c, typedLit(c, l))
+    def cover(e: cexp.Expression): Option[Column] = e match {
+      case cexp.And(l, r) => for (a <- cover(l); b <- cover(r)) yield a && b
+      case cexp.Or(l, r) => (cover(l), cover(r)) match {
+        case (Some(a), Some(b)) => Some(a || b)
+        case (a, b) => a.orElse(b) // one side covering the file suffices
+      }
+      case cexp.EqualTo(a, v) => keq(a, v).orElse(keq(v, a))
+      case cexp.EqualNullSafe(a, v) => keq(a, v).orElse(keq(v, a))
+      case cexp.LessThan(a, v) =>
+        kineq(a, v)((c, l) => mx(c) < l).orElse(kineq(v, a)((c, l) => mn(c) > l))
+      case cexp.LessThanOrEqual(a, v) =>
+        kineq(a, v)((c, l) => mx(c) <= l)
+          .orElse(kineq(v, a)((c, l) => mn(c) >= l))
+      case cexp.GreaterThan(a, v) =>
+        kineq(a, v)((c, l) => mn(c) > l).orElse(kineq(v, a)((c, l) => mx(c) < l))
+      case cexp.GreaterThanOrEqual(a, v) =>
+        kineq(a, v)((c, l) => mn(c) >= l)
+          .orElse(kineq(v, a)((c, l) => mx(c) <= l))
+      case cexp.In(a, vs) =>
+        val lits = vs.flatMap(litOf)
+        if (lits.length == vs.length && lits.nonEmpty)
+          // provable only for a single-valued file whose value is listed
+          keyed(a).map(c => mn(c) === mx(c) &&
+            lits.map(v => mn(c) === typedLit(c, v)).reduce(_ || _))
+        else None
+      case cexp.StartsWith(a, p) =>
+        for (c <- keyed(a); v <- litOf(p); nx <- {
+          val prefix = v.value.toString
+          prefix.reverseIterator.zipWithIndex
+            .collectFirst { case (ch, i) if ch != Char.MaxValue =>
+              prefix.dropRight(i + 1) + (ch + 1).toChar }
+        }) yield {
+          val t = m.schema(c).dataType
+          // every string in [prefix, next(prefix)) carries the prefix
+          mn(c) >= lit(v.value.toString).cast(t) && mx(c) < lit(nx).cast(t)
+        }
+      case _ => None
+    }
+
     // Column → catalyst Expression without the private[sql] bridge: an
     // ANALYZED probe plan over an empty frame with the table schema.
     // The raw plan won't do — Spark 4's Column DSL builds
@@ -3181,37 +3300,40 @@ object ManifestTable {
       .filter(cond).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
-      }).toOption.flatten.getOrElse(return m.entries)
-    prune(expr0) match {
-      case None => m.entries // nothing prunable — read everything
-      case Some(pred) =>
-        if (m.entries.isEmpty) return m.entries
-        // referenced columns' ranges, typed via cast (stats are stored
-        // string-encoded); unrecorded ranges stay NULL → kept
-        val cols = (m.keyCol +: m.statsCols).distinct
-        def range(e: FileEntry, c: String): (String, String) =
-          if (c == m.keyCol) (e.min.orNull, e.max.orNull)
-          else e.extra.get(c).map(x => (x._1, x._2)).getOrElse((null, null))
-        val rows = m.entries.map(e =>
-          org.apache.spark.sql.Row.fromSeq(e.relPath +:
-            cols.flatMap(c => { val (a, b) = range(e, c); Seq(a, b) })))
-        val schema = StructType(
-          org.apache.spark.sql.types.StructField("__f",
-            org.apache.spark.sql.types.StringType) +:
-          cols.flatMap(c => Seq(
-            org.apache.spark.sql.types.StructField(s"__rmn_$c",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField(s"__rmx_$c",
-              org.apache.spark.sql.types.StringType))))
-        import scala.jdk.CollectionConverters._
-        val ranges = spark.createDataFrame(rows.asJava, schema)
-          .select(col("__f") +: cols.flatMap(c => Seq(
-            col(s"__rmn_$c").cast(m.schema(c).dataType).as(s"__mn_$c"),
-            col(s"__rmx_$c").cast(m.schema(c).dataType).as(s"__mx_$c"))): _*)
-        val keep = ranges.filter(coalesce(pred, lit(true)))
-          .select("__f").collect().map(_.getString(0)).toSet
-        m.entries.filter(e => keep(e.relPath))
-    }
+      }).toOption.flatten.getOrElse(return (m.entries, Set.empty))
+    val (pruneP, coverP) = (prune(expr0), cover(expr0))
+    if (m.entries.isEmpty || (pruneP.isEmpty && coverP.isEmpty))
+      return (m.entries, Set.empty)
+    // referenced columns' ranges, typed via cast (stats are stored
+    // string-encoded); unrecorded ranges stay NULL — kept on the
+    // possible side, never covered on the proof side
+    val cols = (m.keyCol +: m.statsCols).distinct
+    def range(e: FileEntry, c: String): (String, String) =
+      if (c == m.keyCol) (e.min.orNull, e.max.orNull)
+      else e.extra.get(c).map(x => (x._1, x._2)).getOrElse((null, null))
+    val rows = m.entries.map(e =>
+      org.apache.spark.sql.Row.fromSeq(e.relPath +:
+        cols.flatMap(c => { val (a, b) = range(e, c); Seq(a, b) })))
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("__f",
+        org.apache.spark.sql.types.StringType) +:
+      cols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"__rmn_$c",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"__rmx_$c",
+          org.apache.spark.sql.types.StringType))))
+    import scala.jdk.CollectionConverters._
+    val ranges = spark.createDataFrame(rows.asJava, schema)
+      .select(col("__f") +: cols.flatMap(c => Seq(
+        col(s"__rmn_$c").cast(m.schema(c).dataType).as(s"__mn_$c"),
+        col(s"__rmx_$c").cast(m.schema(c).dataType).as(s"__mx_$c"))): _*)
+    val flags = ranges.select(col("__f"),
+        coalesce(pruneP.getOrElse(lit(true)), lit(true)).as("__possible"),
+        coalesce(coverP.getOrElse(lit(false)), lit(false)).as("__covered"))
+      .collect()
+    val keep = flags.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    val covered = flags.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+    (m.entries.filter(e => keep(e.relPath)), covered)
   }
 
   /** The live file inventory as a DataFrame — ops visibility: per file

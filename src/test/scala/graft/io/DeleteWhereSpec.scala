@@ -1,0 +1,153 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** deleteWhere — predicate deletes with the three-tier cost model:
+  * provably-covered files leave the manifest METADATA-ONLY (never
+  * opened), possibly-matching files get deletion-vectored, ruled-out
+  * files stay byte-identical. Results must equal SQL DELETE semantics
+  * in every tier mix. */
+class DeleteWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dw").toString + "/t"
+
+  private def cleanup(path: String): Unit =
+    Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+
+  // 1000 rows, 10 key-ranged files of 100; bucket = i/100 tracks the
+  // file; prio cycles A/B/C with some nulls
+  private def df: DataFrame =
+    (0 until 1000).map(i => (i.toLong, i / 100,
+      if (i % 11 == 0) null else s"${('A' + i % 3).toChar}"))
+      .toDF("id", "bucket", "prio")
+
+  private def make(path: String): Unit =
+    ManifestTable.create(df, path, "id", numFiles = 10,
+      statsCols = Seq("bucket", "prio"))
+
+  private def dataFiles(path: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(path)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(root).forEach { p =>
+      val n = p.getFileName.toString
+      // sidecar dirs (`…-dv/`) hold vectors, not data
+      if (n.endsWith(".parquet") && p.toString.contains("/data/") &&
+          !p.getParent.getFileName.toString.endsWith("-dv"))
+        out(root.relativize(p).toString) =
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }
+    out.toMap
+  }
+
+  test("key-range delete: covered files leave metadata-only, the boundary " +
+    "file is vectored, untouched files stay byte-identical, and NO new " +
+    "data txn is written") {
+    val path = tmp()
+    try {
+      make(path)
+      val before = dataFiles(path)
+      val st = ManifestTable.deleteWhere(spark, path, col("id") < 350L)
+      // files [0,100) [100,200) [200,300) proved covered; [300,400) partial
+      assert(st.filesDropped == 3)
+      assert(st.filesRepointed == 1)
+      assert(st.deadMarked == 350L)
+      val after = dataFiles(path)
+      // dv sidecars are new, but not one DATA file was added or touched
+      assert(after == before, "a predicate delete must write no data file")
+      val got = ManifestTable.read(spark, path)
+      assert(got.count() == 650L)
+      assert(got.agg(min("id")).first().getLong(0) == 350L)
+    } finally cleanup(path)
+  }
+
+  test("stats-column predicates never metadata-drop (nulls could hide in " +
+    "the range) but still prune reads and delete exactly the TRUE rows") {
+    val path = tmp()
+    try {
+      make(path)
+      val st = ManifestTable.deleteWhere(spark, path, col("bucket") === 2)
+      // bucket 2 is exactly file 2 — whole file dies, but through the
+      // sidecar (proved by pairs, not stats), so it reports as dropped
+      // with its rows dead-marked
+      assert(st.deadMarked == 100L)
+      assert(ManifestTable.read(spark, path).count() == 900L)
+      // null-prio rows must SURVIVE a prio predicate (SQL semantics)
+      val st2 = ManifestTable.deleteWhere(spark, path, col("prio") === "A")
+      val left = ManifestTable.read(spark, path)
+      assert(left.filter(col("prio").isNull).count() ==
+        df.filter(col("prio").isNull && col("bucket") =!= 2).count())
+      assert(left.filter(col("prio") === "A").count() == 0L)
+    } finally cleanup(path)
+  }
+
+  test("compound OR of key ranges covers both ends; the middle survives") {
+    val path = tmp()
+    try {
+      make(path)
+      val st = ManifestTable.deleteWhere(spark, path,
+        col("id") < 200L || col("id") >= 800L)
+      assert(st.filesDropped == 4) // files 0,1,8,9 — all proved covered
+      assert(st.filesRepointed == 0)
+      assert(st.deadMarked == 400L)
+      val got = ManifestTable.read(spark, path)
+      assert(got.count() == 600L)
+      assert(got.agg(min("id"), max("id")).first() ==
+        org.apache.spark.sql.Row(200L, 799L))
+    } finally cleanup(path)
+  }
+
+  test("a predicate matching nothing burns no version; unknown column " +
+    "fails loudly") {
+    val path = tmp()
+    try {
+      make(path)
+      val v0 = ManifestTable.readManifest(spark, path).version
+      val st = ManifestTable.deleteWhere(spark, path, col("id") > 5000L)
+      assert(st.version == v0 && st.deadMarked == 0L)
+      assert(ManifestTable.readManifest(spark, path).version == v0)
+      intercept[Exception] {
+        ManifestTable.deleteWhere(spark, path, col("nope") === 1)
+      }
+    } finally cleanup(path)
+  }
+
+  test("CDF across a deleteWhere commit: exactly the deleted rows, as " +
+    "deletes, covered-drop and vectored tiers alike; time travel still " +
+    "reads the pre-delete state") {
+    val path = tmp()
+    try {
+      make(path)
+      val v0 = ManifestTable.readManifest(spark, path).version
+      val st = ManifestTable.deleteWhere(spark, path, col("id") < 350L)
+      val ch = ManifestTable.changesBetween(spark, path, v0, st.version)
+      assert(ch.filter(col("_change_type") =!= "delete").count() == 0L)
+      assert(ch.count() == 350L)
+      assert(ch.agg(max("id")).first().getLong(0) == 349L)
+      assert(ManifestTable.readAt(spark, path, v0).count() == 1000L)
+    } finally cleanup(path)
+  }
+
+  test("deleteWhere composes with prior deletion vectors and with " +
+    "column mapping (renamed key prunes and covers)") {
+    val path = tmp()
+    try {
+      make(path)
+      ManifestTable.deleteKeysDV(spark, path,
+        df.filter(col("id") % 10 === 3).select("id"))
+      ManifestTable.renameColumn(spark, path, "id", "doc_id")
+      val st = ManifestTable.deleteWhere(spark, path, col("doc_id") < 500L)
+      // 500 keys in range, but 50 were already dead via the earlier dv
+      // — a re-delete of a dead row must not re-count
+      assert(st.deadMarked == 450L)
+      assert(st.filesDropped == 5)
+      val got = ManifestTable.read(spark, path)
+      assert(got.count() == 450L) // 500 survivors - 50 dv'd above 500
+      assert(got.agg(min("doc_id")).first().getLong(0) >= 500L)
+    } finally cleanup(path)
+  }
+}
