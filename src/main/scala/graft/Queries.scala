@@ -1341,6 +1341,32 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // PREDICATE UPDATE (ManifestTable.updateWhere — `UPDATE t SET …
+    // WHERE …`): the key-range conjunct prunes the match read to the
+    // covering files, SET expressions read the row's CURRENT values
+    // (price bump + re-label), and the whole update is one
+    // deletion-vector commit — old images die in sidecars, post-images
+    // append, zero data files rewritten (UpdateWhereSpec pins the
+    // file-set claim and the CDF pre/post pairing). The oracle replays
+    // it as CASE WHEN, so the hash gates both the matched set and the
+    // post-image arithmetic.
+    "m23_update_where" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val cut = base.agg(max("o_orderkey")).first().getLong(0) / 3L
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.updateWhere(s, path,
+        col("o_orderkey") <= lit(cut) &&
+          col("o_orderpriority") === lit("5-LOW"),
+        Map("o_orderpriority" -> lit("RAISED"),
+          "price_cents" -> (col("price_cents") + 250L)))
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3225,6 +3251,28 @@ object Queries {
         |WHERE NOT (o_orderkey <= (SELECT c FROM cut)
         |  OR o_orderpriority = '1-URGENT')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // m23: the update replays as CASE WHEN over both SET columns.
+    "m23_update_where" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(max(o_orderkey) / 3) AS BIGINT) AS c
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |updated AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= (SELECT c FROM cut)
+        |           AND o_orderpriority = '5-LOW'
+        |         THEN 'RAISED' ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey <= (SELECT c FROM cut)
+        |           AND o_orderpriority = '5-LOW'
+        |         THEN price_cents + 250 ELSE price_cents END AS price_cents
+        |  FROM base)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM updated GROUP BY o_orderpriority""".stripMargin,
 
     // m21: readWhere must equal a plain WHERE over the source rows —
     // pruning is an access-path optimization, never a semantic one.

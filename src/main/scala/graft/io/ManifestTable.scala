@@ -1567,6 +1567,43 @@ object ManifestTable {
       }
     }
 
+  /** PREDICATE UPDATE (`UPDATE t SET col = expr, … WHERE cond`) — the
+    * [[deleteWhere]] sibling that completes the DML triad next to
+    * [[mergeInto]]: matching rows are found with the [[readWhere]]
+    * file-pruned read, their post-images computed column-wise (`set`
+    * expressions see the row's CURRENT values, so `price -> price + 1`
+    * works), and the result lands through ONE deletion-vector commit —
+    * old images die in sidecars, post-images append key-sorted, no
+    * data file is rewritten; cost ∝ matched rows, never table size.
+    * The merge key is not updatable (rewriting identity breaks the key
+    * contract — delete + insert instead). `cond` must be deterministic;
+    * rows where it is NULL are untouched (SQL semantics). Post-images
+    * are functions of the target's current rows, so each
+    * optimistic-concurrency retry re-derives them against the fresh
+    * snapshot. `numFiles` 0 = one appended file. */
+  def updateWhere(spark: SparkSession, path: String, cond: Column,
+                  set: Map[String, Column], numFiles: Int = 0,
+                  setTag: Option[String] = None,
+                  maxRetries: Int = 3): DvStats = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    retryingCommit(spark, path, maxRetries) { m =>
+      val unknown = set.keys.filterNot(m.schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"SET references column(s) ${unknown.mkString(",")} the table " +
+        "schema lacks")
+      require(!set.contains(m.keyCol),
+        s"the merge key '${m.keyCol}' is not updatable — delete + insert " +
+        "instead")
+      val (possible, _) = whereSets(spark, m, cond)
+      val post = readEntries(spark, path, m.schema, m.keyCol, possible,
+          m.colMap)
+        .filter(cond)
+        .select(m.schema.fieldNames.map(f =>
+          set.get(f).map(_.as(f)).getOrElse(col(f))): _*)
+      attemptDvCommit(spark, path, m, Some(post), None, numFiles, setTag)
+    }
+  }
+
   /** Upsert + delete in ONE deletion-vector commit (the dv twin of
     * [[upsertAndDelete]], same disjoint-keys contract). */
   def upsertAndDeleteDV(spark: SparkSession, path: String,
