@@ -106,7 +106,13 @@ object Bench {
     // create rides pass 1, the median reports the per-tick commit +
     // post-tick rollup + restore), the operating point a 100 TB
     // CDC-fed table lives at
-    "m19_dv_steady")
+    "m19_dv_steady",
+    // round 13: the predicate DML pair, create-included like m16 —
+    // deleteWhere's metadata-drop + boundary-dv tiers and
+    // updateWhere's pruned-read + dv-commit loop must both stay
+    // bounded by their create
+    "m22_delete_where",
+    "m23_update_where")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
