@@ -1367,6 +1367,33 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // TYPE WIDENING (ManifestTable.widenColumn — the Delta shape): the
+    // table is created with an INT merge key, widened to LONG as a
+    // metadata-only commit (WidenColumnSpec pins zero files moved),
+    // then a merge lands keys beyond Int.MaxValue — the id-outgrew-int
+    // migration that at 100 TB must not rewrite the table. The rollup
+    // takes max_key through the wide type, so the oracle hash gates
+    // that old narrow files and new wide rows read as one table.
+    "m24_widen_type" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.widenColumn(s, path, "o_orderkey",
+        org.apache.spark.sql.types.LongType)
+      val batch = base.filter(col("o_orderkey") % 11 === 5)
+        .select((col("o_orderkey").cast("long") + 3000000000L)
+            .as("o_orderkey"),
+          lit("WIDE").as("o_orderpriority"), col("price_cents"))
+      graft.io.ManifestTable.merge(s, path, batch)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+          max("o_orderkey").as("max_key"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3273,6 +3300,24 @@ object Queries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM updated GROUP BY o_orderpriority""".stripMargin,
+
+    // m24: widening is semantically invisible — the oracle is simply
+    // base ∪ the wide-keyed batch in BIGINT throughout.
+    "m24_widen_type" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |wide AS (
+        |  SELECT o_orderkey + 3000000000 AS o_orderkey,
+        |    'WIDE' AS o_orderpriority, price_cents
+        |  FROM base WHERE o_orderkey % 11 = 5),
+        |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM wide)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned GROUP BY o_orderpriority""".stripMargin,
 
     // m21: readWhere must equal a plain WHERE over the source rows —
     // pruning is an access-path optimization, never a semantic one.

@@ -2169,6 +2169,64 @@ object ManifestTable {
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
 
+  /** WIDEN a column's type as a METADATA-ONLY commit (the Delta "type
+    * widening" shape): the manifest schema changes, zero data files
+    * move — Spark's parquet reader promotes the old files' physical
+    * type (int32→long etc.) under the wider requested schema, and
+    * every later write lands in the wide type. The id column that
+    * outgrows int, the counter that outgrows int: one manifest write
+    * at 100 TB.
+    *
+    * Supported: the integral chain (byte→short→int→long, any upward
+    * hop — string-encoded manifest stats round-trip EXACTLY through
+    * the wider type, so key/stats/partition/Z reasoning stays sound,
+    * including the merge key itself and its deletion-vector sidecars,
+    * whose stored keys re-cast on read), and float→double for
+    * STATS-FREE columns only — a float min/max re-read as double does
+    * NOT bound the promoted values (0.1f ≠ 0.1d), so widening a
+    * stats-bearing float would make pruning unsound; those need a
+    * rewrite. Narrowing and everything else are refused loudly. */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+                  newType: DataType, maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      require(m.schema.fieldNames.contains(name),
+        s"no column '$name' in $path " +
+        s"(have: ${m.schema.fieldNames.mkString(", ")})")
+      val oldType = m.schema(name).dataType
+      val rank: Map[DataType, Int] = Map(org.apache.spark.sql.types
+        .ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+      val integralUp = rank.contains(oldType) && rank.contains(newType) &&
+        rank(newType) > rank(oldType)
+      val floatUp = oldType == org.apache.spark.sql.types.FloatType &&
+        newType == org.apache.spark.sql.types.DoubleType
+      require(integralUp || floatUp,
+        s"unsupported widening ${oldType.simpleString} -> " +
+        s"${newType.simpleString} on '$name' — supported: " +
+        "byte/short/int -> wider integral, float -> double " +
+        "(narrowing never)")
+      if (floatUp) {
+        val statted = name == m.keyCol || m.statsCols.contains(name) ||
+          m.partCol.contains(name) ||
+          m.zCols.exists(z => z._1 == name || z._2 == name)
+        require(!statted,
+          s"float->double widening refused for stats-bearing '$name': " +
+          "recorded float min/max re-read as double would not bound the " +
+          "promoted values (pruning would turn unsound) — rewrite the " +
+          "table instead")
+      }
+      val newSchema = StructType(m.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newType) else f))
+      commitFence()
+      writeManifest(spark, path, m.version + 1, m.keyCol,
+        if (name == m.keyCol) newType else m.keyType,
+        newSchema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
+        op = s"widen-column($name:${oldType.simpleString}->" +
+          s"${newType.simpleString})",
+        partCol = m.partCol, constraints = m.constraints,
+        colMap = m.colMap, retiredPhys = m.retiredPhys)
+      retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+
   /** DROP a column as a METADATA-ONLY commit: the column leaves the
     * schema and the tracked stats; its bytes stay in the already-
     * written files, simply never read again (scans request only the
