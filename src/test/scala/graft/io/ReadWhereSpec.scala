@@ -139,4 +139,19 @@ class ReadWhereSpec extends SparkSpec {
         (280L - 180L + 1L) - (260L - 200L + 1L))
     } finally cleanup(path)
   }
+
+  test("a partitioned table's partition column prunes through readWhere " +
+    "(equality and IN), compounding with the key") {
+    val path = tmp()
+    try {
+      ManifestTable.createPartitioned(df, path, "id", "bucket")
+      val kIn = keptFiles(path, col("bucket").isin(3, 7))
+      assert(kIn <= 2, s"partition IN kept $kIn files")
+      assert(ManifestTable.readWhere(spark, path,
+        col("bucket").isin(3, 7)).count() == 200L)
+      val c = col("bucket") === 5 && col("id") >= 560L
+      assert(keptFiles(path, c) <= 1)
+      assert(ManifestTable.readWhere(spark, path, c).count() == 40L)
+    } finally cleanup(path)
+  }
 }
