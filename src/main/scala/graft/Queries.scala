@@ -1394,6 +1394,29 @@ object Queries {
           max("o_orderkey").as("max_key"))
     }),
 
+    // SHALLOW CLONE (ManifestTable.shallowClone — Delta parity): the
+    // clone borrows the source's files (zero data bytes copied:
+    // ShallowCloneSpec pins it), then mutates INDEPENDENTLY — a dv
+    // delete marks borrowed rows dead through a local sidecar, and a
+    // copy-on-write merge rewrites only the touched borrowed files
+    // into local ones. The declared result reads the mutated CLONE, so
+    // the oracle hash gates that borrowed bytes + local vectors +
+    // local rewrites compose into exactly the logical table; the spec
+    // pins that the source stayed byte-identical throughout.
+    "m25_shallow_clone" -> ((s, dir) => {
+      val (base, updates) = ordersMergeFixture(s, dir)
+      val root = mtabTmp()
+      val src = s"$root/src"; val dst = s"$root/dst"
+      graft.io.ManifestTable.create(base, src, "o_orderkey", numFiles = 8)
+      graft.io.ManifestTable.shallowClone(s, src, dst)
+      graft.io.ManifestTable.deleteKeysDV(s, dst,
+        base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"))
+      graft.io.ManifestTable.merge(s, dst, updates)
+      graft.io.ManifestTable.read(s, dst)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3300,6 +3323,32 @@ object Queries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM updated GROUP BY o_orderpriority""".stripMargin,
+
+    // m25: the clone's dv delete → CoW merge is the m16 algebra over
+    // borrowed files — filter, then anti-join ∪ batch. Identical SQL,
+    // deliberately: a shallow clone must be logically invisible.
+    "m25_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+        |    price_cents + 10000000 AS price_cents
+        |  FROM base
+        |  WHERE o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+        |    'INSERTED', price_cents
+        |  FROM base WHERE o_orderkey % 11 = 5),
+        |kept AS (SELECT * FROM base WHERE o_orderkey % 13 <> 4),
+        |final AS (
+        |  SELECT * FROM kept
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY o_orderpriority""".stripMargin,
 
     // m24: widening is semantically invisible — the oracle is simply
     // base ∪ the wide-keyed batch in BIGINT throughout.

@@ -538,6 +538,14 @@ object ManifestTable {
     * files are unaffected). PHYSICAL rows: no deletion vector applied
     * — only [[readEntries]] and the dv-commit's matched-row scan may
     * call this. */
+  /** relPath → readable location. Ordinary entries are RELATIVE to the
+    * table root; a [[shallowClone]]'s borrowed entries carry the
+    * source's ABSOLUTE/qualified path and resolve as themselves —
+    * which also keeps them invisible to this table's retention sweep
+    * (it walks only the local `data/` tree). */
+  private[io] def absOf(path: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel else s"$path/$rel"
+
   private def readEntriesRaw(spark: SparkSession, path: String,
                              schema: StructType,
                              entries: Seq[FileEntry]): DataFrame =
@@ -546,7 +554,7 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).option("recursiveFileLookup", "true")
-        .parquet(entries.map(e => s"$path/${e.relPath}"): _*)
+        .parquet(entries.map(e => absOf(path, e.relPath)): _*)
 
   /** LIVE rows of the given entries: files without a deletion vector
     * read as-is (the plain codegen'd scan — the hot path at 100 TB,
@@ -1728,20 +1736,32 @@ object ManifestTable {
     try {
       // per-file newly-dead counts: metadata-sized (≤ one row per
       // touched file) — the entry arithmetic below is driver-side.
-      // file_path → relPath decode mirrors [[statsFor]]: the metadata
-      // path is URL-encoded while the manifest stores the filesystem
-      // form, and the txn marker's LAST occurrence is the file's own
-      // txn dir (different touched files live in different txns, so
-      // the marker is searched per file, not per batch)
+      // file_path → entry resolution matches against the TOUCHED
+      // ENTRIES' resolved locations, never a path-prefix parse: a
+      // shallow clone's borrowed entries live under the SOURCE
+      // table's dirs (slicing at this table's txn marker would
+      // mis-relativize them), and a FILE NAME alone is ambiguous on
+      // partition-pure layouts (one write job emits the same part
+      // name under every `__p=` dir). The metadata path is
+      // URL-encoded while the manifest stores the filesystem form
+      // ([[statsFor]] gotcha) — decode before comparing; the suffix
+      // fallback covers path-form differences (scheme, relative
+      // table roots), and rel paths carry their txn dir so a suffix
+      // names at most one entry.
       val fpRows = newPairs.groupBy("__fp")
         .agg(count(lit(1)).as("n")).collect()
+      val relByAbs: Map[String, String] = touchedE.map(e =>
+        new Path(absOf(path, e.relPath)).toUri.getPath -> e.relPath).toMap
       def relOf(fp: String): String = {
         val abs =
           try new java.net.URI(fp).getPath
           catch { case _: java.net.URISyntaxException => fp }
-        val at = abs.lastIndexOf("/data/txn-")
-        require(at >= 0, s"file $abs not under a txn dir of $path")
-        abs.substring(at + 1)
+        relByAbs.getOrElse(abs,
+          touchedE.collectFirst {
+            case e if abs == e.relPath ||
+                abs.endsWith("/" + e.relPath) => e.relPath
+          }.getOrElse(throw new IllegalStateException(
+            s"file $abs not among the touched entries of $path")))
       }
       val relByFp: Map[String, String] =
         fpRows.map(r => r.getString(0) -> relOf(r.getString(0))).toMap
@@ -2281,6 +2301,60 @@ object ManifestTable {
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE src`
+    * shape): a NEW table at `dstPath` whose manifest BORROWS the
+    * source's data files — zero data bytes copied, so cloning a 100 TB
+    * table costs one manifest write (plus the pair-sized deletion-
+    * vector sidecars, which ARE copied so the clone owns its dead-row
+    * bookkeeping). The clone then lives independently: merges/deletes/
+    * dv commits write LOCAL files and never touch the source; the
+    * source never sees the clone. Borrowed entries carry the source's
+    * absolute path, so the clone's retention sweep (local `data/` walk)
+    * can never delete source bytes.
+    *
+    * The experiment-on-production shape: clone, mutate, measure, drop.
+    *
+    * LIFETIME CAVEAT (same as Delta's): the clone references source
+    * files WITHOUT protecting them — a source VACUUM/retention pass
+    * that retires files the clone still borrows breaks the clone's
+    * reads (loud FileNotFoundException). Sever before source churn
+    * outruns its retention: `compactTable(dst)` rewrites everything
+    * local (any full rewrite does). Schema, stats, constraints, column
+    * mapping, Z layout, and partition metadata all carry over; the
+    * consumer tag does NOT (a clone is not the consumer). */
+  def shallowClone(spark: SparkSession, srcPath: String,
+                   dstPath: String, keepVersions: Int = 2): Unit = {
+    val m = readManifest(spark, srcPath)
+    require(latestVersion(spark, dstPath).isEmpty,
+      s"$dstPath already holds a table — clone into a fresh path")
+    // copy each sidecar group, rewriting its file handles to the
+    // borrowed (absolute) form so the pair scoping stays exact
+    val dvMap: Map[String, String] =
+      m.entries.filter(_.dv.isDefined).groupBy(_.dv.get.dvRel).map {
+        case (dvRel, es) =>
+          val newRel = s"${freshTxnRel(1L)}-dv"
+          import spark.implicits._
+          val remap = es.map(e =>
+              (e.relPath, absOf(srcPath, e.relPath)))
+            .toDF("__f", "__fNew")
+          spark.read.parquet(absOf(srcPath, dvRel))
+            .join(broadcast(remap), Seq("__f"))
+            .select(col("__fNew").as("__f"), col("__k"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$dstPath/$newRel")
+          dvRel -> newRel
+      }
+    val entries = m.entries.map { e =>
+      e.copy(relPath = absOf(srcPath, e.relPath),
+        dv = e.dv.map(d => d.copy(dvRel = dvMap(d.dvRel))))
+    }
+    writeManifest(spark, dstPath, 1L, m.keyCol, m.keyType, m.schema,
+      m.statsCols, entries, tag = None, zCols = m.zCols,
+      retain = keepVersions, op = s"shallow-clone($srcPath@v${m.version})",
+      partCol = m.partCol, constraints = m.constraints, colMap = m.colMap,
+      retiredPhys = m.retiredPhys)
+  }
 
   /** Metadata-only commit changing the retention window (`keepVersions`
     * ≥ 2, see [[create]]). WIDENING takes effect immediately; NARROWING

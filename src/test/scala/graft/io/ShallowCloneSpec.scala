@@ -1,0 +1,153 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** shallowClone — a metadata-only table copy that borrows the source's
+  * data files: zero data bytes copied, full independence afterwards,
+  * and the documented source-vacuum lifetime hazard. */
+class ShallowCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_sc").toString
+
+  private def df: DataFrame =
+    (0 until 1000).map(i => (i.toLong, i * 10L,
+      s"${('A' + i % 3).toChar}")).toDF("id", "cents", "prio")
+
+  private def dataBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    var n = 0L
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains("/data/") &&
+          !p.getParent.getFileName.toString.endsWith("-dv"))
+        n += java.nio.file.Files.size(p)
+    }
+    n
+  }
+
+  test("a clone copies no data bytes, reads identically, and diverges " +
+    "from the source on merge — in both directions") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 8,
+        statsCols = Seq("prio"))
+      val srcBytes = dataBytes(src)
+      ManifestTable.shallowClone(spark, src, dst)
+      assert(dataBytes(dst) == 0L, "clone must copy no data file")
+      assert(ManifestTable.read(spark, dst).agg(sum("cents"))
+        .first().getLong(0) ==
+        ManifestTable.read(spark, src).agg(sum("cents"))
+          .first().getLong(0))
+      // clone mutates; source untouched (bytes AND rows)
+      ManifestTable.merge(spark, dst,
+        Seq((5000L, 1L, "X"), (0L, 999L, "X")).toDF("id", "cents", "prio"))
+      assert(dataBytes(src) == srcBytes)
+      assert(ManifestTable.read(spark, src).count() == 1000L)
+      val d = ManifestTable.read(spark, dst)
+      assert(d.count() == 1001L)
+      assert(d.filter(col("id") === 0L).first().getLong(1) == 999L)
+      // source mutates; clone untouched
+      ManifestTable.deleteKeys(spark, src,
+        (0L until 500L).toDF("id"))
+      assert(ManifestTable.read(spark, src).count() == 500L)
+      assert(ManifestTable.read(spark, dst).count() == 1001L)
+      // readWhere prunes on borrowed entries' stats too
+      assert(ManifestTable.readWhere(spark, dst,
+        col("id").between(100L, 150L) && col("prio") =!= "X").count() == 51L)
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("deletion vectors: the clone copies source sidecars (owning its " +
+    "dead-row bookkeeping) and can dv-delete on borrowed files") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4)
+      ManifestTable.deleteKeysDV(spark, src,
+        df.filter(col("id") % 10 === 3).select("id"))
+      ManifestTable.shallowClone(spark, src, dst)
+      assert(ManifestTable.read(spark, dst).count() == 900L)
+      // clone dv-deletes more, on files it only borrows
+      val st = ManifestTable.deleteKeysDV(spark, dst,
+        Seq(4L, 14L, 24L).toDF("id"))
+      assert(st.deadMarked == 3L)
+      assert(ManifestTable.read(spark, dst).count() == 897L)
+      assert(ManifestTable.read(spark, src).count() == 900L)
+      assert(dataBytes(dst) == 0L, "dv commits write sidecars, not data")
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("compactTable severs the clone: every entry goes local and " +
+    "source retention can no longer break it") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4)
+      ManifestTable.shallowClone(spark, src, dst)
+      ManifestTable.compactTable(spark, dst, numFiles = 2)
+      val m = ManifestTable.readManifest(spark, dst)
+      assert(m.entries.forall(e => !e.relPath.startsWith("/")),
+        "post-compaction entries must be local")
+      assert(dataBytes(dst) > 0L)
+      // source gone entirely -> severed clone still reads
+      Fs.deleteRecursively(src)
+      assert(ManifestTable.read(spark, dst).count() == 1000L)
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("the lifetime hazard is LOUD: source churn past retention breaks " +
+    "an unsevered clone's read") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4)
+      ManifestTable.shallowClone(spark, src, dst)
+      // rewrite every source file, churn past retention, sweep with
+      // zero grace so the borrowed bytes really go away
+      spark.conf.set("graft.manifest.orphanGraceMs", "0")
+      try {
+        ManifestTable.compactTable(spark, src, numFiles = 2)
+        ManifestTable.compactTable(spark, src, numFiles = 4)
+        ManifestTable.compactTable(spark, src, numFiles = 2)
+        ManifestTable.vacuum(spark, src)
+      } finally spark.conf.unset("graft.manifest.orphanGraceMs")
+      val e = intercept[Exception] {
+        ManifestTable.read(spark, dst).count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("does not exist") ||
+        String.valueOf(t.getMessage).contains("FileNotFound")))
+      // a fresh clone of the compacted source works again
+      val dst2 = s"$root/dst2"
+      ManifestTable.shallowClone(spark, src, dst2)
+      assert(ManifestTable.read(spark, dst2).count() == 1000L)
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("clone carries schema policy: constraints gate the clone's " +
+    "writes; cloning onto an existing table is refused") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 2,
+        checkConstraints = Seq("pos" -> "cents >= 0"))
+      ManifestTable.shallowClone(spark, src, dst)
+      intercept[Exception] {
+        ManifestTable.merge(spark, dst,
+          Seq((1L, -5L, "A")).toDF("id", "cents", "prio"))
+      }
+      intercept[IllegalArgumentException] {
+        ManifestTable.shallowClone(spark, src, dst)
+      }
+    } finally Fs.deleteRecursively(root)
+  }
+}
