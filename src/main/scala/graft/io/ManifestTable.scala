@@ -2322,10 +2322,18 @@ object ManifestTable {
     * outruns its retention: `compactTable(dst)` rewrites everything
     * local (any full rewrite does). Schema, stats, constraints, column
     * mapping, Z layout, and partition metadata all carry over; the
-    * consumer tag does NOT (a clone is not the consumer). */
+    * consumer tag does NOT (a clone is not the consumer).
+    *
+    * `asOfVersion` clones a RETAINED snapshot instead of the head —
+    * fork yesterday's state for a what-if without touching today's;
+    * refused (like [[readAt]]) once retention has retired it. */
   def shallowClone(spark: SparkSession, srcPath: String,
-                   dstPath: String, keepVersions: Int = 2): Unit = {
-    val m = readManifest(spark, srcPath)
+                   dstPath: String, keepVersions: Int = 2,
+                   asOfVersion: Option[Long] = None): Unit = {
+    val m = asOfVersion match {
+      case Some(v) => readManifestAt(spark, srcPath, v)
+      case None => readManifest(spark, srcPath)
+    }
     require(latestVersion(spark, dstPath).isEmpty,
       s"$dstPath already holds a table — clone into a fresh path")
     // copy each sidecar group, rewriting its file handles to the

@@ -133,6 +133,20 @@ class ShallowCloneSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("asOfVersion clones a retained snapshot: the fork sees " +
+    "yesterday's rows while the source head moved on") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4, keepVersions = 3)
+      val v0 = ManifestTable.readManifest(spark, src).version
+      ManifestTable.deleteKeys(spark, src, (0L until 500L).toDF("id"))
+      ManifestTable.shallowClone(spark, src, dst, asOfVersion = Some(v0))
+      assert(ManifestTable.read(spark, dst).count() == 1000L)
+      assert(ManifestTable.read(spark, src).count() == 500L)
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("clone carries schema policy: constraints gate the clone's " +
     "writes; cloning onto an existing table is refused") {
     val root = tmp()
