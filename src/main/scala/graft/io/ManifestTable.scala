@@ -3106,6 +3106,59 @@ object ManifestTable {
     retireKeeping(spark, path, m.version, m.retain)
   }
 
+  /** What one [[maintain]] pass did — each field the trigger it fired. */
+  case class MaintenanceReport(materializedDeadRatio: Boolean,
+                               consolidatedSidecars: Boolean,
+                               compactedFileCount: Boolean,
+                               smallFilesFolded: Boolean,
+                               vacuumed: Boolean)
+
+  /** ONE-CALL MAINTENANCE — the cron entry point a CDC-fed table
+    * needs: run the auto-triggers in dependency order, each firing
+    * only when its manifest-read policy says so (a quiet table costs
+    * a few manifest reads and nothing else).
+    *
+    *   1. dead-ratio compaction ([[maybeCompactDeadRatio]]) — when the
+    *      recorded dead fraction crosses `maxDeadRatio`, rewrite and
+    *      MATERIALIZE the vectors (this also folds small files, so the
+    *      later steps usually no-op after it);
+    *   2. otherwise sidecar consolidation ([[consolidateDv]]) — fold
+    *      fragmented vectors into one, metadata-tier;
+    *   3. file-count compaction ([[maybeCompactTable]]) for flat
+    *      tables past `maxFiles`; partitioned tables skip (their
+    *      maintenance is [[compactPartitions]] on the hot set —
+    *      value-aware, not a blind full rewrite);
+    *   4. small-file fold ([[compactSmallFiles]]) when more than
+    *      `maxSmallFiles` flat-table files sit under `targetRows` —
+    *      the incremental OPTIMIZE for CDC fragment mass;
+    *   5. [[vacuum]] — the retention sweep, always.
+    *
+    * Defaults suit the test scale; a production deployment tunes them
+    * to its file-size targets. Every step is the ordinary audited
+    * commit path — crash-safe, concurrency-safe, content-invariant. */
+  def maintain(spark: SparkSession, path: String,
+               maxDeadRatio: Double = 0.2,
+               maxFiles: Int = 64, numFiles: Int = 8,
+               targetRows: Long = 10000L,
+               maxSmallFiles: Int = 4): MaintenanceReport = {
+    val materialized =
+      maybeCompactDeadRatio(spark, path, maxDeadRatio, numFiles)
+    val consolidated = !materialized && consolidateDv(spark, path)
+    val m0 = readManifest(spark, path)
+    val compacted = m0.partCol.isEmpty &&
+      maybeCompactTable(spark, path, maxFiles, numFiles)
+    val smallFolded = !materialized && !compacted && m0.partCol.isEmpty && {
+      val small = readManifest(spark, path).entries
+        .count(e => e.rows < targetRows)
+      small > maxSmallFiles && {
+        compactSmallFiles(spark, path, targetRows); true
+      }
+    }
+    vacuum(spark, path)
+    MaintenanceReport(materialized, consolidated, compacted, smallFolded,
+      vacuumed = true)
+  }
+
   /** Full rewrite into `numFiles` files on the table's RECORDED layout
     * (the manifest's `layout` line): key-sorted tables get globally
     * range-disjoint files back; Z tables go back onto their Morton
