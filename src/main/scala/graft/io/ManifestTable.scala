@@ -1540,11 +1540,12 @@ object ManifestTable {
     * where the stats allow it, and deletion-vector speed everywhere
     * else — ONE atomic commit, ZERO data files rewritten:
     *
-    *   - files whose stats PROVE every row matches (merge-key
-    *     comparisons covering the whole [min,max] range — the key is
-    *     non-null by contract, so range coverage is row coverage)
-    *     leave the manifest outright: never opened, never sidecar'd.
-    *     Dropping a year of a time-keyed table is a manifest write.
+    *   - files whose stats PROVE every row matches (merge-key or
+    *     partition-column comparisons covering the whole [min,max]
+    *     range — both are non-null by contract, so range coverage is
+    *     row coverage) leave the manifest outright: never opened,
+    *     never sidecar'd. Dropping a year of a time-keyed or
+    *     time-partitioned table is a manifest write.
     *   - files that POSSIBLY hold a match are read (file-pruned — the
     *     [[readWhere]] sets), and their matching LIVE keys are marked
     *     dead through the usual sidecar re-point.
@@ -3384,13 +3385,15 @@ object ManifestTable {
     * pass: `_1` = files that POSSIBLY hold a matching row (the sound
     * read/prune set — see [[readWhere]] for the shapes), `_2` = rel
     * paths PROVABLY matched on every row, the [[deleteWhere]]
-    * metadata-drop set. Coverage proofs use the MERGE KEY only: it is
-    * non-null by table contract, so "the whole [min,max] range
-    * satisfies the comparison" really does mean every row matches —
-    * a tracked stats column may hold nulls the stats don't record, and
-    * a null makes the predicate non-true for that row, so stats-column
-    * coverage would over-delete. AND needs both sides proved; OR
-    * either; anything else proves nothing (conservatively uncovered). */
+    * metadata-drop set. Coverage proofs use the MERGE KEY (non-null by
+    * table contract) and the PARTITION column (non-null and one value
+    * per file by the partition-pure write contract) — for both, "the
+    * whole [min,max] range satisfies the comparison" really does mean
+    * every row matches. Ordinary stats columns never prove coverage: a
+    * null the stats don't record makes the predicate non-true for that
+    * row, so coverage would over-delete. AND needs both sides proved;
+    * OR either; anything else proves nothing (conservatively
+    * uncovered). */
   private[io] def whereSets(spark: SparkSession, m: Manifest,
                             cond: Column): (Seq[FileEntry], Set[String]) = {
     import org.apache.spark.sql.catalyst.{expressions => cexp}
@@ -3470,9 +3473,13 @@ object ManifestTable {
       for (c <- tracked(a); l <- litOf(v)) yield f(c, typedLit(c, l))
 
     // ---- the COVERAGE dual: Some(col) = "predicate provably TRUE for
-    // every row of the file" (merge key only — see scaladoc) ----
+    // every row of the file". Provable columns: the MERGE KEY (non-null
+    // by contract) and the PARTITION column (partition-pure writes
+    // refuse nulls and enforce one value per file, so its range IS its
+    // every row) — a time-partitioned table's `DELETE WHERE pt < …`
+    // drops whole partitions metadata-only, the retention shape. ----
     def keyed(e: cexp.Expression): Option[String] =
-      tracked(e).filter(_ == m.keyCol)
+      tracked(e).filter(c => c == m.keyCol || m.partCol.contains(c))
     def keq(a: cexp.Expression, v: cexp.Expression): Option[Column] =
       for (c <- keyed(a); l <- litOf(v)) yield
         mn(c) === typedLit(c, l) && mx(c) === typedLit(c, l)

@@ -132,6 +132,28 @@ class DeleteWhereSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("partitioned table: a partition-column predicate metadata-drops " +
+    "whole partitions (the retention shape) — purity makes it sound") {
+    val path = tmp()
+    try {
+      ManifestTable.createPartitioned(df, path, "id", "bucket")
+      val st = ManifestTable.deleteWhere(spark, path, col("bucket") < 3)
+      // buckets 0,1,2 = 3 pure files: all dropped without a read
+      assert(st.filesDropped == 3 && st.filesRepointed == 0)
+      assert(st.deadMarked == 300L)
+      val got = ManifestTable.read(spark, path)
+      assert(got.count() == 700L)
+      assert(got.agg(min("bucket")).first().getInt(0) == 3)
+      // mixed: partition equality AND a row-level residual — the
+      // partition conjunct covers nothing alone (the residual may be
+      // false), so rows go through the vector, file-pruned to bucket 5
+      val st2 = ManifestTable.deleteWhere(spark, path,
+        col("bucket") === 5 && col("id") % 2 === 0L)
+      assert(st2.filesDropped == 0 && st2.deadMarked == 50L)
+      assert(ManifestTable.read(spark, path).count() == 650L)
+    } finally cleanup(path)
+  }
+
   test("deleteWhere composes with prior deletion vectors and with " +
     "column mapping (renamed key prunes and covers)") {
     val path = tmp()
