@@ -375,4 +375,35 @@ class ManifestConcurrencySpec extends SparkSpec {
       Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
     }
   }
+
+  test("deleteWhere loses the claim to a merge that changed matching " +
+    "rows: the retry RE-DERIVES its row set against the winner's state " +
+    "(serial-equivalent to merge-then-delete)") {
+    val path = tmp()
+    try {
+      ManifestTable.create(base(), path, "id", numFiles = 8)
+      // winner re-prices keys 100-109 (all inside the delete range) and
+      // inserts 2000-2004 (outside it) between the loser's read and its
+      // claim; a stale loser would miss the winner's rewritten files
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          ((100L to 109L).map(i => (i, s"win_$i", 50)) ++
+            (2000L to 2004L).map(i => (i, s"new_$i", 60)))
+            .toDF("id", "name", "grp"))
+        ()
+      }
+      val st = ManifestTable.deleteWhere(spark, path, col("id") < 500L)
+      assert(st.version == 3L, s"retry must land on the winner: $st")
+      assert(st.deadMarked == 500L,
+        "the re-derived delete covers the winner's rewritten rows too")
+      val got = content(ManifestTable.read(spark, path))
+      assert(got ==
+        content(base()).filter(_._1 >= 500L) ++
+          (2000L to 2004L).map(i => (i, s"new_$i", 60)),
+        "serial-equivalent: merge then delete")
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
 }
