@@ -174,9 +174,55 @@ object Bench {
     }
     val loadWaitSec = (System.nanoTime() - waitT0) / 1e9
     // loadavg may be unreported (-1) on some JVMs — treat unknown as clean
-    val contaminated = loadStart > loadGate
+    val loadContaminated = loadStart > loadGate
+
+    def medianOf(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      // even survivor count (a failed pass): mean of the two middle
+      // values — taking ok(size/2) would report the LARGER one, a small
+      // upward bias versus true median semantics
+      else if (ok.size % 2 == 0) (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      else ok(ok.size / 2)
+    }
 
     runOnce("a3_minmax_year") // warmup (untimed)
+
+    // CALIBRATION probe (round 14): loadavg misses page-cache eviction
+    // and phantom microVM load — all four round-13 recordings were
+    // degraded-window despite passing the load gate above. So after the
+    // warmup, time a fixed cheap pair (p1+p3: one CSV round-trip, one
+    // pushed-filter scan — I/O-light, shuffle-light, five rounds
+    // unchanged) whose IDLE cost on this box is committed, and stamp the
+    // artifact contaminated when the window runs >1.25x of it. The
+    // baseline is sf0.1-specific (the figure-of-record SF); other SFs
+    // record calib_ms for attribution but never stamp.
+    // 320 ms = this exact protocol (pair-warmed median of 3) measured
+    // twice in a clean r14 window (306/330 ms; clean-window p1/p3 match
+    // the r12 idle figures) — the r13 degraded windows read ~1.44x
+    val calibBaselineMs =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_BASELINE_MS", "320").toDouble
+    val calibThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_THRESHOLD", "1.25").toDouble
+    def calibPairMs(): Double = medianOf((1 to 3).map { _ =>
+      (runOnce("p1_csv_roundtrip") + runOnce("p3_filter_symbols")) * 1000.0
+    })
+    val calibApplies = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    // the pair itself needs its codegen/write-path JIT warm before the
+    // timed runs, or a clean window reads hot purely from first-run cost
+    calibPairMs()
+    var calibMs = calibPairMs()
+    // a transiently hot window may clear: re-probe within the same wait
+    // budget the load gate uses before declaring the recording tainted
+    val calibT0 = System.nanoTime()
+    while (calibApplies && calibMs > calibBaselineMs * calibThreshold &&
+        (System.nanoTime() - calibT0) / 1e9 < maxWaitSec) {
+      Thread.sleep(20000)
+      calibMs = calibPairMs()
+    }
+    val calibContaminated =
+      calibApplies && calibMs > calibBaselineMs * calibThreshold
+    val contaminated = loadContaminated || calibContaminated
 
     // 3 passes over the whole set, report the per-query MEDIAN: single
     // runs carry ±20 % machine-load noise that made round-over-round
@@ -227,15 +273,6 @@ object Bench {
     // load-contaminated and re-run, don't compare them across rounds.
     val stable = !contaminated && steadyTotals.min > 0 &&
       steadyTotals.max <= steadyTotals.min * 1.5
-    def medianOf(vs: Seq[Double]): Double = {
-      val ok = vs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0
-      // even survivor count (a failed pass): mean of the two middle
-      // values — taking ok(size/2) would report the LARGER one, a small
-      // upward bias versus true median semantics
-      else if (ok.size % 2 == 0) (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
-      else ok(ok.size / 2)
-    }
     val results = names.map(n => n -> medianOf(passes.map(_.times(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -247,7 +284,7 @@ object Bench {
       f"""{"total":${p.times.values.filter(_ >= 0).sum}%.3f,"loadavg":${p.load}%.2f,"gc_sec":${p.gcSec}%.2f}""")
       .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passMeta,"stable":$stable,"contaminated":$contaminated,"load_start":$loadStart%.2f,"load_wait_sec":$loadWaitSec%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passMeta,"stable":$stable,"contaminated":$contaminated,"load_start":$loadStart%.2f,"load_wait_sec":$loadWaitSec%.0f,"calib_ms":$calibMs%.0f,"calib_baseline_ms":$calibBaselineMs%.0f,"calib_contaminated":$calibContaminated,"sf":"$sfDir"}"""
     // The bare JSON goes to stdout (unprefixed: run/outputStrategy is
     // StdoutOutput) AND to a file whose entire content is the one line,
     // so the driver can parse either.

@@ -20,8 +20,14 @@ object Verify {
     // real failures in the 109-query sweep log.
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_VERIFY_RESUME=1: skip queries whose output already committed
+    // (_SUCCESS present) — makes multi-hour large-SF sweeps resumable
+    // after a crash. Unset for driver runs: fresh dump, unchanged contract.
+    val resume = sys.env.get("GRAFT_VERIFY_RESUME").contains("1")
     val declared = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => !resume ||
+        !new java.io.File(s"$outDir/$name/_SUCCESS").exists() }
     // A failed query must be LOUD: round 6 lost five queries from the
     // correctness artifact because this loop printed to stderr and wrote
     // nothing — the driver's JSON simply omitted them. Now every failure

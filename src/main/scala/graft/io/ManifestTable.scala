@@ -544,7 +544,13 @@ object ManifestTable {
     * which also keeps them invisible to this table's retention sweep
     * (it walks only the local `data/` tree). */
   private[io] def absOf(path: String, rel: String): String =
-    if (rel.startsWith("/") || rel.contains("://")) rel else s"$path/$rel"
+    if (rel.startsWith("/") || isQualified(rel)) rel else s"$path/$rel"
+
+  // "file:/x", "hdfs://nn/x", "s3a://b/x" — any scheme-qualified URI
+  // (Hadoop's makeQualified renders local paths WITHOUT the authority
+  // slashes, so a bare "://" test misses them)
+  private[io] def isQualified(p: String): Boolean =
+    p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
 
   private def readEntriesRaw(spark: SparkSession, path: String,
                              schema: StructType,
@@ -1869,6 +1875,11 @@ object ManifestTable {
         deadByRel.getOrElse(e.relPath, 0L) == 0L) ++ updatedE
       val carried = m.entries.filterNot(e =>
         touched(e.relPath) || dropRels(e.relPath))
+      // e.rows is the LIVE count (every dv commit decrements it, see
+      // `split` above), so summing it counts exactly the rows this drop
+      // newly kills — rows already dead in a carried sidecar are NOT
+      // in it (no subtraction of e.dv.dead here, that would double-
+      // discount); DeleteWhereSpec pins this on a dv-carrying file
       val dropRows = m.entries.filter(e => dropRels(e.relPath))
         .map(_.rows).sum
 
@@ -2328,9 +2339,20 @@ object ManifestTable {
     * `asOfVersion` clones a RETAINED snapshot instead of the head —
     * fork yesterday's state for a what-if without touching today's;
     * refused (like [[readAt]]) once retention has retired it. */
-  def shallowClone(spark: SparkSession, srcPath: String,
+  def shallowClone(spark: SparkSession, srcPath0: String,
                    dstPath: String, keepVersions: Int = 2,
                    asOfVersion: Option[Long] = None): Unit = {
+    // borrowed entries bake the source path into relPaths that [[absOf]]
+    // must later recognize as absolute — a relative srcPath would make
+    // them resolve against the CLONE's root (every borrowed read FNFE),
+    // so qualify it here (filesystem-anchored, like Delta's clone)
+    val srcPath =
+      if (srcPath0.startsWith("/") || isQualified(srcPath0)) srcPath0
+      else {
+        val p = new org.apache.hadoop.fs.Path(srcPath0)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(p).toString
+      }
     val m = asOfVersion match {
       case Some(v) => readManifestAt(spark, srcPath, v)
       case None => readManifest(spark, srcPath)
@@ -3079,7 +3101,14 @@ object ManifestTable {
       def bothNow(ab: (String, String)): Option[(String, String)] =
         for (a <- nowFor(ab._1); b <- nowFor(ab._2)) yield (a, b)
       commitFence()
-      writeManifest(spark, path, m.version + 1, keyNow, old.keyType,
+      // keyType must agree with the KEPT (current) schema, not the
+      // restored version's: after a widenColumn on the key (int→long) a
+      // restore carrying old.keyType would make later dv commits cast
+      // wide batch keys down through the narrow type (ANSI failure or
+      // silent wrap). The restored entries' narrow string stats cast up
+      // through the wide type losslessly.
+      writeManifest(spark, path, m.version + 1, keyNow,
+        m.schema(keyNow).dataType,
         m.schema, statsNow.map(_._2), entriesNow, old.tag,
         old.zCols.flatMap(bothNow),
         m.retain, op = s"restore(v$v)", partCol = old.partCol.flatMap(nowFor),
@@ -3397,6 +3426,32 @@ object ManifestTable {
   private[io] def whereSets(spark: SparkSession, m: Manifest,
                             cond: Column): (Seq[FileEntry], Set[String]) = {
     import org.apache.spark.sql.catalyst.{expressions => cexp}
+    // Tight exclusive upper bound of the `startsWith(prefix)` range, in
+    // CODE POINTS (code-point order IS UTF-8 byte order, the order
+    // string stats compare in). A per-CHAR bump is unsound at the
+    // surrogate boundary: '퟿'+1 = '\uD800' is an unpaired high
+    // surrogate whose UTF-8 encoding is '?' (0x3F) — byte-wise SMALLER
+    // than the prefix, so `mn < next` would prune files that DO contain
+    // matches. A bump landing in the surrogate gap skips to U+E000 (the
+    // gap is unencodable, so the bound stays tight); only an
+    // all-U+10FFFF prefix has no successor (None).
+    def nextPrefix(prefix: String): Option[String] = {
+      val cps = prefix.codePoints.toArray
+      var i = cps.length - 1
+      while (i >= 0) {
+        val nx0 = cps(i) + 1
+        val nx = if (nx0 >= 0xD800 && nx0 <= 0xDFFF) 0xE000 else nx0
+        if (nx <= 0x10FFFF) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+          sb.appendCodePoint(nx)
+          return Some(sb.toString)
+        }
+        i -= 1
+      }
+      None
+    }
     // resolve an attribute to its schema-cased name, only when its
     // stats are actually recorded (key min/max or a tracked column)
     def tracked(e: cexp.Expression): Option[String] = e match {
@@ -3454,14 +3509,12 @@ object ManifestTable {
       case cexp.StartsWith(a, p) =>
         for (c <- tracked(a); v <- litOf(p)) yield {
           val prefix = v.value.toString
-          // [prefix, next(prefix)) — next = last char incremented;
-          // all-max-char prefixes fall back to the lower bound only
-          val bumped = prefix.reverseIterator.zipWithIndex
-            .collectFirst { case (ch, i) if ch != Char.MaxValue =>
-              prefix.dropRight(i + 1) + (ch + 1).toChar }
+          // [prefix, nextPrefix(prefix)) — all-U+10FFFF prefixes fall
+          // back to the lower bound only
           val t = m.schema(c).dataType
           val lower = mx(c) >= lit(prefix).cast(t)
-          bumped.fold(lower)(nx => lower && mn(c) < lit(nx).cast(t))
+          nextPrefix(prefix).fold(lower)(nx =>
+            lower && mn(c) < lit(nx).cast(t))
         }
       case _ => None
     }
@@ -3512,14 +3565,11 @@ object ManifestTable {
             lits.map(v => mn(c) === typedLit(c, v)).reduce(_ || _))
         else None
       case cexp.StartsWith(a, p) =>
-        for (c <- keyed(a); v <- litOf(p); nx <- {
-          val prefix = v.value.toString
-          prefix.reverseIterator.zipWithIndex
-            .collectFirst { case (ch, i) if ch != Char.MaxValue =>
-              prefix.dropRight(i + 1) + (ch + 1).toChar }
-        }) yield {
+        for (c <- keyed(a); v <- litOf(p);
+             nx <- nextPrefix(v.value.toString)) yield {
           val t = m.schema(c).dataType
-          // every string in [prefix, next(prefix)) carries the prefix
+          // every string in [prefix, nextPrefix(prefix)) carries the
+          // prefix
           mn(c) >= lit(v.value.toString).cast(t) && mx(c) < lit(nx).cast(t)
         }
       case _ => None

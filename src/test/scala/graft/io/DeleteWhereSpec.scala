@@ -65,6 +65,27 @@ class DeleteWhereSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("deadMarked counts only NEWLY killed rows: a covered file that " +
+    "already carries a deletion vector contributes its LIVE count, not " +
+    "its physical row count") {
+    val path = tmp()
+    try {
+      make(path)
+      // kill 30 of file [200,300)'s rows via a dv first
+      val st0 = ManifestTable.deleteKeysDV(spark, path,
+        (200L until 230L).toDF("id"))
+      assert(st0.deadMarked == 30L)
+      // now metadata-drop that whole file (plus [300,400) intact):
+      // newly dead = 70 (the file's live remainder) + 100
+      val st = ManifestTable.deleteWhere(spark, path,
+        col("id") >= 200L && col("id") < 400L)
+      assert(st.filesDropped == 2)
+      assert(st.deadMarked == 170L,
+        s"expected 70 live + 100, got ${st.deadMarked}")
+      assert(ManifestTable.read(spark, path).count() == 800L)
+    } finally cleanup(path)
+  }
+
   test("stats-column predicates never metadata-drop (nulls could hide in " +
     "the range) but still prune reads and delete exactly the TRUE rows") {
     val path = tmp()

@@ -94,6 +94,28 @@ class ReadWhereSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("startsWith at the surrogate boundary stays sound: a prefix " +
+    "ending in \\uD7FF must not prune the files that hold its matches") {
+    val path = tmp()
+    try {
+      // a per-CHAR bump of '퟿' yields the unpaired surrogate
+      // '\uD800', whose UTF-8 form ('?') sorts BELOW the prefix — the
+      // broken upper bound would prune every matching file
+      val risky = "퟿"
+      val names = (0 until 100).map(i =>
+        (i.toLong, if (i < 50) s"$risky~row$i" else s"zz_row$i"))
+        .toDF("id", "name")
+      ManifestTable.create(names, path, "id", numFiles = 4,
+        statsCols = Seq("name"))
+      val c = col("name").startsWith(risky)
+      assert(ManifestTable.readWhere(spark, path, c).count() == 50L,
+        "surrogate-boundary prefix lost matching rows to pruning")
+      // and the sane-prefix path still prunes (guard did not disable it)
+      val kept = keptFiles(path, col("name").startsWith("zz_row9"))
+      assert(kept < 4, s"ordinary startsWith stopped pruning ($kept kept)")
+    } finally cleanup(path)
+  }
+
   test("files without recorded stats for the referenced column are read " +
     "conservatively") {
     val path = tmp()

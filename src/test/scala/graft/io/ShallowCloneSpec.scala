@@ -63,6 +63,26 @@ class ShallowCloneSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("a RELATIVE srcPath is qualified at clone time: borrowed entries " +
+    "must never resolve against the clone's root") {
+    // relative to the test JVM's CWD (the sbt project root)
+    val rel = s"target/graft_sc_rel_${System.nanoTime()}"
+    val dstRoot = tmp()
+    try {
+      ManifestTable.create(df, s"$rel/src", "id", numFiles = 4)
+      ManifestTable.shallowClone(spark, s"$rel/src", s"$dstRoot/dst")
+      val m = ManifestTable.readManifest(spark, s"$dstRoot/dst")
+      assert(m.entries.forall(e =>
+        e.relPath.startsWith("/") || ManifestTable.isQualified(e.relPath)),
+        s"borrowed entries must be absolute, got ${m.entries.head.relPath}")
+      // the actual failure mode was a FileNotFound on first read
+      assert(ManifestTable.read(spark, s"$dstRoot/dst").count() == 1000L)
+    } finally {
+      Fs.deleteRecursively(java.nio.file.Paths.get(rel))
+      Fs.deleteRecursively(dstRoot)
+    }
+  }
+
   test("deletion vectors: the clone copies source sidecars (owning its " +
     "dead-row bookkeeping) and can dv-delete on borrowed files") {
     val root = tmp()

@@ -95,6 +95,35 @@ class WidenColumnSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("restore past a key widening keeps the WIDE keyType (it must " +
+    "agree with the kept current schema) and wide-key dv deletes still " +
+    "work after the restore") {
+    val path = tmp()
+    try {
+      ManifestTable.create(df, path, "id", numFiles = 4, keepVersions = 8)
+      val v0 = ManifestTable.readManifest(spark, path).version
+      ManifestTable.widenColumn(spark, path, "id", LongType)
+      ManifestTable.merge(spark, path,
+        Seq((3_000_000_000L, 1L, 0.5f)).toDF("id", "cents", "ratio"))
+      // rewind CONTENT to pre-widen; the schema (and so the key's type)
+      // stays current — a manifest carrying keyType=int against a long
+      // schema would make the next dv commit cast wide keys down
+      ManifestTable.restoreVersion(spark, path, v0)
+      val m = ManifestTable.readManifest(spark, path)
+      assert(m.schema("id").dataType == LongType)
+      assert(m.keyType == LongType,
+        s"restored keyType must match the kept schema, got ${m.keyType}")
+      assert(ManifestTable.read(spark, path).count() == 1000L)
+      // a post-restore beyond-int merge + dv delete round-trips
+      ManifestTable.merge(spark, path,
+        Seq((4_000_000_000L, 2L, 0.5f)).toDF("id", "cents", "ratio"))
+      ManifestTable.deleteKeysDV(spark, path, Seq(4_000_000_000L).toDF("id"))
+      val got = ManifestTable.read(spark, path)
+      assert(got.count() == 1000L)
+      assert(got.filter(col("id") === 4_000_000_000L).count() == 0L)
+    } finally cleanup(path)
+  }
+
   test("float->double is refused for stats-bearing columns, allowed " +
     "otherwise; narrowing and unknown columns are refused") {
     val path = tmp()
