@@ -1417,6 +1417,57 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // LIFECYCLE TORTURE (round 14): every lakehouse feature above is
+    // gated alone; the latent bugs live in the interplay. ONE chain —
+    // fork a RETAINED snapshot of a source that then moved on
+    // (shallowClone asOfVersion), rename a column, widen the INT key,
+    // predicate-delete across BOTH tiers (covered metadata-drops + the
+    // dv boundary) through the renamed schema, merge beyond-int keys,
+    // then run the one-call maintain pass (which may compact/
+    // materialize — content-invariant by contract). The oracle replays
+    // the chain in SQL over the ORIGINAL rows only (the source's
+    // post-fork merge must be invisible to the clone), so one hash
+    // gates snapshot isolation x column mapping x widening x DML tiers
+    // x maintenance. LifecycleSpec pins the physical twins: the source
+    // stays byte-identical and a changesBetween mirror over the whole
+    // window converges to the same table.
+    "m26_lifecycle" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val cut = t(s, dir, "orders")
+        .agg(max("o_orderkey")).first().getLong(0) / 4L
+      val root = mtabTmp()
+      val src = s"$root/src"; val dst = s"$root/dst"
+      graft.io.ManifestTable.create(base, src, "o_orderkey",
+        numFiles = 8, keepVersions = 4)
+      // the source moves on AFTER v1 — the fork must never see this
+      graft.io.ManifestTable.merge(s, src,
+        base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            lit("SRC-ONLY").as("o_orderpriority"), col("price_cents")))
+      graft.io.ManifestTable.shallowClone(s, src, dst,
+        asOfVersion = Some(1L))
+      graft.io.ManifestTable.renameColumn(s, dst,
+        "o_orderpriority", "priority")
+      graft.io.ManifestTable.widenColumn(s, dst, "o_orderkey",
+        org.apache.spark.sql.types.LongType)
+      graft.io.ManifestTable.deleteWhere(s, dst,
+        col("o_orderkey") <= lit(cut) || col("priority") === lit("1-URGENT"))
+      graft.io.ManifestTable.merge(s, dst,
+        base.filter(col("o_orderkey") % 11 === 5)
+          .select((col("o_orderkey").cast("long") + 3000000000L)
+              .as("o_orderkey"),
+            lit("WIDE").as("priority"),
+            (col("price_cents") + 13L).as("price_cents")))
+      graft.io.ManifestTable.maintain(s, dst)
+      graft.io.ManifestTable.read(s, dst)
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+          max("o_orderkey").as("max_key"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3349,6 +3400,31 @@ object Queries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM final GROUP BY o_orderpriority""".stripMargin,
+
+    // m26: the whole lifecycle chain replayed over the ORIGINAL rows —
+    // the clone forked at v1, so the source's post-fork merge is
+    // absent; rename/widen are invisible; the delete is WHERE NOT; the
+    // wide merge is a disjoint-key union.
+    "m26_lifecycle" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |cut AS (
+        |  SELECT CAST(floor(max(o_orderkey) / 4) AS BIGINT) AS c
+        |  FROM orders),
+        |survivors AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (k <= (SELECT c FROM cut) OR priority = '1-URGENT')),
+        |wide AS (
+        |  SELECT k + 3000000000 AS k, 'WIDE' AS priority,
+        |    price_cents + 13 AS price_cents
+        |  FROM base WHERE k % 11 = 5),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM wide)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(max(k) AS BIGINT) AS max_key
+        |FROM final GROUP BY priority""".stripMargin,
 
     // m24: widening is semantically invisible — the oracle is simply
     // base ∪ the wide-keyed batch in BIGINT throughout.

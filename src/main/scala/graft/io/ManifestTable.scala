@@ -2332,9 +2332,12 @@ object ManifestTable {
     * that retires files the clone still borrows breaks the clone's
     * reads (loud FileNotFoundException). Sever before source churn
     * outruns its retention: `compactTable(dst)` rewrites everything
-    * local (any full rewrite does). Schema, stats, constraints, column
-    * mapping, Z layout, and partition metadata all carry over; the
-    * consumer tag does NOT (a clone is not the consumer).
+    * local (any full rewrite does) — [[severClone]] names that exact
+    * operation and no-ops when nothing is borrowed; [[vacuumPreview]]
+    * with a `registry` warns when a planned retirement would break a
+    * borrower. Schema, stats, constraints, column mapping, Z layout,
+    * and partition metadata all carry over; the consumer tag does NOT
+    * (a clone is not the consumer).
     *
     * `asOfVersion` clones a RETAINED snapshot instead of the head —
     * fork yesterday's state for a what-if without touching today's;
@@ -2385,6 +2388,24 @@ object ManifestTable {
       retain = keepVersions, op = s"shallow-clone($srcPath@v${m.version})",
       partCol = m.partCol, constraints = m.constraints, colMap = m.colMap,
       retiredPhys = m.retiredPhys)
+  }
+
+  /** SEVER a shallow clone: localize every borrowed entry so the table
+    * no longer references any source byte — after this, source vacuum /
+    * retention churn can never break it (the operable answer to the
+    * [[shallowClone]] lifetime caveat). Implemented as the recorded-
+    * layout full rewrite ([[compactTable]], which reads borrowed +
+    * local entries alike, materializes deletion vectors, and commits
+    * all-local files); the op is named so history shows WHY the rewrite
+    * happened. A table with no borrowed entries is a no-op (returns
+    * false) — severing twice costs one manifest read. */
+  def severClone(spark: SparkSession, path: String,
+                 numFiles: Int = 8): Boolean = {
+    val m = readManifest(spark, path)
+    val borrowed = m.entries.exists(e =>
+      e.relPath.startsWith("/") || isQualified(e.relPath))
+    if (!borrowed) false
+    else { compactTable(spark, path, numFiles); true }
   }
 
   /** Metadata-only commit changing the retention window (`keepVersions`
@@ -3141,7 +3162,10 @@ object ManifestTable {
                                consolidatedSidecars: Boolean,
                                compactedFileCount: Boolean,
                                smallFilesFolded: Boolean,
-                               vacuumed: Boolean)
+                               vacuumed: Boolean,
+                               // partitioned tables only: the partition
+                               // values the fragmentation trigger folded
+                               compactedPartitions: Seq[String] = Nil)
 
   /** ONE-CALL MAINTENANCE — the cron entry point a CDC-fed table
     * needs: run the auto-triggers in dependency order, each firing
@@ -3155,12 +3179,17 @@ object ManifestTable {
     *   2. otherwise sidecar consolidation ([[consolidateDv]]) — fold
     *      fragmented vectors into one, metadata-tier;
     *   3. file-count compaction ([[maybeCompactTable]]) for flat
-    *      tables past `maxFiles`; partitioned tables skip (their
-    *      maintenance is [[compactPartitions]] on the hot set —
-    *      value-aware, not a blind full rewrite);
-    *   4. small-file fold ([[compactSmallFiles]]) when more than
-    *      `maxSmallFiles` flat-table files sit under `targetRows` —
-    *      the incremental OPTIMIZE for CDC fragment mass;
+    *      tables past `maxFiles`;
+    *   4. small-file fold: flat tables run [[compactSmallFiles]] when
+    *      more than `maxSmallFiles` files sit under `targetRows` — the
+    *      incremental OPTIMIZE for CDC fragment mass; PARTITIONED
+    *      tables (round 14) auto-select the FRAGMENTED partitions —
+    *      file count past `maxFiles` or more than `maxSmallFiles`
+    *      sub-`targetRows` files within one value — and fold only
+    *      those via [[compactPartitions]], partition-pure, leaving
+    *      every healthy partition byte-untouched (the value-aware
+    *      shape a 100 TB date-partitioned table needs: cost scales
+    *      with the hot partitions, never the table);
     *   5. [[vacuum]] — the retention sweep, always.
     *
     * Defaults suit the test scale; a production deployment tunes them
@@ -3184,9 +3213,24 @@ object ManifestTable {
         compactSmallFiles(spark, path, targetRows); true
       }
     }
+    // partitioned twin of steps 3+4: fold ONLY the fragmented
+    // partitions (decided from the manifest's recorded counts alone),
+    // one partition-pure rewrite whose cost is the fragment mass
+    val partsFolded: Seq[String] =
+      if (materialized || m0.partCol.isEmpty) Nil
+      else {
+        val m1 = readManifest(spark, path)
+        val frag = m1.entries.groupBy(e => partValueOf(m1, e, path))
+          .collect { case (v, es)
+            if es.size > maxFiles ||
+              es.count(_.rows < targetRows) > maxSmallFiles => v }
+          .toSeq.sorted
+        if (frag.nonEmpty) compactPartitions(spark, path, frag)
+        frag
+      }
     vacuum(spark, path)
     MaintenanceReport(materialized, consolidated, compacted, smallFolded,
-      vacuumed = true)
+      vacuumed = true, compactedPartitions = partsFolded)
   }
 
   /** Full rewrite into `numFiles` files on the table's RECORDED layout
@@ -3527,12 +3571,31 @@ object ManifestTable {
 
     // ---- the COVERAGE dual: Some(col) = "predicate provably TRUE for
     // every row of the file". Provable columns: the MERGE KEY (non-null
-    // by contract) and the PARTITION column (partition-pure writes
-    // refuse nulls and enforce one value per file, so its range IS its
-    // every row) — a time-partitioned table's `DELETE WHERE pt < …`
-    // drops whole partitions metadata-only, the retention shape. ----
+    // by contract), the PARTITION column (partition-pure writes refuse
+    // nulls and enforce one value per file, so its range IS its every
+    // row) — a time-partitioned table's `DELETE WHERE pt < …` drops
+    // whole partitions metadata-only, the retention shape — and (round
+    // 14) any tracked stats column carrying a `"c IS NOT NULL"` CHECK
+    // constraint: the constraint is enforced inside every write job AND
+    // backfill-validated at add time, so the recorded [min,max] bounds
+    // EVERY row, exactly what coverage needs. Only the canonical
+    // textual form licenses it — anything fancier stays prune-only.
+    // (Documented residual, per the [[restoreVersion]] contract: a
+    // restore past the constraint's add can reintroduce pre-validation
+    // rows without re-validating; re-add the constraint after such a
+    // restore if coverage proofs must stay trustworthy.) ----
+    val notNullRe =
+      "(?i)^\\s*\"?([A-Za-z_][A-Za-z0-9_]*)\"?\\s+IS\\s+NOT\\s+NULL\\s*$".r
+    val notNullCols: Set[String] = m.constraints.flatMap { case (_, sql) =>
+      sql match {
+        case notNullRe(c) =>
+          m.schema.fieldNames.find(_.equalsIgnoreCase(c))
+        case _ => None
+      }
+    }.toSet
     def keyed(e: cexp.Expression): Option[String] =
-      tracked(e).filter(c => c == m.keyCol || m.partCol.contains(c))
+      tracked(e).filter(c => c == m.keyCol || m.partCol.contains(c) ||
+        (m.statsCols.contains(c) && notNullCols(c)))
     def keq(a: cexp.Expression, v: cexp.Expression): Option[Column] =
       for (c <- keyed(a); l <- litOf(v)) yield
         mn(c) === typedLit(c, l) && mx(c) === typedLit(c, l)
@@ -3665,9 +3728,13 @@ object ManifestTable {
     * versions (latestV − retain + 1 .. latestV) — every commit path and
     * [[vacuum]] must retire through this, a slipped `− 1` elsewhere
     * would silently widen or narrow the window. */
-  /** What the next retention pass would remove — [[vacuumPreview]]. */
+  /** What the next retention pass would remove — [[vacuumPreview]].
+    * `borrowBreaking`: (borrower table, file) pairs where a planned
+    * retirement in `files` is still BORROWED by a shallow clone the
+    * caller registered — vacuuming now breaks that clone's reads. */
   case class VacuumPlan(keepFrom: Long, manifests: Seq[Long],
-                        files: Seq[String], pendingGrace: Seq[String])
+                        files: Seq[String], pendingGrace: Seq[String],
+                        borrowBreaking: Seq[(String, String)] = Nil)
 
   /** DRY-RUN of the retention sweep (the `VACUUM DRY RUN` every
     * operator wants before trusting an automated deleter): returns
@@ -3678,8 +3745,18 @@ object ManifestTable {
     * crashed attempt's files, or files a lagging rebase may yet
     * commit). Read-only: nothing is touched. The spec pins this
     * against the real sweep — everything previewed in `files` is gone
-    * after the next commit, everything else remains. */
-  def vacuumPreview(spark: SparkSession, path: String): VacuumPlan = {
+    * after the next commit, everything else remains.
+    *
+    * `registry`: other manifest-table paths the CALLER knows about
+    * (there is deliberately no global catalog — clones are free-
+    * standing directories). Each is checked for entries borrowing from
+    * THIS table; any planned retirement they still reference lands in
+    * `borrowBreaking` so the operator can [[severClone]] the borrower
+    * (or skip the vacuum) first. Path matching is best-effort textual
+    * (scheme/authority-stripped), the right trade for a dry-run
+    * advisory. */
+  def vacuumPreview(spark: SparkSession, path: String,
+                    registry: Seq[String] = Nil): VacuumPlan = {
     val root = new Path(path)
     val fs = hfs(spark, root)
     val graceMs = spark.conf.getOption("graft.manifest.orphanGraceMs")
@@ -3716,8 +3793,22 @@ object ManifestTable {
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).filter(_.isDirectory).foreach(txn =>
         walk(txn.getPath, s"data/${txn.getPath.getName}"))
-    VacuumPlan(keepFrom, manifests, files.result().sorted,
-      pending.result().sorted)
+    val planned = files.result().sorted
+    // scheme/authority-stripped textual form: borrowed entries may be
+    // qualified ("file:/x/…") while this table was opened as "/x"
+    def canon(p: String): String =
+      p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
+    val selfC = canon(path).stripSuffix("/")
+    val breaking = for {
+      other <- registry if canon(other).stripSuffix("/") != selfC
+      mo <- scala.util.Try(readManifest(spark, other)).toOption.toSeq
+      plannedAbs = planned.map(r => s"$selfC/$r").toSet
+      e <- mo.entries
+      if (e.relPath.startsWith("/") || isQualified(e.relPath)) &&
+        plannedAbs.contains(canon(e.relPath))
+    } yield (other, e.relPath)
+    VacuumPlan(keepFrom, manifests, planned,
+      pending.result().sorted, breaking)
   }
 
   private def retireKeeping(spark: SparkSession, path: String,

@@ -106,6 +106,56 @@ class DeleteWhereSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("a 'c IS NOT NULL' CHECK constraint licenses metadata-only drops " +
+    "on that stats column: covered files leave without a single data " +
+    "read, and results still match SQL semantics") {
+    val path = tmp()
+    try {
+      // same shape as make(), but bucket is constraint-guaranteed
+      // non-null, so its [min,max] bounds EVERY row
+      ManifestTable.create(df, path, "id", numFiles = 10,
+        statsCols = Seq("bucket", "prio"),
+        checkConstraints = Seq(("bucket_nn", "bucket IS NOT NULL")))
+      val before = dataFiles(path)
+      val st = ManifestTable.deleteWhere(spark, path, col("bucket") <= 2)
+      assert(st.filesDropped == 3,
+        s"files 0-2 are fully covered by bucket<=2, got $st")
+      assert(st.filesRepointed == 0,
+        "nothing partial: no file may be scanned or vectored")
+      assert(st.deadMarked == 300L)
+      assert(dataFiles(path) == before,
+        "a fully-covered delete must write no data file")
+      assert(ManifestTable.read(spark, path).count() == 700L)
+      assert(ManifestTable.read(spark, path)
+        .agg(min("bucket")).first().getInt(0) == 3)
+    } finally cleanup(path)
+  }
+
+  test("the constraint is the license, not the stats: the same predicate " +
+    "proves coverage only when 'bucket IS NOT NULL' is declared") {
+    val unconstrained = tmp(); val constrained = tmp()
+    try {
+      make(unconstrained)
+      ManifestTable.create(df, constrained, "id", numFiles = 10,
+        statsCols = Seq("bucket", "prio"),
+        checkConstraints = Seq(("bucket_nn", "bucket IS NOT NULL")))
+      val cond = col("bucket") <= 2
+      val (_, covered0) = ManifestTable.whereSets(spark,
+        ManifestTable.readManifest(spark, unconstrained), cond)
+      assert(covered0.isEmpty,
+        "no proof without the constraint: nulls could hide in the range")
+      val (_, covered1) = ManifestTable.whereSets(spark,
+        ManifestTable.readManifest(spark, constrained), cond)
+      assert(covered1.size == 3,
+        s"constraint licenses the 3 fully-covered files, got $covered1")
+      // a prio predicate still never proves (prio is nullable)
+      val (_, covered2) = ManifestTable.whereSets(spark,
+        ManifestTable.readManifest(spark, constrained),
+        col("prio").isin("A", "B", "C"))
+      assert(covered2.isEmpty)
+    } finally { cleanup(unconstrained); cleanup(constrained) }
+  }
+
   test("compound OR of key ranges covers both ends; the middle survives") {
     val path = tmp()
     try {

@@ -60,6 +60,44 @@ class MaintainSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("partitioned table: maintain folds ONLY the fragmented partition " +
+    "— healthy partitions carried byte-identical, purity preserved") {
+    val path = tmp()
+    try {
+      val base = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i * 2L))
+        .toDF("id", "pt", "v")
+      ManifestTable.createPartitioned(base, path, "id", "pt")
+      // fragment p1 with three tiny NEW-KEY merges (append-only)
+      (1 to 3).foreach { i =>
+        ManifestTable.merge(spark, path,
+          Seq((400L + i, "p1", 1L)).toDF("id", "pt", "v"))
+      }
+      val before = ManifestTable.readManifest(spark, path)
+      def pOf(e: ManifestTable.FileEntry) = e.extra("pt")._1
+      assert(before.entries.count(p => pOf(p) == "p1") == 4)
+      val othersBefore = before.entries.filterNot(p => pOf(p) == "p1")
+        .map(_.relPath).toSet
+      val r = ManifestTable.maintain(spark, path, targetRows = 10L,
+        maxSmallFiles = 2)
+      assert(r.compactedPartitions == Seq("p1"), s"got $r")
+      assert(!r.compactedFileCount && !r.smallFilesFolded,
+        "flat-table triggers must not fire on a partitioned table")
+      val after = ManifestTable.readManifest(spark, path)
+      assert(after.entries.count(p => pOf(p) == "p1") == 1,
+        "fragmented partition folds to one file")
+      assert(after.entries.filterNot(p => pOf(p) == "p1")
+        .map(_.relPath).toSet == othersBefore,
+        "healthy partitions must be carried by reference")
+      after.entries.foreach { e =>
+        val (mn, mx) = e.extra("pt"); assert(mn == mx, "purity broken") }
+      assert(ManifestTable.read(spark, path).count() == 303L)
+      // a second pass is quiet: nothing fragmented anymore
+      val r2 = ManifestTable.maintain(spark, path, targetRows = 10L,
+        maxSmallFiles = 2)
+      assert(r2.compactedPartitions.isEmpty)
+    } finally cleanup(path)
+  }
+
   test("small-file fragment mass folds; the big create files survive " +
     "by reference") {
     val path = tmp()

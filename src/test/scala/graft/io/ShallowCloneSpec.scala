@@ -153,6 +153,73 @@ class ShallowCloneSpec extends SparkSpec {
     } finally Fs.deleteRecursively(root)
   }
 
+  test("severClone localizes every borrowed byte: the severed clone " +
+    "survives the exact churn that breaks an unsevered one; severing " +
+    "twice is a no-op") {
+    val root = tmp()
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4)
+      ManifestTable.shallowClone(spark, src, dst)
+      assert(ManifestTable.severClone(spark, dst))
+      val m = ManifestTable.readManifest(spark, dst)
+      assert(m.entries.forall(e => !e.relPath.startsWith("/") &&
+        !ManifestTable.isQualified(e.relPath)),
+        "severed clone must hold only LOCAL entries")
+      assert(!ManifestTable.severClone(spark, dst), "idempotent no-op")
+      // the hazard churn from the test above — now harmless
+      spark.conf.set("graft.manifest.orphanGraceMs", "0")
+      try {
+        ManifestTable.compactTable(spark, src, numFiles = 2)
+        ManifestTable.compactTable(spark, src, numFiles = 4)
+        ManifestTable.compactTable(spark, src, numFiles = 2)
+        ManifestTable.vacuum(spark, src)
+      } finally spark.conf.unset("graft.manifest.orphanGraceMs")
+      assert(ManifestTable.read(spark, dst).count() == 1000L)
+      assert(ManifestTable.read(spark, dst).agg(sum("cents"))
+        .first().getLong(0) ==
+        df.agg(sum("cents")).first().getLong(0))
+    } finally Fs.deleteRecursively(root)
+  }
+
+  test("vacuumPreview(registry) lists borrow-breaking retirements: the " +
+    "unsevered borrower shows up, the severed one does not") {
+    val root = tmp()
+    val src = s"$root/src"
+    val live = s"$root/live"; val safe = s"$root/safe"
+    try {
+      ManifestTable.create(df, src, "id", numFiles = 4)
+      ManifestTable.shallowClone(spark, src, live)
+      ManifestTable.shallowClone(spark, src, safe)
+      ManifestTable.severClone(spark, safe)
+      // churn the source so the originally-borrowed files leave the
+      // retention window — under the DEFAULT grace, so the commits' own
+      // sweeps leave them in place and the preview gets to plan them
+      ManifestTable.compactTable(spark, src, numFiles = 2)
+      ManifestTable.compactTable(spark, src, numFiles = 4)
+      ManifestTable.compactTable(spark, src, numFiles = 2)
+      // zero grace only NOW: the preview (and the sweep it predicts)
+      // sees the aged-out borrowed files as deletable
+      spark.conf.set("graft.manifest.orphanGraceMs", "0")
+      try {
+        val plan = ManifestTable.vacuumPreview(spark, src,
+          registry = Seq(live, safe))
+        assert(plan.files.nonEmpty, "fixture must plan retirements")
+        val borrowers = plan.borrowBreaking.map(_._1).toSet
+        assert(borrowers == Set(live),
+          s"only the unsevered borrower breaks, got $borrowers")
+        // every flagged file really is in the planned retirement set
+        val plannedAbs = plan.files.map(f => s"$src/$f").toSet
+        plan.borrowBreaking.foreach { case (_, f) =>
+          assert(plannedAbs.contains(f), s"$f not in the plan") }
+        // and the advisory was RIGHT: sweeping breaks live, not safe
+        ManifestTable.vacuum(spark, src)
+        intercept[Exception] { ManifestTable.read(spark, live).count() }
+        assert(ManifestTable.read(spark, safe).count() == 1000L)
+      } finally spark.conf.unset("graft.manifest.orphanGraceMs")
+    } finally Fs.deleteRecursively(root)
+  }
+
   test("asOfVersion clones a retained snapshot: the fork sees " +
     "yesterday's rows while the source head moved on") {
     val root = tmp()

@@ -73,6 +73,42 @@ class ChangeFeedJobSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("the continuous mirror converges through PREDICATE DML: a " +
+    "deleteWhere spanning both tiers (covered metadata-drop + dv " +
+    "boundary) and an updateWhere land while the stream runs") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_scfd").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    try {
+      // 4 key-ranged files of 100: id<150 drops file [0,100) wholesale
+      // and dv-vectors the [100,200) boundary; the grp arm kills rows
+      // in every remaining file through the same commit
+      ManifestTable.create(base(400), src, "id", numFiles = 4)
+      val q = StreamingChangeFeedJob.startMirror(spark, src, dst,
+        intervalMs = 200)
+      try {
+        awaitTag(dst, "1")
+        assert(content(dst) == content(src))
+        val st = ManifestTable.deleteWhere(spark, src,
+          col("id") < 150L || col("grp") === 2)
+        assert(st.filesDropped >= 1, s"fixture must metadata-drop: $st")
+        awaitTag(dst, "2")
+        assert(content(dst) == content(src))
+        assert(content(dst) == base(400)
+          .filter(!(col("id") < 150L || col("grp") === 2))
+          .as[(Long, String, Int)].collect().toSet,
+          "mirror must equal SQL DELETE semantics, not just the source")
+        ManifestTable.updateWhere(spark, src, col("grp") === 3,
+          Map("name" -> concat(col("name"), lit("_upd"))))
+        awaitTag(dst, "3")
+        assert(content(dst) == content(src))
+        assert(content(dst).count(_._2.endsWith("_upd")) ==
+          content(dst).count(_._3 == 3),
+          "every surviving grp=3 row carries the update post-image")
+      } finally q.stop()
+    } finally graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("continuous agg view: the rollup tracks source mutations " +
     "incrementally while the stream runs, matching a full recompute") {
     val root = java.nio.file.Files.createTempDirectory("graft_scfa").toString
