@@ -112,7 +112,12 @@ object Bench {
     // updateWhere's pruned-read + dv-commit loop must both stay
     // bounded by their create
     "m22_delete_where",
-    "m23_update_where")
+    "m23_update_where",
+    // round 14: the lifecycle torture chain (clone fork -> rename ->
+    // widen -> deleteWhere -> merge -> maintain), create-included like
+    // m16/m22 — tracks that feature COMPOSITION stays bounded by its
+    // creates, since each step is individually metadata-/sidecar-sized
+    "m26_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
