@@ -117,7 +117,13 @@ object Bench {
     // widen -> deleteWhere -> merge -> maintain), create-included like
     // m16/m22 — tracks that feature COMPOSITION stays bounded by its
     // creates, since each step is individually metadata-/sidecar-sized
-    "m26_lifecycle")
+    "m26_lifecycle",
+    // round 14: the table-format connector — create + dv + rename,
+    // then the scan through spark.read.format("graft") with
+    // manifest-FileIndex pruning and the reader-boundary dv filter;
+    // tracks that connector overhead stays within the programmatic
+    // read's cost class
+    "m27_connector_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

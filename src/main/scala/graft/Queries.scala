@@ -1468,6 +1468,36 @@ object Queries {
           max("o_orderkey").as("max_key"))
     }),
 
+    // TABLE-FORMAT CONNECTOR (round 14, GraftSourceProvider): the same
+    // lakehouse read through `spark.read.format("graft")` — Spark's
+    // OWN vectorized parquet stack executes the scan while the
+    // manifest-driven FileIndex prunes the file list from the query's
+    // filter inside Catalyst (GraftDataSourceSpec pins the numFiles
+    // metric), deletion vectors apply at the reader boundary, and the
+    // renamed column resolves through the column mapping. The oracle
+    // replays dv-delete + rename + filter in SQL, so one hash gates
+    // that the connector serves EXACTLY the logical table the
+    // programmatic read serves — under pruning, dv and mapping at
+    // once.
+    "m27_connector_scan" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val cut = base.agg(max("o_orderkey")).first().getLong(0) / 2L
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey",
+        numFiles = 8, statsCols = Seq("o_orderpriority"))
+      graft.io.ManifestTable.deleteKeysDV(s, path,
+        base.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"))
+      graft.io.ManifestTable.renameColumn(s, path,
+        "o_orderpriority", "priority")
+      s.read.format("graft").load(path)
+        .filter(col("o_orderkey") <= lit(cut) &&
+          col("priority") =!= lit("1-URGENT"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3425,6 +3455,22 @@ object Queries {
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
         |  CAST(max(k) AS BIGINT) AS max_key
         |FROM final GROUP BY priority""".stripMargin,
+
+    // m27: the connector read replays as dv-delete (%7 keys gone) +
+    // rename (o_orderpriority surfaces as priority) + the query's own
+    // filter — pruning and reader-boundary semantics must be invisible.
+    "m27_connector_scan" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 3
+        |  AND o_orderkey <= (SELECT c FROM cut)
+        |  AND o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // m24: widening is semantically invisible — the oracle is simply
     // base ∪ the wide-keyed batch in BIGINT throughout.

@@ -1,0 +1,532 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, RelationProvider, TableScan}
+import org.apache.spark.sql.types._
+
+import graft.io.ManifestTable.{DvRef, FileEntry, Manifest}
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * [[ManifestTable]] lakehouse as a REGISTERED SPARK TABLE FORMAT, the
+  * Delta-connector shape: a manifest-driven [[FileIndex]] plugged into
+  * Spark's own `HadoopFsRelation`, so the ENTIRE native parquet stack —
+  * vectorized readers, whole-stage codegen, row-group filter pushdown,
+  * column pruning — executes the scan, while manifest min/max stats
+  * prune the FILE LIST inside Catalyst's planning (the same
+  * [[ManifestTable.whereSetsExpr]] reasoning `readWhere` uses, now fed
+  * by the planner's `dataFilters` with zero user opt-in: any
+  * `df.filter(...)` over the loaded frame skips non-matching files
+  * before a single task launches). Deletion vectors and column mapping
+  * — the two features a raw parquet scan can't see — are applied by
+  * [[GraftParquetFileFormat]] at the reader boundary, so every query
+  * shape (SQL over a temp view, joins, streaming `foreachBatch` reads)
+  * observes exactly the logical table [[ManifestTable.read]] serves.
+  *
+  * Read options: `versionAsOf` (retained version number),
+  * `timestampAsOf` (epoch millis, [[ManifestTable.readAsOfTime]]
+  * semantics), `readChangeFeed=true` with `startingVersion` /
+  * `endingVersion` (the CDF relation, [[ManifestTable.changesBetween]]
+  * columns: `_change_type` + the table schema).
+  *
+  * Write (`df.write.format("graft")`): `key` names the merge key
+  * (required on create), `numFiles` the create fan-out, `statsCols` a
+  * comma-separated secondary-stats list. `Overwrite` (re)creates;
+  * `Append` upserts through [[ManifestTable.merge]] on an existing
+  * table and creates otherwise; `ErrorIfExists`/`Ignore` keep their
+  * SaveMode contracts.
+  *
+  * At 100 TB the division of labor is the point: the driver touches
+  * ONLY the manifest (file-count-sized) and one listing RPC per commit
+  * directory; executors read ONLY the pruned file set through Spark's
+  * codegen'd parquet path; a dv-carrying file costs one extra
+  * executor-side sidecar read scoped to that file's dead pairs. */
+class GraftSourceProvider extends RelationProvider
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — continuous CDC ingestion into a
+    * manifest table, the [[graft.streaming.StreamingJobs
+    * .streamingTableUpsert]] semantics behind the standard sink API:
+    * each micro-batch lands as an upsert ([[ManifestTable.merge]]), a
+    * deletion-vector commit (`dv=true` — sidecar + append, zero
+    * rewrites), or a change-feed application (`cdf=true` — `_change_type`
+    * labeled rows), bootstrapping the table from the first batch when
+    * `key` is given. Replays converge: every path is content-idempotent,
+    * the documented at-least-once + idempotent-key design (SURVEY
+    * §7.4.1). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: option(\"path\", <tableRoot>) is required for the sink"))
+    new GraftStreamSink(path,
+      opt(parameters, "key"),
+      opt(parameters, "numFiles").map(_.toInt).getOrElse(8),
+      opt(parameters, "cdf").exists(_.toBoolean),
+      opt(parameters, "dv").exists(_.toBoolean))
+  }
+
+  private def opt(parameters: Map[String, String], k: String): Option[String] =
+    parameters.get(k).orElse(parameters.get(k.toLowerCase))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: load(path) is required — the table root"))
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      val from = opt(parameters, "startingVersion").getOrElse(
+        throw new IllegalArgumentException(
+          "graft: readChangeFeed requires startingVersion")).toLong
+      val to = opt(parameters, "endingVersion")
+        .map(_.toLong)
+        .getOrElse(ManifestTable.readManifest(spark, path).version)
+      return new GraftChangeFeedRelation(sqlContext, path, from, to)
+    }
+    val m = (opt(parameters, "versionAsOf"), opt(parameters, "timestampAsOf")) match {
+      case (Some(v), None) => ManifestTable.readManifestAt(spark, path, v.toLong)
+      case (None, Some(ts)) => ManifestTable.manifestAsOfTime(spark, path, ts.toLong)
+      case (None, None) => ManifestTable.readManifest(spark, path)
+      case _ => throw new IllegalArgumentException(
+        "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    }
+    GraftSourceProvider.snapshotRelation(spark, path, m)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: save(path) is required — the table root"))
+    val exists = scala.util.Try(
+      ManifestTable.readManifest(spark, path)).isSuccess
+    def doCreate(): Unit = {
+      val key = opt(parameters, "key").getOrElse(
+        throw new IllegalArgumentException(
+          "graft: option(\"key\", <mergeKeyColumn>) is required to create"))
+      val numFiles = opt(parameters, "numFiles").map(_.toInt).getOrElse(8)
+      val statsCols = opt(parameters, "statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      ManifestTable.create(data, path, key, numFiles, statsCols)
+    }
+    mode match {
+      case SaveMode.Overwrite => doCreate()
+      case SaveMode.Append =>
+        if (exists) ManifestTable.merge(spark, path, data) else doCreate()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table already exists at $path (mode=ErrorIfExists)")
+        else doCreate()
+      case SaveMode.Ignore => if (!exists) doCreate()
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftSourceProvider {
+  /** The batch relation over one pinned manifest snapshot: logical
+    * schema outward, manifest-pruned file list inward, dv + column
+    * mapping applied in the file format. */
+  private[io] def snapshotRelation(spark: SparkSession, path: String,
+                                   m: Manifest): BaseRelation = {
+    val colMap = m.colMap
+    val keyPhys = ManifestTable.physNameOf(colMap, m.keyCol)
+    // dv scope per file, keyed by the file's URI path (scheme-stripped
+    // absolute path — the form PartitionedFile reports on executors);
+    // file NAMES alone could collide across borrowed (cloned) roots
+    val dvByUri: Map[String, GraftDvScope] = m.entries.flatMap { e =>
+      e.dv.map { d =>
+        val abs = ManifestTable.absOf(path, e.relPath)
+        new Path(abs).toUri.getPath ->
+          GraftDvScope(ManifestTable.absOf(path, d.dvRel), e.relPath)
+      }
+    }.toMap
+    val fileFormat = new GraftParquetFileFormat(
+      m.keyCol, keyPhys, m.keyType, colMap, dvByUri)
+    HadoopFsRelation(
+      new GraftFileIndex(spark, path, m),
+      partitionSchema = new StructType(),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat = fileFormat,
+      options = Map.empty)(spark)
+  }
+}
+
+/** Manifest-driven [[FileIndex]]: the file listing Catalyst consults
+  * when planning a scan over a graft table. `listFiles` receives the
+  * query's resolved data filters and keeps only the entries whose
+  * recorded min/max ranges POSSIBLY match ([[ManifestTable
+  * .whereSetsExpr]]'s conservative half) — manifest-level file
+  * skipping with no reader involvement, the Delta/Iceberg scan-plan
+  * shape. The index is pinned to ONE manifest snapshot (refresh is a
+  * no-op by design: a committed manifest is immutable; a new read
+  * plans a new index), so a query never observes a torn table across
+  * concurrent commits.
+  *
+  * Driver cost: one `listStatus` RPC per live commit directory at
+  * construction (file sizes are needed for split planning and are not
+  * in the manifest), then pure in-memory pruning per plan — no
+  * recursive tree walk, no per-file RPCs. */
+class GraftFileIndex(spark: SparkSession, tablePath: String, m: Manifest)
+    extends FileIndex {
+
+  // FileStatus per live entry, fetched with one listing per distinct
+  // parent directory (commit dirs; partition subdirs; a clone's
+  // borrowed source dirs). Borrowed absolute paths resolve through
+  // their own filesystem. Loud on a manifest entry with no backing
+  // file — that is corruption, not an empty result.
+  private val statusOf: Map[String, FileStatus] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val byParent = m.entries
+      .map(e => e.relPath -> new Path(ManifestTable.absOf(tablePath, e.relPath)))
+      .groupBy(_._2.getParent)
+    byParent.flatMap { case (parent, es) =>
+      val fs = parent.getFileSystem(conf)
+      val listed = fs.listStatus(parent)
+        .map(st => st.getPath.getName -> st).toMap
+      es.map { case (rel, abs) =>
+        rel -> listed.getOrElse(abs.getName,
+          throw new IllegalStateException(
+            s"graft manifest v${m.version} of $tablePath names missing " +
+            s"file $abs"))
+      }
+    }
+  }
+
+  // planning may consult the listing more than once per query
+  // (the partition-pruning rule, then the scan exec) — cache by the
+  // filters' canonicalized form
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[PartitionDirectory]]()
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val key = dataFilters.map(_.canonicalized.toString).sorted.mkString("&")
+    cache.computeIfAbsent(key, _ => {
+      val kept =
+        if (dataFilters.isEmpty) m.entries
+        else ManifestTable.whereSetsExpr(spark, m,
+          dataFilters.reduce(org.apache.spark.sql.catalyst.expressions.And))._1
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.map(e => statusOf(e.relPath)).toArray))
+    })
+  }
+
+  override def inputFiles: Array[String] =
+    m.entries.map(e => ManifestTable.absOf(tablePath, e.relPath)).toArray
+
+  override def refresh(): Unit = () // snapshot-pinned; see class doc
+
+  override def sizeInBytes: Long = statusOf.values.map(_.getLen).sum
+}
+
+/** One file's deletion-vector scope: the sidecar holding its dead
+  * (file, key) pairs and the relPath that scopes them. */
+case class GraftDvScope(dvAbs: String, relScope: String)
+
+/** [[ParquetFileFormat]] with the two manifest-level semantics a raw
+  * parquet reader can't see, applied at the reader boundary:
+  *
+  *  - COLUMN MAPPING: data files hold immutable PHYSICAL names; the
+  *    relation's schema holds LOGICAL ones. Both schemas handed to the
+  *    parquet stack are renamed logical→physical before delegating —
+  *    rows are positional, so nothing else changes; identity-mapped
+  *    tables delegate untouched.
+  *  - DELETION VECTORS: a file with a dv ref yields only rows whose
+  *    merge key is not in its dead set. The dead set is loaded ON THE
+  *    EXECUTOR from the sidecar, scoped to exactly this file's pairs
+  *    (dv sidecars are per-commit and bounded by consolidation), and
+  *    cached per (sidecar, file) — the Delta DV-filter shape, with
+  *    key pairs in place of row-index bitmaps. When the projection
+  *    didn't request the key, it is appended for the filter and
+  *    stripped by an UnsafeProjection before rows leave the reader.
+  *
+  * Vectorized BATCH return is disabled only when a dv must be applied
+  * (row-wise filtering; the vectorized reader still decodes — rows
+  * surface through the batch's row iterator). Dv-free snapshots keep
+  * full columnar batches end-to-end. */
+class GraftParquetFileFormat(
+    keyLogical: String,
+    keyPhys: String,
+    keyType: DataType,
+    colMap: Seq[(String, String)],
+    dvByUri: Map[String, GraftDvScope]) extends ParquetFileFormat {
+
+  override def toString: String = "GraftParquet"
+
+  override def supportBatch(sparkSession: SparkSession,
+                            schema: StructType): Boolean =
+    dvByUri.isEmpty && super.supportBatch(sparkSession, schema)
+
+  private def toPhys(name: String): String =
+    ManifestTable.physNameOf(colMap, name)
+
+  private def renameSchema(s: StructType): StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = toPhys(f.name))))
+
+  // sources.Filter rename, logical→physical. Unknown shapes DROP
+  // (None): pushed parquet filters are row-group hints — Spark keeps
+  // the Filter node above the scan, so dropping one costs I/O, never
+  // correctness. A misnamed filter, by contrast, would wrongly skip
+  // row groups.
+  private def renameFilter(f: Filter): Option[Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(toPhys(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(toPhys(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(toPhys(a), v))
+    case sources.GreaterThanOrEqual(a, v) =>
+      Some(sources.GreaterThanOrEqual(toPhys(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(toPhys(a), v))
+    case sources.LessThanOrEqual(a, v) =>
+      Some(sources.LessThanOrEqual(toPhys(a), v))
+    case sources.In(a, vs) => Some(sources.In(toPhys(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(toPhys(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(toPhys(a)))
+    case sources.StringStartsWith(a, v) =>
+      Some(sources.StringStartsWith(toPhys(a), v))
+    case sources.StringEndsWith(a, v) =>
+      Some(sources.StringEndsWith(toPhys(a), v))
+    case sources.StringContains(a, v) =>
+      Some(sources.StringContains(toPhys(a), v))
+    case sources.And(l, r) =>
+      for (a <- renameFilter(l); b <- renameFilter(r)) yield sources.And(a, b)
+    case sources.Or(l, r) =>
+      for (a <- renameFilter(l); b <- renameFilter(r)) yield sources.Or(a, b)
+    case sources.Not(c) => renameFilter(c).map(sources.Not)
+    case _ => None
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val needKey = dvByUri.nonEmpty &&
+      !requiredSchema.fieldNames.contains(keyLogical)
+    val reqPlusKey =
+      if (needKey) requiredSchema.add(StructField(keyLogical, keyType))
+      else requiredSchema
+    val physFilters =
+      if (colMap.isEmpty) filters else filters.flatMap(renameFilter)
+    val base = super.buildReaderWithPartitionValues(
+      sparkSession, renameSchema(dataSchema), partitionSchema,
+      renameSchema(reqPlusKey), physFilters, options, hadoopConf)
+    if (dvByUri.isEmpty) return base
+
+    val dvMap = dvByUri
+    val confSer = new GraftSerializableConf(hadoopConf)
+    val kType = keyType
+    val kIdx = reqPlusKey.fieldNames.indexOf(keyLogical)
+    val reqLen = requiredSchema.length
+    // full reader output = required(+key) fields then partition values
+    val fullTypes = (reqPlusKey.fields.map(_.dataType) ++
+      partitionSchema.fields.map(_.dataType)).toSeq
+
+    (file: PartitionedFile) => {
+      val it = base(file)
+      val uriPath = file.toPath.toUri.getPath
+      val filtered = dvMap.get(uriPath) match {
+        case None => it
+        case Some(scope) =>
+          val dead = GraftDvCache.deadSet(confSer.value, scope, kType)
+          if (dead.isEmpty) it
+          else it.filter { row =>
+            row.isNullAt(kIdx) || !dead.contains(
+              GraftDvCache.keyOf(row, kIdx, kType))
+          }
+      }
+      if (!needKey) filtered
+      else {
+        // strip the appended key column (always last among required)
+        val keep = ((0 until reqLen) ++
+          (reqLen + 1 until fullTypes.length))
+        val proj = UnsafeProjection.create(
+          keep.map(i => BoundReference(i, fullTypes(i), nullable = true)))
+        filtered.map(proj)
+      }
+    }
+  }
+}
+
+/** Executor-side dead-set loader: reads one dv sidecar through
+  * parquet-hadoop's record API, scoped to one data file's pairs, and
+  * caches the resulting key set per (sidecar, file) — task retries and
+  * multiple splits of one file share the load. Keys normalize to Long
+  * (all integral widths) or String, mirroring the sidecar writer's
+  * cast-to-keyType contract. */
+private[io] object GraftDvCache {
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(String, String), java.util.HashSet[Any]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.util.HashSet[Any]])
+          : Boolean = size() > MaxEntries
+    }
+
+  def keyOf(row: InternalRow, i: Int, dt: DataType): Any = dt match {
+    case LongType => row.getLong(i)
+    case IntegerType => row.getInt(i).toLong
+    case ShortType => row.getShort(i).toLong
+    case ByteType => row.getByte(i).toLong
+    case StringType => row.getUTF8String(i).toString
+    case other => throw new IllegalStateException(
+      s"graft: unsupported merge-key type ${other.simpleString}")
+  }
+
+  def deadSet(conf: Configuration, scope: GraftDvScope,
+              keyType: DataType): java.util.HashSet[Any] = {
+    val k = (scope.dvAbs, scope.relScope)
+    cache.synchronized {
+      val hit = cache.get(k)
+      if (hit != null) return hit
+    }
+    val set = load(conf, scope, keyType)
+    cache.synchronized { cache.put(k, set) }
+    set
+  }
+
+  private def load(conf: Configuration, scope: GraftDvScope,
+                   keyType: DataType): java.util.HashSet[Any] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val set = new java.util.HashSet[Any]()
+    val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+      ParquetReader.builder(new GroupReadSupport(),
+        new Path(scope.dvAbs)).withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        // a sidecar may carry pairs for OTHER files (per-commit
+        // sidecars are shared); scope to this file's pairs only
+        if (g.getFieldRepetitionCount("__f") > 0 &&
+            g.getString("__f", 0) == scope.relScope &&
+            g.getFieldRepetitionCount("__k") > 0) {
+          val v: Any = keyType match {
+            case LongType => g.getLong("__k", 0)
+            case IntegerType | ShortType | ByteType =>
+              g.getInteger("__k", 0).toLong
+            case StringType => g.getString("__k", 0)
+            case other => throw new IllegalStateException(
+              s"graft: unsupported merge-key type ${other.simpleString}")
+          }
+          set.add(v)
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    set
+  }
+}
+
+/** Hadoop Configuration with Java serialization — the standard wrapper
+  * shape (Configuration is a Hadoop Writable, not java-serializable),
+  * so the reader closure can carry the driver's filesystem settings to
+  * executors for the sidecar reads. */
+private[io] class GraftSerializableConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** The sink behind `writeStream.format("graft")`. The micro-batch
+  * frame arrives as an incremental-execution plan that must not be
+  * re-planned with new operators — the standard DSv1 sink shape is to
+  * surface it once through its RDD and rebuild a batch frame (what
+  * `foreachBatch` does internally), then hand it to the table's own
+  * commit paths. Crash replay of the last uncommitted epoch re-lands
+  * the same content; merge/dv/CDF application are all idempotent in
+  * content, so the table converges (the at-least-once + idempotent-key
+  * contract, executed for the mock-broker pipelines in
+  * `StreamingUpsertJob`'s kill/recovery specs). */
+private[io] class GraftStreamSink(path: String, key: Option[String],
+                                  numFiles: Int, cdf: Boolean, dv: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.functions.col
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // NOT data.rdd: that would re-analyze a plan that still carries the
+    // streaming scan relation, which the batch checker rejects. toRdd
+    // reuses the ALREADY-PLANNED incremental physical plan; its
+    // InternalRows convert back to external rows for a plain batch frame
+    val schema = data.schema
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val rows = data.queryExecution.toRdd
+      .map(ir => conv(ir).asInstanceOf[org.apache.spark.sql.Row])
+    val batch = spark.createDataFrame(rows, schema)
+    // the commit paths run several actions over the batch (probe +
+    // write); pin it so the micro-batch source is read once
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      if (ManifestTable.latestVersion(spark, path).isEmpty) {
+        val k = key.getOrElse(throw new IllegalArgumentException(
+          "graft sink: option(\"key\", <mergeKeyColumn>) is required to " +
+          s"bootstrap a table at $path"))
+        val rows =
+          if (cdf) batch.filter(col("_change_type")
+            .isin("insert", "update_post")).drop("_change_type")
+          else batch
+        ManifestTable.create(rows, path, k, numFiles)
+      } else if (cdf)
+        ManifestTable.applyChanges(spark, path, batch, dv = dv)
+      else if (dv) { ManifestTable.upsertDV(spark, path, batch); () }
+      else { ManifestTable.merge(spark, path, batch); () }
+    } finally batch.unpersist()
+  }
+
+  override def toString: String = s"GraftSink[$path]"
+}
+
+/** The change-feed relation behind `option("readChangeFeed", "true")`:
+  * [[ManifestTable.changesBetween]] as a scannable relation. Version
+  * windows are retention-bounded (file-count-sized manifests, row
+  * volume ∝ the window's actual churn), so a plan-level TableScan over
+  * the computed feed is the right cost class — the heavy lifting
+  * (dv-delta fast paths, scoped sidecar reads) happens inside
+  * changesBetween's own distributed plan. */
+class GraftChangeFeedRelation(ctx: SQLContext, path: String,
+                              fromV: Long, toV: Long)
+    extends BaseRelation with TableScan {
+  private lazy val df: DataFrame =
+    ManifestTable.changesBetween(ctx.sparkSession, path, fromV, toV)
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+  override def needConversion: Boolean = true
+}

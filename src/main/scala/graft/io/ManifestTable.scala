@@ -500,6 +500,14 @@ object ManifestTable {
     * time-travelable while older unstamped ones age out. */
   def readAsOfTime(spark: SparkSession, path: String,
                    tsMillis: Long): DataFrame = {
+    val best = manifestAsOfTime(spark, path, tsMillis)
+    readFiles(spark, path, best)
+  }
+
+  /** The manifest-selection half of [[readAsOfTime]], reusable by any
+    * snapshot-pinning caller (the `timestampAsOf` connector option). */
+  private[io] def manifestAsOfTime(spark: SparkSession, path: String,
+                                   tsMillis: Long): Manifest = {
     val manifests = readRetained(spark, path, listVersions(spark, path))
     require(manifests.nonEmpty, s"no committed manifest under $path")
     val candidates = manifests.filter(m =>
@@ -528,7 +536,7 @@ object ManifestTable {
         s"stamped candidate v${best.version} — the answer at " +
         s"ts=$tsMillis is ambiguous; use readAt, or wait for the " +
         "unstamped versions to retire")
-    readFiles(spark, path, best)
+    best
   }
 
   /** The raw multi-file read: explicit file list, manifest schema,
@@ -3469,6 +3477,32 @@ object ManifestTable {
     * uncovered). */
   private[io] def whereSets(spark: SparkSession, m: Manifest,
                             cond: Column): (Seq[FileEntry], Set[String]) = {
+    // Column → catalyst Expression without the private[sql] bridge: an
+    // ANALYZED probe plan over an empty frame with the table schema.
+    // The raw plan won't do — Spark 4's Column DSL builds
+    // UnresolvedFunction('=') nodes, and only the analyzer rewrites
+    // them to EqualTo/LessThan/... that the matcher below reads.
+    // Driver-only, no job; analysis failures (unknown column) fall
+    // back to no pruning and surface on the real read.
+    val expr0 = scala.util.Try(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }).toOption.flatten.getOrElse(return (m.entries, Set.empty))
+    whereSetsExpr(spark, m, expr0)
+  }
+
+  /** [[whereSets]] over an ALREADY-RESOLVED catalyst predicate — the
+    * planner-integrated entry point: [[GraftFileIndex]] receives the
+    * analyzer's resolved `dataFilters` directly, so re-rendering them
+    * through a Column would only re-run analysis. Same conservative
+    * contract: any shape the matchers below don't recognize prunes
+    * nothing and covers nothing. */
+  private[io] def whereSetsExpr(
+      spark: SparkSession, m: Manifest,
+      expr0: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[FileEntry], Set[String]) = {
     import org.apache.spark.sql.catalyst.{expressions => cexp}
     // Tight exclusive upper bound of the `startsWith(prefix)` range, in
     // CODE POINTS (code-point order IS UTF-8 byte order, the order
@@ -3638,19 +3672,6 @@ object ManifestTable {
       case _ => None
     }
 
-    // Column → catalyst Expression without the private[sql] bridge: an
-    // ANALYZED probe plan over an empty frame with the table schema.
-    // The raw plan won't do — Spark 4's Column DSL builds
-    // UnresolvedFunction('=') nodes, and only the analyzer rewrites
-    // them to EqualTo/LessThan/... that the matcher below reads.
-    // Driver-only, no job; analysis failures (unknown column) fall
-    // back to no pruning and surface on the real read.
-    val expr0 = scala.util.Try(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }).toOption.flatten.getOrElse(return (m.entries, Set.empty))
     val (pruneP, coverP) = (prune(expr0), cover(expr0))
     if (m.entries.isEmpty || (pruneP.isEmpty && coverP.isEmpty))
       return (m.entries, Set.empty)

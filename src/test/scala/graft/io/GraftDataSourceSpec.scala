@@ -1,0 +1,226 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** `format("graft")` — the ManifestTable lakehouse as a registered
+  * Spark table format. The invariants: every query shape over the
+  * connector observes EXACTLY the logical table the programmatic
+  * `ManifestTable.read` serves (dv rows dead, renamed columns mapped,
+  * snapshots pinned), manifest stats prune the scanned FILE LIST
+  * inside Catalyst (pinned through the scan node's numFiles metric),
+  * and row-group filters still reach the parquet reader (PushedFilters
+  * in the plan). */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ds").toString + "/t"
+
+  private def cleanup(path: String): Unit =
+    Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+
+  private def df: DataFrame =
+    (0 until 1000).map(i =>
+      (i.toLong, i / 100, s"${('A' + i / 100).toChar}_row$i"))
+      .toDF("id", "bucket", "name")
+
+  private def make(path: String): Unit =
+    ManifestTable.create(df, path, "id", numFiles = 10,
+      statsCols = Seq("bucket", "name"))
+
+  private def load(path: String): DataFrame =
+    spark.read.format("graft").load(path)
+
+  /** Runs the frame and returns the scan's (numFiles, pushedFilters). */
+  private def scanOf(q: DataFrame): (Long, String) = {
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    (scan.metrics("numFiles").value, scan.metadata("PushedFilters"))
+  }
+
+  private def sameResult(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("format read equals the programmatic read; SQL over a temp view " +
+    "aggregates the same table") {
+    val path = tmp()
+    try {
+      make(path)
+      sameResult(load(path), ManifestTable.read(spark, path))
+      load(path).createOrReplaceTempView("ds_t")
+      val viaSql = spark.sql(
+        "SELECT bucket, count(*) AS n, sum(id) AS s FROM ds_t GROUP BY bucket")
+      val expect = ManifestTable.read(spark, path)
+        .groupBy("bucket").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      sameResult(viaSql, expect)
+    } finally cleanup(path)
+  }
+
+  test("data filters prune the file list inside Catalyst and push down " +
+    "to parquet") {
+    val path = tmp()
+    try {
+      make(path)
+      val (allFiles, _) = scanOf(load(path))
+      assert(allFiles == 10L)
+      // key-sorted create → an id point lookup touches <=2 files
+      val q = load(path).filter(col("id") === 250L)
+      val (pruned, pushed) = scanOf(q)
+      assert(pruned <= 2L, s"expected <=2 files scanned, got $pruned")
+      assert(pushed.contains("EqualTo(id,250)"), pushed)
+      assert(q.count() == 1L)
+      // secondary-stats column prunes too
+      val q2 = load(path).filter(col("bucket").isin(2, 7))
+      val (pruned2, _) = scanOf(q2)
+      assert(pruned2 <= 4L, s"expected <=4 files scanned, got $pruned2")
+      assert(q2.count() == 200L)
+      // unprunable shape stays conservative and correct
+      val q3 = load(path).filter(col("id") % 500L === 0L)
+      assert(scanOf(q3)._1 == 10L)
+      assert(q3.count() == 2L)
+    } finally cleanup(path)
+  }
+
+  test("deletion vectors apply through the connector — with and without " +
+    "the key in the projection") {
+    val path = tmp()
+    try {
+      make(path)
+      ManifestTable.deleteKeysDV(spark, path,
+        df.filter(col("id") % 7 === 3).select("id"))
+      sameResult(load(path), ManifestTable.read(spark, path))
+      // projection WITHOUT the merge key: the format appends it for
+      // the dv filter and strips it before rows surface
+      val names = load(path).select("bucket", "name")
+      val expect = ManifestTable.read(spark, path).select("bucket", "name")
+      sameResult(names, expect)
+      assert(names.count() == 1000L - df.filter(col("id") % 7 === 3).count())
+      // filters still prune under dv
+      val q = load(path).filter(col("id") >= 880L && col("id") < 920L)
+      assert(scanOf(q)._1 <= 2L)
+      assert(q.count() ==
+        (880L until 920L).count(_ % 7 != 3).toLong)
+    } finally cleanup(path)
+  }
+
+  test("column mapping: renamed columns read logically, filter on the " +
+    "renamed name prunes files and pushes to parquet; dv composes") {
+    val path = tmp()
+    try {
+      make(path)
+      ManifestTable.deleteKeysDV(spark, path,
+        df.filter(col("id") % 13 === 4).select("id"))
+      ManifestTable.renameColumn(spark, path, "bucket", "bkt")
+      sameResult(load(path), ManifestTable.read(spark, path))
+      val q = load(path).filter(col("bkt") === 5)
+      val (pruned, pushed) = scanOf(q)
+      assert(pruned <= 2L, s"expected <=2 files scanned, got $pruned")
+      // the plan displays the LOGICAL filter; the physical rename
+      // happens inside the reader (correctness pinned by the counts)
+      assert(pushed.contains("EqualTo(bkt,5)"), pushed)
+      assert(q.count() == (500 until 600).count(_ % 13 != 4).toLong)
+    } finally cleanup(path)
+  }
+
+  test("versionAsOf and timestampAsOf pin snapshots") {
+    val path = tmp()
+    try {
+      make(path)
+      val ts1 = ManifestTable.readManifest(spark, path).commitTs
+      ManifestTable.merge(spark, path,
+        Seq((2000L, 99, "Z_new")).toDF("id", "bucket", "name"))
+      val v1 = spark.read.format("graft")
+        .option("versionAsOf", "1").load(path)
+      sameResult(v1, ManifestTable.readAt(spark, path, 1L))
+      assert(v1.count() == 1000L)
+      assert(load(path).count() == 1001L)
+      val t1 = spark.read.format("graft")
+        .option("timestampAsOf", ts1.toString).load(path)
+      assert(t1.count() == 1000L)
+    } finally cleanup(path)
+  }
+
+  test("readChangeFeed yields changesBetween") {
+    val path = tmp()
+    try {
+      make(path)
+      ManifestTable.merge(spark, path,
+        Seq((5L, 0, "A_upd"), (3000L, 30, "NEW")).toDF("id", "bucket", "name"))
+      val feed = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(path)
+      sameResult(feed, ManifestTable.changesBetween(spark, path, 1L, 2L))
+      assert(feed.filter(col("_change_type") === "insert").count() == 1L)
+      assert(feed.filter(col("_change_type") === "update_post").count() == 1L)
+    } finally cleanup(path)
+  }
+
+  test("write path: Overwrite creates, Append merges (upsert), " +
+    "ErrorIfExists refuses") {
+    val path = tmp()
+    try {
+      df.write.format("graft").option("key", "id")
+        .option("statsCols", "bucket")
+        .mode("overwrite").save(path)
+      assert(load(path).count() == 1000L)
+      Seq((5L, 0, "A_upd"), (4000L, 40, "NEW"))
+        .toDF("id", "bucket", "name")
+        .write.format("graft").mode("append").save(path)
+      assert(load(path).count() == 1001L)
+      assert(load(path).filter(col("id") === 5L)
+        .select("name").as[String].head() == "A_upd")
+      intercept[Exception] {
+        df.write.format("graft").option("key", "id")
+          .mode("errorifexists").save(path)
+      }
+    } finally cleanup(path)
+  }
+
+  test("writeStream.format(\"graft\") bootstraps then upserts micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft_ds3").toString
+    try {
+      val path = s"$root/t"
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("id", "name")
+        .writeStream.format("graft")
+        .option("path", path).option("key", "id").option("numFiles", "2")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        in.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        assert(load(path).count() == 2L)
+        in.addData((2L, "b2"), (3L, "c"))
+        q.processAllAvailable()
+        val rows = load(path).orderBy("id").as[(Long, String)].collect().toSeq
+        assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+      } finally q.stop()
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("partitioned tables and shallow clones (borrowed roots) read " +
+    "through the connector") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ds2").toString
+    try {
+      val src = s"$root/src"; val dst = s"$root/dst"
+      ManifestTable.createPartitioned(df, src, "id", "bucket")
+      sameResult(load(src), ManifestTable.read(spark, src))
+      ManifestTable.shallowClone(spark, src, dst)
+      ManifestTable.deleteKeysDV(spark, dst,
+        df.filter(col("id") % 11 === 6).select("id"))
+      sameResult(load(dst), ManifestTable.read(spark, dst))
+      // the clone's connector read must leave the source untouched
+      assert(load(src).count() == 1000L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+}
