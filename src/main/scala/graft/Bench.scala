@@ -123,7 +123,12 @@ object Bench {
     // manifest-FileIndex pruning and the reader-boundary dv filter;
     // tracks that connector overhead stays within the programmatic
     // read's cost class
-    "m27_connector_scan")
+    "m27_connector_scan",
+    // round 14: bloom file-skipping — create + index build + dv
+    // delete + two bloom-routed point lookups; tracks that the index
+    // build stays one column-pruned pass and probes stay
+    // file-count-sized
+    "m28_bloom_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

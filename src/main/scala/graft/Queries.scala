@@ -1498,6 +1498,34 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // BLOOM FILE-SKIPPING (round 14, BloomSkip): a point lookup on
+    // o_custkey — a column SCATTERED across every key-sorted file, so
+    // per-file [min,max] ranges keep all files and only per-file bloom
+    // membership can prune (BloomSkipSpec pins the file-count cuts;
+    // here the oracle hash gates that pruning + the dv'd read stay
+    // exact). The chain: create keyed on o_orderkey, index o_custkey,
+    // dv-delete a slice (blooms stay sound supersets), then two
+    // bloom-routed readWhere lookups aggregate.
+    "m28_bloom_lookup" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), rowCents.as("price_cents"))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey", numFiles = 8)
+      graft.io.BloomSkip.build(s, path, "o_custkey")
+      graft.io.ManifestTable.deleteWhere(s, path,
+        col("o_orderkey") % 9 === 2)
+      val cut = base.agg(max("o_custkey")).first().getLong(0) / 2L
+      val probe = base.filter(col("o_custkey") >= lit(cut))
+        .agg(min("o_custkey")).first().getLong(0)
+      val probe2 = base.agg(min("o_custkey")).first().getLong(0)
+      graft.io.ManifestTable.readWhere(s, path,
+          col("o_custkey").isin(probe, probe2))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+          max("o_orderkey").as("max_key"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3455,6 +3483,26 @@ object Queries {
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
         |  CAST(max(k) AS BIGINT) AS max_key
         |FROM final GROUP BY priority""".stripMargin,
+
+    // m28: bloom-skip pruning is an access-path optimization only —
+    // the oracle is the plain filter over the surviving rows, with the
+    // probe keys recomputed by the same scalar subqueries.
+    "m28_bloom_lookup" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 9 <> 2),
+        |probe AS (
+        |  SELECT min(o_custkey) AS p1 FROM orders
+        |  WHERE o_custkey >= (SELECT CAST(floor(max(o_custkey) / 2)
+        |    AS BIGINT) FROM orders)),
+        |probe2 AS (SELECT min(o_custkey) AS p2 FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM base
+        |WHERE o_custkey IN ((SELECT p1 FROM probe), (SELECT p2 FROM probe2))
+        |GROUP BY o_custkey""".stripMargin,
 
     // m27: the connector read replays as dv-delete (%7 keys gone) +
     // rename (o_orderpriority surfaces as priority) + the query's own

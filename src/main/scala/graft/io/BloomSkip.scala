@@ -1,0 +1,310 @@
+package graft.io
+
+import java.io.ByteArrayInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => cexp}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.io.ManifestTable.{FileEntry, Manifest}
+
+/** BLOOM FILE-SKIPPING INDEX — membership pruning for the predicates
+  * min/max stats can NEVER prune: an equality or IN lookup on a column
+  * whose values are spread across every file (ids, digests, user keys
+  * — any column uncorrelated with the table's sort), where every
+  * file's [min,max] covers the probe and the whole table would scan.
+  * A per-FILE bloom filter answers "definitely not in this file" and
+  * drops the file from the read before any footer opens — the
+  * manifest-level analogue of the parquet row-group blooms
+  * ([[Tables.writeHashClusteredBloom]]), one tier up: at 100 TB the
+  * row-group bloom still costs a footer RPC per file; this one costs
+  * nothing per skipped file.
+  *
+  * DESIGN — a sidecar ACCELERATOR, not manifest state (zero surgery on
+  * the commit paths, which is what makes it safe to bolt onto a table
+  * with ten mutation families):
+  *
+  *  - the index lives at `<table>/_bloomidx/<physicalCol>/` as parquet
+  *    rows (`__f` relPath, `__bloom` serialized filter), OUTSIDE
+  *    `data/` so the retention sweep never touches it, keyed by the
+  *    PHYSICAL column name so renames can't orphan it;
+  *  - data files are IMMUTABLE, so an index row can never go stale —
+  *    a deletion vector shrinks a file's live set (bloom stays a sound
+  *    superset), and compaction/merge produce NEW files that simply
+  *    have no row yet;
+  *  - files WITHOUT an index row are kept conservatively, so the index
+  *    is correct at every degree of staleness; [[build]] is
+  *    INCREMENTAL (indexes only live files lacking rows — the shape
+  *    [[ManifestTable.maintain]] runs on a cadence via
+  *    [[refreshAll]]), and bloom decisions only ever SHRINK the
+  *    possible-set — never the coverage proofs;
+  *  - BUILD is one column-pruned distributed aggregation: per-file
+  *    blooms come from Spark's own `BloomFilterAggregate` over
+  *    `xxhash64(value)` — partial-aggregable, kilobyte state per file,
+  *    no row ever reaches the driver. Integral values hash through a
+  *    CAST TO LONG on both build and probe sides, so
+  *    [[ManifestTable.widenColumn]] can never split the hash space
+  *    (an int written yesterday and the long that probes it tomorrow
+  *    hash identically);
+  *  - PROBE is a file-count-sized job: index rows for the candidate
+  *    files test `mightContain` against the conjunct's hashed
+  *    literals executor-side; only surviving relPaths return. Only
+  *    top-level AND conjuncts of shape `col = lit` / `col IN (lits)`
+  *    (integral through widening casts, or string) prune — anything
+  *    else is ignored, conservatively.
+  *
+  * Soundness: a bloom never false-negatives, so "no" really means no
+  * row of that file can satisfy the equality — excluding the file from
+  * a read ([[ManifestTable.readWhere]], the connector's
+  * [[GraftFileIndex]]) or from a DML possible-set
+  * ([[ManifestTable.deleteWhere]]/`updateWhere`) is exact. False
+  * positives only cost I/O. */
+object BloomSkip {
+
+  private def dirOf(path: String, physCol: String): String =
+    s"$path/_bloomidx/$physCol"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Normalized hash of one value, matching the build side's
+    * `xxhash64(cast(col as long))` / `xxhash64(col)`. */
+  private def hashOf(v: Any): Long = {
+    val lit = v match {
+      case b: Byte => cexp.Literal(b.toLong, LongType)
+      case s: Short => cexp.Literal(s.toLong, LongType)
+      case i: Int => cexp.Literal(i.toLong, LongType)
+      case l: Long => cexp.Literal(l, LongType)
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        cexp.Literal(u, StringType)
+      case s: String => cexp.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType)
+      case other => throw new IllegalArgumentException(
+        s"bloom-skip: unsupported probe value $other")
+    }
+    new cexp.XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def supported(dt: DataType): Boolean =
+    integral(dt) || dt == StringType
+
+  /** Build (or incrementally extend) the index on `col`: one
+    * column-pruned scan of exactly the live files that lack an index
+    * row, one partial-aggregated shuffle of kilobyte bloom states, one
+    * appended parquet of (relPath, bloom). Returns how many files were
+    * indexed (0 = already complete — the cheap steady-state probe).
+    * `fpp` sizes the per-file filter against the file's recorded row
+    * count (bits ≈ 1.44·rows·log2(1/fpp); capped at `maxItems`). */
+  def build(spark: SparkSession, path: String, col0: String,
+            fpp: Double = 0.03, maxItems: Long = 4000000L): Int = {
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp out of (0,1)")
+    val m = ManifestTable.readManifest(spark, path)
+    val field = m.schema.fieldNames.find(_.equalsIgnoreCase(col0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bloom-skip: no column '$col0' in ${m.schema.fieldNames.mkString(",")}"))
+    val dt = m.schema(field).dataType
+    require(supported(dt), s"bloom-skip: column '$field' has type " +
+      s"${dt.simpleString}; only integral and string columns index " +
+      "(hash-exact through widening)")
+    val phys = ManifestTable.physNameOf(m.colMap, field)
+    val dir = dirOf(path, phys)
+    val have: Set[String] =
+      if (!fs(spark, new Path(dir)).exists(new Path(dir))) Set.empty
+      else spark.read.parquet(dir).select("__f")
+        .collect().map(_.getString(0)).toSet
+    val todo = m.entries.filter(e => !have(e.relPath))
+    if (todo.isEmpty) return 0
+    // absolute (clone-borrowed entries carry their own roots) → rel map,
+    // normalized to URI-path form to match _metadata.file_path
+    val relByUri: Map[String, String] = todo.map { e =>
+      new Path(ManifestTable.absOf(path, e.relPath)).toUri.getPath ->
+        e.relPath
+    }.toMap
+    val items = math.min(maxItems,
+      math.max(1L, todo.map(_.rows).max))
+    // optimal bits for the target fpp at this item count; the
+    // BloomFilterAggregate conf cap (64M bits) still applies above
+    val bits = math.max(64L, math.ceil(
+      -items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val valueCol =
+      if (dt == StringType) org.apache.spark.sql.functions.col(phys)
+      else org.apache.spark.sql.functions.col(phys).cast("long")
+    val agg = Bridge.column(new cexp.aggregate.BloomFilterAggregate(
+      new cexp.XxHash64(Seq(Bridge.expression(
+        org.apache.spark.sql.functions.col("__v")))),
+      cexp.Literal(items), cexp.Literal(bits)).toAggregateExpression())
+    val paths = todo.map(e => ManifestTable.absOf(path, e.relPath))
+    // recursiveFileLookup, like readEntriesRaw: a partition-pure file
+    // under `__p=<value>/` must not have a partition column invented
+    // outside the single-field schema
+    val rows = spark.read
+      .schema(StructType(Seq(m.schema(field).copy(name = phys))))
+      .option("recursiveFileLookup", "true")
+      .parquet(paths: _*)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("__f"), valueCol.as("__v"))
+      .groupBy("__f").agg(agg.as("__bloom"))
+    val relByUriB = relByUri
+    import spark.implicits._
+    val out = rows.as[(String, Array[Byte])].map { case (f, bloom) =>
+      val uri =
+        try new java.net.URI(f).getPath
+        catch { case _: java.net.URISyntaxException => f }
+      (relByUriB.getOrElse(uri, sys.error(
+        s"bloom-skip: scanned file $uri not in the build set")), bloom)
+    }.toDF("__f", "__bloom")
+    out.write.mode("append").parquet(dir)
+    todo.size
+  }
+
+  /** Drop the index on `col` (by its CURRENT logical name). */
+  def drop(spark: SparkSession, path: String, col0: String): Unit = {
+    val m = ManifestTable.readManifest(spark, path)
+    val phys = m.schema.fieldNames.find(_.equalsIgnoreCase(col0))
+      .map(ManifestTable.physNameOf(m.colMap, _)).getOrElse(col0)
+    val d = new Path(dirOf(path, phys))
+    fs(spark, d).delete(d, true)
+  }
+
+  /** Incrementally refresh EVERY existing index of the table — the
+    * [[ManifestTable.maintain]] step: after compactions introduce new
+    * files, each listed `_bloomidx/<physCol>` whose physical column
+    * still maps to a live logical column gets its missing rows built.
+    * Returns (column → files indexed), empty when no index exists. */
+  def refreshAll(spark: SparkSession, path: String,
+                 fpp: Double = 0.03): Map[String, Int] = {
+    val root = new Path(s"$path/_bloomidx")
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Map.empty
+    val m = ManifestTable.readManifest(spark, path)
+    val physToLogical = m.schema.fieldNames
+      .map(n => ManifestTable.physNameOf(m.colMap, n) -> n).toMap
+    f.listStatus(root).toSeq.map(_.getPath.getName).sorted.flatMap { phys =>
+      physToLogical.get(phys).map(l => l -> build(spark, path, l, fpp))
+    }.toMap
+  }
+
+  /** The probe: shrink `kept` (a sound possible-set) by testing each
+    * eligible top-level AND conjunct of `expr0` against the column's
+    * index. Files lacking an index row always survive; absent
+    * index dirs cost one existence check. */
+  private[io] def prune(spark: SparkSession, path: String, m: Manifest,
+                        expr0: cexp.Expression,
+                        kept: Seq[FileEntry]): Seq[FileEntry] = {
+    if (kept.isEmpty) return kept
+    val probes = conjunctProbes(m, expr0)
+    if (probes.isEmpty) return kept
+    var current = kept
+    probes.foreach { case (phys, values) =>
+      if (current.nonEmpty) {
+        val dir = dirOf(path, phys)
+        if (fs(spark, new Path(dir)).exists(new Path(dir))) {
+          val hashes = values.map(hashOf)
+          val rels = current.map(_.relPath)
+          import spark.implicits._
+          val relsDf = rels.toDF("__f")
+          val indexed = spark.read.parquet(dir)
+            .join(broadcast(relsDf), "__f")
+          // executor-side membership test, one deserialization per
+          // (file, conjunct) — file-count-sized rows, never data
+          val hs = hashes
+          val verdicts = indexed.as[(String, Array[Byte])].map {
+            case (rel, bytes) =>
+              val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+              (rel, hs.exists(bf.mightContainLong))
+          }.collect()
+          val no = verdicts.collect { case (rel, false) => rel }.toSet
+          if (no.nonEmpty) current = current.filterNot(e => no(e.relPath))
+        }
+      }
+    }
+    current
+  }
+
+  /** Column-mapping aware `prune` over an UNANALYZED predicate — the
+    * entry point for the Column-API callers (readWhere, deleteWhere,
+    * updateWhere), sharing [[ManifestTable.whereSets]]'s probe-plan
+    * analysis shape. Analysis failure = no pruning. */
+  private[io] def pruneCond(spark: SparkSession, path: String, m: Manifest,
+                            cond: org.apache.spark.sql.Column,
+                            kept: Seq[FileEntry]): Seq[FileEntry] = {
+    if (kept.isEmpty) return kept
+    // cheap short-circuit before any analysis: no index root, no work
+    val root = new Path(s"$path/_bloomidx")
+    if (!fs(spark, root).exists(root)) return kept
+    val expr0 = scala.util.Try(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }).toOption.flatten.getOrElse(return kept)
+    prune(spark, path, m, expr0, kept)
+  }
+
+  /** Top-level AND conjuncts usable as bloom probes:
+    * (physicalCol, probe values). An attribute reaches the index
+    * directly or through an integral-WIDENING cast (value-preserving,
+    * and the build normalizes integrals to long — the widened probe
+    * hashes identically). Everything else contributes nothing. */
+  private def conjunctProbes(m: Manifest, expr0: cexp.Expression)
+      : Seq[(String, Seq[Any])] = {
+    def attrOf(e: cexp.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        m.schema.fieldNames.find(_.equalsIgnoreCase(a.nameParts.last))
+      case a: cexp.Attribute =>
+        m.schema.fieldNames.find(_.equalsIgnoreCase(a.name))
+      case c: cexp.Cast =>
+        // only integral→integral widening preserves the probe value
+        if (integral(c.child.dataType) && integral(c.dataType) &&
+            c.dataType.defaultSize >= c.child.dataType.defaultSize)
+          attrOf(c.child)
+        else None
+      case _ => None
+    }
+    def eligible(n: String): Option[String] =
+      if (supported(m.schema(n).dataType))
+        Some(ManifestTable.physNameOf(m.colMap, n))
+      else None
+    def litOf(e: cexp.Expression): Option[Any] = e match {
+      case l: cexp.Literal if l.value != null &&
+        (integral(l.dataType) || l.dataType == StringType) => Some(l.value)
+      case _ => None
+    }
+    def conjuncts(e: cexp.Expression): Seq[cexp.Expression] = e match {
+      case cexp.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def probeOf(a: cexp.Expression, vs: Seq[cexp.Expression])
+        : Option[(String, Seq[Any])] =
+      for {
+        n <- attrOf(a)
+        phys <- eligible(n)
+        lits = vs.flatMap(litOf)
+        if lits.length == vs.length && lits.nonEmpty
+      } yield phys -> lits
+    conjuncts(expr0).flatMap {
+      case cexp.EqualTo(a, v) => probeOf(a, Seq(v))
+        .orElse(probeOf(v, Seq(a)))
+      case cexp.EqualNullSafe(a, v) => probeOf(a, Seq(v))
+        .orElse(probeOf(v, Seq(a)))
+      case cexp.In(a, vs) => probeOf(a, vs)
+      case cexp.InSet(a, set) =>
+        // analyzer-converted large IN lists: values are already
+        // internal representations
+        attrOf(a).flatMap(eligible).flatMap { phys =>
+          if (set.exists(_ == null)) None
+          else Some(phys -> set.toSeq)
+        }
+      case _ => None
+    }
+  }
+}

@@ -228,8 +228,14 @@ class GraftFileIndex(spark: SparkSession, tablePath: String, m: Manifest)
     cache.computeIfAbsent(key, _ => {
       val kept =
         if (dataFilters.isEmpty) m.entries
-        else ManifestTable.whereSetsExpr(spark, m,
-          dataFilters.reduce(org.apache.spark.sql.catalyst.expressions.And))._1
+        else {
+          val expr0 =
+            dataFilters.reduce(org.apache.spark.sql.catalyst.expressions.And)
+          // stats-range pruning, then bloom membership pruning (when a
+          // BloomSkip index exists for an equality conjunct's column)
+          BloomSkip.prune(spark, tablePath, m,
+            expr0, ManifestTable.whereSetsExpr(spark, m, expr0)._1)
+        }
       Seq(PartitionDirectory(InternalRow.empty,
         kept.map(e => statusOf(e.relPath)).toArray))
     })

@@ -1577,7 +1577,10 @@ object ManifestTable {
                   maxRetries: Int = 3): DvStats =
     retryingCommit(spark, path, maxRetries) { m =>
       val (possible, covered) = whereSets(spark, m, cond)
-      val partial = possible.filterNot(e => covered(e.relPath))
+      // bloom file-skipping only ever rules files OUT of the match
+      // read (a "no" is exact); coverage proofs are untouched by it
+      val partial = BloomSkip.pruneCond(spark, path, m, cond,
+        possible.filterNot(e => covered(e.relPath)))
       if (partial.isEmpty && covered.isEmpty) {
         // predicate provably matches nothing: burn no version
         setTag.foreach(t => setTagOnly(spark, path, t))
@@ -1617,7 +1620,8 @@ object ManifestTable {
       require(!set.contains(m.keyCol),
         s"the merge key '${m.keyCol}' is not updatable — delete + insert " +
         "instead")
-      val (possible, _) = whereSets(spark, m, cond)
+      val (possible0, _) = whereSets(spark, m, cond)
+      val possible = BloomSkip.pruneCond(spark, path, m, cond, possible0)
       val post = readEntries(spark, path, m.schema, m.keyCol, possible,
           m.colMap)
         .filter(cond)
@@ -3173,7 +3177,10 @@ object ManifestTable {
                                vacuumed: Boolean,
                                // partitioned tables only: the partition
                                // values the fragmentation trigger folded
-                               compactedPartitions: Seq[String] = Nil)
+                               compactedPartitions: Seq[String] = Nil,
+                               // per indexed column: files whose
+                               // bloom-skip rows this pass built
+                               bloomIndexed: Map[String, Int] = Map.empty)
 
   /** ONE-CALL MAINTENANCE — the cron entry point a CDC-fed table
     * needs: run the auto-triggers in dependency order, each firing
@@ -3236,9 +3243,15 @@ object ManifestTable {
         if (frag.nonEmpty) compactPartitions(spark, path, frag)
         frag
       }
+    // bloom-skip refresh AFTER the compactions above: they are exactly
+    // the steps that mint new (unindexed) files; one incremental build
+    // per existing index keeps probe effectiveness without a second
+    // cron entry. No index → one existence check, nothing else.
+    val bloomIndexed = BloomSkip.refreshAll(spark, path)
     vacuum(spark, path)
     MaintenanceReport(materialized, consolidated, compacted, smallFolded,
-      vacuumed = true, compactedPartitions = partsFolded)
+      vacuumed = true, compactedPartitions = partsFolded,
+      bloomIndexed = bloomIndexed)
   }
 
   /** Full rewrite into `numFiles` files on the table's RECORDED layout
@@ -3452,8 +3465,12 @@ object ManifestTable {
     * driver-side string compares, one metadata-sized job. */
   def readWhere(spark: SparkSession, path: String, cond: Column): DataFrame = {
     val m = readManifest(spark, path)
-    readEntries(spark, path, m.schema, m.keyCol,
-      entriesWhere(spark, m, cond), m.colMap).filter(cond)
+    // stats-range pruning first, then the bloom file-skipping index
+    // (when built — BloomSkip) shrinks the survivors by membership on
+    // equality/IN conjuncts that ranges can never prune
+    val kept = BloomSkip.pruneCond(spark, path, m, cond,
+      entriesWhere(spark, m, cond))
+    readEntries(spark, path, m.schema, m.keyCol, kept, m.colMap).filter(cond)
   }
 
   /** The file-pruning half of [[readWhere]], reusable by any caller
