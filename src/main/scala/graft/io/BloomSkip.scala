@@ -117,10 +117,32 @@ object BloomSkip {
       "(hash-exact through widening)")
     val phys = ManifestTable.physNameOf(m.colMap, field)
     val dir = dirOf(path, phys)
-    val have: Set[String] =
+    val have0: Set[String] =
       if (!fs(spark, new Path(dir)).exists(new Path(dir))) Set.empty
       else spark.read.parquet(dir).select("__f")
         .collect().map(_.getString(0)).toSet
+    // index GC: rows for retired files (vacuumed versions, compacted
+    // fragments) are harmless but accumulate; once they outnumber the
+    // live rows, fold the index down to the live set. Overwrite is the
+    // accelerator-grade commit: a crash mid-rewrite costs pruning
+    // effectiveness, never correctness (missing rows read conservative)
+    val live = m.entries.map(_.relPath).toSet
+    val have: Set[String] =
+      if (have0.nonEmpty && (have0 -- live).size > have0.size / 2) {
+        import spark.implicits._
+        val liveDf = live.toSeq.toDF("__f")
+        val tmp = new Path(dir + ".gc")
+        val d = new Path(dir)
+        val f = fs(spark, d)
+        // distributed fold into a staging dir, then swap — bloom bytes
+        // never reach the driver; a crash between delete and rename
+        // leaves no index (conservative reads) until the next build
+        spark.read.parquet(dir).join(broadcast(liveDf), "__f")
+          .write.mode("overwrite").parquet(tmp.toString)
+        f.delete(d, true)
+        f.rename(tmp, d)
+        have0.intersect(live)
+      } else have0
     val todo = m.entries.filter(e => !have(e.relPath))
     if (todo.isEmpty) return 0
     // absolute (clone-borrowed entries carry their own roots) → rel map,
@@ -189,7 +211,14 @@ object BloomSkip {
     val physToLogical = m.schema.fieldNames
       .map(n => ManifestTable.physNameOf(m.colMap, n) -> n).toMap
     f.listStatus(root).toSeq.map(_.getPath.getName).sorted.flatMap { phys =>
-      physToLogical.get(phys).map(l => l -> build(spark, path, l, fpp))
+      physToLogical.get(phys) match {
+        case Some(l) => Some(l -> build(spark, path, l, fpp))
+        case None =>
+          // the column was dropped (physical name retired) — its index
+          // can never be probed again; reclaim it
+          f.delete(new Path(dirOf(path, phys)), true)
+          None
+      }
     }.toMap
   }
 

@@ -170,6 +170,38 @@ class BloomSkipSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("index GC: once compaction retires most indexed files the next " +
+    "build folds the index to the live set; dropped columns reclaim") {
+    val path = tmp()
+    try {
+      make(path)
+      BloomSkip.build(spark, path, "tag")
+      // full rewrite retires all 10 indexed files -> 100% stale rows
+      ManifestTable.compactTable(spark, path, numFiles = 4)
+      assert(BloomSkip.build(spark, path, "tag") == 4)
+      val idx = spark.read.parquet(s"$path/_bloomidx/tag")
+      val liveRels = ManifestTable.readManifest(spark, path)
+        .entries.map(_.relPath).toSet
+      val rows = idx.select("__f").as[String].collect()
+      assert(rows.toSet.subsetOf(liveRels), s"stale rows survived GC: " +
+        s"${rows.toSet -- liveRels}")
+      // probes still prune and stay exact after the fold
+      val v = scatter(421)
+      assert(keptFor(path, col("tag") === v).size <= 2)
+      assert(ManifestTable.readWhere(spark, path, col("tag") === v)
+        .count() == 1L)
+      // a dropped column's index is reclaimed by the next refresh
+      BloomSkip.build(spark, path, "utag")
+      ManifestTable.dropColumn(spark, path, "utag")
+      ManifestTable.maintain(spark, path)
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_bloomidx/utag")))
+      assert(f.exists(new org.apache.hadoop.fs.Path(s"$path/_bloomidx/tag")))
+    } finally cleanup(path)
+  }
+
   test("unsupported column types refuse loudly; drop removes the index") {
     val path = tmp()
     try {

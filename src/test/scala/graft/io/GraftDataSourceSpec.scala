@@ -184,6 +184,30 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("SQL DDL: CREATE TABLE ... USING graft (CTAS) lands a manifest " +
+    "table; SELECT reads it through the connector") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    try {
+      val path = s"$root/t"
+      df.createOrReplaceTempView("ddl_src")
+      spark.sql(
+        s"""CREATE TABLE ddl_t USING graft
+           |OPTIONS (path '$path', key 'id', numFiles '4',
+           |  statsCols 'bucket')
+           |AS SELECT * FROM ddl_src""".stripMargin)
+      try {
+        // the table is a real manifest table on disk...
+        assert(ManifestTable.read(spark, path).count() == 1000L)
+        // ...and SQL over the catalog name serves it with pruning
+        val viaSql = spark.sql(
+          "SELECT bucket, count(*) AS n FROM ddl_t " +
+          "WHERE id BETWEEN 100 AND 199 GROUP BY bucket")
+        assert(viaSql.collect().map(r => (r.getInt(0), r.getLong(1)))
+          .toSeq == Seq((1, 100L)))
+      } finally spark.sql("DROP TABLE IF EXISTS ddl_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("writeStream.format(\"graft\") bootstraps then upserts micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = java.nio.file.Files.createTempDirectory("graft_ds3").toString
