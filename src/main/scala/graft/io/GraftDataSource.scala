@@ -51,9 +51,61 @@ import graft.io.ManifestTable.{DvRef, FileEntry, Manifest}
 class GraftSourceProvider extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft").option("readChangeFeed", "true")`
+    * — TAIL a table's change feed as a standard streaming source:
+    * offsets are table VERSIONS (checkpoint-durable, exactly the
+    * [[ManifestTable.changesBetween]] cursor), each micro-batch is the
+    * labeled feed of one version window, and recovery resumes from the
+    * committed version with no loss or duplication — the Delta
+    * CDF-streaming shape, composable with every downstream sink and
+    * stateful operator instead of the job-shaped
+    * [[graft.jobs.StreamingChangeFeedJob]]. `startingVersion` is the
+    * BASELINE snapshot (exclusive): the consumer is assumed to hold
+    * version N and streams the changes AFTER it; default = the
+    * table's current version at stream start (only new changes).
+    * Lag bound = the table's retention window, loud when exceeded. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val path = requireCdf(sqlContext, parameters)
+    val m = ManifestTable.readManifest(sqlContext.sparkSession, path)
+    (shortName(), StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+        m.schema.fields))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = requireCdf(sqlContext, parameters)
+    val spark = sqlContext.sparkSession
+    val m = ManifestTable.readManifest(spark, path)
+    val startV = opt(parameters, "startingVersion").map(_.toLong)
+      .getOrElse(m.version)
+    new GraftChangeFeedSource(spark, path, startV,
+      StructType(StructField("_change_type", StringType, nullable = false)
+        +: m.schema.fields))
+  }
+
+  private def requireCdf(sqlContext: SQLContext,
+                         parameters: Map[String, String]): String = {
+    require(opt(parameters, "readChangeFeed").exists(_.toBoolean),
+      "graft streaming read serves the CHANGE FEED: pass " +
+      "option(\"readChangeFeed\", \"true\") (a plain table tail is the " +
+      "feed's insert/update_post rows — filter _change_type downstream)")
+    opt(parameters, "path").getOrElse(throw new IllegalArgumentException(
+      "graft: load(path) is required — the table root"))
+  }
 
   /** `df.writeStream.format("graft")` — continuous CDC ingestion into a
     * manifest table, the [[graft.streaming.StreamingJobs
@@ -517,6 +569,68 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
   }
 
   override def toString: String = s"GraftSink[$path]"
+}
+
+/** The streaming CDF source: one table version = one offset. Each
+  * micro-batch materializes `changesBetween(fromV, toV)` — computed by
+  * the table's own distributed feed plan (dv-delta fast paths, scoped
+  * sidecar reads) — and surfaces it through the bridge as a
+  * streaming-tagged frame (a DSv1 `getBatch` contract). The schema is
+  * pinned at stream start: a mid-stream rename/widen/drop on the
+  * source table fails LOUDLY instead of silently mislabeling columns —
+  * restart the stream to adopt the new schema (the Delta behavior).
+  * A consumer lagging past the table's retention window fails loudly
+  * in `readManifestAt` — widen `keepVersions` for slow consumers.
+  *
+  * RETENTION HEADROOM (operational requirement): the micro-batch
+  * engine may REPLAY the last offset-logged batch after a restart (its
+  * commit-log write races `stop()`), so the replay baseline can sit
+  * TWO commits behind the table head the moment the next commit lands.
+  * The table's `keepVersions` must therefore be at least the
+  * consumer's worst-case lag + 2 — a streamed table on the default
+  * `keepVersions = 2` retires the replay baseline after a single
+  * source commit during downtime and the restart fails loudly. */
+private[io] class GraftChangeFeedSource(
+    spark: SparkSession, path: String, startV: Long,
+    declared: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override def schema: StructType = declared
+
+  private def versionOf(o: SOffset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[SOffset] = {
+    val cur = ManifestTable.latestVersion(spark, path).getOrElse(startV)
+    if (cur <= startV) None else Some(LongOffset(cur))
+  }
+
+  override def getBatch(start: Option[SOffset], end: SOffset)
+      : org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] = {
+    val fromV = start.map(versionOf).getOrElse(startV)
+    val toV = versionOf(end)
+    val df =
+      if (toV <= fromV)
+        // replay edge (recovered offset already at the baseline):
+        // an empty window is an empty feed, same schema
+        ManifestTable.changesBetween(spark, path, toV, toV)
+      else ManifestTable.changesBetween(spark, path, fromV, toV)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        declared.fields.map(f => (f.name, f.dataType))),
+      s"graft change-feed stream on $path: the table schema changed " +
+      s"mid-stream (declared ${declared.simpleString}, feed is now " +
+      s"${df.schema.simpleString}) — restart the stream to adopt it")
+    org.apache.spark.sql.graftbridge.Bridge.internalDf(
+      spark, df.queryExecution.toRdd, declared, isStreaming = true)
+  }
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftChangeFeed[$path from v$startV]"
 }
 
 /** The change-feed relation behind `option("readChangeFeed", "true")`:

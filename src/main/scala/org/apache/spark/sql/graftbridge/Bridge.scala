@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSession.internalCreateDataFrame` forwarder — the only public
+    * path to a DataFrame whose logical plan carries `isStreaming=true`,
+    * which a DSv1 streaming `Source.getBatch` MUST return (the
+    * micro-batch executor asserts it). Same pattern as above: a
+    * re-export, no Spark internals modified. */
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[
+                   org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType,
+                 isStreaming: Boolean): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 }
