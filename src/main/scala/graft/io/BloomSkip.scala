@@ -119,6 +119,8 @@ object BloomSkip {
     val dir = dirOf(path, phys)
     val have0: Set[String] =
       if (!fs(spark, new Path(dir)).exists(new Path(dir))) Set.empty
+      // file-count-sized collect (one rel string per indexed file);
+      // bloom bytes are column-pruned away
       else spark.read.parquet(dir).select("__f")
         .collect().map(_.getString(0)).toSet
     // index GC: rows for retired files (vacuumed versions, compacted
@@ -246,6 +248,7 @@ object BloomSkip {
           // executor-side membership test, one deserialization per
           // (file, conjunct) — file-count-sized rows, never data
           val hs = hashes
+          // file-count-sized collect: one (rel, boolean) per candidate
           val verdicts = indexed.as[(String, Array[Byte])].map {
             case (rel, bytes) =>
               val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))

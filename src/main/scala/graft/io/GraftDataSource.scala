@@ -213,9 +213,18 @@ object GraftSourceProvider {
     }.toMap
     val fileFormat = new GraftParquetFileFormat(
       m.keyCol, keyPhys, m.keyType, colMap, dvByUri)
+    // a partitioned table exposes its partition column as a REAL Spark
+    // partition column (overlapping with dataSchema keeps its original
+    // position in the relation schema): Catalyst then does static
+    // partition pruning AND dynamic partition pruning (DPP) itself,
+    // and the scan never reads the column's bytes — the value comes
+    // from the manifest, per partition directory
+    val partitionSchema = m.partCol
+      .map(pc => StructType(Seq(m.schema(pc))))
+      .getOrElse(new StructType())
     HadoopFsRelation(
       new GraftFileIndex(spark, path, m),
-      partitionSchema = new StructType(),
+      partitionSchema = partitionSchema,
       dataSchema = m.schema,
       bucketSpec = None,
       fileFormat = fileFormat,
@@ -270,26 +279,72 @@ class GraftFileIndex(spark: SparkSession, tablePath: String, m: Manifest)
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[PartitionDirectory]]()
 
+  private val partField = m.partCol.map(m.schema(_))
+
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType =
+    partField.map(f => StructType(Seq(f))).getOrElse(new StructType())
+
+  // partition directories: flat tables are one anonymous directory;
+  // a partitioned table groups entries by the manifest-recorded
+  // partition value (string-encoded stats → the column's type, exact
+  // for the integral/string types partition columns are restricted to)
+  private val groups: Seq[(InternalRow, Seq[FileEntry])] = partField match {
+    case None => Seq((InternalRow.empty, m.entries))
+    case Some(f) =>
+      m.entries.groupBy(e => ManifestTable.partValueOf(m, e, tablePath))
+        .toSeq.sortBy(_._1).map { case (s, es) =>
+          val v = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              StringType), f.dataType).eval(null)
+          (new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](v)): InternalRow) -> es
+        }
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val key = dataFilters.map(_.canonicalized.toString).sorted.mkString("&")
+    val key = (partitionFilters ++ Seq(null) ++ dataFilters)
+      .map(e => if (e == null) "|" else e.canonicalized.toString)
+      .mkString("&")
     cache.computeIfAbsent(key, _ => {
-      val kept =
-        if (dataFilters.isEmpty) m.entries
+      import org.apache.spark.sql.catalyst.{expressions => cexp}
+      // partition pruning: evaluate the planner's partition filters
+      // (static AND the DPP runtime filter — FileSourceScanExec hands
+      // the materialized values here) directly against each
+      // directory's value row. Unevaluable shapes keep everything.
+      val keptGroups =
+        if (partitionFilters.isEmpty || partField.isEmpty) groups
+        else scala.util.Try {
+          val bound = partitionFilters.reduce(cexp.And).transform {
+            case _: cexp.AttributeReference =>
+              cexp.BoundReference(0, partField.get.dataType,
+                nullable = false)
+          }
+          val pred = cexp.Predicate.create(bound)
+          pred.initialize(0)
+          groups.filter { case (row, _) => pred.eval(row) }
+        }.getOrElse(groups)
+      // then manifest-stats + bloom pruning from the data filters,
+      // computed ONCE over the surviving entries and re-grouped
+      val kept: Seq[(InternalRow, Seq[FileEntry])] =
+        if (dataFilters.isEmpty) keptGroups
         else {
-          val expr0 =
-            dataFilters.reduce(org.apache.spark.sql.catalyst.expressions.And)
-          // stats-range pruning, then bloom membership pruning (when a
-          // BloomSkip index exists for an equality conjunct's column)
-          BloomSkip.prune(spark, tablePath, m,
-            expr0, ManifestTable.whereSetsExpr(spark, m, expr0)._1)
+          val expr0 = dataFilters.reduce(cexp.And)
+          val allRels = keptGroups.flatMap(_._2.map(_.relPath)).toSet
+          val keep = BloomSkip.prune(spark, tablePath, m, expr0,
+            ManifestTable.whereSetsExpr(spark, m, expr0)._1
+              .filter(e => allRels(e.relPath)))
+            .map(_.relPath).toSet
+          keptGroups.map { case (row, es) =>
+            row -> es.filter(e => keep(e.relPath))
+          }.filter(_._2.nonEmpty)
         }
-      Seq(PartitionDirectory(InternalRow.empty,
-        kept.map(e => statusOf(e.relPath)).toArray))
+      kept.map { case (row, es) =>
+        PartitionDirectory(row, es.map(e => statusOf(e.relPath)).toArray)
+      }
     })
   }
 

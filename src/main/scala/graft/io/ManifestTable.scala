@@ -784,7 +784,8 @@ object ManifestTable {
     }
 
   /** The single partition value a file of a partitioned table holds. */
-  private def partValueOf(m: Manifest, e: FileEntry, path: String): String = {
+  private[io] def partValueOf(m: Manifest, e: FileEntry,
+                              path: String): String = {
     val pc = requirePartitioned(m, path)
     e.extra.get(pc) match {
       case Some((mn, mx)) if mn == mx => mn

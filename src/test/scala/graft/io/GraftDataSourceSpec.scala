@@ -289,6 +289,44 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("partitioned tables: the partition column is a REAL Spark " +
+    "partition — static pruning and DPP run inside Catalyst") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      val path = s"$root/t"
+      ManifestTable.createPartitioned(df, path, "id", "bucket")
+      // schema keeps the original column order (overlap handling)
+      assert(load(path).schema.fieldNames.toSeq ==
+        Seq("id", "bucket", "name"))
+      sameResult(load(path), ManifestTable.read(spark, path))
+      // static partition pruning: the scan metadata carries a real
+      // partition filter and scans only the matching partitions' files
+      val q = load(path).filter(col("bucket").isin(2, 7))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+      assert(scan.metadata("PartitionFilters").contains("bucket"),
+        scan.metadata("PartitionFilters"))
+      val total = ManifestTable.readManifest(spark, path).entries.size
+      assert(scan.metrics("numFiles").value < total)
+      assert(q.count() == 200L)
+      // DPP: a selective dim-side filter (over a scannable source —
+      // the rule's hasSelectivePredicate shape) prunes the fact scan
+      // at runtime through the dynamicpruning subquery
+      (0 until 10).map(b => (b, if (b == 2) "keep" else "drop"))
+        .toDF("b", "tag").write.mode("overwrite")
+        .parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim")
+        .filter(col("tag") === "keep").select("b")
+      val j = load(path).join(broadcast(dim), col("bucket") === col("b"))
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.toLowerCase.contains("dynamicpruning"),
+        s"no DPP subquery in plan:\n${planStr.take(2000)}")
+      assert(j.count() == 100L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("partitioned tables and shallow clones (borrowed roots) read " +
     "through the connector") {
     val root = java.nio.file.Files.createTempDirectory("graft_ds2").toString
