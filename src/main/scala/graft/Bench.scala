@@ -128,7 +128,11 @@ object Bench {
     // delete + two bloom-routed point lookups; tracks that the index
     // build stays one column-pruned pass and probes stay
     // file-count-sized
-    "m28_bloom_lookup")
+    "m28_bloom_lookup",
+    // round 14: connector DPP — partitioned create + dim write + the
+    // runtime-pruned join; tracks that partition-directory planning
+    // stays manifest-sized
+    "m29_connector_dpp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

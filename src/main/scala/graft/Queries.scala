@@ -1526,6 +1526,35 @@ object Queries {
           max("o_orderkey").as("max_key"))
     }),
 
+    // CONNECTOR DPP (round 14, GraftFileIndex partition awareness): a
+    // PARTITIONED manifest table loaded through format("graft")
+    // exposes its partition column as a real Spark partition, so this
+    // dim-filtered join prunes the fact scan at runtime through the
+    // standard dynamicpruning subquery (GraftDataSourceSpec pins the
+    // plan + numFiles; here the oracle hash gates that runtime
+    // partition pruning + manifest-fed partition VALUES — never read
+    // from file bytes — stay exact). The 100 TB shape: date-partitioned
+    // fact x filtered calendar, only the hot partitions' files scanned.
+    "m29_connector_dpp" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val root = mtabTmp()
+      val path = s"$root/t"
+      graft.io.ManifestTable.createPartitioned(base, path,
+        "o_orderkey", "o_orderpriority")
+      base.select(col("o_orderpriority")).distinct()
+        .withColumn("pri_rank",
+          substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = s.read.parquet(s"$root/dim")
+        .filter(col("pri_rank") <= 2).select("o_orderpriority")
+      s.read.format("graft").load(path)
+        .join(broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3503,6 +3532,17 @@ object Queries {
         |FROM base
         |WHERE o_custkey IN ((SELECT p1 FROM probe), (SELECT p2 FROM probe2))
         |GROUP BY o_custkey""".stripMargin,
+
+    // m29: runtime partition pruning is an access path — the oracle is
+    // the plain filtered join (the dim keeps priorities whose leading
+    // digit <= 2).
+    "m29_connector_dpp" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // m27: the connector read replays as dv-delete (%7 keys gone) +
     // rename (o_orderpriority surfaces as priority) + the query's own

@@ -90,7 +90,14 @@ class GraftSourceProvider extends RelationProvider
     val path = requireCdf(sqlContext, parameters)
     val spark = sqlContext.sparkSession
     val m = ManifestTable.readManifest(spark, path)
+    require(opt(parameters, "startingVersion").isEmpty ||
+      opt(parameters, "startingTimestamp").isEmpty,
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
     val startV = opt(parameters, "startingVersion").map(_.toLong)
+      .orElse(opt(parameters, "startingTimestamp").map(ts =>
+        // baseline = the snapshot current AT that time; changes AFTER
+        // it stream (the readAsOfTime selection, same loud windows)
+        ManifestTable.manifestAsOfTime(spark, path, ts.toLong).version))
       .getOrElse(m.version)
     new GraftChangeFeedSource(spark, path, startV,
       StructType(StructField("_change_type", StringType, nullable = false)
@@ -141,6 +148,16 @@ class GraftSourceProvider extends RelationProvider
     val path = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException(
         "graft: load(path) is required — the table root"))
+    if (opt(parameters, "history").exists(_.toBoolean))
+      // DESCRIBE HISTORY parity: the retained commit log as a relation
+      // (manifest-only — no data file opens)
+      return new GraftLocalRelation(sqlContext,
+        () => ManifestTable.history(spark, path))
+    if (opt(parameters, "describe").exists(_.toBoolean))
+      // the live file inventory: per file its row count, key range and
+      // tracked column ranges — ops visibility through plain SQL
+      return new GraftLocalRelation(sqlContext,
+        () => ManifestTable.describe(spark, path))
     if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
       val from = opt(parameters, "startingVersion").getOrElse(
         throw new IllegalArgumentException(
@@ -686,6 +703,17 @@ private[io] class GraftChangeFeedSource(
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeed[$path from v$startV]"
+}
+
+/** A small metadata relation (history, describe): the frame is
+  * manifest-derived and file-count-sized, so a TableScan is the right
+  * cost class — same shape as the CDF relation. */
+class GraftLocalRelation(ctx: SQLContext, mk: () => DataFrame)
+    extends BaseRelation with TableScan {
+  private lazy val df: DataFrame = mk()
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
 }
 
 /** The change-feed relation behind `option("readChangeFeed", "true")`:

@@ -208,6 +208,40 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("Z-ordered tables prune on BOTH curve columns through the " +
+    "connector; history/describe options serve the metadata relations") {
+    val path = tmp()
+    try {
+      // two independent dimensions on the Morton curve: a point probe
+      // on either column cuts the file list (key-sorted layout would
+      // only prune one)
+      val zdf = (0 until 1024).map { i =>
+        val a = i % 32; val b = i / 32
+        (i.toLong, a.toLong, b.toLong)
+      }.toDF("id", "ax", "bx")
+      ManifestTable.createZOrdered(zdf, path, "id", numFiles = 16,
+        zColA = "ax", zColB = "bx")
+      val qa = load(path).filter(col("ax") === 7L)
+      assert(scanOf(qa)._1 < 16, "ax probe did not prune")
+      assert(qa.count() == 32L)
+      val qb = load(path).filter(col("bx") === 3L)
+      assert(scanOf(qb)._1 < 16, "bx probe did not prune")
+      assert(qb.count() == 32L)
+      // metadata relations
+      ManifestTable.merge(spark, path,
+        Seq((5000L, 1L, 1L)).toDF("id", "ax", "bx"))
+      val hist = spark.read.format("graft")
+        .option("history", "true").load(path)
+      assert(hist.count() == 2L)
+      assert(hist.select("op").as[String].collect().toSet ==
+        Set("create-zorder", "merge"))
+      val desc = spark.read.format("graft")
+        .option("describe", "true").load(path)
+      assert(desc.count() ==
+        ManifestTable.readManifest(spark, path).entries.size.toLong)
+    } finally cleanup(path)
+  }
+
   test("writeStream.format(\"graft\") bootstraps then upserts micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = java.nio.file.Files.createTempDirectory("graft_ds3").toString
