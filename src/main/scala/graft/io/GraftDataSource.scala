@@ -194,7 +194,13 @@ class GraftSourceProvider extends RelationProvider
       val statsCols = opt(parameters, "statsCols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-      ManifestTable.create(data, path, key, numFiles, statsCols)
+      opt(parameters, "partCol") match {
+        // DSv1 writers don't receive .partitionBy() columns — the
+        // partition layout is an option, like Delta's partitionBy
+        case Some(pc) => ManifestTable.createPartitioned(
+          data, path, key, pc, statsCols, numFiles = numFiles)
+        case None => ManifestTable.create(data, path, key, numFiles, statsCols)
+      }
     }
     mode match {
       case SaveMode.Overwrite => doCreate()

@@ -181,6 +181,21 @@ class GraftDataSourceSpec extends SparkSpec {
         df.write.format("graft").option("key", "id")
           .mode("errorifexists").save(path)
       }
+      // partitioned create via option (DSv1 writers don't see
+      // .partitionBy) — the written table is partition-pure and the
+      // connector read partition-prunes it
+      val p2 = path + "p"
+      df.write.format("graft").option("key", "id")
+        .option("partCol", "bucket").mode("overwrite").save(p2)
+      assert(ManifestTable.readManifest(spark, p2).partCol ==
+        Some("bucket"))
+      val qp = load(p2).filter(col("bucket") === 4)
+      qp.collect()
+      val scanP = qp.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+      assert(scanP.metadata("PartitionFilters").contains("bucket"))
+      assert(qp.count() == 100L)
     } finally cleanup(path)
   }
 
