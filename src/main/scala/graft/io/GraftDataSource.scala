@@ -34,14 +34,18 @@ import graft.io.ManifestTable.{DvRef, FileEntry, Manifest}
   * `timestampAsOf` (epoch millis, [[ManifestTable.readAsOfTime]]
   * semantics), `readChangeFeed=true` with `startingVersion` /
   * `endingVersion` (the CDF relation, [[ManifestTable.changesBetween]]
-  * columns: `_change_type` + the table schema).
+  * columns: `_change_type` + the table schema), `history=true` /
+  * `describe=true` (the commit log / live file inventory as relations —
+  * DESCRIBE HISTORY parity, manifest-only).
   *
   * Write (`df.write.format("graft")`): `key` names the merge key
   * (required on create), `numFiles` the create fan-out, `statsCols` a
-  * comma-separated secondary-stats list. `Overwrite` (re)creates;
-  * `Append` upserts through [[ManifestTable.merge]] on an existing
-  * table and creates otherwise; `ErrorIfExists`/`Ignore` keep their
-  * SaveMode contracts.
+  * comma-separated secondary-stats list, `partCol` a partition column
+  * (DSv1 writers don't receive `.partitionBy()` — the option is the
+  * Delta shape and routes to [[ManifestTable.createPartitioned]]).
+  * `Overwrite` (re)creates; `Append` upserts through
+  * [[ManifestTable.merge]] on an existing table and creates otherwise;
+  * `ErrorIfExists`/`Ignore` keep their SaveMode contracts.
   *
   * At 100 TB the division of labor is the point: the driver touches
   * ONLY the manifest (file-count-sized) and one listing RPC per commit
