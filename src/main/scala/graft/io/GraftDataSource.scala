@@ -105,7 +105,8 @@ class GraftSourceProvider extends RelationProvider
       .getOrElse(m.version)
     new GraftChangeFeedSource(spark, path, startV,
       StructType(StructField("_change_type", StringType, nullable = false)
-        +: m.schema.fields))
+        +: m.schema.fields),
+      opt(parameters, "maxVersionsPerTrigger").map(_.toLong))
   }
 
   private def requireCdf(sqlContext: SQLContext,
@@ -674,10 +675,13 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
   * source commit during downtime and the restart fails loudly. */
 private[io] class GraftChangeFeedSource(
     spark: SparkSession, path: String, startV: Long,
-    declared: StructType)
+    declared: StructType, maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  require(maxVersionsPerTrigger.forall(_ >= 1L),
+    s"graft: maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
   override def schema: StructType = declared
 
@@ -686,15 +690,31 @@ private[io] class GraftChangeFeedSource(
     case other => other.json.trim.toLong
   }
 
+  // the highest version already OFFERED through getOffset — the rate
+  // limit advances from here, not from the committed offset, so each
+  // trigger takes the NEXT window during a long catch-up
+  @volatile private var lastOffered: Long = startV
+
   override def getOffset: Option[SOffset] = {
     val cur = ManifestTable.latestVersion(spark, path).getOrElse(startV)
-    if (cur <= startV) None else Some(LongOffset(cur))
+    // a lagging consumer catching up takes bounded windows: one giant
+    // all-missed-versions batch would hold the whole backlog's diff in
+    // a single micro-batch (memory/latency cliff at 100 TB churn)
+    val capped = maxVersionsPerTrigger
+      .map(mx => math.min(cur, math.max(lastOffered, startV) + mx))
+      .getOrElse(cur)
+    if (capped <= startV || capped <= lastOffered) None
+    else { lastOffered = capped; Some(LongOffset(capped)) }
   }
 
   override def getBatch(start: Option[SOffset], end: SOffset)
       : org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] = {
     val fromV = start.map(versionOf).getOrElse(startV)
     val toV = versionOf(end)
+    // restart seeding for the rate limit: the engine replays the
+    // restored offsets through getBatch before polling getOffset, so
+    // the cap can never offer an offset BELOW the checkpointed one
+    lastOffered = math.max(lastOffered, math.max(fromV, toV))
     val df =
       if (toV <= fromV)
         // replay edge (recovered offset already at the baseline):
@@ -710,7 +730,9 @@ private[io] class GraftChangeFeedSource(
       spark, df.queryExecution.toRdd, declared, isStreaming = true)
   }
 
-  override def commit(end: SOffset): Unit = ()
+  override def commit(end: SOffset): Unit = {
+    lastOffered = math.max(lastOffered, versionOf(end))
+  }
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeed[$path from v$startV]"
 }

@@ -338,6 +338,54 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("streaming source rate limit: maxVersionsPerTrigger bounds each " +
+    "micro-batch to one version window; catch-up and restart stay exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rate").toString
+    try {
+      val path = s"$root/t"
+      ManifestTable.create(df, path, "id", numFiles = 10,
+        statsCols = Seq("bucket", "name"), keepVersions = 8) // v1
+      // three commits land BEFORE the stream starts — the backlog
+      (1 to 3).foreach { i => // v2..v4, one insert each
+        ManifestTable.merge(spark, path,
+          Seq((9000L + i, 90, s"B$i")).toDF("id", "bucket", "name"))
+      }
+      val buf = collection.concurrent.TrieMap
+        .empty[Long, Seq[(String, Long)]]
+      def startQ() = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load(path)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          buf(id) = b.select("_change_type", "id").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          ()
+        }.start()
+      val q = startQ()
+      try q.processAllAvailable() finally q.stop()
+      // the backlog arrived as THREE single-version batches, in order
+      val batches = buf.toSeq.sortBy(_._1).map(_._2)
+      assert(batches.size == 3, s"expected 3 rate-limited batches: $buf")
+      assert(batches.forall(_.size == 1))
+      assert(batches.flatten.map(_._2).toList ==
+        List(9001L, 9002L, 9003L))
+      // more commits while down; restart drains them without loss,
+      // duplication, or offset regression
+      (4 to 5).foreach { i => // v5..v6
+        ManifestTable.merge(spark, path,
+          Seq((9000L + i, 90, s"B$i")).toDF("id", "bucket", "name"))
+      }
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = buf.toSeq.sortBy(_._1).flatMap(_._2)
+      assert(all.map(_._2).toList ==
+        List(9001L, 9002L, 9003L, 9004L, 9005L), s"got $all")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("partitioned tables: the partition column is a REAL Spark " +
     "partition — static pruning and DPP run inside Catalyst") {
     val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
