@@ -132,7 +132,12 @@ object Bench {
     // round 14: connector DPP — partitioned create + dim write + the
     // runtime-pruned join; tracks that partition-directory planning
     // stays manifest-sized
-    "m29_connector_dpp")
+    "m29_connector_dpp",
+    // round 15: the SQL DML chain (CREATE TABLE / DELETE / UPDATE /
+    // INSERT / MERGE through the catalog) — create-included; tracks
+    // that statement routing + per-statement commits stay bounded by
+    // the same dv/CoW costs as their programmatic twins (m23/m7)
+    "m30_sql_dml")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,6 +147,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // custom SQL functions + the SQL DML routing rule (m30 runs
+      // DELETE/UPDATE/MERGE statements through the catalog)
+      .withExtensions(GraftExtensions.inject)
       .getOrCreate()
     // ERROR, not WARN: WindowExec's metadata-sized "No Partition Defined"
     // advisories (all adjudicated aggregate-fed, PlanSpec-guarded) spam

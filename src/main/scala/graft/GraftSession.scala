@@ -60,11 +60,16 @@ object GraftExtensions {
       es => HashBuckets(es.head, intArg(es(1), "buckets"),
         intArg(es(2), "distinct") != 0)))
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
+    // SQL row-level DML on graft tables (DELETE/UPDATE/MERGE +
+    // partitioned INSERT) — resolution-batch conversion to the
+    // manifest's transactional ops; see graft.io.GraftDmlRule
+    ext.injectResolutionRule(session => graft.io.GraftDmlRule(session))
+  }
 }
 
 object GraftSession {

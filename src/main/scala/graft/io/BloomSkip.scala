@@ -227,59 +227,178 @@ object BloomSkip {
   /** The probe: shrink `kept` (a sound possible-set) by testing each
     * eligible top-level AND conjunct of `expr0` against the column's
     * index. Files lacking an index row always survive; absent
-    * index dirs cost one existence check. */
+    * index dirs cost one existence check.
+    *
+    * The probe is DRIVER-LOCAL in the steady state: index dirs are
+    * file-count × kilobytes, so the deserialized filters live in a
+    * bounded driver cache ([[IdxCache]], validated per probe by one
+    * `listStatus` against the dir's (name, length, mtime) census) and
+    * membership tests run in-process — repeated point lookups, and the
+    * connector's planning-time [[GraftFileIndex.listFiles]] pruning,
+    * launch ZERO Spark jobs. An index dir past the cache budget falls
+    * back to the executor-side membership job. Every per-probe read is
+    * failure-guarded: an index racing a [[build]] GC swap (delete +
+    * rename) simply prunes nothing this probe — the accelerator
+    * contract (staleness or absence costs pruning effectiveness,
+    * never correctness). */
   private[io] def prune(spark: SparkSession, path: String, m: Manifest,
                         expr0: cexp.Expression,
                         kept: Seq[FileEntry]): Seq[FileEntry] = {
     if (kept.isEmpty) return kept
+    // cheap short-circuit before conjunct analysis: no index root
+    val root = new Path(s"$path/_bloomidx")
+    if (scala.util.Try(!fs(spark, root).exists(root)).getOrElse(true))
+      return kept
     val probes = conjunctProbes(m, expr0)
     if (probes.isEmpty) return kept
     var current = kept
     probes.foreach { case (phys, values) =>
-      if (current.nonEmpty) {
-        val dir = dirOf(path, phys)
-        if (fs(spark, new Path(dir)).exists(new Path(dir))) {
-          val hashes = values.map(hashOf)
+      if (current.nonEmpty) current = scala.util.Try(
+        pruneOne(spark, path, phys, values, current)).getOrElse(current)
+    }
+    current
+  }
+
+  /** One conjunct's membership cut — driver-cached filters when the
+    * index fits the budget, the executor-side job otherwise. Throws
+    * propagate to [[prune]]'s conservative catch. */
+  private def pruneOne(spark: SparkSession, path: String, phys: String,
+                       values: Seq[Any],
+                       current: Seq[FileEntry]): Seq[FileEntry] = {
+    val dir = dirOf(path, phys)
+    val hashes = values.map(hashOf)
+    IdxCache.get(spark, dir) match {
+      case IdxCache.Missing => current
+      case IdxCache.Loaded(blooms) =>
+        current.filter { e =>
+          blooms.get(e.relPath) match {
+            case Some(bf) => hashes.exists(bf.mightContainLong)
+            case None => true // unindexed file reads conservatively
+          }
+        }
+      case IdxCache.TooBig =>
+        if (!fs(spark, new Path(dir)).exists(new Path(dir))) current
+        else {
           val rels = current.map(_.relPath)
           import spark.implicits._
           val relsDf = rels.toDF("__f")
           val indexed = spark.read.parquet(dir)
             .join(broadcast(relsDf), "__f")
           // executor-side membership test, one deserialization per
-          // (file, conjunct) — file-count-sized rows, never data
+          // (file, conjunct) — file-count-sized rows, never data;
+          // one (rel, boolean) per candidate comes back
           val hs = hashes
-          // file-count-sized collect: one (rel, boolean) per candidate
           val verdicts = indexed.as[(String, Array[Byte])].map {
             case (rel, bytes) =>
               val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
               (rel, hs.exists(bf.mightContainLong))
           }.collect()
           val no = verdicts.collect { case (rel, false) => rel }.toSet
-          if (no.nonEmpty) current = current.filterNot(e => no(e.relPath))
+          if (no.isEmpty) current
+          else current.filterNot(e => no(e.relPath))
         }
-      }
     }
-    current
   }
 
   /** Column-mapping aware `prune` over an UNANALYZED predicate — the
-    * entry point for the Column-API callers (readWhere, deleteWhere,
-    * updateWhere), sharing [[ManifestTable.whereSets]]'s probe-plan
-    * analysis shape. Analysis failure = no pruning. */
+    * Column-API entry point (tests, ad-hoc callers), sharing
+    * [[ManifestTable.analyzedCond]]'s probe-plan analysis. The DML/read
+    * paths analyze ONCE and call [[prune]] directly. Analysis failure
+    * = no pruning. */
   private[io] def pruneCond(spark: SparkSession, path: String, m: Manifest,
                             cond: org.apache.spark.sql.Column,
                             kept: Seq[FileEntry]): Seq[FileEntry] = {
     if (kept.isEmpty) return kept
-    // cheap short-circuit before any analysis: no index root, no work
-    val root = new Path(s"$path/_bloomidx")
-    if (!fs(spark, root).exists(root)) return kept
-    val expr0 = scala.util.Try(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }).toOption.flatten.getOrElse(return kept)
-    prune(spark, path, m, expr0, kept)
+    ManifestTable.analyzedCond(spark, m.schema, cond) match {
+      case Some(e) => prune(spark, path, m, e, kept)
+      case None => kept
+    }
+  }
+
+  /** Bounded driver-side cache of deserialized per-file bloom filters,
+    * keyed by index dir and validated by the dir's (name, length,
+    * mtime) listing census — one metadata RPC per probe, refreshed
+    * automatically when [[build]]/GC rewrite the dir. Total
+    * deserialized bytes are capped; a dir whose on-disk index exceeds
+    * the per-dir budget is never loaded (executor-side probing keeps
+    * working), so driver memory stays bounded at any table scale. */
+  private[io] object IdxCache {
+    sealed trait Result
+    case class Loaded(blooms: Map[String, BloomFilter]) extends Result
+    case object TooBig extends Result
+    case object Missing extends Result
+
+    // per-dir and total budgets for SERIALIZED index bytes (the
+    // deserialized footprint is the same order): file-count × KB
+    private val MaxDirBytes = 32L << 20
+    private val MaxTotalBytes = 128L << 20
+
+    private case class Entry(stamp: Seq[(String, Long, Long)],
+                             bytes: Long,
+                             blooms: Map[String, BloomFilter])
+    private val cache =
+      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+
+    private[io] def invalidate(): Unit =
+      cache.synchronized(cache.clear())
+
+    def get(spark: SparkSession, dir: String): Result = {
+      val d = new Path(dir)
+      val f = fs(spark, d)
+      if (!f.exists(d)) return Missing
+      val parts = f.listStatus(d).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.sortBy(_.getPath.getName)
+      if (parts.isEmpty) return Missing
+      val stamp = parts.map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq
+      val bytes = parts.map(_.getLen).sum
+      if (bytes > MaxDirBytes) return TooBig
+      cache.synchronized {
+        val hit = cache.get(dir)
+        if (hit != null && hit.stamp == stamp) return Loaded(hit.blooms)
+      }
+      // load OUTSIDE the lock: parquet-hadoop record reads on the
+      // driver (same shape as GraftDvCache), no Spark job
+      val blooms = load(spark, parts.map(_.getPath))
+      cache.synchronized {
+        cache.put(dir, Entry(stamp, bytes, blooms))
+        var total = 0L
+        val it = cache.values().iterator()
+        while (it.hasNext) total += it.next().bytes
+        val evict = cache.entrySet().iterator()
+        while (total > MaxTotalBytes && evict.hasNext) {
+          val e = evict.next()
+          if (e.getKey != dir) { total -= e.getValue.bytes; evict.remove() }
+        }
+      }
+      Loaded(blooms)
+    }
+
+    private def load(spark: SparkSession,
+                     files: Seq[Path]): Map[String, BloomFilter] = {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val conf = spark.sessionState.newHadoopConf()
+      val out = Map.newBuilder[String, BloomFilter]
+      files.foreach { p =>
+        val reader = ParquetReader.builder(new GroupReadSupport(), p)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount("__f") > 0 &&
+                g.getFieldRepetitionCount("__bloom") > 0)
+              out += g.getString("__f", 0) -> BloomFilter.readFrom(
+                new ByteArrayInputStream(
+                  g.getBinary("__bloom", 0).getBytes))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      out.result()
+    }
   }
 
   /** Top-level AND conjuncts usable as bloom probes:

@@ -141,7 +141,12 @@ class GraftSourceProvider extends RelationProvider
       opt(parameters, "key"),
       opt(parameters, "numFiles").map(_.toInt).getOrElse(8),
       opt(parameters, "cdf").exists(_.toBoolean),
-      opt(parameters, "dv").exists(_.toBoolean))
+      opt(parameters, "dv").exists(_.toBoolean),
+      // `partCol` shapes the BOOTSTRAP only (first batch creates a
+      // partitioned table); later batches land through merge, which
+      // preserves whatever layout the table has — same contract as the
+      // batch writer's partCol option
+      opt(parameters, "partCol"))
   }
 
   private def opt(parameters: Map[String, String], k: String): Option[String] =
@@ -172,14 +177,24 @@ class GraftSourceProvider extends RelationProvider
         .getOrElse(ManifestTable.readManifest(spark, path).version)
       return new GraftChangeFeedRelation(sqlContext, path, from, to)
     }
-    val m = (opt(parameters, "versionAsOf"), opt(parameters, "timestampAsOf")) match {
-      case (Some(v), None) => ManifestTable.readManifestAt(spark, path, v.toLong)
-      case (None, Some(ts)) => ManifestTable.manifestAsOfTime(spark, path, ts.toLong)
-      case (None, None) => ManifestTable.readManifest(spark, path)
+    val (m, current) = (opt(parameters, "versionAsOf"),
+        opt(parameters, "timestampAsOf")) match {
+      case (Some(v), None) =>
+        (ManifestTable.readManifestAt(spark, path, v.toLong), false)
+      case (None, Some(ts)) =>
+        (ManifestTable.manifestAsOfTime(spark, path, ts.toLong), false)
+      case (None, None) => (ManifestTable.readManifest(spark, path), true)
       case _ => throw new IllegalArgumentException(
         "graft: versionAsOf and timestampAsOf are mutually exclusive")
     }
-    GraftSourceProvider.snapshotRelation(spark, path, m)
+    // pass the resolution's options through as the relation's options:
+    // the catalog's cached-relation reuse compares them against the
+    // table's storage options on every hit and rebuilds via copy() on
+    // ANY mismatch — carrying them makes the steady-state hit
+    // comparison equal, so cached relations (and their file listings)
+    // actually get reused
+    GraftSourceProvider.snapshotRelation(spark, path, m, current,
+      options = parameters)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -210,7 +225,24 @@ class GraftSourceProvider extends RelationProvider
     mode match {
       case SaveMode.Overwrite => doCreate()
       case SaveMode.Append =>
-        if (exists) ManifestTable.merge(spark, path, data) else doCreate()
+        if (exists) {
+          // option("mergeSchema","true") — ADDITIVE schema evolution on
+          // append, the Delta shape: columns the batch carries beyond
+          // the table schema are added first (a metadata-only
+          // evolveSchema commit; old files null-extend, CDF serves the
+          // widest schema), then the batch upserts. Non-additive diffs
+          // (retype/rename) still refuse inside evolveSchema/merge —
+          // evolution never silently rewrites existing columns. Without
+          // the option, an extra column refuses loudly (merge's check).
+          if (opt(parameters, "mergeSchema").exists(_.toBoolean)) {
+            val m = ManifestTable.readManifest(spark, path)
+            val newCols = data.schema.fields
+              .filterNot(f => m.schema.fieldNames.contains(f.name))
+            if (newCols.nonEmpty)
+              ManifestTable.evolveSchema(spark, path, StructType(newCols))
+          }
+          ManifestTable.merge(spark, path, data)
+        } else doCreate()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at $path (mode=ErrorIfExists)")
@@ -224,9 +256,13 @@ class GraftSourceProvider extends RelationProvider
 object GraftSourceProvider {
   /** The batch relation over one pinned manifest snapshot: logical
     * schema outward, manifest-pruned file list inward, dv + column
-    * mapping applied in the file format. */
+    * mapping applied in the file format. `current` marks a head
+    * snapshot (insertable); time-travel snapshots refuse inserts. */
   private[io] def snapshotRelation(spark: SparkSession, path: String,
-                                   m: Manifest): BaseRelation = {
+                                   m: Manifest,
+                                   current: Boolean = true,
+                                   options: Map[String, String] = Map.empty)
+      : BaseRelation = {
     val colMap = m.colMap
     val keyPhys = ManifestTable.physNameOf(colMap, m.keyCol)
     // dv scope per file, keyed by the file's URI path (scheme-stripped
@@ -250,13 +286,74 @@ object GraftSourceProvider {
     val partitionSchema = m.partCol
       .map(pc => StructType(Seq(m.schema(pc))))
       .getOrElse(new StructType())
-    HadoopFsRelation(
-      new GraftFileIndex(spark, path, m),
-      partitionSchema = partitionSchema,
-      dataSchema = m.schema,
-      bucketSpec = None,
-      fileFormat = fileFormat,
-      options = Map.empty)(spark)
+    new GraftSnapshotRelation(spark, path, m,
+      new GraftFileIndex(spark, path, m), partitionSchema,
+      m.schema, fileFormat, options, current)
+  }
+}
+
+/** The snapshot relation: a [[HadoopFsRelation]] (so the whole native
+  * parquet read stack plans the scan) that is ALSO an
+  * [[InsertableRelation]] — and that ordering is the SQL-write safety
+  * contract. Spark's `DataSourceAnalysis` matches `InsertableRelation`
+  * BEFORE its `HadoopFsRelation` file-commit fallback, so a plain
+  * `INSERT INTO` / `INSERT OVERWRITE` on a graft table (catalog name or
+  * path) lands as a MANIFEST COMMIT — [[ManifestTable.merge]] (keyed
+  * upsert, the table's append primitive) or
+  * [[ManifestTable.overwriteData]] (full replacement, history kept) —
+  * never as raw `part-*.parquet` under the table root. The one insert
+  * shape that would still reach the file-commit path (a static
+  * `PARTITION (...)` clause) is sealed off by
+  * [[GraftParquetFileFormat.prepareWrite]] throwing loudly: silent
+  * unmanifested writes are impossible by construction. */
+private[io] class GraftSnapshotRelation(
+    spark: SparkSession, val tablePath: String, m: Manifest,
+    index: FileIndex, partitionSchema0: StructType,
+    dataSchema0: StructType,
+    fileFormat0: org.apache.spark.sql.execution.datasources.FileFormat,
+    options0: Map[String, String], val current: Boolean)
+  extends HadoopFsRelation(index, partitionSchema0, dataSchema0, None,
+    fileFormat0, options0)(spark)
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  /** The pinned snapshot — [[GraftDmlRule]] consults it (partition
+    * column, merge key) when routing SQL DML to the manifest ops. */
+  private[io] def manifest: Manifest = m
+
+  /** `copy` PRESERVES THIS CLASS. Spark itself copies the relation in
+    * places the subclass must survive — most critically
+    * `FindDataSourceTable` on a relation-cache HIT whose per-statement
+    * options differ (an INSERT arrives with
+    * `__required_write_privileges__=INSERT` while the cached entry came
+    * from a SELECT): it rebuilds via `r.copy(options = merged)`, and
+    * the generated case-class copy would return a PLAIN
+    * HadoopFsRelation — silently dropping [[InsertableRelation]], which
+    * re-opens the raw file-commit insert path this class exists to
+    * close. All six case fields pass through verbatim (the optimizer's
+    * partition-pruning copy swaps the FileIndex, and that must stick);
+    * only the graft identity (table path, snapshot, currency) rides
+    * along. */
+  override def copy(location: FileIndex, partitionSchema: StructType,
+                    dataSchema: StructType,
+                    bucketSpec: Option[org.apache.spark.sql.catalyst
+                      .catalog.BucketSpec],
+                    fileFormat: org.apache.spark.sql.execution
+                      .datasources.FileFormat,
+                    options: Map[String, String])(
+                    sparkSession: SparkSession): HadoopFsRelation =
+    new GraftSnapshotRelation(sparkSession, tablePath, m, location,
+      partitionSchema, dataSchema, fileFormat, options, current)
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(current,
+      s"graft: cannot insert into a TIME-TRAVEL snapshot of $tablePath " +
+      "— load the table without versionAsOf/timestampAsOf")
+    if (overwrite) ManifestTable.overwriteData(spark, tablePath, data)
+    else { ManifestTable.merge(spark, tablePath, data); () }
+    // the session catalog caches resolved relations by table name, and
+    // this relation pins the PRE-insert snapshot — invalidate so the
+    // next query over the catalog name re-resolves the new manifest
+    spark.sessionState.catalog.invalidateAllCachedTables()
   }
 }
 
@@ -422,6 +519,26 @@ class GraftParquetFileFormat(
                             schema: StructType): Boolean =
     dvByUri.isEmpty && super.supportBatch(sparkSession, schema)
 
+  /** SEALED: any Spark plan that tries to commit files into the table
+    * through the HadoopFsRelation write machinery (e.g. `INSERT INTO t
+    * PARTITION (...)`, which bypasses the InsertableRelation route)
+    * would land parquet the manifest never learns about — silently
+    * invisible data. Refuse at the one choke point every such plan
+    * must pass. The supported writes: plain `INSERT INTO` / `INSERT
+    * OVERWRITE` (no PARTITION clause — partition values travel in the
+    * rows), `df.write.format("graft")`, and the [[ManifestTable]] API. */
+  override def prepareWrite(sparkSession: SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft tables accept no direct file-commit writes — the manifest " +
+      "would never see the files. Use plain INSERT INTO / INSERT " +
+      "OVERWRITE (no PARTITION clause), df.write.format(\"graft\"), or " +
+      "the graft.io.ManifestTable API (merge / overwriteData / " +
+      "deleteWhere / updateWhere / mergeInto)")
+
   private def toPhys(name: String): String =
     ManifestTable.physNameOf(colMap, name)
 
@@ -569,13 +686,23 @@ private[io] object GraftDvCache {
         if (g.getFieldRepetitionCount("__f") > 0 &&
             g.getString("__f", 0) == scope.relScope &&
             g.getFieldRepetitionCount("__k") > 0) {
-          val v: Any = keyType match {
-            case LongType => g.getLong("__k", 0)
-            case IntegerType | ShortType | ByteType =>
-              g.getInteger("__k", 0).toLong
-            case StringType => g.getString("__k", 0)
-            case other => throw new IllegalStateException(
-              s"graft: unsupported merge-key type ${other.simpleString}")
+          // read __k by the SIDECAR FILE's physical type, not the
+          // table's current key type: sidecars are written cast to the
+          // key type AT COMMIT TIME, and widenColumn can widen the key
+          // afterwards — a pre-widening sidecar physically stores
+          // int32 under a now-long key. Normalize to the keyOf domain
+          // (Long for all integral widths, String), mirroring the
+          // programmatic read's defensive cast (deadPairsScoped).
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val prim = g.getType.getType("__k").asPrimitiveType()
+            .getPrimitiveTypeName
+          val v: Any = (keyType, prim) match {
+            case (StringType, _) => g.getString("__k", 0)
+            case (_, INT64) => g.getLong("__k", 0)
+            case (_, INT32) => g.getInteger("__k", 0).toLong
+            case (t, p) => throw new IllegalStateException(
+              s"graft: dv sidecar ${scope.dvAbs} stores __k as $p but " +
+              s"the merge key is ${t.simpleString}")
           }
           set.add(v)
         }
@@ -614,7 +741,8 @@ private[io] class GraftSerializableConf(@transient var value: Configuration)
   * contract, executed for the mock-broker pipelines in
   * `StreamingUpsertJob`'s kill/recovery specs). */
 private[io] class GraftStreamSink(path: String, key: Option[String],
-                                  numFiles: Int, cdf: Boolean, dv: Boolean)
+                                  numFiles: Int, cdf: Boolean, dv: Boolean,
+                                  partCol: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.spark.sql.functions.col
 
@@ -643,7 +771,11 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
           if (cdf) batch.filter(col("_change_type")
             .isin("insert", "update_post")).drop("_change_type")
           else batch
-        ManifestTable.create(rows, path, k, numFiles)
+        partCol match {
+          case Some(pc) => ManifestTable.createPartitioned(
+            rows, path, k, pc, numFiles = numFiles)
+          case None => ManifestTable.create(rows, path, k, numFiles)
+        }
       } else if (cdf)
         ManifestTable.applyChanges(spark, path, batch, dv = dv)
       else if (dv) { ManifestTable.upsertDV(spark, path, batch); () }

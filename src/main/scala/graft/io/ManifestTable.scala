@@ -1490,6 +1490,62 @@ object ManifestTable {
             maxRetries: Int = 3): MergeStats =
     rewrite(spark, path, Some(updates), None, numFiles, setTag, maxRetries)
 
+  /** FULL CONTENT REPLACEMENT as ONE versioned commit — the `INSERT
+    * OVERWRITE` primitive: the incoming frame becomes the table's
+    * entire content while the table's IDENTITY is preserved (merge
+    * key, partition layout, stats columns, CHECK constraints —
+    * validated against the new content inside the write job — column
+    * mapping, retention, tag). Unlike [[create]], which deletes the
+    * root and starts history at version 1, an overwrite is an ordinary
+    * commit: superseded files stay readable through the retention
+    * window, so time travel reaches the pre-overwrite snapshot and the
+    * change feed sees one labeled transition. Content must be
+    * key-unique (the [[create]] contract). `numFiles` 0 sizes the
+    * write like-for-like (one file per current entry; partitioned
+    * tables stay partition-pure with one file per value). */
+  def overwriteData(spark: SparkSession, path: String, df: DataFrame,
+                    numFiles: Int = 0, setTag: Option[String] = None,
+                    maxRetries: Int = 3): Unit =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val unknown = df.columns.filterNot(m.schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"overwrite batch carries column(s) ${unknown.mkString(",")} the " +
+        "table schema lacks — evolve the table first " +
+        "(ManifestTable.evolveSchema) or drop them explicitly")
+      val missing = m.schema.fieldNames.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"overwrite batch lacks table column(s) ${missing.mkString(",")} " +
+        "— an overwrite defines the WHOLE content, every column is " +
+        "required")
+      val orderedCols = m.schema.fields.map(f => col(f.name).cast(f.dataType))
+      val data = df.select(orderedCols: _*)
+      val txnRel = freshTxnRel(m.version + 1)
+      val nFiles = if (numFiles > 0) numFiles else math.max(1, m.entries.size)
+      val (gated, verifyChecks) = observeChecks(data, m.constraints)
+      val newE = m.partCol match {
+        case Some(pc) =>
+          Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gated),
+            s"$path/$txnRel", physNameOf(m.colMap, pc),
+            physNameOf(m.colMap, m.keyCol), numFiles)
+          val e = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+            m.statsCols, m.colMap)
+          requirePartitionPure(pc, e, path)
+          e
+        case None =>
+          Tables.writeSortedBy(toPhysical(m.colMap, m.schema, gated),
+            s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
+          statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
+            m.colMap)
+      }
+      verifyChecks()
+      writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+        m.schema, m.statsCols, newE, setTag.orElse(m.tag), m.zCols,
+        m.retain, "overwrite", partCol = m.partCol,
+        constraints = m.constraints, colMap = m.colMap,
+        retiredPhys = m.retiredPhys)
+      retireKeeping(spark, path, m.version + 1, m.retain)
+    }
+
   /** Copy-on-write DELETE of the keys in `keys` (any DataFrame carrying
     * the key column). Touched files are rewritten without those rows;
     * untouched files are carried by reference. */
@@ -1577,11 +1633,16 @@ object ManifestTable {
                   setTag: Option[String] = None,
                   maxRetries: Int = 3): DvStats =
     retryingCommit(spark, path, maxRetries) { m =>
-      val (possible, covered) = whereSets(spark, m, cond)
+      val exprOpt = analyzedCond(spark, m.schema, cond)
+      val (possible, covered) = exprOpt
+        .map(whereSetsExpr(spark, m, _))
+        .getOrElse((m.entries, Set.empty[String]))
       // bloom file-skipping only ever rules files OUT of the match
       // read (a "no" is exact); coverage proofs are untouched by it
-      val partial = BloomSkip.pruneCond(spark, path, m, cond,
-        possible.filterNot(e => covered(e.relPath)))
+      val uncovered = possible.filterNot(e => covered(e.relPath))
+      val partial = exprOpt
+        .map(BloomSkip.prune(spark, path, m, _, uncovered))
+        .getOrElse(uncovered)
       if (partial.isEmpty && covered.isEmpty) {
         // predicate provably matches nothing: burn no version
         setTag.foreach(t => setTagOnly(spark, path, t))
@@ -1621,8 +1682,12 @@ object ManifestTable {
       require(!set.contains(m.keyCol),
         s"the merge key '${m.keyCol}' is not updatable — delete + insert " +
         "instead")
-      val (possible0, _) = whereSets(spark, m, cond)
-      val possible = BloomSkip.pruneCond(spark, path, m, cond, possible0)
+      val exprOpt = analyzedCond(spark, m.schema, cond)
+      val possible0 = exprOpt.map(whereSetsExpr(spark, m, _)._1)
+        .getOrElse(m.entries)
+      val possible = exprOpt
+        .map(BloomSkip.prune(spark, path, m, _, possible0))
+        .getOrElse(possible0)
       val post = readEntries(spark, path, m.schema, m.keyCol, possible,
           m.colMap)
         .filter(cond)
@@ -3466,11 +3531,15 @@ object ManifestTable {
     * driver-side string compares, one metadata-sized job. */
   def readWhere(spark: SparkSession, path: String, cond: Column): DataFrame = {
     val m = readManifest(spark, path)
+    // ONE analysis of the predicate feeds both pruning tiers:
     // stats-range pruning first, then the bloom file-skipping index
     // (when built — BloomSkip) shrinks the survivors by membership on
     // equality/IN conjuncts that ranges can never prune
-    val kept = BloomSkip.pruneCond(spark, path, m, cond,
-      entriesWhere(spark, m, cond))
+    val kept = analyzedCond(spark, m.schema, cond) match {
+      case None => m.entries
+      case Some(e) =>
+        BloomSkip.prune(spark, path, m, e, whereSetsExpr(spark, m, e)._1)
+    }
     readEntries(spark, path, m.schema, m.keyCol, kept, m.colMap).filter(cond)
   }
 
@@ -3494,22 +3563,30 @@ object ManifestTable {
     * OR either; anything else proves nothing (conservatively
     * uncovered). */
   private[io] def whereSets(spark: SparkSession, m: Manifest,
-                            cond: Column): (Seq[FileEntry], Set[String]) = {
-    // Column → catalyst Expression without the private[sql] bridge: an
-    // ANALYZED probe plan over an empty frame with the table schema.
-    // The raw plan won't do — Spark 4's Column DSL builds
-    // UnresolvedFunction('=') nodes, and only the analyzer rewrites
-    // them to EqualTo/LessThan/... that the matcher below reads.
-    // Driver-only, no job; analysis failures (unknown column) fall
-    // back to no pruning and surface on the real read.
-    val expr0 = scala.util.Try(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+                            cond: Column): (Seq[FileEntry], Set[String]) =
+    analyzedCond(spark, m.schema, cond) match {
+      case Some(e) => whereSetsExpr(spark, m, e)
+      case None => (m.entries, Set.empty)
+    }
+
+  /** Column → catalyst Expression without the private[sql] bridge: an
+    * ANALYZED probe plan over an empty frame with the table schema.
+    * The raw plan won't do — Spark 4's Column DSL builds
+    * UnresolvedFunction('=') nodes, and only the analyzer rewrites
+    * them to EqualTo/LessThan/... that the stats/bloom matchers read.
+    * Driver-only, no job; analysis failures (unknown column) return
+    * None — callers fall back to no pruning and the failure surfaces
+    * on the real read. Shared so each DML/read call analyzes its
+    * predicate exactly ONCE across both pruning tiers. */
+  private[io] def analyzedCond(spark: SparkSession, schema: StructType,
+                               cond: Column): Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       .filter(cond).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
-      }).toOption.flatten.getOrElse(return (m.entries, Set.empty))
-    whereSetsExpr(spark, m, expr0)
-  }
+      }).toOption.flatten
 
   /** [[whereSets]] over an ALREADY-RESOLVED catalyst predicate — the
     * planner-integrated entry point: [[GraftFileIndex]] receives the

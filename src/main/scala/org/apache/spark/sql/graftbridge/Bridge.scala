@@ -14,6 +14,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` forwarder (private[sql] in Spark 4) — turn an
+    * already-analyzed logical plan back into a DataFrame (the SQL DML
+    * commands execute the statement's resolved source/query plans). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** `SparkSession.internalCreateDataFrame` forwarder — the only public
     * path to a DataFrame whose logical plan carries `isStreaming=true`,
     * which a DSv1 streaming `Source.getBatch` MUST return (the

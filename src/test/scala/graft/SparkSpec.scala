@@ -12,6 +12,7 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.GraftExtensions.inject)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
