@@ -137,7 +137,11 @@ object Bench {
     // INSERT / MERGE through the catalog) — create-included; tracks
     // that statement routing + per-statement commits stay bounded by
     // the same dv/CoW costs as their programmatic twins (m23/m7)
-    "m30_sql_dml")
+    "m30_sql_dml",
+    // round 15: two-level partitioning — create + metadata-only
+    // leading-slice drop + static+DPP two-level pruned read;
+    // create-included (the read itself is a cell-count-sized scan)
+    "m31_multilevel_part")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

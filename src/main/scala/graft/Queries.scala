@@ -1555,6 +1555,40 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // MULTI-LEVEL PARTITIONING (round 15): a (priority, status)
+    // two-level partitioned table — the (date, source) fact shape.
+    // The chain: two-level create (files pure on BOTH columns),
+    // metadata-only deletePartitions of one LEADING slice, then a
+    // connector read combining a STATIC filter on the leading level
+    // with a DPP dim join on the SECOND level — both prune partition
+    // directories inside Catalyst (MultiPartitionSpec pins the plans
+    // and file counts; here the oracle hash gates that two-level
+    // purity + leading-slice addressing + per-level pruning stay
+    // exact). At 100 TB: drop a day across all sources in one
+    // manifest commit, scan only (hot days x hot sources) cells.
+    "m31_multilevel_part" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        rowCents.as("price_cents"))
+      val root = mtabTmp()
+      val path = s"$root/t"
+      graft.io.ManifestTable.createPartitioned(base, path, "o_orderkey",
+        Seq("o_orderpriority", "o_orderstatus"), Seq.empty, None, 2, 0,
+        Seq.empty)
+      graft.io.ManifestTable.deletePartitions(s, path, Seq("1-URGENT"))
+      base.select(col("o_orderstatus")).distinct()
+        .withColumn("keep", col("o_orderstatus") === lit("F"))
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val dim = s.read.parquet(s"$root/dim")
+        .filter(col("keep")).select("o_orderstatus")
+      s.read.format("graft").load(path)
+        .filter(col("o_orderpriority") >= lit("3"))
+        .join(broadcast(dim), "o_orderstatus")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // SQL ROW-LEVEL DML THROUGH THE CATALOG (round 15, GraftDmlRule +
     // InsertableRelation): the full statement surface a lakehouse user
     // types — CREATE TABLE USING graft, DELETE FROM, UPDATE ... SET,
@@ -3580,6 +3614,20 @@ object Queries {
         |FROM base
         |WHERE o_custkey IN ((SELECT p1 FROM probe), (SELECT p2 FROM probe2))
         |GROUP BY o_custkey""".stripMargin,
+
+    // m31: two-level partition addressing is an access path — the
+    // oracle is the plain filtered aggregate (leading slice dropped,
+    // static leading filter, second-level dim keep-set = status 'F').
+    "m31_multilevel_part" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |  AND o_orderpriority >= '3'
+        |  AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
 
     // m30: the SQL DML chain replayed as plain relational algebra —
     // delete filter, update projection, insert union, then the merge's

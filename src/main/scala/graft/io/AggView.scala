@@ -59,6 +59,28 @@ object AggView {
     srcV
   }
 
+  /** Fold-shuffle width sized to the CHANGE WINDOW, not the cluster
+    * default: a tiny sync's dominant cost is task launches per shuffle
+    * partition (the session width exists for the big scans, not for
+    * folding a handful of changed files), so a SMALL window — by its
+    * diff read's file count, the sync's natural granularity —
+    * pre-clusters on the group key across a few partitions and the
+    * aggregation (plus the downstream fold join) reuses that
+    * partitioning with no wider exchange. Large windows keep the plain
+    * groupBy: its map-side partial aggregation is what bounds shuffle
+    * volume when the window really is 100 TB-churn sized. */
+  private def sizedFold(spark: SparkSession, union: DataFrame,
+                        adds: DataFrame, dels: DataFrame,
+                        grpCol: String)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val files = adds.inputFiles.length + dels.inputFiles.length
+    val session = spark.sessionState.conf.numShufflePartitions
+    if (files > 0 && files <= 8 && session > files)
+      union.repartition(math.max(1, files / 2), col(grpCol))
+        .groupBy(grpCol)
+    else union.groupBy(grpCol)
+  }
+
   /** One incremental maintenance step: fold the unseen feed (view tag →
     * source latest) into the view, committing data + advanced tag
     * atomically. Returns the (fromV, toV) applied, or None when caught
@@ -72,9 +94,9 @@ object AggView {
     val (from, latest, adds, dels, _) =
       ManifestTable.consumerWindow(spark, srcPath, viewPath, "view")
         .getOrElse(return None)
-    val deltas = adds.select(col(grpCol), col(valCol), lit(1L).as("__s"))
+    val union = adds.select(col(grpCol), col(valCol), lit(1L).as("__s"))
       .unionByName(dels.select(col(grpCol), col(valCol), lit(-1L).as("__s")))
-      .groupBy(grpCol)
+    val deltas = sizedFold(spark, union, adds, dels, grpCol)
       .agg(sum(col("__s")).as("dn"),
         sum(col("__s") * col(valCol)).as("dtotal"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -117,11 +139,11 @@ object AggView {
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try idxs.foreach { case (_, i) =>
             val (viewPath, grpCol, valCol) = views(i)
-            val deltas = addsP
+            val union = addsP
               .select(col(grpCol), col(valCol), lit(1L).as("__s"))
               .unionByName(delsP
                 .select(col(grpCol), col(valCol), lit(-1L).as("__s")))
-              .groupBy(grpCol)
+            val deltas = sizedFold(spark, union, adds, dels, grpCol)
               .agg(sum(col("__s")).as("dn"),
                 sum(col("__s") * col(valCol)).as("dtotal"))
             ManifestTable.materializingWindow("view", from, latest, srcPath) {

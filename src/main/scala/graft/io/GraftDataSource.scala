@@ -216,9 +216,11 @@ class GraftSourceProvider extends RelationProvider
         .getOrElse(Seq.empty)
       opt(parameters, "partCol") match {
         // DSv1 writers don't receive .partitionBy() columns — the
-        // partition layout is an option, like Delta's partitionBy
+        // partition layout is an option, like Delta's partitionBy;
+        // comma-separated = multi-level, coarse-to-fine ("date,source")
         case Some(pc) => ManifestTable.createPartitioned(
-          data, path, key, pc, statsCols, numFiles = numFiles)
+          data, path, key, pc.split(",").map(_.trim).filter(_.nonEmpty)
+            .toSeq, statsCols, None, 2, numFiles, Seq.empty)
         case None => ManifestTable.create(data, path, key, numFiles, statsCols)
       }
     }
@@ -277,15 +279,13 @@ object GraftSourceProvider {
     }.toMap
     val fileFormat = new GraftParquetFileFormat(
       m.keyCol, keyPhys, m.keyType, colMap, dvByUri)
-    // a partitioned table exposes its partition column as a REAL Spark
-    // partition column (overlapping with dataSchema keeps its original
-    // position in the relation schema): Catalyst then does static
-    // partition pruning AND dynamic partition pruning (DPP) itself,
-    // and the scan never reads the column's bytes — the value comes
+    // a partitioned table exposes its partition column(s) as REAL
+    // Spark partition columns (overlapping with dataSchema keeps their
+    // original positions in the relation schema): Catalyst then does
+    // static partition pruning AND dynamic partition pruning (DPP)
+    // itself, on EACH level of a multi-column layout — the values come
     // from the manifest, per partition directory
-    val partitionSchema = m.partCol
-      .map(pc => StructType(Seq(m.schema(pc))))
-      .getOrElse(new StructType())
+    val partitionSchema = StructType(m.partCols.map(m.schema(_)))
     new GraftSnapshotRelation(spark, path, m,
       new GraftFileIndex(spark, path, m), partitionSchema,
       m.schema, fileFormat, options, current)
@@ -404,30 +404,31 @@ class GraftFileIndex(spark: SparkSession, tablePath: String, m: Manifest)
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[PartitionDirectory]]()
 
-  private val partField = m.partCol.map(m.schema(_))
+  private val partFields: Seq[StructField] = m.partCols.map(m.schema(_))
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
-  override def partitionSchema: StructType =
-    partField.map(f => StructType(Seq(f))).getOrElse(new StructType())
+  override def partitionSchema: StructType = StructType(partFields)
 
   // partition directories: flat tables are one anonymous directory;
   // a partitioned table groups entries by the manifest-recorded
-  // partition value (string-encoded stats → the column's type, exact
-  // for the integral/string types partition columns are restricted to)
-  private val groups: Seq[(InternalRow, Seq[FileEntry])] = partField match {
-    case None => Seq((InternalRow.empty, m.entries))
-    case Some(f) =>
-      m.entries.groupBy(e => ManifestTable.partValueOf(m, e, tablePath))
-        .toSeq.sortBy(_._1).map { case (s, es) =>
-          val v = org.apache.spark.sql.catalyst.expressions.Cast(
+  // partition value TUPLE (string-encoded stats → each column's type,
+  // exact for the integral/string types partition columns are
+  // restricted to)
+  private val groups: Seq[(InternalRow, Seq[FileEntry])] =
+    if (partFields.isEmpty) Seq((InternalRow.empty, m.entries))
+    else m.entries
+      .groupBy(e => ManifestTable.partValuesOf(m, e, tablePath))
+      .toSeq.sortBy(_._1.mkString("\u0000")).map { case (vs, es) =>
+        val vals = vs.zip(partFields).map { case (sv, f) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.unsafe.types.UTF8String.fromString(sv),
               StringType), f.dataType).eval(null)
-          (new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](v)): InternalRow) -> es
         }
-  }
+        (new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals.toArray[Any]): InternalRow) -> es
+      }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -441,11 +442,19 @@ class GraftFileIndex(spark: SparkSession, tablePath: String, m: Manifest)
       // the materialized values here) directly against each
       // directory's value row. Unevaluable shapes keep everything.
       val keptGroups =
-        if (partitionFilters.isEmpty || partField.isEmpty) groups
+        if (partitionFilters.isEmpty || partFields.isEmpty) groups
         else scala.util.Try {
+          // bind each partition attribute BY NAME to its ordinal in the
+          // value row (a multi-column layout receives filters on any
+          // subset of the levels, static and DPP alike)
           val bound = partitionFilters.reduce(cexp.And).transform {
-            case _: cexp.AttributeReference =>
-              cexp.BoundReference(0, partField.get.dataType,
+            case a: cexp.AttributeReference =>
+              val i = partFields.indexWhere(
+                _.name.equalsIgnoreCase(a.name))
+              if (i < 0) throw new IllegalStateException(
+                s"partition filter references non-partition column " +
+                a.name)
+              cexp.BoundReference(i, partFields(i).dataType,
                 nullable = false)
           }
           val pred = cexp.Predicate.create(bound)
@@ -773,7 +782,8 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
           else batch
         partCol match {
           case Some(pc) => ManifestTable.createPartitioned(
-            rows, path, k, pc, numFiles = numFiles)
+            rows, path, k, pc.split(",").map(_.trim).filter(_.nonEmpty)
+              .toSeq, Seq.empty, None, 2, numFiles, Seq.empty)
           case None => ManifestTable.create(rows, path, k, numFiles)
         }
       } else if (cdf)

@@ -77,7 +77,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         overwrite, ifPNE, _)
         if query.resolved && graftTarget(target).isDefined &&
           (parts.nonEmpty ||
-            graftTarget(target).get.manifest.partCol.isDefined) =>
+            graftTarget(target).get.manifest.partCols.nonEmpty) =>
       // flat-table inserts ride the built-in InsertableRelation route;
       // this rule exists for the partitioned shapes that route would
       // lose to the (sealed) file-commit fallback
@@ -338,18 +338,26 @@ case class GraftInsertCommand(path: String, current: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDml.requireCurrent(current, path, "INSERT into")
     val m = ManifestTable.readManifest(spark, path)
-    val pc = m.partCol.getOrElse(throw new IllegalStateException(
+    require(m.partCols.nonEmpty || parts.isEmpty,
       s"graft: table at $path is not partitioned but the insert " +
-      "carried a partition spec"))
-    val badKeys = parts.keys.filterNot(_.equalsIgnoreCase(pc))
+      "carried a partition spec")
+    val badKeys = parts.keys.filterNot(k =>
+      m.partCols.exists(_.equalsIgnoreCase(k)))
     require(badKeys.isEmpty,
       s"graft: PARTITION spec names ${badKeys.mkString(",")} but the " +
-      s"table is partitioned by '$pc'")
-    val staticVal = parts.collectFirst { case (_, Some(v)) => v }
-    val pcField = m.schema(pc)
+      s"table is partitioned by '${m.partCols.mkString(",")}'")
+    // static assignments (`PARTITION (c=v)`) fill their columns from
+    // the clause; dynamic entries (`PARTITION (c)`) and unspecified
+    // levels come from the rows
+    val statics: Seq[(org.apache.spark.sql.types.StructField, String)] =
+      m.partCols.flatMap { pc =>
+        parts.collectFirst {
+          case (k, Some(v)) if k.equalsIgnoreCase(pc) => m.schema(pc) -> v
+        }
+      }
+    val staticNames = statics.map(_._1.name).toSet
     // columns the query must supply, in table order
-    val needed = m.schema.fields
-      .filterNot(f => staticVal.isDefined && f.name == pc)
+    val needed = m.schema.fields.filterNot(f => staticNames(f.name))
     val df0 = Bridge.ofRows(spark, query)
     val aligned =
       if (userCols.nonEmpty) {
@@ -374,20 +382,21 @@ case class GraftInsertCommand(path: String, current: Boolean,
         df0.select(needed.zip(df0.columns).map { case (f, c) =>
           col(c).cast(f.dataType).as(f.name) }.toSeq: _*)
       }
-    val full = staticVal match {
-      case Some(v) => aligned.withColumn(pc,
-        lit(v).cast(pcField.dataType))
-        .select(m.schema.fieldNames.map(col).toSeq: _*)
-      case None => aligned
-    }
-    if (overwrite) staticVal match {
-      case Some(v) =>
-        // INSERT OVERWRITE PARTITION (pc=v): replace exactly that
-        // partition — dv-delete its rows, then upsert the new content
-        ManifestTable.deleteWhere(spark, path,
-          col(pc) === lit(v).cast(pcField.dataType))
+    val full =
+      if (statics.isEmpty) aligned
+      else statics.foldLeft(aligned) { case (d, (f, v)) =>
+        d.withColumn(f.name, lit(v).cast(f.dataType))
+      }.select(m.schema.fieldNames.map(col).toSeq: _*)
+    if (overwrite) {
+      if (statics.nonEmpty) {
+        // INSERT OVERWRITE PARTITION (c=v, ...): replace exactly the
+        // addressed slice — dv-delete its rows, then upsert the new
+        // content (a partial spec addresses the whole sub-tree)
+        val cond = statics.map { case (f, v) =>
+          col(f.name) === lit(v).cast(f.dataType) }.reduce(_ && _)
+        ManifestTable.deleteWhere(spark, path, cond)
         ManifestTable.merge(spark, path, full)
-      case None => ManifestTable.overwriteData(spark, path, full)
+      } else ManifestTable.overwriteData(spark, path, full)
     } else ManifestTable.merge(spark, path, full)
     GraftSqlDml.invalidate(spark)
     Seq.empty

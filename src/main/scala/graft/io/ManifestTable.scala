@@ -128,7 +128,7 @@ object ManifestTable {
                       zCols: Option[(String, String)] = None,
                       retain: Int = 2, op: String = "unknown",
                       commitTs: Long = 0L,
-                      partCol: Option[String] = None,
+                      partCols: Seq[String] = Seq.empty,
                       constraints: Seq[(String, String)] = Seq.empty,
                       colMap: Seq[(String, String)] = Seq.empty,
                       retiredPhys: Seq[String] = Seq.empty)
@@ -289,7 +289,7 @@ object ManifestTable {
                             zCols: Option[(String, String)] = None,
                             retain: Int = 2,
                             op: String = "unknown",
-                            partCol: Option[String] = None,
+                            partCols: Seq[String] = Seq.empty,
                             // NO default: table policy must be threaded
                             // through EVERY commit path explicitly — a
                             // defaulted parameter would let a new commit
@@ -324,7 +324,11 @@ object ManifestTable {
     tag.foreach(t => sb ++= s"tag\t${enc(t)}\n")
     zCols.foreach { case (a, b) =>
       sb ++= s"layout\tzorder\t${enc(a)}\t${enc(b)}\n" }
-    partCol.foreach(p => sb ++= s"partcol\t${enc(p)}\n")
+    // single-col tables keep the legacy `partcol` line (older
+    // manifests parse unchanged); multi-col tables write `partcols`
+    if (partCols.size == 1) sb ++= s"partcol\t${enc(partCols.head)}\n"
+    else if (partCols.size > 1)
+      sb ++= s"partcols\t${partCols.map(enc).mkString("\t")}\n"
     constraints.foreach { case (n, ex) =>
       sb ++= s"check\t${enc(n)}\t${enc(ex)}\n" }
     colMap.foreach { case (l, p) =>
@@ -398,7 +402,7 @@ object ManifestTable {
     var retain: Int = 2 // pre-retention manifests carry no line: old window
     var op: String = "unknown"
     var commitTs: Long = 0L
-    var partCol: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
     val constraints = Seq.newBuilder[(String, String)]
     val colMap = Seq.newBuilder[(String, String)]
     var retiredPhys: Seq[String] = Seq.empty
@@ -415,7 +419,8 @@ object ManifestTable {
         case "op"      => op = dec(parts(1)); commitTs = parts(2).toLong
         case "tag"     => tag = Some(dec(parts(1)))
         case "layout"  => zCols = Some((dec(parts(2)), dec(parts(3))))
-        case "partcol" => partCol = Some(dec(parts(1)))
+        case "partcol" => partCols = Seq(dec(parts(1)))
+        case "partcols" => partCols = parts.drop(1).map(dec).toSeq
         case "check"   => constraints += (dec(parts(1)) -> dec(parts(2)))
         case "colmap"  => colMap += (dec(parts(1)) -> dec(parts(2)))
         case "physretired" => retiredPhys = parts.drop(1).toSeq.map(dec)
@@ -442,7 +447,7 @@ object ManifestTable {
     require(keyCol != null && keyType != null && schema != null,
       s"malformed manifest $path/manifest-$v")
     Manifest(v, keyCol, keyType, schema, statsCols, entries.result(), tag,
-      zCols, retain, op, commitTs, partCol, constraints.result(),
+      zCols, retain, op, commitTs, partCols, constraints.result(),
       colMap.result(), retiredPhys)
   }
 
@@ -756,45 +761,64 @@ object ManifestTable {
       "partition ops compare them driver-side)")
   }
 
-  private def requirePartitioned(m: Manifest, path: String): String =
-    m.partCol.getOrElse(throw new IllegalStateException(
+  private def requirePartitioned(m: Manifest, path: String): Seq[String] = {
+    if (m.partCols.isEmpty) throw new IllegalStateException(
       s"$path is not a partitioned table (created by create/createZOrdered," +
       " not createPartitioned) — partition-level ops need the " +
-      "partition-pure layout"))
+      "partition-pure layout")
+    m.partCols
+  }
 
   /** The layout invariant every commit path on a partitioned table must
-    * re-establish: each file holds exactly ONE partition value (stored
-    * min == max), and the value is recorded — a file with NO recorded
-    * range means null partition values (rows the writer routed to the
-    * hive default partition), which the partition ops could neither
-    * address nor preserve, so they are refused at write time. */
-  private def requirePartitionPure(partCol: String, entries: Seq[FileEntry],
+    * re-establish: each file holds exactly ONE value of EVERY partition
+    * column (stored min == max), and the value is recorded — a file
+    * with NO recorded range means null partition values (rows the
+    * writer routed to the hive default partition), which the partition
+    * ops could neither address nor preserve, so they are refused at
+    * write time. */
+  private def requirePartitionPure(partCols: Seq[String],
+                                   entries: Seq[FileEntry],
                                    path: String): Unit =
     entries.foreach { e =>
-      e.extra.get(partCol) match {
-        case Some((mn, mx)) =>
-          require(mn == mx, s"$path/${e.relPath} spans partition values " +
-            s"[$mn, $mx] of '$partCol' — not partition-pure; the table's " +
-            "layout invariant is broken")
-        case None => throw new IllegalStateException(
-          s"$path/${e.relPath} has no recorded '$partCol' range — the " +
-          "batch carries NULL partition values; partition columns must " +
-          "be non-null")
+      partCols.foreach { partCol =>
+        e.extra.get(partCol) match {
+          case Some((mn, mx)) =>
+            require(mn == mx, s"$path/${e.relPath} spans partition values " +
+              s"[$mn, $mx] of '$partCol' — not partition-pure; the table's " +
+              "layout invariant is broken")
+          case None => throw new IllegalStateException(
+            s"$path/${e.relPath} has no recorded '$partCol' range — the " +
+            "batch carries NULL partition values; partition columns must " +
+            "be non-null")
+        }
       }
     }
 
-  /** The single partition value a file of a partitioned table holds. */
-  private[io] def partValueOf(m: Manifest, e: FileEntry,
-                              path: String): String = {
-    val pc = requirePartitioned(m, path)
-    e.extra.get(pc) match {
-      case Some((mn, mx)) if mn == mx => mn
-      case _ => throw new IllegalStateException(
-        s"$path/${e.relPath} is not partition-pure on '$pc' — was this " +
-        "table written by createPartitioned and mutated only through " +
-        "ManifestTable commit paths?")
+  /** The (one per partition column) values a file of a partitioned
+    * table holds, in partition-column order. */
+  private[io] def partValuesOf(m: Manifest, e: FileEntry,
+                               path: String): Seq[String] = {
+    val pcs = requirePartitioned(m, path)
+    pcs.map { pc =>
+      e.extra.get(pc) match {
+        case Some((mn, mx)) if mn == mx => mn
+        case _ => throw new IllegalStateException(
+          s"$path/${e.relPath} is not partition-pure on '$pc' — was this " +
+          "table written by createPartitioned and mutated only through " +
+          "ManifestTable commit paths?")
+      }
     }
   }
+
+  /** The LEADING partition value — what the value-addressed partition
+    * ops ([[deletePartitions]] / [[readPartitions]] /
+    * [[compactPartitions]]) match on. For a multi-level table the
+    * leading column is the coarse axis (the "day" of (day, source)), so
+    * value-level ops address a whole leading slice across its
+    * sub-partitions. */
+  private[io] def partValueOf(m: Manifest, e: FileEntry,
+                              path: String): String =
+    partValuesOf(m, e, path).head
 
   /** PARTITIONED create ([[Tables.writePartitionPure]] layout): every
     * data file holds exactly one value of `partCol` and the manifest
@@ -822,35 +846,59 @@ object ManifestTable {
                         tag: Option[String] = None,
                         keepVersions: Int = 2, numFiles: Int = 0,
                         checkConstraints: Seq[(String, String)] = Seq.empty)
+      : Unit =
+    createPartitioned(df, path, keyCol, Seq(partCol), statsCols, tag,
+      keepVersions, numFiles, checkConstraints)
+
+  /** MULTI-LEVEL partitioned create: `partCols` in coarse-to-fine order
+    * — e.g. `(date, source)` — lay out as nested partition directories
+    * (one sub-dir level per column, [[Tables.writePartitionPure]]).
+    * Every file is pure on EVERY partition column, so the connector
+    * exposes ALL of them as real Spark partition columns (static
+    * pruning + DPP on each), and the value-addressed partition ops
+    * address the LEADING column (drop/compact/read a whole date across
+    * its sources); [[overwritePartitions]] replaces exact value TUPLES
+    * (backfill one (date, source) cell). */
+  def createPartitioned(df: DataFrame, path: String, keyCol: String,
+                        partCols: Seq[String], statsCols: Seq[String],
+                        tag: Option[String],
+                        keepVersions: Int, numFiles: Int,
+                        checkConstraints: Seq[(String, String)])
       : Unit = {
     // validate BEFORE the destructive delete (same contract as create)
-    val missing = (Seq(keyCol, partCol) ++ statsCols)
+    require(partCols.nonEmpty, "createPartitioned needs at least one " +
+      "partition column")
+    require(partCols.distinct.length == partCols.length,
+      s"duplicate partition column(s): " +
+      partCols.diff(partCols.distinct).mkString(","))
+    val missing = (Seq(keyCol) ++ partCols ++ statsCols)
       .filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty, s"column(s) ${missing.mkString(",")} not in " +
       s"schema ${df.schema.fieldNames.mkString(",")}")
-    require(partCol != keyCol, s"partition column must differ from the " +
-      s"merge key '$keyCol' (partitioning by a unique key makes one file " +
-      "per row)")
+    require(!partCols.contains(keyCol), s"partition columns must differ " +
+      s"from the merge key '$keyCol' (partitioning by a unique key makes " +
+      "one file per row)")
     requireMergeableKeyType(keyCol, df.schema(keyCol).dataType)
-    requirePartitionColType(partCol, df.schema(partCol).dataType)
+    partCols.foreach(pc =>
+      requirePartitionColType(pc, df.schema(pc).dataType))
     requireConstraintNames(checkConstraints)
     val spark = df.sparkSession
     val root = new Path(path)
     hfs(spark, root).delete(root, true)
     val txnRel = "data/txn-1"
     val (gated, verifyChecks) = observeChecks(df, checkConstraints)
-    Tables.writePartitionPure(gated, s"$path/$txnRel", partCol, keyCol,
+    Tables.writePartitionPure(gated, s"$path/$txnRel", partCols, keyCol,
       numFiles)
     verifyChecks()
-    // partCol always leads the tracked stats — the partition ops read
-    // the per-file (min==max) value from them
-    val allStats = (partCol +: statsCols).distinct
+    // partCols always lead the tracked stats — the partition ops read
+    // the per-file (min==max) values from them
+    val allStats = (partCols ++ statsCols).distinct
     val entries = statsFor(spark, path, txnRel, keyCol, df.schema, allStats,
       Seq.empty)
-    requirePartitionPure(partCol, entries, path)
+    requirePartitionPure(partCols, entries, path)
     writeManifest(spark, path, 1L, keyCol, df.schema(keyCol).dataType,
       df.schema, allStats, entries, tag, retain = keepVersions,
-      op = "create-partitioned", partCol = Some(partCol),
+      op = "create-partitioned", partCols = partCols,
       constraints = checkConstraints,
       colMap = Seq.empty, retiredPhys = Seq.empty)
   }
@@ -879,7 +927,7 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
           m.schema, m.statsCols, kept, setTag.orElse(m.tag), m.zCols,
-          m.retain, op = "delete-partitions", partCol = m.partCol,
+          m.retain, op = "delete-partitions", partCols = m.partCols,
           constraints = m.constraints, colMap = m.colMap,
           retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, m.version + 1, m.retain)
@@ -919,20 +967,22 @@ object ManifestTable {
     val txnRel = freshTxnRel(m0.version + 1)
     val (gatedRepl, verifyChecks) = observeChecks(ordered, m0.constraints)
     Tables.writePartitionPure(toPhysical(m0.colMap, m0.schema, gatedRepl),
-      s"$path/$txnRel", physNameOf(m0.colMap, pc),
+      s"$path/$txnRel", pc.map(physNameOf(m0.colMap, _)),
       physNameOf(m0.colMap, m0.keyCol), numFiles)
     verifyChecks()
     val newE = statsFor(spark, path, txnRel, m0.keyCol, m0.schema,
       m0.statsCols, m0.colMap)
     requirePartitionPure(pc, newE, path)
-    val replaced = newE.map(e => e.extra(pc)._1).toSet
+    // dynamic overwrite replaces exact value TUPLES present in the
+    // replacement (for multi-level tables: one (date, source) cell)
+    val replaced = newE.map(e => pc.map(c => e.extra(c)._1)).toSet
     retryingCommit(spark, path, maxRetries) { base =>
       // the files above are snapshot-INDEPENDENT, so committing them on
       // a winner's base is always serial-equivalent — as long as the
       // table's identity metadata still matches what they were written
       // under (additive schema evolution is fine: the new files simply
       // null-extend like every pre-evolution file)
-      require(base.partCol.contains(pc) && base.statsCols == m0.statsCols &&
+      require(base.partCols == pc && base.statsCols == m0.statsCols &&
         base.constraints == m0.constraints && base.colMap == m0.colMap,
         s"$path changed layout/stats tracking/constraints under this " +
         "overwrite — re-drive it against the current table")
@@ -943,12 +993,12 @@ object ManifestTable {
           n, 0, 0, n)
       } else {
         val kept =
-          base.entries.filterNot(e => replaced(partValueOf(base, e, path)))
+          base.entries.filterNot(e => replaced(partValuesOf(base, e, path)))
         commitFence()
         writeManifest(spark, path, base.version + 1, base.keyCol,
           base.keyType, base.schema, base.statsCols, kept ++ newE,
           setTag.orElse(base.tag), base.zCols, base.retain,
-          op = "overwrite-partitions", partCol = base.partCol,
+          op = "overwrite-partitions", partCols = base.partCols,
           constraints = base.constraints, colMap = base.colMap,
           retiredPhys = base.retiredPhys)
         retireKeeping(spark, path, base.version + 1, base.retain)
@@ -1003,7 +1053,7 @@ object ManifestTable {
           toPhysical(m.colMap, m.schema,
             readEntries(spark, path, m.schema, m.keyCol, selected,
               m.colMap)),
-          s"$path/$txnRel", physNameOf(m.colMap, pc),
+          s"$path/$txnRel", pc.map(physNameOf(m.colMap, _)),
           physNameOf(m.colMap, m.keyCol), numFiles)
         val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
           m.statsCols, m.colMap)
@@ -1011,7 +1061,7 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, kept ++ newE, m.tag, m.zCols, m.retain,
-          op = "compact-partitions", partCol = m.partCol,
+          op = "compact-partitions", partCols = m.partCols,
           constraints = m.constraints, colMap = m.colMap,
           retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
@@ -1050,8 +1100,8 @@ object ManifestTable {
                            zColA: String, zColB: String,
                            maxRetries: Int = 3): Unit =
     retryingCommit(spark, path, maxRetries) { m =>
-      require(m.partCol.isEmpty, s"$path is partition-pure on " +
-        s"'${m.partCol.get}' — the Z and partition layouts are mutually " +
+      require(m.partCols.isEmpty, s"$path is partition-pure on " +
+        s"'${m.partCols.mkString(",")}' — the Z and partition layouts are mutually " +
         "exclusive (a Morton rewrite would break the metadata-only " +
         "partition ops); recreate the table to change layout")
       val missing = Seq(zColA, zColB).filterNot(m.schema.fieldNames.contains)
@@ -1069,7 +1119,7 @@ object ManifestTable {
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         statsCols, statsFor(spark, path, txnRel, m.keyCol, m.schema,
           statsCols, m.colMap), m.tag, Some((zColA, zColB)), m.retain,
-        op = "compact-zorder", partCol = m.partCol,
+        op = "compact-zorder", partCols = m.partCols,
         constraints = m.constraints, colMap = m.colMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, nextV, m.retain)
@@ -1454,7 +1504,7 @@ object ManifestTable {
                                        m: Manifest, newContent: DataFrame,
                                        setTag: String, op: String)
                                       (gate: () => Option[String]): Unit = {
-    require(m.partCol.isEmpty && m.zCols.isEmpty,
+    require(m.partCols.isEmpty && m.zCols.isEmpty,
       "single-file swap is for flat key-sorted tables only")
     val txnRel = freshTxnRel(m.version + 1)
     // constraint gating rides the same single write job as the swap's
@@ -1522,25 +1572,25 @@ object ManifestTable {
       val txnRel = freshTxnRel(m.version + 1)
       val nFiles = if (numFiles > 0) numFiles else math.max(1, m.entries.size)
       val (gated, verifyChecks) = observeChecks(data, m.constraints)
-      val newE = m.partCol match {
-        case Some(pc) =>
-          Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gated),
-            s"$path/$txnRel", physNameOf(m.colMap, pc),
-            physNameOf(m.colMap, m.keyCol), numFiles)
-          val e = statsFor(spark, path, txnRel, m.keyCol, m.schema,
-            m.statsCols, m.colMap)
-          requirePartitionPure(pc, e, path)
-          e
-        case None =>
+      val newE = m.partCols match {
+        case Seq() =>
           Tables.writeSortedBy(toPhysical(m.colMap, m.schema, gated),
             s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
           statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
             m.colMap)
+        case pcs =>
+          Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gated),
+            s"$path/$txnRel", pcs.map(physNameOf(m.colMap, _)),
+            physNameOf(m.colMap, m.keyCol), numFiles)
+          val e = statsFor(spark, path, txnRel, m.keyCol, m.schema,
+            m.statsCols, m.colMap)
+          requirePartitionPure(pcs, e, path)
+          e
       }
       verifyChecks()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, newE, setTag.orElse(m.tag), m.zCols,
-        m.retain, "overwrite", partCol = m.partCol,
+        m.retain, "overwrite", partCols = m.partCols,
         constraints = m.constraints, colMap = m.colMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -1873,19 +1923,19 @@ object ManifestTable {
           // write job (observed metrics — no second pass)
           val (gatedU, verifyChecks) =
             observeChecks(u.select(ordered: _*), m.constraints)
-          val written = m.partCol match {
-            case Some(pc) =>
+          val written = m.partCols match {
+            case pcs if pcs.nonEmpty =>
               // a partitioned table's append must stay partition-pure,
               // or the metadata-only partition ops lose their addressing
               Tables.writePartitionPure(
                 toPhysical(m.colMap, m.schema, gatedU),
-                s"$path/$dataRel", physNameOf(m.colMap, pc),
+                s"$path/$dataRel", pcs.map(physNameOf(m.colMap, _)),
                 physNameOf(m.colMap, m.keyCol), numFiles)
               val e = statsFor(spark, path, dataRel, m.keyCol, m.schema,
                 m.statsCols, m.colMap)
-              requirePartitionPure(pc, e, path)
+              requirePartitionPure(pcs, e, path)
               e
-            case None =>
+            case _ =>
               val n = math.max(1, numFiles)
               if (n == 1)
                 writeSingleFileObserved(spark, path, dataRel,
@@ -1969,7 +2019,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
         m.statsCols, carried ++ keptTouched ++ appended,
-        setTag.orElse(m.tag), m.zCols, m.retain, op, partCol = m.partCol,
+        setTag.orElse(m.tag), m.zCols, m.retain, op, partCols = m.partCols,
         constraints = m.constraints, colMap = m.colMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, nextV, m.retain)
@@ -2205,7 +2255,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         widened, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
-        op = "evolve-schema", partCol = m.partCol,
+        op = "evolve-schema", partCols = m.partCols,
         constraints = m.constraints, colMap = m.colMap ++ newMaps,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2273,7 +2323,7 @@ object ManifestTable {
           case (c, mm) => sub(c) -> mm })),
         m.tag, m.zCols.map { case (a, b) => (sub(a), sub(b)) }, m.retain,
         op = s"rename-column($oldName->$newName)",
-        partCol = m.partCol.map(sub),
+        partCols = m.partCols.map(sub),
         constraints = m.constraints, colMap = newMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2316,7 +2366,7 @@ object ManifestTable {
         "(narrowing never)")
       if (floatUp) {
         val statted = name == m.keyCol || m.statsCols.contains(name) ||
-          m.partCol.contains(name) ||
+          m.partCols.contains(name) ||
           m.zCols.exists(z => z._1 == name || z._2 == name)
         require(!statted,
           s"float->double widening refused for stats-bearing '$name': " +
@@ -2332,7 +2382,7 @@ object ManifestTable {
         newSchema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
         op = s"widen-column($name:${oldType.simpleString}->" +
           s"${newType.simpleString})",
-        partCol = m.partCol, constraints = m.constraints,
+        partCols = m.partCols, constraints = m.constraints,
         colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
     }
@@ -2357,7 +2407,7 @@ object ManifestTable {
         s"(have: ${m.schema.fieldNames.mkString(", ")})")
       require(name != m.keyCol,
         s"cannot drop the merge key '$name' of $path")
-      require(!m.partCol.contains(name),
+      require(!m.partCols.contains(name),
         s"cannot drop the partition column '$name' of $path")
       require(!m.zCols.exists(z => z._1 == name || z._2 == name),
         s"cannot drop Z-layout column '$name' of $path (compact onto a " +
@@ -2370,7 +2420,7 @@ object ManifestTable {
         m.statsCols.filterNot(_ == name),
         m.entries.map(e => e.copy(extra = e.extra - name)),
         m.tag, m.zCols, m.retain, op = s"drop-column($name)",
-        partCol = m.partCol, constraints = m.constraints,
+        partCols = m.partCols, constraints = m.constraints,
         colMap = m.colMap.filterNot(_._1 == name),
         retiredPhys = (m.retiredPhys :+ phys).distinct)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2386,7 +2436,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, Some(tag), m.zCols, m.retain,
-        op = "set-tag", partCol = m.partCol,
+        op = "set-tag", partCols = m.partCols,
         constraints = m.constraints, colMap = m.colMap,
         retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2464,7 +2514,7 @@ object ManifestTable {
     writeManifest(spark, dstPath, 1L, m.keyCol, m.keyType, m.schema,
       m.statsCols, entries, tag = None, zCols = m.zCols,
       retain = keepVersions, op = s"shallow-clone($srcPath@v${m.version})",
-      partCol = m.partCol, constraints = m.constraints, colMap = m.colMap,
+      partCols = m.partCols, constraints = m.constraints, colMap = m.colMap,
       retiredPhys = m.retiredPhys)
   }
 
@@ -2496,7 +2546,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, keepVersions,
-        partCol = m.partCol,
+        partCols = m.partCols,
         op = "set-retention", constraints = m.constraints,
         colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, keepVersions)
@@ -2536,7 +2586,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
-        op = s"add-constraint($name)", partCol = m.partCol,
+        op = s"add-constraint($name)", partCols = m.partCols,
         constraints = m.constraints :+ (name -> exprSql),
         colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2552,7 +2602,7 @@ object ManifestTable {
       commitFence()
       writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
         m.schema, m.statsCols, m.entries, m.tag, m.zCols, m.retain,
-        op = s"drop-constraint($name)", partCol = m.partCol,
+        op = s"drop-constraint($name)", partCols = m.partCols,
         constraints = m.constraints.filterNot(_._1 == name),
         colMap = m.colMap, retiredPhys = m.retiredPhys)
       retireKeeping(spark, path, m.version + 1, m.retain)
@@ -2707,19 +2757,19 @@ object ManifestTable {
     // itself (observed metrics — no second pass); survivors re-pass by
     // construction, so the gate is effectively on the batch
     val (gatedData, verifyChecks) = observeChecks(newData, m.constraints)
-    val newE = m.partCol match {
-      case Some(pc) =>
+    val newE = m.partCols match {
+      case pcs if pcs.nonEmpty =>
         Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gatedData),
-          s"$path/$txnRel", physNameOf(m.colMap, pc),
+          s"$path/$txnRel", pcs.map(physNameOf(m.colMap, _)),
           physNameOf(m.colMap, m.keyCol))
         val e = statsFor(spark, path, txnRel, m.keyCol, m.schema,
           m.statsCols, m.colMap)
-        requirePartitionPure(pc, e, path)
+        requirePartitionPure(pcs, e, path)
         e
-      case None if nFiles == 1 =>
+      case Seq() if nFiles == 1 =>
         writeSingleFileObserved(spark, path, txnRel, gatedData, m.keyCol,
           m.statsCols, m.colMap, m.schema)
-      case None =>
+      case _ =>
         Tables.writeSortedBy(toPhysical(m.colMap, m.schema, gatedData),
           s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
         statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
@@ -2733,7 +2783,7 @@ object ManifestTable {
       writeManifest(spark, path, nextV, base.keyCol, base.keyType,
         base.schema, base.statsCols, carriedNow ++ newE,
         setTag.orElse(base.tag), base.zCols, base.retain, op,
-        partCol = base.partCol, constraints = base.constraints,
+        partCols = base.partCols, constraints = base.constraints,
         colMap = base.colMap, retiredPhys = base.retiredPhys)
       retireKeeping(spark, path, nextV, base.retain)
       MergeStats(nextV, base.entries.size, touchedE.size, newE.size,
@@ -3210,7 +3260,8 @@ object ManifestTable {
         m.schema(keyNow).dataType,
         m.schema, statsNow.map(_._2), entriesNow, old.tag,
         old.zCols.flatMap(bothNow),
-        m.retain, op = s"restore(v$v)", partCol = old.partCol.flatMap(nowFor),
+        m.retain, op = s"restore(v$v)",
+        partCols = old.partCols.flatMap(c => nowFor(c).toSeq),
         // constraints are table POLICY, not data — the restore keeps the
         // CURRENT set (re-add to re-validate rewound content if needed)
         constraints = m.constraints,
@@ -3285,9 +3336,9 @@ object ManifestTable {
       maybeCompactDeadRatio(spark, path, maxDeadRatio, numFiles)
     val consolidated = !materialized && consolidateDv(spark, path)
     val m0 = readManifest(spark, path)
-    val compacted = m0.partCol.isEmpty &&
+    val compacted = m0.partCols.isEmpty &&
       maybeCompactTable(spark, path, maxFiles, numFiles)
-    val smallFolded = !materialized && !compacted && m0.partCol.isEmpty && {
+    val smallFolded = !materialized && !compacted && m0.partCols.isEmpty && {
       val small = readManifest(spark, path).entries
         .count(e => e.rows < targetRows)
       small > maxSmallFiles && {
@@ -3298,7 +3349,7 @@ object ManifestTable {
     // partitions (decided from the manifest's recorded counts alone),
     // one partition-pure rewrite whose cost is the fragment mass
     val partsFolded: Seq[String] =
-      if (materialized || m0.partCol.isEmpty) Nil
+      if (materialized || m0.partCols.isEmpty) Nil
       else {
         val m1 = readManifest(spark, path)
         val frag = m1.entries.groupBy(e => partValueOf(m1, e, path))
@@ -3346,24 +3397,25 @@ object ManifestTable {
           // layout (numFiles range-split, one file per value when 0) —
           // a key-sorted rewrite would silently break the metadata-only
           // partition ops
-          m.partCol match {
-            case Some(pc) =>
-              Tables.writePartitionPure(
-                toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
-                s"$path/$txnRel", physNameOf(m.colMap, pc),
-                physNameOf(m.colMap, m.keyCol), numFiles)
-            case None =>
+          m.partCols match {
+            case Seq() =>
               Tables.writeSortedBy(
                 toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
                 s"$path/$txnRel", numFiles, physNameOf(m.colMap, m.keyCol))
+            case pcs =>
+              Tables.writePartitionPure(
+                toPhysical(m.colMap, m.schema, readFiles(spark, path, m)),
+                s"$path/$txnRel", pcs.map(physNameOf(m.colMap, _)),
+                physNameOf(m.colMap, m.keyCol), numFiles)
           }
           val newE = statsFor(spark, path, txnRel, m.keyCol, m.schema,
             m.statsCols, m.colMap)
-          m.partCol.foreach(pc => requirePartitionPure(pc, newE, path))
+          if (m.partCols.nonEmpty)
+            requirePartitionPure(m.partCols, newE, path)
           commitFence()
           writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
             m.statsCols, newE, m.tag, zCols = None, retain = m.retain,
-            op = "compact", partCol = m.partCol,
+            op = "compact", partCols = m.partCols,
             constraints = m.constraints, colMap = m.colMap,
             retiredPhys = m.retiredPhys)
           retireKeeping(spark, path, nextV, m.retain)
@@ -3403,7 +3455,7 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, entries, m.tag, m.zCols, m.retain,
-          op = "consolidate-dv", partCol = m.partCol,
+          op = "consolidate-dv", partCols = m.partCols,
           constraints = m.constraints, colMap = m.colMap,
           retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
@@ -3432,7 +3484,7 @@ object ManifestTable {
                         maxRetries: Int = 3): MergeStats = {
     require(targetRows > 0, s"targetRows=$targetRows must be positive")
     retryingCommit(spark, path, maxRetries) { m =>
-      require(m.partCol.isEmpty, s"$path is partitioned — use " +
+      require(m.partCols.isEmpty, s"$path is partitioned — use " +
         "compactPartitions (maintenance must stay partition-pure)")
       require(m.zCols.isEmpty, s"$path is Z-ordered — use compactTable " +
         "(maintenance must stay on the recorded curve)")
@@ -3458,7 +3510,7 @@ object ManifestTable {
         commitFence()
         writeManifest(spark, path, nextV, m.keyCol, m.keyType, m.schema,
           m.statsCols, big ++ newE, m.tag, zCols = None, retain = m.retain,
-          op = "compact-small", partCol = None,
+          op = "compact-small", partCols = Seq.empty,
           constraints = m.constraints, colMap = m.colMap,
           retiredPhys = m.retiredPhys)
         retireKeeping(spark, path, nextV, m.retain)
@@ -3723,7 +3775,7 @@ object ManifestTable {
       }
     }.toSet
     def keyed(e: cexp.Expression): Option[String] =
-      tracked(e).filter(c => c == m.keyCol || m.partCol.contains(c) ||
+      tracked(e).filter(c => c == m.keyCol || m.partCols.contains(c) ||
         (m.statsCols.contains(c) && notNullCols(c)))
     def keq(a: cexp.Expression, v: cexp.Expression): Option[Column] =
       for (c <- keyed(a); l <- litOf(v)) yield

@@ -76,18 +76,27 @@ object Tables {
    * extra sampling job; use it for creates/overwrites/compactions of
    * big partitions, not per-commit batches.
    */
-  def writePartitionPure(df: DataFrame, path: String, partCol: String,
+  def writePartitionPure(df: DataFrame, path: String, partCols: Seq[String],
                          sortCol: String, numFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
-    val tagged = df.withColumn("__p", col(partCol))
+    require(partCols.nonEmpty, "writePartitionPure needs partition columns")
+    // each partition column is DUPLICATED into a `__p*` directory key
+    // (`__p`, `__p2`, ...) so the real column's bytes stay in the file
+    // — readers that ignore the directory layout still see every column
+    val tags = partCols.zipWithIndex.map { case (c, i) =>
+      c -> (if (i == 0) "__p" else s"__p${i + 1}") }
+    val tagged = tags.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(t, col(c)) }
     val shaped =
       if (numFiles > 0)
-        tagged.repartitionByRange(numFiles, col(partCol), col(sortCol))
-      else tagged.repartition(col("__p"))
+        tagged.repartitionByRange(numFiles,
+          (partCols.map(col) :+ col(sortCol)): _*)
+      else tagged.repartition(tags.map(t => col(t._2)): _*)
     shaped
-      .sortWithinPartitions(col(partCol), col(sortCol))
-      .write.partitionBy("__p").mode("overwrite").parquet(path)
+      .sortWithinPartitions((partCols.map(col) :+ col(sortCol)): _*)
+      .write.partitionBy(tags.map(_._2): _*).mode("overwrite").parquet(path)
   }
+
 
   /**
    * Small-file compaction: rewrite a parquet directory into

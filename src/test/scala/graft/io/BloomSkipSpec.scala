@@ -202,6 +202,45 @@ class BloomSkipSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("steady-state probes are DRIVER-LOCAL: with the index cached, a " +
+    "pruning decision launches ZERO Spark jobs") {
+    val path = tmp()
+    try {
+      make(path)
+      BloomSkip.build(spark, path, "tag")
+      val m = ManifestTable.readManifest(spark, path)
+      // warm the driver cache (first probe loads the sidecars via
+      // parquet-hadoop on the driver — still zero Spark jobs, but the
+      // census here pins the steady state explicitly)
+      keptFor(path, col("tag") === scatter(1))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        (0 until 5).foreach { i =>
+          val kept = BloomSkip.pruneCond(spark, path, m,
+            col("tag") === scatter(100 + i), m.entries)
+          assert(kept.size <= 3)
+        }
+        // listenerBus is private[spark]; events of completed synchronous
+        // work drain within a beat (the ConstraintSpec census pattern)
+        Thread.sleep(300)
+        assert(jobs.get() == 0,
+          s"bloom probes launched ${jobs.get()} Spark job(s) — the " +
+          "driver cache must answer membership locally")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // the cache refreshes when the index changes on disk: dropping
+      // the index makes probes conservative again (no stale pruning)
+      BloomSkip.drop(spark, path, "tag")
+      assert(BloomSkip.pruneCond(spark, path, m,
+        col("tag") === scatter(1), m.entries).size == 10)
+    } finally cleanup(path)
+  }
+
   test("unsupported column types refuse loudly; drop removes the index") {
     val path = tmp()
     try {

@@ -264,7 +264,7 @@ class ColumnMappingSpec extends SparkSpec {
       ManifestTable.createPartitioned(df, path, "id", "pri")
       ManifestTable.renameColumn(spark, path, "pri", "priority")
       val m = ManifestTable.readManifest(spark, path)
-      assert(m.partCol.contains("priority") &&
+      assert(m.partCols.contains("priority") &&
         m.statsCols.contains("priority"))
       ManifestTable.deletePartitions(spark, path, Seq("P0"))
       val got = ManifestTable.read(spark, path).groupBy("priority").count()

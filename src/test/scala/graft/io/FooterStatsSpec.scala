@@ -135,7 +135,7 @@ class FooterStatsSpec extends SparkSpec {
     val df = (0 until 200).map(i => (i.toLong, i % 4, s"r$i"))
       .toDF("k", "p", "s")
     val rel = "data/txn-1"
-    Tables.writePartitionPure(df, s"$root/$rel", "p", "k", 0)
+    Tables.writePartitionPure(df, s"$root/$rel", Seq("p"), "k", 0)
     val got = ManifestTable.footerStats(spark, root, rel, "k",
       df.schema, Seq("p"), Nil)
     assert(got.isDefined)

@@ -187,8 +187,8 @@ class GraftDataSourceSpec extends SparkSpec {
       val p2 = path + "p"
       df.write.format("graft").option("key", "id")
         .option("partCol", "bucket").mode("overwrite").save(p2)
-      assert(ManifestTable.readManifest(spark, p2).partCol ==
-        Some("bucket"))
+      assert(ManifestTable.readManifest(spark, p2).partCols ==
+        Seq("bucket"))
       val qp = load(p2).filter(col("bucket") === 4)
       qp.collect()
       val scanP = qp.queryExecution.executedPlan.collectFirst {
@@ -299,7 +299,7 @@ class GraftDataSourceSpec extends SparkSpec {
         in.addData((1L, 0, "a"), (2L, 1, "b"), (3L, 0, "c"))
         q.processAllAvailable()
         val m0 = ManifestTable.readManifest(spark, path)
-        assert(m0.partCol.contains("bucket"),
+        assert(m0.partCols.contains("bucket"),
           "bootstrap must create a partitioned table")
         // upserts (new partition value + re-keyed row) stay pure
         in.addData((3L, 0, "c2"), (4L, 2, "d"))
@@ -310,7 +310,7 @@ class GraftDataSourceSpec extends SparkSpec {
           (4L, 2, "d")))
         // partition-purity: every live file holds exactly one bucket
         val m = ManifestTable.readManifest(spark, path)
-        assert(m.partCol.contains("bucket"))
+        assert(m.partCols.contains("bucket"))
         m.entries.foreach { e =>
           val vals = spark.read.schema(m.schema)
             .option("recursiveFileLookup", "true")
@@ -574,8 +574,8 @@ class GraftDataSourceSpec extends SparkSpec {
         ManifestTable.overwriteData(spark, ppath,
           df.filter(col("bucket") < 3))
         assert(ManifestTable.read(spark, ppath).count() == 300L)
-        assert(ManifestTable.readManifest(spark, ppath).partCol
-          .contains("bucket"))
+        assert(ManifestTable.readManifest(spark, ppath).partCols ==
+          Seq("bucket"))
         sameResult(load(ppath), ManifestTable.read(spark, ppath))
       } finally spark.sql("DROP TABLE IF EXISTS iow_t")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))

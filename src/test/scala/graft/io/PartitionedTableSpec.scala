@@ -33,7 +33,7 @@ class PartitionedTableSpec extends SparkSpec {
       ManifestTable.createPartitioned(base(), path, "id", "pt")
       assert(content(ManifestTable.read(spark, path)) == content(base()))
       val m = ManifestTable.readManifest(spark, path)
-      assert(m.partCol.contains("pt") && m.statsCols.headOption.contains("pt"))
+      assert(m.partCols.contains("pt") && m.statsCols.headOption.contains("pt"))
       // every file holds exactly one partition value
       m.entries.foreach { e =>
         val (mn, mx) = e.extra("pt")
@@ -168,7 +168,7 @@ class PartitionedTableSpec extends SparkSpec {
         Seq((2L, "p2", "u2")).toDF("id", "pt", "payload"))
       ManifestTable.compactTable(spark, path, numFiles = 3)
       val m = ManifestTable.readManifest(spark, path)
-      assert(m.partCol.contains("pt"), "compaction must keep partCol")
+      assert(m.partCols.contains("pt"), "compaction must keep partCol")
       m.entries.foreach { e =>
         val (mn, mx) = e.extra("pt")
         assert(mn == mx, s"compaction broke purity: ${e.relPath}")

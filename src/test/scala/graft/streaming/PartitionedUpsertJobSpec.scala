@@ -32,7 +32,7 @@ class PartitionedUpsertJobSpec extends SparkSpec {
   /** Every manifest entry partition-pure on pt. */
   private def assertPure(path: String): Unit = {
     val m = ManifestTable.readManifest(spark, path)
-    assert(m.partCol.contains("pt"))
+    assert(m.partCols.contains("pt"))
     m.entries.foreach { e =>
       val (mn, mx) = e.extra("pt")
       assert(mn == mx, s"file ${e.relPath} spans [$mn,$mx] — a streaming " +
