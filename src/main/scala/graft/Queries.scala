@@ -1611,17 +1611,34 @@ object Queries {
         s"OPTIONS (path '$path', key 'o_orderkey')")
       try {
         s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 5")
-        s.sql(s"UPDATE $tbl SET price_cents = price_cents + 7 " +
-          "WHERE o_orderpriority = '2-HIGH'")
         val maxk = base.agg(max("o_orderkey")).first().getLong(0)
+        // key-sliced UPDATE (one decile): the predicate prunes files
+        // through the manifest's key ranges — the routed statement
+        // rides the same stats-pruned read as programmatic updateWhere
+        // (m23 tracks the scattered-predicate worst case)
+        val ulo = maxk / 4
+        val uhi = ulo + maxk / 10
+        s.sql(s"UPDATE $tbl SET price_cents = price_cents + 7 " +
+          s"WHERE o_orderkey BETWEEN $ulo AND $uhi")
         base.filter(col("o_orderkey") % 17 === 3)
           .select((col("o_orderkey") + maxk).as("o_orderkey"),
             lit("9-INS").as("o_orderpriority"), col("price_cents"))
           .createOrReplaceTempView("m30_ins")
         s.sql(s"INSERT INTO $tbl SELECT * FROM m30_ins")
-        base.filter(col("o_orderkey") % 7 === 0)
+        // the merge source is a KEY-LOCALIZED slice (one decile of the
+        // key space — the CDC-batch shape) plus out-of-range inserts:
+        // the CoW rewrite touches ~1/8 of the files, which is the cost
+        // class a routed MERGE must stay in (m7 tracks the
+        // spread-matched worst case at its own price)
+        val mlo = maxk / 2
+        val mhi = mlo + maxk / 10
+        base.filter(col("o_orderkey").between(mlo, mhi))
           .select(col("o_orderkey"), lit("8-MRG").as("o_orderpriority"),
             (col("price_cents") * 3).as("price_cents"))
+          .unionByName(base.filter(col("o_orderkey") % 17 === 9)
+            .select((col("o_orderkey") + maxk * 2).as("o_orderkey"),
+              lit("8-MRG").as("o_orderpriority"),
+              (col("price_cents") * 3).as("price_cents")))
           .createOrReplaceTempView("m30_src")
         s.sql(
           s"""MERGE INTO $tbl t USING m30_src s ON t.o_orderkey = s.o_orderkey
@@ -3642,8 +3659,12 @@ object Queries {
         |afterdel AS (SELECT * FROM base WHERE o_orderkey % 11 <> 5),
         |afterupd AS (
         |  SELECT o_orderkey, o_orderpriority,
-        |    CASE WHEN o_orderpriority = '2-HIGH' THEN price_cents + 7
-        |         ELSE price_cents END AS price_cents
+        |    CASE WHEN o_orderkey BETWEEN
+        |        (SELECT CAST(floor(mk / 4) AS BIGINT) FROM maxk)
+        |        AND (SELECT CAST(floor(mk / 4) AS BIGINT)
+        |          + CAST(floor(mk / 10) AS BIGINT) FROM maxk)
+        |      THEN price_cents + 7
+        |      ELSE price_cents END AS price_cents
         |  FROM afterdel),
         |ins AS (
         |  SELECT o_orderkey + (SELECT mk FROM maxk) AS o_orderkey,
@@ -3653,7 +3674,13 @@ object Queries {
         |src AS (
         |  SELECT o_orderkey, '8-MRG' AS o_orderpriority,
         |    price_cents * 3 AS price_cents
-        |  FROM base WHERE o_orderkey % 7 = 0),
+        |  FROM base, maxk
+        |  WHERE o_orderkey BETWEEN CAST(floor(mk / 2) AS BIGINT)
+        |    AND CAST(floor(mk / 2) AS BIGINT) + CAST(floor(mk / 10) AS BIGINT)
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * mk AS o_orderkey,
+        |    '8-MRG' AS o_orderpriority, price_cents * 3 AS price_cents
+        |  FROM base, maxk WHERE o_orderkey % 17 = 9),
         |merged AS (
         |  SELECT t.* FROM afterins t
         |  WHERE NOT EXISTS (

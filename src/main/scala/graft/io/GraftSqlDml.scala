@@ -218,10 +218,23 @@ private[io] object GraftSqlDml {
       "materialize the subquery and use the ManifestTable API " +
       "(deleteKeys / mergeInto), or rewrite as a row-local predicate")
     val names = output.map(a => a.exprId -> a.name).toMap
-    Bridge.column(e.transform {
+    Bridge.column(expandFragile(e).transform {
       case a: AttributeReference =>
         UnresolvedAttribute.quoted(names.getOrElse(a.exprId, a.name))
     })
+  }
+
+  /** Expressions whose internal invariants don't survive re-anchoring
+    * (they consult child dataTypes while being rebuilt): `BETWEEN`
+    * resolves to a `With` common-subexpression form whose defs must
+    * stay resolved — expand to the plain conjunction first. */
+  private def expandFragile(e: Expression): Expression = e.transform {
+    case b: org.apache.spark.sql.catalyst.expressions.Between =>
+      org.apache.spark.sql.catalyst.expressions.And(
+        org.apache.spark.sql.catalyst.expressions
+          .GreaterThanOrEqual(b.input, b.lower),
+        org.apache.spark.sql.catalyst.expressions
+          .LessThanOrEqual(b.input, b.upper))
   }
 
   /** Merge-clause expression → a Column over [[ManifestTable.mergeInto]]'s
@@ -234,7 +247,7 @@ private[io] object GraftSqlDml {
       "derive the value in the source query or use ManifestTable.mergeInto")
     val t = tOut.map(a => a.exprId -> a.name).toMap
     val s = sOut.map(a => a.exprId -> a.name).toMap
-    Bridge.column(e.transform {
+    Bridge.column(expandFragile(e).transform {
       case a: AttributeReference if t.contains(a.exprId) =>
         UnresolvedAttribute(Seq("t", t(a.exprId)))
       case a: AttributeReference if s.contains(a.exprId) =>

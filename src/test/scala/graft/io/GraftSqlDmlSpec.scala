@@ -82,6 +82,13 @@ class GraftSqlDmlSpec extends SparkSpec {
           .agg(sum("price")).as[Long].head() ==
           (0 until 1000).filter(i => i / 100 != 2).map(_ * 10L).sum)
         assert(rootStrays(path).isEmpty)
+        // BETWEEN predicates: SQL resolves them to a With
+        // common-subexpression form whose defs break under
+        // re-anchoring — the rule expands to the plain conjunction
+        spark.sql("UPDATE dml_upd SET price = price + 1 " +
+          "WHERE id BETWEEN 100 AND 104")
+        assert(spark.table("dml_upd").filter(col("id") === 102L)
+          .select("price").as[Long].head() == 1021L)
         // the merge key is not updatable — the manifest op refuses
         val e = intercept[Exception] {
           spark.sql("UPDATE dml_upd SET id = id + 1 WHERE bucket = 0")
