@@ -40,12 +40,23 @@ import graft.io.ManifestTable.{DvRef, FileEntry, Manifest}
   *
   * Write (`df.write.format("graft")`): `key` names the merge key
   * (required on create), `numFiles` the create fan-out, `statsCols` a
-  * comma-separated secondary-stats list, `partCol` a partition column
+  * comma-separated secondary-stats list, `partCol` a partition spec
   * (DSv1 writers don't receive `.partitionBy()` — the option is the
-  * Delta shape and routes to [[ManifestTable.createPartitioned]]).
+  * Delta shape; comma-separated = multi-level coarse-to-fine, e.g.
+  * "date,source", routing to [[ManifestTable.createPartitioned]]).
   * `Overwrite` (re)creates; `Append` upserts through
-  * [[ManifestTable.merge]] on an existing table and creates otherwise;
-  * `ErrorIfExists`/`Ignore` keep their SaveMode contracts.
+  * [[ManifestTable.merge]] on an existing table and creates otherwise
+  * (`mergeSchema=true` evolves additively first); `ErrorIfExists`/
+  * `Ignore` keep their SaveMode contracts.
+  *
+  * SQL writes: plain `INSERT INTO` / `INSERT OVERWRITE` land as
+  * manifest commits through [[GraftSnapshotRelation]]'s
+  * InsertableRelation route; `DELETE`/`UPDATE`/`MERGE INTO` (and
+  * partitioned-table inserts, incl. static `PARTITION` specs) route
+  * through [[GraftDmlRule]] when `graft.GraftExtensions` is
+  * registered. No SQL write can ever land unmanifested files — the
+  * raw file-commit path is sealed at
+  * [[GraftParquetFileFormat.prepareWrite]].
   *
   * At 100 TB the division of labor is the point: the driver touches
   * ONLY the manifest (file-count-sized) and one listing RPC per commit
