@@ -161,6 +161,63 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("overwriteData through the feed: the change window across an " +
+    "INSERT OVERWRITE labels every replaced row; incremental consumers " +
+    "and time travel stay exact") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_ow")
+      try {
+        val v1 = ManifestTable.readManifest(spark, path).version
+        spark.sql("INSERT OVERWRITE dml_ow " +
+          "SELECT id, bucket, price * 2 FROM dml_ow WHERE id < 10")
+        val v2 = ManifestTable.readManifest(spark, path).version
+        assert(v2 == v1 + 1)
+        val feed = ManifestTable.changesBetween(spark, path, v1, v2)
+        // the overwrite is ONE labeled transition: surviving keys
+        // re-price (update_pre/update_post), dropped keys delete — and
+        // id 0 (price 0 doubled = 0) is CONTENT-UNCHANGED, so the
+        // multiset diff rightly emits nothing for it
+        assert(feed.filter(col("_change_type") === "delete")
+          .count() == 990L)
+        assert(feed.filter(col("_change_type") === "update_post")
+          .count() == 9L)
+        assert(feed.filter(col("_change_type") === "update_post")
+          .agg(sum("price")).as[Long].head() ==
+          (1 until 10).map(_ * 20L).sum)
+        assert(feed.filter(col("_change_type") === "insert").count() == 0L)
+        // time travel reaches the pre-overwrite content
+        assert(ManifestTable.readAt(spark, path, v1).count() == 1000L)
+        assert(spark.table("dml_ow").count() == 10L)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_ow")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("concurrent routed DML: two SQL writers racing the same table " +
+    "both land (optimistic concurrency through the statement path)") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_cc")
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val a = Future { spark.sql(
+          "UPDATE dml_cc SET price = price + 1 WHERE bucket = 1") }
+        val b = Future { spark.sql(
+          "DELETE FROM dml_cc WHERE bucket = 8") }
+        Await.result(a, 120.seconds); Await.result(b, 120.seconds)
+        val t = spark.table("dml_cc")
+        assert(t.filter(col("bucket") === 8).count() == 0L,
+          "the DELETE must land")
+        assert(t.filter(col("bucket") === 1).agg(sum("price"))
+          .as[Long].head() == (100 until 200).map(_ * 10L + 1).sum,
+          "the UPDATE must land")
+        assert(t.count() == 900L)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_cc")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("MERGE with a differently-named source key column renames it " +
     "onto the target's key") {
     val (root, path) = mk()
