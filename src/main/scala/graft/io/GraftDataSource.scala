@@ -157,7 +157,8 @@ class GraftSourceProvider extends RelationProvider
       // partitioned table); later batches land through merge, which
       // preserves whatever layout the table has — same contract as the
       // batch writer's partCol option
-      opt(parameters, "partCol"))
+      opt(parameters, "partCol"),
+      opt(parameters, "mergeSchema").exists(_.toBoolean))
   }
 
   private def opt(parameters: Map[String, String], k: String): Option[String] =
@@ -762,7 +763,8 @@ private[io] class GraftSerializableConf(@transient var value: Configuration)
   * `StreamingUpsertJob`'s kill/recovery specs). */
 private[io] class GraftStreamSink(path: String, key: Option[String],
                                   numFiles: Int, cdf: Boolean, dv: Boolean,
-                                  partCol: Option[String] = None)
+                                  partCol: Option[String] = None,
+                                  mergeSchema: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.spark.sql.functions.col
 
@@ -797,10 +799,26 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
               .toSeq, Seq.empty, None, 2, numFiles, Seq.empty)
           case None => ManifestTable.create(rows, path, k, numFiles)
         }
-      } else if (cdf)
-        ManifestTable.applyChanges(spark, path, batch, dv = dv)
-      else if (dv) { ManifestTable.upsertDV(spark, path, batch); () }
-      else { ManifestTable.merge(spark, path, batch); () }
+      } else {
+        // option("mergeSchema","true") — additive evolution per batch,
+        // the batch writer's Append contract: columns the batch carries
+        // beyond the table schema are added first (metadata-only
+        // commit; old files null-extend), then the batch applies.
+        // Without it, an extra column refuses loudly downstream.
+        if (mergeSchema) {
+          val m = ManifestTable.readManifest(spark, path)
+          val dataCols =
+            if (cdf) batch.schema.fields.filterNot(_.name == "_change_type")
+            else batch.schema.fields
+          val newCols = dataCols
+            .filterNot(f => m.schema.fieldNames.contains(f.name))
+          if (newCols.nonEmpty)
+            ManifestTable.evolveSchema(spark, path, StructType(newCols))
+        }
+        if (cdf) ManifestTable.applyChanges(spark, path, batch, dv = dv)
+        else if (dv) { ManifestTable.upsertDV(spark, path, batch); () }
+        else { ManifestTable.merge(spark, path, batch); () }
+      }
     } finally batch.unpersist()
   }
 

@@ -324,6 +324,36 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("streaming sink mergeSchema: a stream wider than the table " +
+    "evolves it additively on the first batch; old rows null-extend") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft_dsms").toString
+    try {
+      val path = s"$root/t"
+      (0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .write.format("graft").option("key", "id").mode("overwrite")
+        .save(path)
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, String, Int)]
+      val q = in.toDF().toDF("id", "name", "score")
+        .writeStream.format("graft")
+        .option("path", path).option("key", "id")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        in.addData((100L, "x", 7), (3L, "n3b", 9))
+        q.processAllAvailable()
+        val t = ManifestTable.read(spark, path)
+        assert(t.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+        assert(t.count() == 51L)
+        assert(t.filter(col("id") === 3L).select("name", "score")
+          .as[(String, Int)].head() == (("n3b", 9)))
+        assert(t.filter(col("score").isNull).count() == 49L)
+      } finally q.stop()
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("Append with mergeSchema=true evolves additively: new column " +
     "appears, old rows null-extend, non-additive appends still refuse") {
     val root = java.nio.file.Files.createTempDirectory("graft_msch").toString
