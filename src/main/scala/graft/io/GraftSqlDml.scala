@@ -46,7 +46,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           graftTarget(target).isDefined =>
       val r = graftTarget(target).get
       GraftDeleteCommand(r.tablePath, r.current,
-        reanchor(condition, target.output))
+        reanchor(condition, target.output), targetIdent(target))
 
     case u: UpdateTable if u.childrenResolved &&
         u.assignments.forall(_.resolved) &&
@@ -64,7 +64,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         name -> reanchor(a.value, out)
       }
       GraftUpdateCommand(r.tablePath, r.current, set,
-        u.condition.map(reanchor(_, out)))
+        u.condition.map(reanchor(_, out)), targetIdent(u.table))
 
     case m: MergeIntoTable if m.childrenResolved &&
         m.mergeCondition.resolved &&
@@ -86,7 +86,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "is not supported — partitions are manifest state, not " +
         "directories to test")
       GraftInsertCommand(r.tablePath, r.current, parts, userCols, query,
-        overwrite)
+        overwrite, targetIdent(target))
   }
 
   private def convertMerge(m: MergeIntoTable): LogicalPlan = {
@@ -190,7 +190,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "supported")
     }
     GraftMergeCommand(r.tablePath, r.current, m.sourceTable, srcKeyName,
-      whenMatched, insertUnmatched)
+      whenMatched, insertUnmatched, targetIdent(m.targetTable))
   }
 }
 
@@ -204,6 +204,17 @@ private[io] object GraftSqlDml {
         case g: GraftSnapshotRelation => Some(g)
         case _ => None
       }
+      case _ => None
+    }
+
+  /** The target's catalog identifier, when it resolved by name — lets
+    * the commands invalidate exactly one cached relation instead of
+    * the whole session cache. */
+  def targetIdent(plan: LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.TableIdentifier] =
+    plan match {
+      case SubqueryAlias(_, child) => targetIdent(child)
+      case lr: LogicalRelation => lr.catalogTable.map(_.identifier)
       case _ => None
     }
 
@@ -260,20 +271,28 @@ private[io] object GraftSqlDml {
       s"$path — load the table without versionAsOf/timestampAsOf")
 
   /** Post-commit: the session catalog caches resolved relations pinned
-    * to the pre-DML snapshot — drop them so the next query re-resolves. */
-  def invalidate(spark: SparkSession): Unit =
-    spark.sessionState.catalog.invalidateAllCachedTables()
+    * to the pre-DML snapshot — drop the TARGET's entry so the next
+    * query re-resolves (path-resolved targets have no cache entry to
+    * drop; other tables' entries are untouched — at scale a busy
+    * session must not re-resolve its whole catalog per DML statement). */
+  def invalidate(spark: SparkSession,
+                 ident: Option[org.apache.spark.sql.catalyst
+                   .TableIdentifier]): Unit =
+    ident.foreach(spark.sessionState.catalog.invalidateCachedTable)
 }
 
 /** `DELETE FROM t WHERE cond` → [[ManifestTable.deleteWhere]] (one
   * deletion-vector commit, stats/bloom-pruned match read, coverage
   * proofs drop whole files metadata-only). */
 case class GraftDeleteCommand(path: String, current: Boolean,
-                              cond: Column) extends LeafRunnableCommand {
+                              cond: Column,
+                              ident: Option[org.apache.spark.sql.catalyst
+                                .TableIdentifier])
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDml.requireCurrent(current, path, "DELETE from")
     val st = ManifestTable.deleteWhere(spark, path, cond)
-    GraftSqlDml.invalidate(spark)
+    GraftSqlDml.invalidate(spark, ident)
     Seq(Row(st.deadMarked))
   }
   override val output: Seq[Attribute] = Seq(
@@ -285,13 +304,15 @@ case class GraftDeleteCommand(path: String, current: Boolean,
   * images appended + old images dead in sidecars, one dv commit). */
 case class GraftUpdateCommand(path: String, current: Boolean,
                               set: Seq[(String, Column)],
-                              cond: Option[Column])
+                              cond: Option[Column],
+                              ident: Option[org.apache.spark.sql.catalyst
+                                .TableIdentifier])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDml.requireCurrent(current, path, "UPDATE")
     val st = ManifestTable.updateWhere(spark, path,
       cond.getOrElse(lit(true)), set.toMap)
-    GraftSqlDml.invalidate(spark)
+    GraftSqlDml.invalidate(spark, ident)
     Seq(Row(st.deadMarked))
   }
   override val output: Seq[Attribute] = Seq(
@@ -305,7 +326,9 @@ case class GraftUpdateCommand(path: String, current: Boolean,
 case class GraftMergeCommand(path: String, current: Boolean,
                              source: LogicalPlan, srcKeyName: String,
                              whenMatched: Seq[ManifestTable.WhenMatched],
-                             insertUnmatched: Boolean)
+                             insertUnmatched: Boolean,
+                             ident: Option[org.apache.spark.sql.catalyst
+                               .TableIdentifier])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -324,7 +347,7 @@ case class GraftMergeCommand(path: String, current: Boolean,
       }
     val st = ManifestTable.mergeInto(spark, path, src, whenMatched,
       insertUnmatched = insertUnmatched)
-    GraftSqlDml.invalidate(spark)
+    GraftSqlDml.invalidate(spark, ident)
     Seq(Row(st.version))
   }
   override val output: Seq[Attribute] = Seq(
@@ -344,7 +367,9 @@ case class GraftMergeCommand(path: String, current: Boolean,
 case class GraftInsertCommand(path: String, current: Boolean,
                               parts: Map[String, Option[String]],
                               userCols: Seq[String], query: LogicalPlan,
-                              overwrite: Boolean)
+                              overwrite: Boolean,
+                              ident: Option[org.apache.spark.sql.catalyst
+                                .TableIdentifier])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -411,7 +436,7 @@ case class GraftInsertCommand(path: String, current: Boolean,
         ManifestTable.merge(spark, path, full)
       } else ManifestTable.overwriteData(spark, path, full)
     } else ManifestTable.merge(spark, path, full)
-    GraftSqlDml.invalidate(spark)
+    GraftSqlDml.invalidate(spark, ident)
     Seq.empty
   }
 }
