@@ -64,6 +64,7 @@ import graft.io.ManifestTable.{DvRef, FileEntry, Manifest}
   * codegen'd parquet path; a dv-carrying file costs one extra
   * executor-side sidecar read scoped to that file's dead pairs. */
 class GraftSourceProvider extends RelationProvider
+    with org.apache.spark.sql.sources.SchemaRelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
@@ -163,6 +164,53 @@ class GraftSourceProvider extends RelationProvider
 
   private def opt(parameters: Map[String, String], k: String): Option[String] =
     parameters.get(k).orElse(parameters.get(k.toLowerCase))
+
+  /** Schema-first resolution — two callers share it: (1) `CREATE
+    * TABLE t (cols...) USING graft` declares a schema over a path with
+    * NO table yet — bootstrap an EMPTY manifest table with that schema
+    * (the DDL-first workflow: declare, then `INSERT INTO`); (2) every
+    * by-name resolution of a catalog table passes the catalog's
+    * recorded schema — an EXISTING table serves its manifest schema
+    * (the truth: programmatic `evolveSchema`/`widenColumn` move it
+    * past the catalog's recording), as long as every declared column
+    * still exists by name (a disagreement beyond that means the
+    * catalog entry points at the wrong table — refuse loudly). */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: load(path) is required — the table root"))
+    if (ManifestTable.latestVersion(spark, path).isEmpty) {
+      val key = opt(parameters, "key").getOrElse(
+        throw new IllegalArgumentException(
+          "graft: option(\"key\", <mergeKeyColumn>) is required to " +
+          "create a table from a declared schema"))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+      val statsCols = opt(parameters, "statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      opt(parameters, "partCol") match {
+        case Some(pc) => ManifestTable.createPartitioned(empty, path, key,
+          pc.split(",").map(_.trim).filter(_.nonEmpty).toSeq, statsCols,
+          None, 2, opt(parameters, "numFiles").map(_.toInt).getOrElse(0),
+          Seq.empty)
+        case None => ManifestTable.create(empty, path, key,
+          opt(parameters, "numFiles").map(_.toInt).getOrElse(1), statsCols)
+      }
+    } else {
+      val m = ManifestTable.readManifest(spark, path)
+      val missing = schema.fields.filterNot(f =>
+        m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      require(missing.isEmpty,
+        s"graft: the declared schema names column(s) " +
+        s"${missing.map(_.name).mkString(",")} the table at $path lacks " +
+        "— is the catalog entry pointing at the right table?")
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

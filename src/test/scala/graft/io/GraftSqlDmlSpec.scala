@@ -218,6 +218,65 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("DDL-first workflow: CREATE TABLE (cols) USING graft bootstraps " +
+    "an EMPTY manifest table; INSERT INTO fills it; schema evolution " +
+    "beyond the catalog's recording still reads by name") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl1").toString
+    try {
+      val path = s"$root/t"
+      spark.sql(
+        s"""CREATE TABLE ddlf_t (id BIGINT, bucket INT, name STRING)
+           |USING graft OPTIONS (path '$path', key 'id')""".stripMargin)
+      try {
+        // the declared-schema create landed an empty manifest table
+        assert(spark.table("ddlf_t").count() == 0L)
+        assert(ManifestTable.read(spark, path).schema.fieldNames.toSeq ==
+          Seq("id", "bucket", "name"))
+        spark.sql("INSERT INTO ddlf_t VALUES (1, 0, 'a'), (2, 1, 'b')")
+        assert(spark.table("ddlf_t").count() == 2L)
+        spark.sql("DELETE FROM ddlf_t WHERE id = 1")
+        assert(spark.table("ddlf_t").select("name").as[String]
+          .collect().toSeq == Seq("b"))
+        // programmatic evolution past the catalog's recorded schema:
+        // after the standard REFRESH TABLE (programmatic mutations
+        // can't see the session's relation cache), by-name reads serve
+        // the manifest schema (the truth)
+        ManifestTable.evolveSchema(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.LongType))))
+        spark.sql("REFRESH TABLE ddlf_t")
+        assert(spark.table("ddlf_t").schema.fieldNames.contains("score"))
+        assert(spark.table("ddlf_t").filter(col("score").isNull)
+          .count() == 1L)
+      } finally spark.sql("DROP TABLE IF EXISTS ddlf_t")
+      // a DECLARED column the table lacks refuses loudly AT DDL TIME —
+      // the catalog entry would point at the wrong table
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""CREATE TABLE ddlf_bad (id BIGINT, nosuch STRING)
+             |USING graft OPTIONS (path '$path', key 'id')""".stripMargin)
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("nosuch")), chain(e).mkString("|"))
+      spark.sql("DROP TABLE IF EXISTS ddlf_bad")
+      // DDL-first PARTITIONED table: declared schema + partCol option
+      val p2 = s"$root/p"
+      spark.sql(
+        s"""CREATE TABLE ddlf_p (id BIGINT, b INT, v LONG)
+           |USING graft OPTIONS (path '$p2', key 'id', partCol 'b')
+           |""".stripMargin)
+      try {
+        spark.sql("INSERT INTO ddlf_p VALUES (1, 0, 10), (2, 1, 20)")
+        val m = ManifestTable.readManifest(spark, p2)
+        assert(m.partCols == Seq("b"))
+        assert(spark.table("ddlf_p").count() == 2L)
+      } finally spark.sql("DROP TABLE IF EXISTS ddlf_p")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("MERGE with a differently-named source key column renames it " +
     "onto the target's key") {
     val (root, path) = mk()
