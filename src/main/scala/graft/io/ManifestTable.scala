@@ -1572,13 +1572,22 @@ object ManifestTable {
       val txnRel = freshTxnRel(m.version + 1)
       val nFiles = if (numFiles > 0) numFiles else math.max(1, m.entries.size)
       val (gated, verifyChecks) = observeChecks(data, m.constraints)
-      val newE = m.partCols match {
-        case Seq() =>
+      val newE = (m.partCols, m.zCols) match {
+        case (Seq(), Some((za, zb))) =>
+          // a Z-ordered table's full rewrite stays ON the curve — a
+          // key-sorted overwrite would silently drop the recorded
+          // layout the manifest still claims
+          Tables.writeZOrdered(toPhysical(m.colMap, m.schema, gated),
+            s"$path/$txnRel", nFiles,
+            physNameOf(m.colMap, za), physNameOf(m.colMap, zb))
+          statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
+            m.colMap)
+        case (Seq(), None) =>
           Tables.writeSortedBy(toPhysical(m.colMap, m.schema, gated),
             s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
           statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
             m.colMap)
-        case pcs =>
+        case (pcs, _) =>
           Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gated),
             s"$path/$txnRel", pcs.map(physNameOf(m.colMap, _)),
             physNameOf(m.colMap, m.keyCol), numFiles)

@@ -277,6 +277,38 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("INSERT OVERWRITE a Z-ordered table rewrites ON the curve: " +
+    "both-column pruning still cuts the file list afterwards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zow").toString
+    try {
+      val path = s"$root/t"
+      val zdf = (0 until 1024).map { i =>
+        (i.toLong, (i % 32).toLong, (i / 32).toLong)
+      }.toDF("id", "ax", "bx")
+      ManifestTable.createZOrdered(zdf, path, "id", numFiles = 16,
+        zColA = "ax", zColB = "bx")
+      spark.sql(s"CREATE TABLE zow_t USING graft " +
+        s"OPTIONS (path '$path', key 'id')")
+      try {
+        zdf.filter(col("id") < 512).createOrReplaceTempView("zow_src")
+        spark.sql("INSERT OVERWRITE zow_t SELECT * FROM zow_src")
+        val m = ManifestTable.readManifest(spark, path)
+        assert(m.zCols.contains(("ax", "bx")),
+          "the overwrite must keep the recorded curve")
+        assert(ManifestTable.read(spark, path).count() == 512L)
+        // curve pruning still works on BOTH columns (nFiles followed
+        // the prior entry count, so there is a list to cut)
+        assert(m.entries.size > 2)
+        val keptA = ManifestTable.entriesWhere(spark, m,
+          col("ax") === 7L).size
+        val keptB = ManifestTable.entriesWhere(spark, m,
+          col("bx") === 3L).size
+        assert(keptA < m.entries.size, s"ax probe kept all $keptA")
+        assert(keptB < m.entries.size, s"bx probe kept all $keptB")
+      } finally spark.sql("DROP TABLE IF EXISTS zow_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("MERGE with a differently-named source key column renames it " +
     "onto the target's key") {
     val (root, path) = mk()
