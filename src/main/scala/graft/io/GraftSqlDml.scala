@@ -45,8 +45,20 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if d.childrenResolved && condition.resolved &&
           graftTarget(target).isDefined =>
       val r = graftTarget(target).get
-      GraftDeleteCommand(r.tablePath, r.current,
-        reanchor(condition, target.output), targetIdent(target))
+      val truncate = condition match {
+        // bare `DELETE FROM t` (WHERE-less or literal-true): a dv
+        // sweep would sidecar EVERY key — pathological at scale. One
+        // empty-content overwrite commit is the same logical
+        // transition (full-delete change window, history intact).
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(true, org.apache.spark.sql.types.BooleanType) => true
+        case _ => false
+      }
+      if (truncate)
+        GraftTruncateCommand(r.tablePath, r.current, targetIdent(target))
+      else
+        GraftDeleteCommand(r.tablePath, r.current,
+          reanchor(condition, target.output), targetIdent(target))
 
     case u: UpdateTable if u.childrenResolved &&
         u.assignments.forall(_.resolved) &&
@@ -294,6 +306,27 @@ case class GraftDeleteCommand(path: String, current: Boolean,
     val st = ManifestTable.deleteWhere(spark, path, cond)
     GraftSqlDml.invalidate(spark, ident)
     Seq(Row(st.deadMarked))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}
+
+/** Bare `DELETE FROM t` → [[ManifestTable.overwriteData]] with empty
+  * content: ONE versioned commit whose change window is the full
+  * delete, no per-key sidecar (a dv sweep would record every key). */
+case class GraftTruncateCommand(path: String, current: Boolean,
+                                ident: Option[org.apache.spark.sql
+                                  .catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireCurrent(current, path, "DELETE from")
+    val m = ManifestTable.readManifest(spark, path)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), m.schema)
+    ManifestTable.overwriteData(spark, path, empty, numFiles = 1)
+    GraftSqlDml.invalidate(spark, ident)
+    Seq(Row(-1L))
   }
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_rows",

@@ -66,6 +66,31 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("bare DELETE FROM t truncates as ONE empty-overwrite commit — " +
+    "no per-key sidecar, full-delete change window, history intact") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_tr")
+      try {
+        val v1 = ManifestTable.readManifest(spark, path).version
+        spark.sql("DELETE FROM dml_tr")
+        val m = ManifestTable.readManifest(spark, path)
+        assert(m.version == v1 + 1 && m.op == "overwrite")
+        assert(spark.table("dml_tr").count() == 0L)
+        assert(m.entries.map(_.rows).sum == 0L)
+        assert(m.entries.forall(_.dv.isEmpty), "truncate must not sidecar")
+        // the change window is the full delete
+        assert(ManifestTable.changesBetween(spark, path, v1, m.version)
+          .filter(col("_change_type") === "delete").count() == 1000L)
+        // history intact: the pre-truncate snapshot still reads
+        assert(ManifestTable.readAt(spark, path, v1).count() == 1000L)
+        // and the empty table accepts new inserts
+        spark.sql("INSERT INTO dml_tr VALUES (7, 0, 70)")
+        assert(spark.table("dml_tr").count() == 1L)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_tr")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("UPDATE ... SET sees current values; key update and subquery " +
     "conditions refuse loudly") {
     val (root, path) = mk()
