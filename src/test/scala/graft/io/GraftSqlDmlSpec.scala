@@ -330,6 +330,12 @@ class GraftSqlDmlSpec extends SparkSpec {
           col("bx") === 3L).size
         assert(keptA < m.entries.size, s"ax probe kept all $keptA")
         assert(keptB < m.entries.size, s"bx probe kept all $keptB")
+        // bare DELETE (truncate) of a Z table: empty Morton write is
+        // well-defined, the layout claim survives
+        spark.sql("DELETE FROM zow_t")
+        assert(spark.table("zow_t").count() == 0L)
+        assert(ManifestTable.readManifest(spark, path).zCols
+          .contains(("ax", "bx")))
       } finally spark.sql("DROP TABLE IF EXISTS zow_t")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }

@@ -193,6 +193,15 @@ class MultiPartitionSpec extends SparkSpec {
         assert(ManifestTable.read(spark, path)
           .filter(col("id") === 8200L).count() == 1L)
         purity(path)
+        // bare DELETE (truncate) of a two-level table: one empty
+        // overwrite commit, layout claim survives, refills cleanly
+        spark.sql("DELETE FROM mp_t")
+        assert(spark.table("mp_t").count() == 0L)
+        assert(ManifestTable.readManifest(spark, path).partCols ==
+          Seq("date", "src"))
+        spark.sql("INSERT INTO mp_t VALUES (1, 'd0', 's0', 1)")
+        assert(spark.table("mp_t").count() == 1L)
+        purity(path)
       } finally spark.sql("DROP TABLE IF EXISTS mp_t")
     } finally cleanup(path)
   }
