@@ -340,6 +340,35 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("saveAsTable creates and appends through the manifest; SQL " +
+    "directly over graft.`/path` fails LOUDLY (DSv1 sources are not " +
+    "direct-queryable: register the table or load by path)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pt").toString
+    try {
+      val path = s"$root/t"
+      ManifestTable.create(df, path, "id", numFiles = 4)
+      // Spark refuses direct SQL over non-file DSv1 sources — loud,
+      // never silent; the supported routes are CREATE TABLE ... USING
+      // graft OPTIONS(path ...) or spark.read.format("graft").load
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM graft.`$path`").collect()
+      }
+      assert(chain(e).exists(_.contains("direct query")),
+        chain(e).mkString("|"))
+      // saveAsTable: CTAS then append, both manifest commits
+      val p2 = s"$root/t2"
+      df.limit(100).write.format("graft")
+        .option("path", p2).option("key", "id").saveAsTable("pt_t")
+      try {
+        assert(spark.table("pt_t").count() == 100L)
+        Seq((500L, 1, 5L)).toDF("id", "bucket", "price")
+          .write.format("graft").mode("append").saveAsTable("pt_t")
+        assert(spark.table("pt_t").count() == 101L)
+        assert(ManifestTable.read(spark, p2).count() == 101L)
+      } finally spark.sql("DROP TABLE IF EXISTS pt_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("MERGE with a differently-named source key column renames it " +
     "onto the target's key") {
     val (root, path) = mk()
