@@ -296,14 +296,16 @@ class GraftSourceProvider extends RelationProvider
           // (retype/rename) still refuse inside evolveSchema/merge —
           // evolution never silently rewrites existing columns. Without
           // the option, an extra column refuses loudly (merge's check).
-          if (opt(parameters, "mergeSchema").exists(_.toBoolean)) {
-            val m = ManifestTable.readManifest(spark, path)
-            val newCols = data.schema.fields
-              .filterNot(f => m.schema.fieldNames.contains(f.name))
-            if (newCols.nonEmpty)
-              ManifestTable.evolveSchema(spark, path, StructType(newCols))
-          }
-          ManifestTable.merge(spark, path, data)
+          val batch =
+            if (opt(parameters, "mergeSchema").exists(_.toBoolean)) {
+              val m = ManifestTable.readManifest(spark, path)
+              val (aligned, newCols) =
+                GraftSourceProvider.alignMergeSchema(m.schema, data)
+              if (newCols.nonEmpty)
+                ManifestTable.evolveSchema(spark, path, StructType(newCols))
+              aligned
+            } else data
+          ManifestTable.merge(spark, path, batch)
         } else doCreate()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
@@ -316,6 +318,31 @@ class GraftSourceProvider extends RelationProvider
 }
 
 object GraftSourceProvider {
+  /** `mergeSchema`'s new-column split, CASE-INSENSITIVELY (the rest of
+    * Spark resolution is case-insensitive by default, so the split must
+    * match): a batch column differing from a table column only in case
+    * (`Score` vs `score`) is the SAME column — renamed onto the table's
+    * spelling, never evolved as a duplicate that would make every later
+    * read throw AMBIGUOUS_REFERENCE. Returns the aligned batch and the
+    * genuinely new fields. */
+  private[io] def alignMergeSchema(tableSchema: StructType,
+                                   batch: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.sql.types.StructField]) = {
+    val byLower = tableSchema.fields.map(f => f.name.toLowerCase -> f.name)
+      .toMap
+    val renames = batch.schema.fields.flatMap { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(tn) if tn != f.name => Some(f.name -> tn)
+        case _ => None
+      }
+    }
+    val aligned = renames.foldLeft(batch) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+    val newCols = batch.schema.fields
+      .filterNot(f => byLower.contains(f.name.toLowerCase))
+    (aligned, newCols.toSeq)
+  }
+
   /** The batch relation over one pinned manifest snapshot: logical
     * schema outward, manifest-pruned file list inward, dv + column
     * mapping applied in the file format. `current` marks a head
@@ -412,9 +439,42 @@ private[io] class GraftSnapshotRelation(
     else { ManifestTable.merge(spark, tablePath, data); () }
     // the session catalog caches resolved relations by table name, and
     // this relation pins the PRE-insert snapshot — invalidate so the
-    // next query over the catalog name re-resolves the new manifest
-    spark.sessionState.catalog.invalidateAllCachedTables()
+    // next query over the catalog name re-resolves the new manifest.
+    // TARGETED: only the names known to resolve to THIS path (recorded
+    // by GraftDmlRule at resolution time) — a busy multi-table session
+    // must not re-resolve its whole catalog per INSERT. Without the
+    // extension the registry never populates, so the conservative
+    // whole-cache fallback keeps extensionless sessions correct.
+    GraftNameRegistry.namesFor(tablePath) match {
+      case names if names.nonEmpty =>
+        names.foreach(spark.sessionState.catalog.invalidateCachedTable)
+      case _ => spark.sessionState.catalog.invalidateAllCachedTables()
+    }
   }
+}
+
+/** Table-path → catalog identifiers observed to resolve to it, recorded
+  * by [[GraftDmlRule]] during analysis (extension sessions only). Lets
+  * post-commit invalidation drop exactly the target's relation-cache
+  * entries instead of the whole session cache. Process-wide and
+  * bounded: identifiers are tiny, but a pathological session churning
+  * table paths must not grow the map without limit. */
+private[io] object GraftNameRegistry {
+  private val max = 4096
+  private val byPath = new java.util.concurrent.ConcurrentHashMap[
+    String, Set[org.apache.spark.sql.catalyst.TableIdentifier]]()
+
+  def record(path: String,
+             ident: org.apache.spark.sql.catalyst.TableIdentifier): Unit = {
+    if (byPath.size > max) byPath.clear() // crude, safe: falls back to
+                                          // whole-cache invalidation
+    byPath.merge(path, Set(ident), _ ++ _)
+    ()
+  }
+
+  def namesFor(path: String)
+      : Set[org.apache.spark.sql.catalyst.TableIdentifier] =
+    byPath.getOrDefault(path, Set.empty)
 }
 
 /** Manifest-driven [[FileIndex]]: the file listing Catalyst consults
@@ -853,19 +913,23 @@ private[io] class GraftStreamSink(path: String, key: Option[String],
         // beyond the table schema are added first (metadata-only
         // commit; old files null-extend), then the batch applies.
         // Without it, an extra column refuses loudly downstream.
-        if (mergeSchema) {
-          val m = ManifestTable.readManifest(spark, path)
-          val dataCols =
-            if (cdf) batch.schema.fields.filterNot(_.name == "_change_type")
-            else batch.schema.fields
-          val newCols = dataCols
-            .filterNot(f => m.schema.fieldNames.contains(f.name))
-          if (newCols.nonEmpty)
-            ManifestTable.evolveSchema(spark, path, StructType(newCols))
-        }
-        if (cdf) ManifestTable.applyChanges(spark, path, batch, dv = dv)
-        else if (dv) { ManifestTable.upsertDV(spark, path, batch); () }
-        else { ManifestTable.merge(spark, path, batch); () }
+        val applied =
+          if (mergeSchema) {
+            val m = ManifestTable.readManifest(spark, path)
+            // case-insensitive split + case-variant rename (see
+            // alignMergeSchema); the CDF label column is the feed's,
+            // never a table column
+            val (aligned0, newCols0) = GraftSourceProvider
+              .alignMergeSchema(m.schema, batch)
+            val newCols = newCols0.filterNot(f =>
+              cdf && f.name == "_change_type")
+            if (newCols.nonEmpty)
+              ManifestTable.evolveSchema(spark, path, StructType(newCols))
+            aligned0
+          } else batch
+        if (cdf) ManifestTable.applyChanges(spark, path, applied, dv = dv)
+        else if (dv) { ManifestTable.upsertDV(spark, path, applied); () }
+        else { ManifestTable.merge(spark, path, applied); () }
       }
     } finally batch.unpersist()
   }

@@ -34,9 +34,20 @@ import org.apache.spark.sql.graftbridge.Bridge
   * optimistic concurrency — expressions pinned to the statement's
   * relation exprIds would go stale across retries). Shapes the manifest
   * ops can't express fail loudly naming the programmatic API — silent
-  * wrongness is the one unacceptable state. Subqueries in DML
-  * predicates are rejected (conditions must be row-local; materialize
-  * the subquery and use the programmatic API). */
+  * wrongness is the one unacceptable state.
+  *
+  * Subqueries in DELETE/UPDATE predicates (`WHERE k IN (SELECT …)`,
+  * `EXISTS`, `NOT IN`, including correlated forms) route through a
+  * MATERIALIZING command instead: the matched rows are planned as an
+  * ordinary `Filter` over the statement's snapshot — Spark's own
+  * subquery rewrite turns the predicate into semi/anti joins — and the
+  * matched keys (DELETE) or post-images (UPDATE) land through one
+  * deletion-vector commit. The predicate is therefore evaluated ONCE
+  * against the statement's snapshot, not re-derived per concurrency
+  * retry (the row-local path's re-anchoring has no meaning for a plan
+  * that joins other tables); the commit itself still carries the full
+  * optimistic-concurrency protocol. Subqueries inside UPDATE SET
+  * values or MERGE clauses stay rejected loudly. */
 case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftSqlDml._
 
@@ -56,6 +67,13 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (truncate)
         GraftTruncateCommand(r.tablePath, r.current, targetIdent(target))
+      else if (condition.exists(_.isInstanceOf[SubqueryExpression]))
+        // IN/EXISTS/NOT IN (correlated included): plan the matched rows
+        // as a Filter over the statement's snapshot — Spark's subquery
+        // rewrite does the semi/anti joins — and dv-delete their keys
+        GraftSubqueryDeleteCommand(r.tablePath, r.current,
+          Filter(condition, target), r.manifest.keyCol,
+          targetIdent(target))
       else
         GraftDeleteCommand(r.tablePath, r.current,
           reanchor(condition, target.output), targetIdent(target))
@@ -65,18 +83,31 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         u.condition.forall(_.resolved) && graftTarget(u.table).isDefined =>
       val r = graftTarget(u.table).get
       val out = u.table.output
-      val set = u.assignments.map { a =>
-        val name = a.key match {
+      val names = u.assignments.map { a =>
+        a.key match {
           case ar: AttributeReference => ar.name
           case other => throw new IllegalArgumentException(
             s"graft SQL UPDATE: unsupported SET target $other — only " +
             "plain columns are updatable (nested fields: use " +
             "ManifestTable.updateWhere with a struct rebuild)")
         }
-        name -> reanchor(a.value, out)
       }
-      GraftUpdateCommand(r.tablePath, r.current, set,
-        u.condition.map(reanchor(_, out)), targetIdent(u.table))
+      if (u.condition.exists(_.exists(_.isInstanceOf[SubqueryExpression]))) {
+        // subquery in WHERE: materialize the matched rows (Filter over
+        // the statement snapshot) and land their post-images as one dv
+        // upsert. SET values stay row-local (reanchor rejects
+        // subqueries there).
+        val set = names.zip(u.assignments).map { case (n, a) =>
+          n -> reanchor(a.value, out) }
+        GraftSubqueryUpdateCommand(r.tablePath, r.current, set,
+          Filter(u.condition.get, u.table), r.manifest.keyCol,
+          targetIdent(u.table))
+      } else {
+        val set = names.zip(u.assignments).map { case (n, a) =>
+          n -> reanchor(a.value, out) }
+        GraftUpdateCommand(r.tablePath, r.current, set,
+          u.condition.map(reanchor(_, out)), targetIdent(u.table))
+      }
 
     case m: MergeIntoTable if m.childrenResolved &&
         m.mergeCondition.resolved &&
@@ -86,7 +117,7 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       convertMerge(m)
 
     case i @ InsertIntoStatement(target, parts, userCols, query,
-        overwrite, ifPNE, _)
+        overwrite, ifPNE, byName)
         if query.resolved && graftTarget(target).isDefined &&
           (parts.nonEmpty ||
             graftTarget(target).get.manifest.partCols.nonEmpty) =>
@@ -98,7 +129,18 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "is not supported — partitions are manifest state, not " +
         "directories to test")
       GraftInsertCommand(r.tablePath, r.current, parts, userCols, query,
-        overwrite, targetIdent(target))
+        overwrite, targetIdent(target), byName)
+
+    // not a conversion — bookkeeping: remember which catalog names
+    // resolve to which graft paths, so InsertableRelation.insert can
+    // invalidate exactly the target's relation-cache entries instead
+    // of the whole session cache
+    case lr: LogicalRelation if lr.catalogTable.isDefined &&
+        lr.relation.isInstanceOf[GraftSnapshotRelation] =>
+      GraftNameRegistry.record(
+        lr.relation.asInstanceOf[GraftSnapshotRelation].tablePath,
+        lr.catalogTable.get.identifier)
+      lr
   }
 
   private def convertMerge(m: MergeIntoTable): LogicalPlan = {
@@ -126,9 +168,43 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"on the merge key '$keyCol' (got ${other.sql}); for other " +
         "shapes use ManifestTable.mergeInto")
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported — " +
-      "use ManifestTable.deleteWhere / updateWhere for target-only sweeps")
+    // the command renames a differently-named source key onto the
+    // target's key name before the manifest merge — clause references
+    // to it must follow ([[tsCol]]'s srcRename)
+    val rn =
+      if (srcKeyName.equalsIgnoreCase(keyCol)) None
+      else Some(srcKeyName -> keyCol)
+    // WHEN NOT MATCHED BY SOURCE: target-only clauses, first-match-wins
+    // — the manifest merge evaluates them over the anti-joined target
+    // rows (`t.` columns only; the analyzer already forbade source
+    // references here). The clause forces a full-target read and
+    // disables the cheap disjoint rebase (see mergeInto's scaladoc).
+    val whenNms = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assignments, _) =>
+        val sets = assignments.flatMap { a =>
+          val name = a.key.asInstanceOf[AttributeReference].name
+          a.value match {
+            case ar: AttributeReference
+                if tOut.exists(_.exprId == ar.exprId) &&
+                  ar.name.equalsIgnoreCase(name) => None
+            case _ if name.equalsIgnoreCase(keyCol) =>
+              throw new IllegalArgumentException(
+                s"graft SQL MERGE: the merge key '$keyCol' is not " +
+                "updatable — delete + insert instead")
+            case v => Some(name -> tsCol(v, tOut, sOut, rn))
+          }
+        }.toMap
+        require(sets.nonEmpty, "graft SQL MERGE: NOT MATCHED BY SOURCE " +
+          "UPDATE SET resolves to an identity update (no column changes)")
+        ManifestTable.WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)),
+          ManifestTable.UpdateSet(sets))
+      case DeleteAction(cond) =>
+        ManifestTable.WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)),
+          ManifestTable.DeleteMatched)
+      case other => throw new IllegalArgumentException(
+        s"graft SQL MERGE: unsupported WHEN NOT MATCHED BY SOURCE " +
+        s"action $other")
+    }
     val whenMatched = m.matchedActions.map {
       case UpdateAction(cond, assignments, _) =>
         // the analyzer ALIGNS assignments to the full row (identity
@@ -151,24 +227,24 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               throw new IllegalArgumentException(
                 s"graft SQL MERGE: the merge key '$keyCol' is not " +
                 "updatable — delete + insert instead")
-            case v => Some(name -> tsCol(v, tOut, sOut))
+            case v => Some(name -> tsCol(v, tOut, sOut, rn))
           }
         }.toMap
         require(sets.nonEmpty, "graft SQL MERGE: UPDATE SET resolves " +
           "to an identity update (no column changes)")
-        WhenMatched(cond.map(tsCol(_, tOut, sOut)), UpdateSet(sets))
+        WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)), UpdateSet(sets))
       case _: UpdateStarAction =>
         // pre-alignment SET * — every non-key column from the source
         WhenMatched(None, UpdateSet(
           r.manifest.schema.fieldNames.filterNot(_ == keyCol)
             .map(n => n -> col(s"s.$n")).toMap))
       case DeleteAction(cond) =>
-        WhenMatched(cond.map(tsCol(_, tOut, sOut)), DeleteMatched)
+        WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)), DeleteMatched)
       case other => throw new IllegalArgumentException(
         s"graft SQL MERGE: unsupported WHEN MATCHED action $other")
     }
-    val insertUnmatched = m.notMatchedActions match {
-      case Seq() => false
+    val (insertUnmatched, insertCond) = m.notMatchedActions match {
+      case Seq() => (false, None)
       case Seq(a) =>
         val cond = a match {
           case InsertAction(c, asg) =>
@@ -180,7 +256,11 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               as.value match {
                 case sr: AttributeReference
                     if sOut.exists(_.exprId == sr.exprId) &&
-                      sr.name.equalsIgnoreCase(tn) => ()
+                      (sr.name.equalsIgnoreCase(tn) ||
+                        // the key arrives under the source's own name;
+                        // the command's rename makes them one column
+                        (tn.equalsIgnoreCase(keyCol) &&
+                          sr.name.equalsIgnoreCase(srcKeyName))) => ()
                 case other => throw new IllegalArgumentException(
                   s"graft SQL MERGE: INSERT value for '$tn' must be the " +
                   s"same-named source column (got ${other.sql}); derive " +
@@ -193,16 +273,17 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new IllegalArgumentException(
             s"graft SQL MERGE: unsupported WHEN NOT MATCHED action $other")
         }
-        require(cond.isEmpty, "graft SQL MERGE: a conditional WHEN NOT " +
-          "MATCHED THEN INSERT is not supported — filter the source " +
-          "query instead, or use ManifestTable.mergeInto")
-        true
+        // a conditional insert gates ONLY the unmatched rows (matched
+        // processing never sees the condition) — exactly mergeInto's
+        // insertCond contract; the condition references source columns
+        (true, cond.map(tsCol(_, tOut, sOut, rn)))
       case _ => throw new IllegalArgumentException(
         "graft SQL MERGE: at most one WHEN NOT MATCHED clause is " +
         "supported")
     }
     GraftMergeCommand(r.tablePath, r.current, m.sourceTable, srcKeyName,
-      whenMatched, insertUnmatched, targetIdent(m.targetTable))
+      whenMatched, insertUnmatched, insertCond, whenNms,
+      targetIdent(m.targetTable))
   }
 }
 
@@ -262,19 +343,27 @@ private[io] object GraftSqlDml {
 
   /** Merge-clause expression → a Column over [[ManifestTable.mergeInto]]'s
     * matched join (`target AS t JOIN source AS s`): target attributes
-    * re-anchor as `t.<name>`, source attributes as `s.<name>`. */
+    * re-anchor as `t.<name>`, source attributes as `s.<name>`.
+    * `srcRename` maps a differently-named source key column onto the
+    * target's key name — [[GraftMergeCommand]] renames the source
+    * before the manifest merge, so clause references must follow. */
   def tsCol(e: Expression, tOut: Seq[Attribute],
-            sOut: Seq[Attribute]): Column = {
+            sOut: Seq[Attribute],
+            srcRename: Option[(String, String)] = None): Column = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       "graft SQL MERGE: subqueries in merge clauses are not supported — " +
       "derive the value in the source query or use ManifestTable.mergeInto")
     val t = tOut.map(a => a.exprId -> a.name).toMap
     val s = sOut.map(a => a.exprId -> a.name).toMap
+    def srcName(n: String): String = srcRename match {
+      case Some((from, to)) if n.equalsIgnoreCase(from) => to
+      case _ => n
+    }
     Bridge.column(expandFragile(e).transform {
       case a: AttributeReference if t.contains(a.exprId) =>
         UnresolvedAttribute(Seq("t", t(a.exprId)))
       case a: AttributeReference if s.contains(a.exprId) =>
-        UnresolvedAttribute(Seq("s", s(a.exprId)))
+        UnresolvedAttribute(Seq("s", srcName(s(a.exprId))))
     })
   }
 
@@ -326,7 +415,10 @@ case class GraftTruncateCommand(path: String, current: Boolean,
       new java.util.ArrayList[Row](), m.schema)
     ManifestTable.overwriteData(spark, path, empty, numFiles = 1)
     GraftSqlDml.invalidate(spark, ident)
-    Seq(Row(-1L))
+    // per-entry `rows` is the LIVE count (dv commits decrement it), so
+    // the manifest sums to the exact deleted-row figure driver-side —
+    // no data read (Delta parity: truncate reports the real count)
+    Seq(Row(m.entries.map(_.rows).sum))
   }
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_rows",
@@ -355,11 +447,19 @@ case class GraftUpdateCommand(path: String, current: Boolean,
 
 /** `MERGE INTO t USING s ON t.key = s.k WHEN ...` →
   * [[ManifestTable.mergeInto]] (conditional clause algebra, first-match-
-  * wins, one copy-on-write commit over the touched files only). */
+  * wins, one copy-on-write commit over the touched files only —
+  * full-target when NOT MATCHED BY SOURCE clauses are present). The
+  * manifest merge verifies source key-uniqueness for the SQL tier
+  * (Delta's cardinality check): a duplicate source key would fan one
+  * target row into several post-images, silently breaking the table's
+  * key-unique invariant. */
 case class GraftMergeCommand(path: String, current: Boolean,
                              source: LogicalPlan, srcKeyName: String,
                              whenMatched: Seq[ManifestTable.WhenMatched],
                              insertUnmatched: Boolean,
+                             insertCond: Option[Column],
+                             whenNotMatchedBySource:
+                               Seq[ManifestTable.WhenMatched],
                              ident: Option[org.apache.spark.sql.catalyst
                                .TableIdentifier])
     extends LeafRunnableCommand {
@@ -379,7 +479,9 @@ case class GraftMergeCommand(path: String, current: Boolean,
         src0.withColumnRenamed(srcKeyName, m.keyCol)
       }
     val st = ManifestTable.mergeInto(spark, path, src, whenMatched,
-      insertUnmatched = insertUnmatched)
+      insertUnmatched = insertUnmatched, insertCond = insertCond,
+      whenNotMatchedBySource = whenNotMatchedBySource,
+      assertSourceUnique = true)
     GraftSqlDml.invalidate(spark, ident)
     Seq(Row(st.version))
   }
@@ -388,21 +490,96 @@ case class GraftMergeCommand(path: String, current: Boolean,
       org.apache.spark.sql.types.LongType, nullable = false)())
 }
 
+/** DELETE whose WHERE carries a subquery (`k IN (SELECT …)`, `EXISTS`,
+  * `NOT IN` — correlated included): the matched rows are the Filter
+  * plan over the statement's snapshot (Spark's optimizer rewrites the
+  * predicate into semi/anti joins — the distributed plan, never a
+  * driver loop), their keys land through ONE deletion-vector commit
+  * ([[ManifestTable.deleteKeysDV]]). The predicate is evaluated against
+  * the statement snapshot; the commit retries under the usual
+  * optimistic-concurrency protocol. */
+case class GraftSubqueryDeleteCommand(path: String, current: Boolean,
+                                      matched: LogicalPlan, keyCol: String,
+                                      ident: Option[org.apache.spark.sql
+                                        .catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(matched)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireCurrent(current, path, "DELETE from")
+    val keys = Bridge.ofRows(spark, matched).select(col(keyCol))
+    val st = ManifestTable.deleteKeysDV(spark, path, keys)
+    GraftSqlDml.invalidate(spark, ident)
+    Seq(Row(st.deadMarked))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}
+
+/** UPDATE whose WHERE carries a subquery: matched rows materialize from
+  * the Filter plan over the statement's snapshot, their post-images
+  * (SET expressions see the row's current values) land as ONE
+  * deletion-vector upsert ([[ManifestTable.upsertDV]] — old images die
+  * in sidecars, post-images append). SET values themselves must stay
+  * row-local. */
+case class GraftSubqueryUpdateCommand(path: String, current: Boolean,
+                                      set: Seq[(String, Column)],
+                                      matched: LogicalPlan, keyCol: String,
+                                      ident: Option[org.apache.spark.sql
+                                        .catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(matched)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireCurrent(current, path, "UPDATE")
+    val setMap = set.toMap
+    require(!setMap.keys.exists(_.equalsIgnoreCase(keyCol)),
+      s"graft SQL UPDATE: the merge key '$keyCol' is not updatable — " +
+      "delete + insert instead")
+    val m = ManifestTable.readManifest(spark, path)
+    val rows = Bridge.ofRows(spark, matched)
+    val post = rows.select(m.schema.fieldNames.map(f =>
+      setMap.get(f).map(_.as(f)).getOrElse(col(f))).toSeq: _*)
+    val st = ManifestTable.upsertDV(spark, path, post)
+    GraftSqlDml.invalidate(spark, ident)
+    Seq(Row(st.deadMarked))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("updated_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+}
+
 /** Partitioned-table `INSERT INTO` / `INSERT OVERWRITE` (with optional
-  * static `PARTITION (col=value)` spec) → [[ManifestTable.merge]] /
-  * [[ManifestTable.overwriteData]]. The flat-table statements take the
-  * built-in `InsertableRelation` route instead; this command exists
-  * because Spark's insert preprocessing converts partitioned relations
-  * to the (sealed) file-commit plan. A static partition spec with
-  * `overwrite` replaces EXACTLY that partition (delete + upsert, two
-  * commits); without `overwrite` the static value is appended to each
-  * row. */
+  * static `PARTITION (col=value)` spec, or `BY NAME`) →
+  * [[ManifestTable.merge]] / [[ManifestTable.replaceWhere]] /
+  * [[ManifestTable.overwritePartitions]] / [[ManifestTable
+  * .overwriteData]]. The flat-table statements take the built-in
+  * `InsertableRelation` route instead; this command exists because
+  * Spark's insert preprocessing converts partitioned relations to the
+  * (sealed) file-commit plan.
+  *
+  * OVERWRITE semantics follow Spark's `partitionOverwriteMode`:
+  *   - static (default) with a `PARTITION (c=v, …)` spec replaces
+  *     EXACTLY the addressed slice — one atomic [[ManifestTable
+  *     .replaceWhere]] commit (a reader never observes the gap a
+  *     delete-then-insert pair would open); a partial spec addresses
+  *     the whole sub-tree. Without a spec, the whole table is
+  *     replaced ([[ManifestTable.overwriteData]]).
+  *   - dynamic (session conf `spark.sql.sources
+  *     .partitionOverwriteMode=dynamic`, honored — not silently
+  *     ignored) replaces exactly the partition tuples PRESENT in the
+  *     batch ([[ManifestTable.overwritePartitions]]); static spec
+  *     levels pin their values, the rest come from the rows.
+  *
+  * The batch must be key-unique: internal duplicates would land as an
+  * undefined last-writer-wins through the keyed upsert, so they fail
+  * loudly naming the keys. */
 case class GraftInsertCommand(path: String, current: Boolean,
                               parts: Map[String, Option[String]],
                               userCols: Seq[String], query: LogicalPlan,
                               overwrite: Boolean,
                               ident: Option[org.apache.spark.sql.catalyst
-                                .TableIdentifier])
+                                .TableIdentifier],
+                              byName: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -431,19 +608,42 @@ case class GraftInsertCommand(path: String, current: Boolean,
     val needed = m.schema.fields.filterNot(f => staticNames(f.name))
     val df0 = Bridge.ofRows(spark, query)
     val aligned =
-      if (userCols.nonEmpty) {
+      if (byName) {
+        // `INSERT … BY NAME`: the QUERY's output names align the
+        // columns — positional alignment here would silently swap
+        // same-typed columns, the one unacceptable state
+        require(userCols.isEmpty,
+          "graft: INSERT BY NAME cannot also name a column list")
+        val lower = df0.columns.groupBy(_.toLowerCase)
+        val dup = lower.collect { case (n, cs) if cs.length > 1 => n }
+        require(dup.isEmpty, s"graft: INSERT BY NAME query emits " +
+          s"ambiguous column name(s): ${dup.mkString(",")}")
+        val byN = lower.map { case (n, cs) => n -> cs.head }
+        val missing = needed.map(_.name)
+          .filterNot(n => byN.contains(n.toLowerCase))
+        require(missing.isEmpty,
+          s"graft: INSERT BY NAME must supply every table column " +
+          s"(no DEFAULTs); missing: ${missing.mkString(",")}")
+        val extra = df0.columns.filterNot(c =>
+          needed.exists(_.name.equalsIgnoreCase(c)))
+        require(extra.isEmpty, s"graft: INSERT BY NAME query emits " +
+          s"column(s) the table lacks: ${extra.mkString(",")}")
+        df0.select(needed.map(f =>
+          col(byN(f.name.toLowerCase)).cast(f.dataType)
+            .as(f.name)).toSeq: _*)
+      } else if (userCols.nonEmpty) {
         require(userCols.length == df0.columns.length,
           s"graft: INSERT names ${userCols.length} column(s) but the " +
           s"query produces ${df0.columns.length}")
-        val byName = userCols.map(_.toLowerCase)
+        val byN = userCols.map(_.toLowerCase)
           .zip(df0.columns).toMap
         val missing = needed.map(_.name)
-          .filterNot(n => byName.contains(n.toLowerCase))
+          .filterNot(n => byN.contains(n.toLowerCase))
         require(missing.isEmpty,
           s"graft: INSERT must supply every table column " +
           s"(no DEFAULTs); missing: ${missing.mkString(",")}")
         df0.select(needed.map(f =>
-          col(byName(f.name.toLowerCase)).cast(f.dataType)
+          col(byN(f.name.toLowerCase)).cast(f.dataType)
             .as(f.name)).toSeq: _*)
       } else {
         require(df0.columns.length == needed.length,
@@ -453,22 +653,37 @@ case class GraftInsertCommand(path: String, current: Boolean,
         df0.select(needed.zip(df0.columns).map { case (f, c) =>
           col(c).cast(f.dataType).as(f.name) }.toSeq: _*)
       }
-    val full =
+    val full0 =
       if (statics.isEmpty) aligned
       else statics.foldLeft(aligned) { case (d, (f, v)) =>
         d.withColumn(f.name, lit(v).cast(f.dataType))
       }.select(m.schema.fieldNames.map(col).toSeq: _*)
-    if (overwrite) {
-      if (statics.nonEmpty) {
-        // INSERT OVERWRITE PARTITION (c=v, ...): replace exactly the
-        // addressed slice — dv-delete its rows, then upsert the new
-        // content (a partial spec addresses the whole sub-tree)
-        val cond = statics.map { case (f, v) =>
-          col(f.name) === lit(v).cast(f.dataType) }.reduce(_ && _)
-        ManifestTable.deleteWhere(spark, path, cond)
-        ManifestTable.merge(spark, path, full)
-      } else ManifestTable.overwriteData(spark, path, full)
-    } else ManifestTable.merge(spark, path, full)
+    // the batch feeds a uniqueness probe plus the commit's own jobs —
+    // pin it so the insert query runs once
+    val full = full0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dups = full.groupBy(col(m.keyCol))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(5)
+        .collect().map(_.get(0)).mkString(", ")
+      require(dups.isEmpty, s"graft: INSERT batch is not key-unique " +
+        s"on '${m.keyCol}' — duplicate key(s): $dups … (the keyed " +
+        "upsert would apply an undefined last-writer-wins; " +
+        "de-duplicate the query)")
+      val dynamicMode = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
+      if (overwrite) {
+        if (m.partCols.nonEmpty && dynamicMode)
+          ManifestTable.overwritePartitions(spark, path, full)
+        else if (statics.nonEmpty) {
+          val cond = statics.map { case (f, v) =>
+            col(f.name) === lit(v).cast(f.dataType) }.reduce(_ && _)
+          ManifestTable.replaceWhere(spark, path, cond, full)
+        } else ManifestTable.overwriteData(spark, path, full)
+      } else ManifestTable.merge(spark, path, full)
+    } finally full.unpersist(blocking = false)
     GraftSqlDml.invalidate(spark, ident)
     Seq.empty
   }

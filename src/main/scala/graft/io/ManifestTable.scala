@@ -935,6 +935,44 @@ object ManifestTable {
       }
     }
 
+  /** METADATA-ONLY partition drop addressed at ANY partition level of a
+    * multi-level table — "drop source X across all dates" on a
+    * (date, source) layout. Every file is partition-pure on EVERY
+    * level (not just the leading one), so matching entries are
+    * identified driver-side from their recorded per-level value and
+    * removed from the manifest with zero data files read or written —
+    * the same cost class as the leading-column [[deletePartitions]].
+    * `partCol` must be one of the table's partition columns; values
+    * compare through the manifest's string encoding (the partition-op
+    * convention). A value matching nothing burns no version. */
+  def deletePartitionValues(spark: SparkSession, path: String,
+                            partCol: String, values: Seq[Any],
+                            setTag: Option[String] = None,
+                            maxRetries: Int = 3): MergeStats =
+    retryingCommit(spark, path, maxRetries) { m =>
+      val pcs = requirePartitioned(m, path)
+      val level = pcs.indexWhere(_.equalsIgnoreCase(partCol))
+      require(level >= 0, s"'$partCol' is not a partition column of " +
+        s"$path (partitioned by ${pcs.mkString(",")})")
+      val vals = values.map(String.valueOf).toSet
+      val (dropped, kept) = m.entries.partition(e =>
+        vals(partValuesOf(m, e, path)(level)))
+      if (dropped.isEmpty) {
+        setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
+        val n = m.entries.size
+        MergeStats(latestVersion(spark, path).getOrElse(m.version), n, 0, 0, n)
+      } else {
+        commitFence()
+        writeManifest(spark, path, m.version + 1, m.keyCol, m.keyType,
+          m.schema, m.statsCols, kept, setTag.orElse(m.tag), m.zCols,
+          m.retain, op = "delete-partitions", partCols = m.partCols,
+          constraints = m.constraints, colMap = m.colMap,
+          retiredPhys = m.retiredPhys)
+        retireKeeping(spark, path, m.version + 1, m.retain)
+        MergeStats(m.version + 1, m.entries.size, 0, 0, kept.size)
+      }
+    }
+
   /** DYNAMIC partition overwrite (the `partitionOverwriteMode=dynamic`
     * shape): exactly the partition values PRESENT in `replacement` are
     * replaced wholesale; every other partition is carried by reference,
@@ -1765,6 +1803,52 @@ object ManifestTable {
     dvCommit(spark, path, Some(upserts), Some(delKeys), numFiles, setTag,
       maxRetries)
 
+  /** PREDICATE REPLACE (`INSERT OVERWRITE ... PARTITION (c=v)`, Delta's
+    * `replaceWhere`): delete every row matching `cond` AND land
+    * `replacement` in ONE atomic deletion-vector commit — a reader
+    * either sees the old slice or the new one, never the gap a
+    * delete-then-insert pair would open, and a crash between the two
+    * can never leave the slice removed with no replacement. The delete
+    * half rides [[deleteWhere]]'s machinery verbatim (stats coverage
+    * proofs drop fully-matching files metadata-only, bloom skipping
+    * prunes the match read); the replacement appends as fresh
+    * key-sorted (partition-pure on a partitioned table) files. A key
+    * both matched and re-inserted is an in-commit upsert: the old image
+    * dies in the sidecar, the new image appends — no disjointness
+    * contract. Each optimistic-concurrency retry re-derives the matched
+    * row set from the fresh snapshot. Matching nothing while replacing
+    * nothing burns no version. */
+  def replaceWhere(spark: SparkSession, path: String, cond: Column,
+                   replacement: DataFrame, numFiles: Int = 0,
+                   setTag: Option[String] = None,
+                   maxRetries: Int = 3): DvStats = {
+    // consumed by several jobs per attempt (touch set, dead-pair scan,
+    // the append) and possibly across retries — same persist rationale
+    // as [[dvCommit]]
+    val repl = replacement.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try retryingCommit(spark, path, maxRetries) { m =>
+      val exprOpt = analyzedCond(spark, m.schema, cond)
+      val (possible, covered) = exprOpt
+        .map(whereSetsExpr(spark, m, _))
+        .getOrElse((m.entries, Set.empty[String]))
+      val uncovered = possible.filterNot(e => covered(e.relPath))
+      val partial = exprOpt
+        .map(BloomSkip.prune(spark, path, m, _, uncovered))
+        .getOrElse(uncovered)
+      val keys =
+        if (partial.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(org.apache.spark.sql.types
+              .StructField(m.keyCol, m.keyType, nullable = false))))
+        else readEntries(spark, path, m.schema, m.keyCol, partial,
+          m.colMap).filter(cond).select(col(m.keyCol))
+      attemptDvCommit(spark, path, m, Some(repl), Some(keys), numFiles,
+        setTag, covered)
+    } finally repl.unpersist(blocking = false)
+  }
+
   private def dvCommit(spark: SparkSession, path: String,
                        upserts0: Option[DataFrame], dels0: Option[DataFrame],
                        numFiles: Int, setTag: Option[String],
@@ -2062,7 +2146,24 @@ object ManifestTable {
     * accepts is carried unchanged, and `insertUnmatched` controls the
     * NOT MATCHED branch (the source must then carry the full table
     * schema; extra source columns are fine either way — usable in
-    * conditions, never written). `source` must be key-unique.
+    * conditions, never written). `insertCond` (requires
+    * `insertUnmatched`) further gates the inserted rows — the SQL
+    * `WHEN NOT MATCHED AND <cond> THEN INSERT` shape; it references
+    * source columns as `s.<col>` and never affects matched processing.
+    * `whenNotMatchedBySource` handles TARGET rows whose key the source
+    * lacks (`WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET`):
+    * first-match-wins like the matched clauses, but conditions and SET
+    * expressions may reference only target columns (`t.<col>`). It
+    * reads the FULL target (the semantics require deciding every
+    * target row) — at scale prefer source-driven merges where the
+    * touch set bounds the read — and it disables the cheap disjoint
+    * rebase: ANY concurrent winner re-resolves, because a winner's
+    * insert is itself "not matched by source". `source` must be
+    * key-unique; `assertSourceUnique` verifies that against the
+    * persisted source and fails loudly naming duplicates (the SQL
+    * MERGE tier turns this on — Delta's cardinality check; the
+    * programmatic default trusts the documented contract and skips the
+    * extra aggregation job).
     *
     * Composition: the matched rows are resolved here (touch-set-pruned
     * file read + broadcast-friendly key join), then the post-images and
@@ -2085,17 +2186,44 @@ object ManifestTable {
                 whenMatched: Seq[WhenMatched],
                 insertUnmatched: Boolean = true,
                 numFiles: Int = 0, setTag: Option[String] = None,
-                maxRetries: Int = 3): MergeStats = {
+                maxRetries: Int = 3,
+                insertCond: Option[Column] = None,
+                whenNotMatchedBySource: Seq[WhenMatched] = Seq.empty,
+                assertSourceUnique: Boolean = false): MergeStats = {
+    require(insertCond.isEmpty || insertUnmatched,
+      "insertCond without insertUnmatched — there is no insert to gate")
     // resolved several times below (matched join, inserts, the rewrite
     // underneath, and possibly conflict re-resolutions) — persist
     val src = source.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var left = maxRetries
+      var uniqueChecked = false
       while (true) {
         val m = readManifest(spark, path)
         val key = m.keyCol
         val tableCols = m.schema.fieldNames
+        if (assertSourceUnique && !uniqueChecked) {
+          // one aggregation over the persisted source; collects at most
+          // a handful of offenders for the message
+          val dups = src.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).limit(5)
+            .collect().map(_.get(0)).mkString(", ")
+          require(dups.isEmpty, s"merge source is not key-unique on " +
+            s"'$key' — duplicate key(s): $dups … (each source key must " +
+            "match at most one post-image; pre-aggregate the source)")
+          uniqueChecked = true
+        }
+        whenNotMatchedBySource.foreach {
+          case WhenMatched(_, UpdateSet(set)) =>
+            val unknown = set.keys.filterNot(tableCols.contains)
+            require(unknown.isEmpty, s"NOT MATCHED BY SOURCE UPDATE SET " +
+              s"names column(s) ${unknown.mkString(",")} not in the table " +
+              "schema")
+            require(!set.contains(key), s"UPDATE SET must not rewrite " +
+              s"the merge key '$key' — delete + insert instead")
+          case _ => ()
+        }
         whenMatched.foreach {
           case WhenMatched(_, UpdateSet(set)) =>
             val unknown = set.keys.filterNot(tableCols.contains)
@@ -2114,7 +2242,12 @@ object ManifestTable {
           s"source lacks the merge key column '$key'")
 
         val srcKeys = src.select(col(key)).distinct()
-        val touched = touchSet(spark, srcKeys, col(key), m)
+        // NOT MATCHED BY SOURCE must decide EVERY target row, so the
+        // touch set widens to the whole table (the semantics, not a
+        // missed optimization — Delta scans the full target too)
+        val touched =
+          if (whenNotMatchedBySource.nonEmpty) m.entries.map(_.relPath).toSet
+          else touchSet(spark, srcKeys, col(key), m)
         val touchedE = m.entries.filter(e => touched(e.relPath))
         val target = readEntries(spark, path, m.schema, m.keyCol, touchedE,
           m.colMap)
@@ -2130,6 +2263,20 @@ object ManifestTable {
         // probes) — persist so the matched join runs once per attempt
         val acted = joined.withColumn("__action", actionIdx)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // target rows the source does NOT match, with their own
+        // first-match-wins clause index — same algebra as the matched
+        // side, over `t.` columns only. Persisted: consumed by the
+        // update/delete splits and the no-op probe.
+        val nmsActed = whenNotMatchedBySource.headOption.map { _ =>
+          val nmsIdx = whenNotMatchedBySource.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((wm, i), rest) =>
+              when(wm.condition.getOrElse(lit(true)), lit(i))
+                .otherwise(rest)
+            }
+          target.alias("t").join(srcKeys, Seq(key), "left_anti")
+            .withColumn("__action", nmsIdx)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         try {
           val updates = whenMatched.zipWithIndex.collect {
             case (WhenMatched(_, UpdateSet(set)), i) =>
@@ -2147,9 +2294,12 @@ object ManifestTable {
               .select(col(s"t.$key").as(key)))
           val inserts0 =
             if (!insertUnmatched) None
-            else Some(src.alias("s")
-              .join(target.select(col(key)), Seq(key), "left_anti")
-              .select(tableCols.toSeq.map(c => col(c)): _*))
+            else Some {
+              val unmatched = src.alias("s")
+                .join(target.select(col(key)), Seq(key), "left_anti")
+              insertCond.fold(unmatched)(unmatched.filter)
+                .select(tableCols.toSeq.map(c => col(c)): _*)
+            }
           // ROW-empty outcomes (not just structurally absent clauses)
           // must not burn a version: a periodic conditional merge whose
           // clauses match nothing would otherwise consume the
@@ -2164,25 +2314,50 @@ object ManifestTable {
           // contract violation other paths surface loudly) would inflate
           // acted and silently swallow genuine inserts as a no-op
           def hasInserts = inserts0.exists(i => !i.isEmpty)
-          if (!hasActed && !hasInserts) {
+          def hasNms = nmsActed.exists(n =>
+            !n.filter(col("__action") =!= -1).isEmpty)
+          if (!hasActed && !hasInserts && !hasNms) {
             setTag.foreach(t => setTagOnly(spark, path, t, maxRetries))
             val n = m.entries.size
             return MergeStats(latestVersion(spark, path).getOrElse(m.version),
               n, 0, 0, n)
           }
-          val upserts = (updates ++ inserts0.toSeq)
+          val nmsUpdates = nmsActed.toSeq.flatMap { nms =>
+            whenNotMatchedBySource.zipWithIndex.collect {
+              case (WhenMatched(_, UpdateSet(set)), i) =>
+                nms.filter(col("__action") === i)
+                  .select(tableCols.toSeq.map(c =>
+                    set.getOrElse(c, col(s"t.$c")).as(c)): _*)
+            }
+          }
+          val nmsDelIdx = whenNotMatchedBySource.zipWithIndex.collect {
+            case (WhenMatched(_, DeleteMatched), i) => i
+          }
+          val nmsDels = nmsActed.filter(_ => nmsDelIdx.nonEmpty).map(nms =>
+            nms.filter(col("__action").isin(nmsDelIdx.map(Int.box): _*))
+              .select(col(s"t.$key").as(key)))
+          val upserts = (updates ++ nmsUpdates ++ inserts0.toSeq)
             .reduceOption(_ unionByName _)
-          try return rewrite(spark, path, upserts, dels0, numFiles, setTag,
+          val allDels = (dels0.toSeq ++ nmsDels.toSeq)
+            .reduceOption(_ unionByName _)
+          try return rewrite(spark, path, upserts, allDels, numFiles, setTag,
             maxRetries = left, op = "merge-conditional",
             allowRedrive = false, snapshot = Some(m),
-            rebaseGuard = Some((srcKeys, touched)))
+            rebaseGuard = Some((srcKeys, touched)),
+            // a winner's INSERT is itself "not matched by source": the
+            // cheap disjoint rebase would carry its rows past the nms
+            // clauses unexamined — any conflict must re-resolve
+            allowRebase = whenNotMatchedBySource.isEmpty)
           catch { case e: ConcurrentCommitException =>
             // an overlapping winner invalidated the resolved
             // post-images — re-resolve against its state and retry
             if (left <= 0) throw conflictExhausted(path, e)
             left -= 1
           }
-        } finally acted.unpersist(blocking = false)
+        } finally {
+          acted.unpersist(blocking = false)
+          nmsActed.foreach(_.unpersist(blocking = false))
+        }
       }
       throw new IllegalStateException("unreachable")
     } finally src.unpersist(blocking = false)
@@ -2238,10 +2413,15 @@ object ManifestTable {
     retryingCommit(spark, path, maxRetries) { m =>
       require(newCols.nonEmpty, "evolveSchema with no columns is a no-op " +
         "that would still burn a version — refuse it")
-      require(newCols.fieldNames.distinct.length == newCols.fieldNames.length,
+      // case-INSENSITIVE on both checks: Spark's default resolution is
+      // case-insensitive, so a column differing only in case would make
+      // every later reference AMBIGUOUS — adding it can never be right
+      val lowered = newCols.fieldNames.map(_.toLowerCase)
+      require(lowered.distinct.length == lowered.length,
         s"duplicate column names within newCols: " +
-        newCols.fieldNames.diff(newCols.fieldNames.distinct).mkString(","))
-      val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
+        lowered.diff(lowered.distinct).mkString(","))
+      val clash = newCols.fieldNames.filter(n =>
+        m.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"evolveSchema only ADDS columns; ${clash.mkString(",")} already " +
         "exist (drop/rename/retype require a rewrite)")
@@ -2664,7 +2844,8 @@ object ManifestTable {
                       op: String = "",
                       allowRedrive: Boolean = true,
                       snapshot: Option[Manifest] = None,
-                      rebaseGuard: Option[(DataFrame, Set[String])] = None)
+                      rebaseGuard: Option[(DataFrame, Set[String])] = None,
+                      allowRebase: Boolean = true)
       : MergeStats = {
     val opName =
       if (op.nonEmpty) op
@@ -2687,7 +2868,7 @@ object ManifestTable {
     try attemptRewrite(spark, path,
       snapshot.getOrElse(readManifest(spark, path)),
       upserts, dels, numFiles, setTag, maxRetries, opName, allowRedrive,
-      rebaseGuard)
+      rebaseGuard, allowRebase)
     finally {
       upserts.foreach(_.unpersist(blocking = false))
       dels.foreach(_.unpersist(blocking = false))
@@ -2707,7 +2888,8 @@ object ManifestTable {
                              retriesLeft: Int, op: String,
                              allowRedrive: Boolean = true,
                              rebaseGuard: Option[(DataFrame, Set[String])] =
-                               None): MergeStats = {
+                               None,
+                             allowRebase: Boolean = true): MergeStats = {
     // a batch carrying columns the table schema lacks would be silently
     // narrowed by the select(orderedCols) projection below — after a
     // source-side schema evolution that is exactly how direct merge()/
@@ -2830,7 +3012,7 @@ object ManifestTable {
         val latestByRel = latest.entries.map(e => e.relPath -> e).toMap
         touchedE.forall(e => latestByRel.get(e.relPath).contains(e))
       }
-      val rebasable = latest.schema.json == m.schema.json &&
+      val rebasable = allowRebase && latest.schema.json == m.schema.json &&
         latest.zCols == m.zCols && latest.statsCols == m.statsCols &&
         // a winner that changed the CHECK constraint set invalidates
         // this attempt's validation — the batch was gated against the

@@ -243,4 +243,41 @@ class DeleteWhereSpec extends SparkSpec {
       assert(got.agg(min("doc_id")).first().getLong(0) >= 500L)
     } finally cleanup(path)
   }
+
+  test("replaceWhere: delete-by-predicate + replacement in ONE atomic " +
+    "commit — coverage drops ride along, re-inserted keys upsert, a " +
+    "no-match predicate degrades to a plain insert") {
+    val path = tmp()
+    try {
+      make(path)
+      val v0 = ManifestTable.readManifest(spark, path).version
+      // replace bucket < 3 (files 0-2 fully covered: metadata drops)
+      // with 5 rows; key 100 existed in the replaced slice (upsert),
+      // key 5000 is new
+      val repl = Seq((100L, 0, "R"), (5000L, 1, "R"), (101L, 0, "R"),
+        (250L, 2, "R"), (299L, 2, "R"))
+        .toDF("id", "bucket", "prio")
+      val st = ManifestTable.replaceWhere(spark, path,
+        col("bucket") < 3, repl)
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.version == v0 + 1, "ONE commit, no readable gap")
+      assert(st.filesDropped >= 3, s"covered files drop metadata-only " +
+        s"(got ${st.filesDropped})")
+      val t = ManifestTable.read(spark, path)
+      assert(t.count() == 700L + 5L)
+      assert(t.filter(col("bucket") < 3).count() == 5L)
+      assert(t.filter(col("id") === 100L).select("prio").as[String]
+        .head() == "R", "re-inserted key carries the NEW image")
+      assert(t.filter(col("id") === 500L).count() == 1L,
+        "rows outside the predicate untouched")
+      // history intact: the pre-replace snapshot still reads
+      assert(ManifestTable.readAt(spark, path, v0).count() == 1000L)
+      // no-match predicate + replacement = plain insert, one commit
+      val st2 = ManifestTable.replaceWhere(spark, path,
+        col("id") > 90000L, Seq((90001L, 9, "Z")).toDF("id", "bucket",
+          "prio"))
+      assert(st2.deadMarked == 0L)
+      assert(ManifestTable.read(spark, path).count() == 706L)
+    } finally cleanup(path)
+  }
 }

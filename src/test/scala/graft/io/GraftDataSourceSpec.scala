@@ -382,6 +382,59 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("mergeSchema is case-INSENSITIVE: a batch column differing only " +
+    "in case maps onto the existing column instead of evolving a " +
+    "duplicate that would wedge every later read (AMBIGUOUS_REFERENCE)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mscase")
+      .toString
+    try {
+      val path = s"$root/t"
+      (0 until 20).map(i => (i.toLong, i * 2)).toDF("id", "score")
+        .write.format("graft").option("key", "id").mode("overwrite")
+        .save(path)
+      // batch spells it 'Score' and adds a genuinely new column
+      Seq((100L, 7, "x")).toDF("id", "Score", "note")
+        .write.format("graft").option("mergeSchema", "true")
+        .mode("append").save(path)
+      val t = ManifestTable.read(spark, path)
+      assert(t.schema.fieldNames.toSeq == Seq("id", "score", "note"),
+        s"case-variant column must not evolve: ${t.schema.fieldNames.toSeq}")
+      assert(t.filter(col("id") === 100L).select("score").as[Int]
+        .head() == 7, "the case-variant value lands in the SAME column")
+      // the table still reads and merges — no ambiguity wedge
+      assert(t.count() == 21L)
+      Seq((101L, 9, "y")).toDF("id", "score", "note")
+        .write.format("graft").mode("append").save(path)
+      assert(ManifestTable.read(spark, path).count() == 22L)
+      // the same alignment on the STREAMING sink
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, Int, String)]
+      val q = in.toDF().toDF("id", "SCORE", "note")
+        .writeStream.format("graft")
+        .option("path", path).option("key", "id")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        in.addData((102L, 11, "z"))
+        q.processAllAvailable()
+        val t2 = ManifestTable.read(spark, path)
+        assert(t2.schema.fieldNames.toSeq == Seq("id", "score", "note"))
+        assert(t2.filter(col("id") === 102L).select("score").as[Int]
+          .head() == 11)
+      } finally q.stop()
+      // and evolveSchema itself refuses a case-variant add loudly
+      val e = intercept[Exception] {
+        ManifestTable.evolveSchema(spark, path,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("SCORE",
+              org.apache.spark.sql.types.LongType))))
+      }
+      assert(e.getMessage.contains("already exist"), e.getMessage)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("readStream.format(\"graft\") tails the change feed on version " +
     "offsets; checkpoint recovery resumes with no loss or duplication") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdfs").toString

@@ -73,7 +73,9 @@ class GraftSqlDmlSpec extends SparkSpec {
       table(path, "dml_tr")
       try {
         val v1 = ManifestTable.readManifest(spark, path).version
-        spark.sql("DELETE FROM dml_tr")
+        val res = spark.sql("DELETE FROM dml_tr")
+        // the real pre-truncate live count, manifest-summed (not -1)
+        assert(res.as[Long].head() == 1000L)
         val m = ManifestTable.readManifest(spark, path)
         assert(m.version == v1 + 1 && m.op == "overwrite")
         assert(spark.table("dml_tr").count() == 0L)
@@ -91,8 +93,8 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
-  test("UPDATE ... SET sees current values; key update and subquery " +
-    "conditions refuse loudly") {
+  test("UPDATE ... SET sees current values; key update refuses loudly; " +
+    "subquery WHERE routes through the materializing command") {
     val (root, path) = mk()
     try {
       table(path, "dml_upd")
@@ -120,10 +122,21 @@ class GraftSqlDmlSpec extends SparkSpec {
         }
         assert(chain(e).exists(_.contains("not updatable")),
           chain(e).mkString("|"))
-        // subqueries in DML predicates refuse, naming the API
+        // subquery WHERE: matched rows materialize from the statement
+        // snapshot, post-images land as one dv commit
+        val vPre = ManifestTable.readManifest(spark, path).version
+        val res = spark.sql("UPDATE dml_upd SET price = 0 WHERE id IN " +
+          "(SELECT id FROM dml_upd WHERE bucket = 9)")
+        assert(res.as[Long].head() == 100L)
+        assert(ManifestTable.readManifest(spark, path).version == vPre + 1)
+        assert(spark.table("dml_upd").filter(col("bucket") === 9)
+          .agg(sum("price")).as[Long].head() == 0L)
+        assert(spark.table("dml_upd").count() == 1000L)
+        assert(rootStrays(path).isEmpty)
+        // subqueries in SET values still refuse, naming the remedy
         val e2 = intercept[Exception] {
-          spark.sql("UPDATE dml_upd SET price = 0 WHERE id IN " +
-            "(SELECT id FROM dml_upd WHERE bucket = 9)")
+          spark.sql("UPDATE dml_upd SET price = " +
+            "(SELECT max(price) FROM dml_upd) WHERE bucket = 1")
         }
         assert(chain(e2).exists(m => m.contains("subqueries") ||
           m.contains("ManifestTable")), chain(e2).mkString("|"))
@@ -175,13 +188,18 @@ class GraftSqlDmlSpec extends SparkSpec {
         }
         assert(chain(e).exists(_.contains("mergeInto")),
           chain(e).mkString("|"))
+        // a duplicate-keyed source refuses loudly (the Delta
+        // cardinality check) — one key, two post-images is undefined
+        (Seq((42L, 1, 1L), (42L, 2, 2L)))
+          .toDF("id", "bucket", "price")
+          .createOrReplaceTempView("dml_dup")
         val e2 = intercept[Exception] {
           spark.sql(
-            """MERGE INTO dml_mrg t USING dml_src s ON t.id = s.id
-              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+            """MERGE INTO dml_mrg t USING dml_dup s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET price = s.price""".stripMargin)
         }
-        assert(chain(e2).exists(m => m.contains("NOT MATCHED BY SOURCE")
-          || m.contains("deleteWhere")), chain(e2).mkString("|"))
+        assert(chain(e2).exists(_.contains("key-unique")),
+          chain(e2).mkString("|"))
       } finally spark.sql("DROP TABLE IF EXISTS dml_mrg")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
@@ -366,6 +384,211 @@ class GraftSqlDmlSpec extends SparkSpec {
         assert(spark.table("pt_t").count() == 101L)
         assert(ManifestTable.read(spark, p2).count() == 101L)
       } finally spark.sql("DROP TABLE IF EXISTS pt_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("DELETE with subqueries: IN / NOT IN / correlated EXISTS all " +
+    "route (semi/anti-join plans, one dv commit each); rejected shapes " +
+    "stay loud") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_sq")
+      try {
+        // side table driving the subqueries
+        (0 until 20).map(i => (i.toLong * 50, s"r$i"))
+          .toDF("ref_id", "tag").createOrReplaceTempView("dml_refs")
+        val v0 = ManifestTable.readManifest(spark, path).version
+        // IN: ids 0,50,...,950 (20 rows)
+        val r1 = spark.sql("DELETE FROM dml_sq WHERE id IN " +
+          "(SELECT ref_id FROM dml_refs)")
+        assert(r1.as[Long].head() == 20L)
+        assert(spark.table("dml_sq").count() == 980L)
+        assert(ManifestTable.readManifest(spark, path).version == v0 + 1)
+        // correlated EXISTS: rows whose id+1 is a ref (49, 99, ...)
+        val r2 = spark.sql("DELETE FROM dml_sq WHERE EXISTS " +
+          "(SELECT 1 FROM dml_refs r WHERE r.ref_id = dml_sq.id + 1)")
+        assert(r2.as[Long].head() == 19L) // id = -1 doesn't exist
+        assert(spark.table("dml_sq").count() == 961L)
+        // NOT IN with the SQL null semantics handled by Spark's rewrite
+        val r3 = spark.sql("DELETE FROM dml_sq WHERE bucket = 9 AND " +
+          "id NOT IN (SELECT ref_id FROM dml_refs)")
+        // bucket 9 = ids 900..999; already deleted: 900, 950 (IN) and
+        // 949 (EXISTS); NOT IN removes the remaining 97
+        assert(r3.as[Long].head() == 97L)
+        assert(spark.table("dml_sq").filter(col("bucket") === 9)
+          .count() == 0L)
+        assert(rootStrays(path).isEmpty)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_sq")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("MERGE generalizations: WHEN NOT MATCHED BY SOURCE DELETE/UPDATE " +
+    "(conditional, first-match-wins) and conditional WHEN NOT MATCHED " +
+    "INSERT — one commit, exact row algebra") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_nms")
+      try {
+        // source: keys 0..499 matched, 2000..2004 new
+        ((0 until 500).map(_.toLong) ++ (2000 until 2005).map(_.toLong))
+          .map(i => (i, 7, i * 3L)).toDF("id", "bucket", "price")
+          .createOrReplaceTempView("nms_src")
+        val v0 = ManifestTable.readManifest(spark, path).version
+        spark.sql(
+          """MERGE INTO dml_nms t USING nms_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET price = s.price
+            |WHEN NOT MATCHED AND s.price > 6003 THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.bucket = 9 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = -1
+            |""".stripMargin)
+        // ONE commit for the whole statement
+        assert(ManifestTable.readManifest(spark, path).version == v0 + 1)
+        val t = spark.table("dml_nms")
+        // matched: updated
+        assert(t.filter(col("id") === 100L).select("price").as[Long]
+          .head() == 300L)
+        // conditional insert: only 2002..2004 pass s.price > 6003
+        assert(t.filter(col("id") >= 2000L).select("id").as[Long]
+          .collect().sorted.toSeq == Seq(2002L, 2003L, 2004L))
+        // nms first clause: bucket 9 rows (unmatched by source) deleted
+        assert(t.filter(col("bucket") === 9).count() == 0L)
+        // nms second clause: remaining unmatched rows flagged
+        assert(t.filter(col("id") === 700L).select("price").as[Long]
+          .head() == -1L)
+        assert(t.filter(col("price") === -1L).count() == 400L)
+        assert(t.count() == 1000L - 100L + 3L)
+        assert(rootStrays(path).isEmpty)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_nms")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("INSERT batch with duplicate keys refuses loudly on the " +
+    "partitioned route (last-writer-wins would be silent)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    try {
+      val path = s"$root/t"
+      val pdf = (0 until 100).map(i => (i.toLong, s"d${i % 2}", i * 1L))
+        .toDF("id", "date", "v")
+      ManifestTable.createPartitioned(pdf, path, "id", Seq("date"),
+        Seq.empty, None, 2, 0, Seq.empty)
+      spark.sql(s"CREATE TABLE dup_t USING graft " +
+        s"OPTIONS (path '$path', key 'id')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("INSERT INTO dup_t VALUES " +
+            "(500, 'd0', 1), (500, 'd0', 2)")
+        }
+        assert(chain(e).exists(_.contains("key-unique")),
+          chain(e).mkString("|"))
+        assert(spark.table("dup_t").count() == 100L, "nothing landed")
+      } finally spark.sql("DROP TABLE IF EXISTS dup_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("INSERT BY NAME on a partitioned table aligns by the query's " +
+    "output names — same-typed columns land in the right places") {
+    val root = java.nio.file.Files.createTempDirectory("graft_byn").toString
+    try {
+      val path = s"$root/t"
+      // TWO string partition levels — positional alignment would swap
+      // them silently (the exact ADVICE finding)
+      val pdf = (0 until 60).map(i =>
+        (i.toLong, s"d${i % 3}", s"s${i % 2}", i * 1L))
+        .toDF("id", "date", "src", "v")
+      ManifestTable.createPartitioned(pdf, path, "id", Seq("date", "src"),
+        Seq.empty, None, 2, 0, Seq.empty)
+      spark.sql(s"CREATE TABLE byn_t USING graft " +
+        s"OPTIONS (path '$path', key 'id')")
+      try {
+        spark.sql("INSERT INTO byn_t BY NAME " +
+          "SELECT 'snew' AS src, 900L AS id, 5L AS v, 'dnew' AS date")
+        val got = spark.table("byn_t").filter(col("id") === 900L)
+          .select("date", "src", "v").as[(String, String, Long)].head()
+        assert(got == (("dnew", "snew", 5L)), s"got $got")
+        // missing column refuses loudly (no silent defaults)
+        val e = intercept[Exception] {
+          spark.sql("INSERT INTO byn_t BY NAME " +
+            "SELECT 901L AS id, 'd0' AS date, 's0' AS src")
+        }
+        assert(chain(e).exists(_.contains("missing")),
+          chain(e).mkString("|"))
+      } finally spark.sql("DROP TABLE IF EXISTS byn_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("INSERT OVERWRITE PARTITION is ONE atomic commit; dynamic " +
+    "partitionOverwriteMode replaces exactly the partitions present " +
+    "in the batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    try {
+      val path = s"$root/t"
+      val pdf = (0 until 90).map(i => (i.toLong, s"d${i % 3}", i * 1L))
+        .toDF("id", "date", "v")
+      ManifestTable.createPartitioned(pdf, path, "id", Seq("date"),
+        Seq.empty, None, 2, 0, Seq.empty)
+      spark.sql(s"CREATE TABLE dyn_t USING graft " +
+        s"OPTIONS (path '$path', key 'id')")
+      try {
+        // static-mode slice replacement: exactly ONE version claimed
+        // (the old delete-then-merge pair opened a readable gap)
+        val v0 = ManifestTable.readManifest(spark, path).version
+        spark.sql("INSERT OVERWRITE dyn_t PARTITION (date='d1') " +
+          "VALUES (901, 11)")
+        val m1 = ManifestTable.readManifest(spark, path)
+        assert(m1.version == v0 + 1,
+          s"slice replacement must be ONE commit (v $v0 -> ${m1.version})")
+        assert(spark.table("dyn_t").filter(col("date") === "d1")
+          .select("id").as[Long].collect().toSeq == Seq(901L))
+        assert(spark.table("dyn_t").count() == 61L)
+        // dynamic mode: no spec, only the batch's partitions replaced
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        try {
+          spark.sql("INSERT OVERWRITE dyn_t VALUES (902, 'd2', 22)")
+          val t = spark.table("dyn_t")
+          assert(t.filter(col("date") === "d2").select("id").as[Long]
+            .collect().toSeq == Seq(902L), "d2 replaced")
+          assert(t.filter(col("date") === "d0").count() == 30L,
+            "d0 untouched — dynamic mode must not truncate the table")
+          assert(t.count() == 32L)
+        } finally spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", "static")
+        // static mode without a spec still replaces the whole table
+        spark.sql("INSERT OVERWRITE dyn_t VALUES (1, 'd0', 1)")
+        assert(spark.table("dyn_t").count() == 1L)
+      } finally spark.sql("DROP TABLE IF EXISTS dyn_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("INSERT invalidation is TARGETED: another graft table's cached " +
+    "relation survives an INSERT, while the target re-resolves to the " +
+    "new snapshot") {
+    val (root, path) = mk()
+    try {
+      val path2 = s"$root/u"
+      table(path, "inv_a")
+      ManifestTable.create(df.limit(10), path2, "id", numFiles = 2)
+      spark.sql(s"CREATE TABLE inv_b USING graft " +
+        s"OPTIONS (path '$path2', key 'id')")
+      try {
+        def relOf(name: String): AnyRef =
+          spark.table(name).queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation
+          }.get
+        // resolve both so the session's relation cache holds them
+        assert(spark.table("inv_a").count() == 1000L)
+        val bBefore = relOf("inv_b")
+        // flat-table INSERT rides the InsertableRelation route
+        spark.sql("INSERT INTO inv_a VALUES (5000, 0, 1)")
+        assert(relOf("inv_b") eq bBefore,
+          "the untouched table's cached relation must survive the INSERT")
+        assert(spark.table("inv_a").count() == 1001L,
+          "the target must re-resolve to the post-insert snapshot")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS inv_a")
+        spark.sql("DROP TABLE IF EXISTS inv_b")
+      }
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 

@@ -206,6 +206,42 @@ class MultiPartitionSpec extends SparkSpec {
     } finally cleanup(path)
   }
 
+  test("deletePartitionValues drops a NON-LEADING value across all " +
+    "leading slices, metadata-only; leading level and unknown values " +
+    "behave like deletePartitions") {
+    val path = tmp()
+    try {
+      make(path)
+      val m0 = ManifestTable.readManifest(spark, path)
+      // drop source s1 across ALL dates — per-level purity makes it a
+      // manifest-only commit
+      val st = ManifestTable.deletePartitionValues(spark, path, "src",
+        Seq("s1"))
+      assert(st.filesRewritten == 0 && st.filesWritten == 0,
+        "value drop must be metadata-only")
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.version == m0.version + 1)
+      val t = ManifestTable.read(spark, path)
+      assert(t.filter(col("src") === "s1").count() == 0L)
+      assert(t.count() == 240L, "other sources' rows intact")
+      assert(t.select("date").distinct().count() == 3L,
+        "every date survives — the drop addressed the src level")
+      purity(path)
+      // the LEADING level works through the same op
+      ManifestTable.deletePartitionValues(spark, path, "date", Seq("d0"))
+      assert(ManifestTable.read(spark, path)
+        .filter(col("date") === "d0").count() == 0L)
+      // unknown value burns no version; unknown column refuses loudly
+      val v = ManifestTable.readManifest(spark, path).version
+      ManifestTable.deletePartitionValues(spark, path, "src", Seq("nope"))
+      assert(ManifestTable.readManifest(spark, path).version == v)
+      val e = intercept[Exception] {
+        ManifestTable.deletePartitionValues(spark, path, "v", Seq("1"))
+      }
+      assert(e.getMessage.contains("not a partition column"))
+    } finally cleanup(path)
+  }
+
   test("writer option partCol accepts a comma-separated multi-level " +
     "spec") {
     val path = tmp()
