@@ -1558,14 +1558,18 @@ object Queries {
     // MULTI-LEVEL PARTITIONING (round 15): a (priority, status)
     // two-level partitioned table — the (date, source) fact shape.
     // The chain: two-level create (files pure on BOTH columns),
-    // metadata-only deletePartitions of one LEADING slice, then a
-    // connector read combining a STATIC filter on the leading level
-    // with a DPP dim join on the SECOND level — both prune partition
-    // directories inside Catalyst (MultiPartitionSpec pins the plans
-    // and file counts; here the oracle hash gates that two-level
-    // purity + leading-slice addressing + per-level pruning stay
-    // exact). At 100 TB: drop a day across all sources in one
-    // manifest commit, scan only (hot days x hot sources) cells.
+    // metadata-only deletePartitions of one LEADING slice, a
+    // metadata-only deletePartitionValues of one SECOND-LEVEL value
+    // across all leading slices (drop status P across every priority —
+    // the "drop source X across all dates" shape), then a connector
+    // read combining a STATIC filter on the leading level with a DPP
+    // dim join on the SECOND level — both prune partition directories
+    // inside Catalyst (MultiPartitionSpec pins the plans and file
+    // counts; here the oracle hash gates that two-level purity +
+    // per-level value addressing + per-level pruning stay exact): the
+    // dim keeps BOTH 'F' and 'P', so only the value drop can explain
+    // P's absence from the result. At 100 TB: drop a day across all
+    // sources, or a source across all days — each one manifest commit.
     "m31_multilevel_part" -> ((s, dir) => {
       val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val base = t(s, dir, "orders").select(col("o_orderkey"),
@@ -1577,8 +1581,10 @@ object Queries {
         Seq("o_orderpriority", "o_orderstatus"), Seq.empty, None, 2, 0,
         Seq.empty)
       graft.io.ManifestTable.deletePartitions(s, path, Seq("1-URGENT"))
+      graft.io.ManifestTable.deletePartitionValues(s, path,
+        "o_orderstatus", Seq("P"))
       base.select(col("o_orderstatus")).distinct()
-        .withColumn("keep", col("o_orderstatus") === lit("F"))
+        .withColumn("keep", col("o_orderstatus").isin("F", "P"))
         .write.mode("overwrite").parquet(s"$root/dim")
       val dim = s.read.parquet(s"$root/dim")
         .filter(col("keep")).select("o_orderstatus")
@@ -1649,6 +1655,62 @@ object Queries {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
       // external-path table: DROP leaves the data; read the final state
       // through the manifest (same logical table the catalog served)
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
+    // SQL DML GENERALIZATIONS (round 16): the statement shapes a
+    // lakehouse user types that r15 rejected — DELETE with an IN
+    // subquery (the single most common row-level DML statement),
+    // UPDATE with a correlated EXISTS, and a MERGE carrying BOTH a
+    // conditional WHEN NOT MATCHED ... AND ... THEN INSERT and WHEN
+    // NOT MATCHED BY SOURCE DELETE/UPDATE clauses. Each routes to a
+    // manifest commit (subquery predicates materialize through Spark's
+    // own semi/anti-join rewrite — distributed, never a driver loop);
+    // the oracle replays the full chain in plain SQL, so the hash
+    // gates subquery routing + the merge clause algebra end to end.
+    "m32_sql_dml_subq" -> ((s, dir) => {
+      val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), rowCents.as("price_cents"))
+      val path = mtabTmp() + "/t"
+      graft.io.ManifestTable.create(base, path, "o_orderkey",
+        numFiles = 8, statsCols = Seq("o_orderpriority"))
+      val tbl = "m32_t_" + dirTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft " +
+        s"OPTIONS (path '$path', key 'o_orderkey')")
+      try {
+        base.filter(col("o_orderkey") % 13 === 2)
+          .select(col("o_orderkey").as("k"))
+          .createOrReplaceTempView("m32_bad")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey IN " +
+          "(SELECT k FROM m32_bad)")
+        base.filter(col("o_orderkey") % 17 === 4)
+          .select(col("o_orderkey").as("k"))
+          .createOrReplaceTempView("m32_bumps")
+        s.sql(s"UPDATE $tbl SET price_cents = price_cents + 11 " +
+          s"WHERE EXISTS (SELECT 1 FROM m32_bumps b " +
+          s"WHERE b.k = $tbl.o_orderkey)")
+        val maxk = base.agg(max("o_orderkey")).first().getLong(0)
+        val mlo = maxk / 2
+        val mhi = mlo + maxk / 10
+        base.filter(col("o_orderkey").between(mlo, mhi))
+          .select(col("o_orderkey"), lit("S-MRG").as("o_orderpriority"),
+            (col("price_cents") * 3).as("price_cents"))
+          .unionByName(base.filter(col("o_orderkey") % 19 === 7)
+            .select((col("o_orderkey") + maxk * 2).as("o_orderkey"),
+              lit("S-MRG").as("o_orderpriority"),
+              (col("price_cents") * 3 + 1).as("price_cents")))
+          .createOrReplaceTempView("m32_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING m32_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents
+             |WHEN NOT MATCHED AND s.price_cents % 2 = 1 THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '5-LOW'
+             |  THEN DELETE""".stripMargin)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
       graft.io.ManifestTable.read(s, path)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
@@ -2334,9 +2396,20 @@ object Queries {
     "ext_embed_neardup_brute" -> ((s, dir) =>
       Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), threshold = 0.4)),
 
-    // SRP-LSH blocked variant (threshold high: near-identical pairs only).
-    "ext_embed_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)),
+    // SRP-LSH blocked variant (threshold high: near-identical pairs
+    // only). The corpus is augmented with EXACT duplicates of the first
+    // 16 vectors (fresh negative ids — smallest, so bounded bucket caps
+    // can never evict them): identical vectors share every SRP sign
+    // bit, so the banded join provably captures each (dup, source)
+    // pair at any scale — the sf0.01/sf0.1 rows gate nonzero pairs
+    // instead of passing vacuously (0 = 0), while genuine ≥0.95 pairs
+    // at larger scales still flow through the same hash.
+    "ext_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 16)
+        .select((-(col("vec_id") + 1)).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairs(emb.unionByName(dups), threshold = 0.95)
+    }),
 
     // Semantic eval-set decontamination: corpus vectors (vec_id % 5 != 0)
     // too close (cosine >= 0.4) to ANY held-out vector (vec_id % 5 == 0)
@@ -3634,7 +3707,10 @@ object Queries {
 
     // m31: two-level partition addressing is an access path — the
     // oracle is the plain filtered aggregate (leading slice dropped,
-    // static leading filter, second-level dim keep-set = status 'F').
+    // static leading filter; the dim keeps BOTH 'F' and 'P', so the
+    // second-level value drop of 'P' is the only thing that leaves
+    // status 'F' — a broken deletePartitionValues surfaces P rows
+    // and fails the hash).
     "m31_multilevel_part" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -3693,6 +3769,49 @@ object Queries {
         |  SELECT s.* FROM src s
         |  WHERE NOT EXISTS (
         |    SELECT 1 FROM afterins t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
+
+    // m32: the subquery-DML + generalized-merge chain replayed as plain
+    // relational algebra — IN-subquery delete filter, EXISTS-subquery
+    // update projection, then the merge's four-way split (matched
+    // updated / unmatched-source conditionally inserted / unmatched-
+    // target conditionally deleted / rest carried).
+    "m32_sql_dml_subq" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |maxk AS (SELECT max(o_orderkey) AS mk FROM base),
+        |afterdel AS (SELECT * FROM base WHERE o_orderkey % 13 <> 2),
+        |afterupd AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 17 = 4 THEN price_cents + 11
+        |      ELSE price_cents END AS price_cents
+        |  FROM afterdel),
+        |src AS (
+        |  SELECT o_orderkey, 'S-MRG' AS o_orderpriority,
+        |    price_cents * 3 AS price_cents
+        |  FROM base, maxk
+        |  WHERE o_orderkey BETWEEN CAST(floor(mk / 2) AS BIGINT)
+        |    AND CAST(floor(mk / 2) AS BIGINT) + CAST(floor(mk / 10) AS BIGINT)
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * mk AS o_orderkey,
+        |    'S-MRG' AS o_orderpriority, price_cents * 3 + 1 AS price_cents
+        |  FROM base, maxk WHERE o_orderkey % 19 = 7),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_orderpriority, s.price_cents
+        |  FROM afterupd t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.* FROM src s
+        |  WHERE s.price_cents % 2 = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM afterupd t WHERE t.o_orderkey = s.o_orderkey)
+        |  UNION ALL
+        |  SELECT t.* FROM afterupd t
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND t.o_orderpriority <> '5-LOW')
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM merged GROUP BY o_orderpriority""".stripMargin,
@@ -4214,9 +4333,14 @@ object Queries {
          |  AND ${cosSql("c.embedding", "h.embedding")} >= 0.4)""".stripMargin,
 
     "ext_embed_neardup_lsh" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT -(vec_id + 1) AS vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 16)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95""".stripMargin,
 
     "ext_ann_brute" ->
