@@ -139,9 +139,16 @@ object Bench {
     // the same dv/CoW costs as their programmatic twins (m23/m7)
     "m30_sql_dml",
     // round 15: two-level partitioning — create + metadata-only
-    // leading-slice drop + static+DPP two-level pruned read;
-    // create-included (the read itself is a cell-count-sized scan)
-    "m31_multilevel_part")
+    // leading-slice drop (+ r16: a second-level value drop) +
+    // static+DPP two-level pruned read; create-included (the read
+    // itself is a cell-count-sized scan)
+    "m31_multilevel_part",
+    // round 16: SQL DML ROUTING COST, session-fixture split of m30
+    // (the m1 r9 precedent) — registration + 4 routed statements +
+    // rollup per pass, every statement idempotent on the fixture
+    // table, so a routing regression shows here without m30's create
+    // noise masking it
+    "m33_sql_routed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1660,6 +1660,67 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
     }),
 
+    // SQL DML ROUTING COST, session-fixture split (the m1 precedent):
+    // m30 tracks the create-included composite, so a create regression
+    // can mask a routing one — THIS entry pays only registration + the
+    // routed statements. Every statement is IDEMPOTENT on the mutated
+    // table (absolute SET expressions, upsert inserts, no merge
+    // deletes), so each bench pass converges to the same state and the
+    // oracle replays pass-1 algebra exactly.
+    "m33_sql_routed" -> ((s, dir) => {
+      val root = sessionIndex("mtab33", dir) { p =>
+        val rowCents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), rowCents.as("price_cents"))
+        graft.io.ManifestTable.create(base, s"$p/t", "o_orderkey",
+          numFiles = 8, statsCols = Seq("o_orderpriority"))
+        val maxk = base.agg(max("o_orderkey")).first().getLong(0)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p, "maxk"),
+          maxk.toString.getBytes("UTF-8"))
+        base.filter(col("o_orderkey") % 17 === 3)
+          .select((col("o_orderkey") + maxk).as("o_orderkey"),
+            lit("9-INS").as("o_orderpriority"), col("price_cents"))
+          .write.parquet(s"$p/ins")
+        val mlo = maxk / 2
+        val mhi = mlo + maxk / 10
+        base.filter(col("o_orderkey").between(mlo, mhi))
+          .select(col("o_orderkey"), lit("8-MRG").as("o_orderpriority"),
+            (col("price_cents") * 3).as("price_cents"))
+          .unionByName(base.filter(col("o_orderkey") % 17 === 9)
+            .select((col("o_orderkey") + maxk * 2).as("o_orderkey"),
+              lit("8-MRG").as("o_orderpriority"),
+              (col("price_cents") * 3).as("price_cents")))
+          .write.parquet(s"$p/src")
+      }
+      val path = s"$root/t"
+      val maxk = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "maxk")), "UTF-8").toLong
+      val tbl = "m33_t_" + dirTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft " +
+        s"OPTIONS (path '$path', key 'o_orderkey')")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 11 = 5")
+        val ulo = maxk / 4
+        val uhi = ulo + maxk / 10
+        // ABSOLUTE post-image (a function of the key, not the current
+        // value): re-running the statement is a no-op-equivalent, so
+        // the session-fixture table converges across bench passes
+        s.sql(s"UPDATE $tbl SET price_cents = o_orderkey % 90000 + 10 " +
+          s"WHERE o_orderkey BETWEEN $ulo AND $uhi")
+        s.read.parquet(s"$root/ins").createOrReplaceTempView("m33_ins")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM m33_ins")
+        s.read.parquet(s"$root/src").createOrReplaceTempView("m33_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING m33_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.io.ManifestTable.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+    }),
+
     // SQL DML GENERALIZATIONS (round 16): the statement shapes a
     // lakehouse user types that r15 rejected — DELETE with an IN
     // subquery (the single most common row-level DML statement),
@@ -3765,6 +3826,56 @@ object Queries {
         |  SELECT t.o_orderkey, t.o_orderpriority, s.price_cents
         |  FROM afterins t JOIN src s ON t.o_orderkey = s.o_orderkey
         |  WHERE t.price_cents % 2 = 0
+        |  UNION ALL
+        |  SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM afterins t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
+
+    // m33: the routed-statement chain replayed as plain algebra —
+    // idempotent by construction (absolute update images, upsert
+    // inserts, no merge deletes), so every bench pass converges to
+    // exactly this result.
+    "m33_sql_routed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |maxk AS (SELECT max(o_orderkey) AS mk FROM base),
+        |afterdel AS (SELECT * FROM base WHERE o_orderkey % 11 <> 5),
+        |afterupd AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey BETWEEN
+        |        (SELECT CAST(floor(mk / 4) AS BIGINT) FROM maxk)
+        |        AND (SELECT CAST(floor(mk / 4) AS BIGINT)
+        |          + CAST(floor(mk / 10) AS BIGINT) FROM maxk)
+        |      THEN o_orderkey % 90000 + 10
+        |      ELSE price_cents END AS price_cents
+        |  FROM afterdel),
+        |ins AS (
+        |  SELECT o_orderkey + (SELECT mk FROM maxk) AS o_orderkey,
+        |    '9-INS' AS o_orderpriority, price_cents
+        |  FROM base WHERE o_orderkey % 17 = 3),
+        |afterins AS (SELECT * FROM afterupd UNION ALL SELECT * FROM ins),
+        |src AS (
+        |  SELECT o_orderkey, '8-MRG' AS o_orderpriority,
+        |    price_cents * 3 AS price_cents
+        |  FROM base, maxk
+        |  WHERE o_orderkey BETWEEN CAST(floor(mk / 2) AS BIGINT)
+        |    AND CAST(floor(mk / 2) AS BIGINT) + CAST(floor(mk / 10) AS BIGINT)
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * mk AS o_orderkey,
+        |    '8-MRG' AS o_orderpriority, price_cents * 3 AS price_cents
+        |  FROM base, maxk WHERE o_orderkey % 17 = 9),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_orderpriority, s.price_cents
+        |  FROM afterins t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT t.* FROM afterins t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
         |  UNION ALL
         |  SELECT s.* FROM src s
         |  WHERE NOT EXISTS (

@@ -1976,8 +1976,10 @@ object ManifestTable {
       // fallback covers path-form differences (scheme, relative
       // table roots), and rel paths carry their txn dir so a suffix
       // names at most one entry.
-      val fpRows = newPairs.groupBy("__fp")
-        .agg(count(lit(1)).as("n")).collect()
+      val fpRows = jobDesc(spark, "dv dead-pairs") {
+        newPairs.groupBy("__fp")
+          .agg(count(lit(1)).as("n")).collect()
+      }
       val relByAbs: Map[String, String] = touchedE.map(e =>
         new Path(absOf(path, e.relPath)).toUri.getPath -> e.relPath).toMap
       def relOf(fp: String): String = {
@@ -2010,7 +2012,7 @@ object ManifestTable {
       // only an orphan txn dir (uuid-suffixed, grace-aged retention
       // sweeps it) and burns no version.
       val appended = upserts match {
-        case Some(u) =>
+        case Some(u) => jobDesc(spark, "dv append") {
           val ordered = m.schema.fields.map(f => col(f.name).cast(f.dataType))
           // CHECK constraints gate the appended batch inside its own
           // write job (observed metrics — no second pass)
@@ -2043,6 +2045,7 @@ object ManifestTable {
           }
           verifyChecks()
           written.filter(_.rows > 0L)
+        }
         case None => Seq.empty
       }
 
@@ -2075,11 +2078,13 @@ object ManifestTable {
           // a prior writer left duplicated (consolidateDv parity); the
           // set is pair-sized, so the dedup shuffle is trivial next to
           // the data-file scan above
-          newPairs.join(broadcast(fpToRel), Seq("__fp"))
-            .select(col("__f"), col("__k"))
-            .unionByName(carryOld)
-            .distinct()
-            .write.mode("overwrite").parquet(s"$path/$dvRel")
+          jobDesc(spark, "dv sidecar-write") {
+            newPairs.join(broadcast(fpToRel), Seq("__fp"))
+              .select(col("__f"), col("__k"))
+              .unionByName(carryOld)
+              .distinct()
+              .write.mode("overwrite").parquet(s"$path/$dvRel")
+          }
           val split = repointedE.map { e =>
             val newDead = deadByRel(e.relPath)
             val live = e.rows - newDead
@@ -2813,22 +2818,41 @@ object ManifestTable {
     * a broadcast interval join against the file-count-sized range table;
     * min/max go back through a cast so the comparison is Spark's own
     * ordering for the key type (exact for integral and string keys). */
+  /** Tag the Spark jobs a commit phase fires — the UI (and the
+    * ProbeCommitAnatomy census) then attributes each tiny-commit job
+    * to its phase instead of a bare '?'. Restores the caller's
+    * description (thread-local, so concurrent writers don't clobber
+    * each other). */
+  private[io] def jobDesc[T](spark: SparkSession, label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $label")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def touchSet(spark: SparkSession, batchKeys: DataFrame,
                        keyK: Column, m: Manifest): Set[String] =
     if (m.entries.isEmpty) Set.empty
-    else {
+    else jobDesc(spark, "touch-set") {
       val ranges = spark.createDataFrame(
           m.entries.map(e => (e.relPath, e.min.orNull, e.max.orNull)))
         .toDF("__f", "__mn", "__mx")
         .select(col("__f"), col("__mn").cast(m.keyType).as("__mn"),
           col("__mx").cast(m.keyType).as("__mx"))
-      // collect_set dedups in the partial aggregation, so the probe is
-      // ONE job (a distinct().collect() pays an extra shuffle-stage
-      // job); the set is file-count-bounded — driver-safe
+      // ONE job, ONE stage: per-partition set-fold + driver merge. The
+      // agg form (collect_set + final agg) costs an exchange, which AQE
+      // materializes as an extra stage-job on every commit; folding to
+      // a per-partition Set and merging ≤ parallelism sets driver-side
+      // is the same answer with no shuffle at all. Sets are file-count
+      // bounded — driver-safe at any batch size.
       batchKeys.join(broadcast(ranges),
           keyK >= col("__mn") && keyK <= col("__mx"))
-        .agg(collect_set(col("__f")))
-        .first().getSeq[String](0).toSet
+        .select(col("__f"))
+        .rdd.mapPartitions { it =>
+          val s = scala.collection.mutable.HashSet.empty[String]
+          it.foreach(r => s += r.getString(0))
+          Iterator(s)
+        }.collect().foldLeft(Set.empty[String])(_ ++ _)
     }
 
   private def conflictExhausted(path: String, cause: Throwable) =
@@ -2907,7 +2931,13 @@ object ManifestTable {
     val keyK = col(m.keyCol)
     val keySets = upserts.map(_.select(keyK)).toSeq ++
       dels.map(_.select(keyK)).toSeq
-    val batchKeys = keySets.reduce(_ unionByName _).distinct()
+    // NO distinct(): every consumer is duplicate-insensitive — the
+    // touch set's collect_set dedups in its partial aggregation, the
+    // survivors anti-join matches set-wise, and the rebase guard
+    // re-runs the same touch probe. The distinct would add a full
+    // shuffle (plus AQE stage jobs) to EVERY commit for nothing —
+    // the dominant overhead class on tiny frequent commits.
+    val batchKeys = keySets.reduce(_ unionByName _)
     // ≤1 live file: the only possible touch set is that file, and
     // probing whether the batch actually intersects its range costs
     // exactly the Spark job the skip saves. An out-of-range pure insert
@@ -2948,7 +2978,7 @@ object ManifestTable {
     // itself (observed metrics — no second pass); survivors re-pass by
     // construction, so the gate is effectively on the batch
     val (gatedData, verifyChecks) = observeChecks(newData, m.constraints)
-    val newE = m.partCols match {
+    val newE = jobDesc(spark, "rewrite-write") { m.partCols match {
       case pcs if pcs.nonEmpty =>
         Tables.writePartitionPure(toPhysical(m.colMap, m.schema, gatedData),
           s"$path/$txnRel", pcs.map(physNameOf(m.colMap, _)),
@@ -2965,7 +2995,7 @@ object ManifestTable {
           s"$path/$txnRel", nFiles, physNameOf(m.colMap, m.keyCol))
         statsFor(spark, path, txnRel, m.keyCol, m.schema, m.statsCols,
           m.colMap)
-    }
+    } }
     verifyChecks()
 
     def commitOn(base: Manifest): MergeStats = {

@@ -8,6 +8,10 @@ object ProbeM9 {
     val s = graft.GraftSession.create("probe-m9", "local[32]", 32)
     s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+    // optional arg: aqe=off — isolate AQE's per-query replanning cost
+    // on the tiny-commit class
+    if (args.contains("aqe=off"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
     (1 to 3).foreach { i => println(s"=== pass $i ==="); run(s, dir) }
   }
   def run(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {

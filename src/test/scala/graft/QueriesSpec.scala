@@ -9,16 +9,21 @@ import graft.io.Sources.AppConfig
 class QueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  /** Queries whose result is legitimately empty on the small fixture
-    * (no embedding pair reaches cosine 0.95 in the synthetic data). */
-  private val mayBeEmpty = Set("ext_embed_neardup_lsh")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name runs at sf0.001" +
-      (if (mayBeEmpty(name)) "" else " and returns rows")) {
+    test(s"$name runs at sf0.001 and returns rows") {
       val n = SparkEntry.queries(name)(spark, dir).count()
-      if (!mayBeEmpty(name)) assert(n > 0)
+      assert(n > 0)
     }
+  }
+
+  test("m33_sql_routed is IDEMPOTENT across invocations (the bench " +
+    "median's contract: every pass converges to the same fixture state)") {
+    def rows() = SparkEntry.queries("m33_sql_routed")(spark, dir)
+      .orderBy("o_orderpriority").collect().toSeq
+    val first = rows()
+    val second = rows()
+    assert(first == second, s"pass drift:\n$first\nvs\n$second")
   }
 
   test("eventsInRange equals events().filter on the normalized column " +
