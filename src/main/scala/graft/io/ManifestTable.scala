@@ -1496,9 +1496,13 @@ object ManifestTable {
         min(col(c)).cast("string").as(s"mn$i"),
         max(col(c)).cast("string").as(s"mx$i")) }
     // stats observed on the LOGICAL frame; the physical projection is
-    // the last node before the writer (a pure rename — order preserved)
+    // the last node before the writer (a pure rename — order preserved).
+    // coalesce(1), not repartition(1): the single-file path is the
+    // tiny-commit shape, where the repartition's shuffle (plus its AQE
+    // stage job) costs more than computing the small upstream in the
+    // one task that must write the file anyway.
     toPhysical(colMap, schema,
-      df.repartition(1).sortWithinPartitions(col(keyCol))
+      df.coalesce(1).sortWithinPartitions(col(keyCol))
         .observe(obs, aggs.head, aggs.tail: _*))
       .write.mode("overwrite").parquet(dir)
     val mm = obs.get
@@ -1747,8 +1751,12 @@ object ManifestTable {
       } else {
         val keys = readEntries(spark, path, m.schema, m.keyCol, partial,
           m.colMap).filter(cond).select(col(m.keyCol))
+        // partial IS the touch set: every live image of a matched key
+        // sits in a candidate file (keys are table-unique and were
+        // found there), so the probe job is pure re-derivation
         attemptDvCommit(spark, path, m, None, Some(keys), 0, setTag,
-          covered)
+          covered,
+          touchedOverride = Some(partial.map(_.relPath).toSet))
       }
     }
 
@@ -1790,7 +1798,11 @@ object ManifestTable {
         .filter(cond)
         .select(m.schema.fieldNames.map(f =>
           set.get(f).map(_.as(f)).getOrElse(col(f))): _*)
-      attemptDvCommit(spark, path, m, Some(post), None, numFiles, setTag)
+      // possible IS the touch set (the deleteWhere argument: matched
+      // keys' live images all sit in candidate files, and the merge
+      // key is not updatable so post images kill only those)
+      attemptDvCommit(spark, path, m, Some(post), None, numFiles, setTag,
+        touchedOverride = Some(possible.map(_.relPath).toSet))
     }
   }
 
@@ -1873,7 +1885,19 @@ object ManifestTable {
                               dels: Option[DataFrame],
                               numFiles: Int,
                               setTag: Option[String],
-                              dropRels: Set[String] = Set.empty): DvStats = {
+                              dropRels: Set[String] = Set.empty,
+                              // predicate callers (deleteWhere /
+                              // updateWhere / replaceWhere) already
+                              // know the candidate files driver-side
+                              // from the stats+bloom pruning — any
+                              // SUPERSET of the true touch set is
+                              // sound (an untouched candidate scans to
+                              // zero dead pairs and is carried
+                              // verbatim), and passing it skips the
+                              // touch-probe Spark job every dv commit
+                              // otherwise pays
+                              touchedOverride: Option[Set[String]] = None)
+      : DvStats = {
     upserts.foreach { u =>
       val unknown = u.columns.filterNot(m.schema.fieldNames.contains)
       require(unknown.isEmpty,
@@ -1891,14 +1915,17 @@ object ManifestTable {
     val keyK = col(m.keyCol)
     val keySets = upserts.map(_.select(keyK)).toSeq ++
       dels.map(_.select(keyK)).toSeq
-    // materialized by two actions (the touch-set collect and newPairs'
-    // first action) — persist the distinct key set rather than
-    // re-deriving its upstream filter per action
-    val batchKeys = keySets.reduce(_ unionByName _).distinct()
+    // materialized by several actions (the touch-set probe and
+    // newPairs' semi join) — persist the key projection rather than
+    // re-deriving its upstream filter per action. NO distinct(): the
+    // semi join and the touch probe are duplicate-insensitive, and the
+    // distinct's shuffle (plus AQE stage jobs) would tax every dv
+    // commit for nothing.
+    val batchKeys = keySets.reduce(_ unionByName _)
       .select(keyK.cast(m.keyType).as("__k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try attemptDvBody(spark, path, m, upserts, dels, numFiles, setTag,
-      batchKeys, dropRels)
+      batchKeys, dropRels, touchedOverride)
     finally batchKeys.unpersist(blocking = false)
   }
 
@@ -1913,16 +1940,19 @@ object ManifestTable {
                             // sidecar'd, just absent from the next
                             // manifest (the CoW-delete file-drop shape,
                             // so CDF and retention treat them alike)
-                            dropRels: Set[String] = Set.empty): DvStats = {
+                            dropRels: Set[String] = Set.empty,
+                            touchedOverride: Option[Set[String]] = None)
+      : DvStats = {
     val keyK = col(m.keyCol)
     // ≤1 live file: same trade as the copy-on-write path — probing
     // whether the batch intersects the one file's range costs a Spark
     // job, and the dead-pair scan below finds the same answer anyway
     // (zero matches commits nothing)
-    val touched0 =
+    val touched0 = touchedOverride.getOrElse {
       if (m.entries.size <= 1) m.entries.map(_.relPath).toSet
       else touchSet(spark, batchKeys.select(col("__k").as(m.keyCol)),
         col(m.keyCol), m)
+    }
     // a dropped file may still RANGE-cover batch keys (overlapping key
     // ranges); it must not be scanned or re-added through keptTouched
     val touched = touched0 -- dropRels
@@ -2079,11 +2109,18 @@ object ManifestTable {
           // set is pair-sized, so the dedup shuffle is trivial next to
           // the data-file scan above
           jobDesc(spark, "dv sidecar-write") {
-            newPairs.join(broadcast(fpToRel), Seq("__fp"))
+            val np = newPairs.join(broadcast(fpToRel), Seq("__fp"))
               .select(col("__f"), col("__k"))
-              .unionByName(carryOld)
-              .distinct()
-              .write.mode("overwrite").parquet(s"$path/$dvRel")
+            // FIRST vector on every re-pointed file (the common case —
+            // a fresh delete/update): nothing to carry and newPairs is
+            // (file,key)-unique by construction (one physical row per
+            // pair, anti-joined against prior pairs), so the defensive
+            // union+distinct — a shuffle plus AQE stage jobs on every
+            // dv commit — is skipped outright
+            val out =
+              if (repointedE.forall(_.dv.isEmpty)) np
+              else np.unionByName(carryOld).distinct()
+            out.write.mode("overwrite").parquet(s"$path/$dvRel")
           }
           val split = repointedE.map { e =>
             val newDead = deadByRel(e.relPath)

@@ -70,6 +70,17 @@ object ProbeCommitAnatomy {
     timeline("merge")(graft.io.ManifestTable.merge(s, src, batch))
     timeline("sync")(graft.io.AggView.sync(s, src, view,
       "o_orderpriority", "price_cents"))
+    // the dv-commit ops the SQL DML tier routes to (m30/m33's cost)
+    timeline("deleteWhere")(graft.io.ManifestTable.deleteWhere(s, src,
+      col("o_orderkey") % 1009 === 7))
+    timeline("updateWhere")(graft.io.ManifestTable.updateWhere(s, src,
+      col("o_orderkey") % 1013 === 7,
+      Map("price_cents" -> (col("price_cents") + 1))))
+    import graft.io.ManifestTable.{WhenMatched, UpdateSet}
+    timeline("mergeInto")(graft.io.ManifestTable.mergeInto(s, src,
+      batch.limit(500), Seq(WhenMatched(None,
+        UpdateSet(Map("price_cents" -> col("s.price_cents"))))),
+      insertUnmatched = false, assertSourceUnique = true))
     s.conf.set("spark.sql.shuffle.partitions", prev)
     graft.io.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
