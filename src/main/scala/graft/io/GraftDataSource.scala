@@ -285,7 +285,32 @@ class GraftSourceProvider extends RelationProvider
       }
     }
     mode match {
-      case SaveMode.Overwrite => doCreate()
+      case SaveMode.Overwrite => opt(parameters, "replaceWhere") match {
+        // Delta's replaceWhere: Overwrite scoped to a predicate — ONE
+        // atomic commit that deletes the matching rows and lands the
+        // batch (ManifestTable.replaceWhere), instead of re-creating
+        // the table. Every batch row must itself MATCH the predicate
+        // (the Delta contract — otherwise "overwrite WHERE date='d1'"
+        // could smuggle d2 rows past the reader's mental model); the
+        // gate rides the write job via raise_error, zero extra passes.
+        case Some(pred) =>
+          import org.apache.spark.sql.functions.{col, concat, expr, lit,
+            raise_error, struct, to_json, when}
+          require(exists, s"graft: option(\"replaceWhere\", …) targets " +
+            s"an existing table, but none exists at $path — create it " +
+            "first (mode overwrite without the option)")
+          val cond = expr(pred)
+          val gated = data.filter(
+            when(cond, lit(true))
+              .otherwise(raise_error(
+                concat(lit("graft replaceWhere: batch row does not " +
+                  s"match the predicate ($pred): "),
+                  to_json(struct(data.columns.map(col).toSeq: _*))))
+                .cast("boolean")))
+          ManifestTable.replaceWhere(spark, path, cond, gated)
+          ()
+        case None => doCreate()
+      }
       case SaveMode.Append =>
         if (exists) {
           // option("mergeSchema","true") — ADDITIVE schema evolution on

@@ -382,6 +382,53 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("writer option replaceWhere: Overwrite scoped to a predicate is " +
+    "ONE atomic commit; a batch row outside the predicate refuses " +
+    "loudly with the table untouched (the Delta contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rw").toString
+    try {
+      val path = s"$root/t"
+      val pdf = (0 until 90).map(i => (i.toLong, s"d${i % 3}", i * 1L))
+        .toDF("id", "date", "v")
+      ManifestTable.createPartitioned(pdf, path, "id", Seq("date"),
+        Seq.empty, None, 2, 0, Seq.empty)
+      val v0 = ManifestTable.readManifest(spark, path).version
+      Seq((900L, "d1", 11L), (901L, "d1", 12L)).toDF("id", "date", "v")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "date = 'd1'").save(path)
+      val m1 = ManifestTable.readManifest(spark, path)
+      assert(m1.version == v0 + 1, "one atomic commit")
+      val t = ManifestTable.read(spark, path)
+      assert(t.filter(col("date") === "d1").select("id").as[Long]
+        .collect().sorted.toSeq == Seq(900L, 901L))
+      assert(t.count() == 62L, "other partitions untouched")
+      // a smuggled non-matching row refuses loudly, no version burned
+      val e = intercept[Exception] {
+        Seq((902L, "d2", 13L)).toDF("id", "date", "v")
+          .write.format("graft").mode("overwrite")
+          .option("replaceWhere", "date = 'd1'").save(path)
+      }
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else String.valueOf(x.getMessage) +: chain(x.getCause)
+      assert(chain(e).exists(_.contains("does not match the predicate")),
+        chain(e).mkString("|"))
+      assert(ManifestTable.readManifest(spark, path).version == m1.version,
+        "refused write burns no version")
+      assert(ManifestTable.read(spark, path).count() == 62L)
+      // works on flat tables too (predicate over any stats column)
+      val p2 = s"$root/u"
+      ManifestTable.create(pdf.select("id", "v"), p2, "id", numFiles = 4)
+      Seq((5L, 50L), (1000L, 51L)).toDF("id", "v")
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "id >= 5 AND id <= 9 OR id >= 1000")
+        .save(p2)
+      val u = ManifestTable.read(spark, p2)
+      assert(u.count() == 90L - 5L + 2L)
+      assert(u.filter(col("id") === 5L).select("v").as[Long].head() == 50L)
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("mergeSchema is case-INSENSITIVE: a batch column differing only " +
     "in case maps onto the existing column instead of evolving a " +
     "duplicate that would wedge every later read (AMBIGUOUS_REFERENCE)") {

@@ -255,6 +255,39 @@ class ManifestConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("NOT MATCHED BY SOURCE disables the cheap rebase: a winner's " +
+    "INSERT of a source-unmatched key re-resolves and the nms clause " +
+    "processes the winner's row (serial-equivalence)") {
+    import ManifestTable.{DeleteMatched, WhenMatched, UpdateSet}
+    val path = tmp()
+    try {
+      ManifestTable.create(base(100), path, "id", numFiles = 4)
+      // the winner lands a NEW key (5000) OUTSIDE the source's key set
+      // and outside the loser's batch ranges — file/key-DISJOINT, so a
+      // plain merge would rebase right past it. NMS semantics make that
+      // wrong: serial winner-then-merge demands 5000 be swept too.
+      fenceOnce {
+        ManifestTable.merge(spark, path,
+          Seq((5000L, "w", 3)).toDF("id", "name", "grp"))
+        ()
+      }
+      ManifestTable.mergeInto(spark, path,
+        (0 until 50).map(i => (i.toLong, s"U$i")).toDF("id", "tagv"),
+        Seq(WhenMatched(None, UpdateSet(Map("name" -> col("s.tagv"))))),
+        insertUnmatched = false,
+        whenNotMatchedBySource = Seq(WhenMatched(None, DeleteMatched)))
+      val got = content(ManifestTable.read(spark, path))
+      assert(!got.exists(_._1 == 5000L),
+        s"the winner's unmatched row must be swept by the re-resolved " +
+        s"NMS clause: ${got.find(_._1 == 5000L)}")
+      assert(got.size == 50 && got.forall(r => r._2 == s"U${r._1}"),
+        s"matched rows updated, unmatched target rows deleted: $got")
+    } finally {
+      ManifestTable.commitFence = () => ()
+      Fs.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
   test("a mergeInto whose clauses match nothing burns NO version " +
     "(row-empty outputs take the metadata-only path)") {
     import ManifestTable.{WhenMatched, UpdateSet}
