@@ -1793,16 +1793,21 @@ object ManifestTable {
       val possible = exprOpt
         .map(BloomSkip.prune(spark, path, m, _, possible0))
         .getOrElse(possible0)
+      // persisted: the post images feed BOTH the batch-key projection
+      // and the appended file's write — without the cache the second
+      // action re-reads and re-filters the candidate files
       val post = readEntries(spark, path, m.schema, m.keyCol, possible,
           m.colMap)
         .filter(cond)
         .select(m.schema.fieldNames.map(f =>
           set.get(f).map(_.as(f)).getOrElse(col(f))): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // possible IS the touch set (the deleteWhere argument: matched
       // keys' live images all sit in candidate files, and the merge
       // key is not updatable so post images kill only those)
-      attemptDvCommit(spark, path, m, Some(post), None, numFiles, setTag,
-        touchedOverride = Some(possible.map(_.relPath).toSet))
+      try attemptDvCommit(spark, path, m, Some(post), None, numFiles,
+        setTag, touchedOverride = Some(possible.map(_.relPath).toSet))
+      finally post.unpersist(blocking = false)
     }
   }
 
@@ -2283,7 +2288,11 @@ object ManifestTable {
         } else require(source.columns.contains(key),
           s"source lacks the merge key column '$key'")
 
-        val srcKeys = src.select(col(key)).distinct()
+        // NO distinct(): every consumer — the touch probe, the nms
+        // anti-join, the rebase guard's re-probe — is duplicate-
+        // insensitive, and the source is key-unique by contract anyway;
+        // the shuffle only taxed the touch-set job
+        val srcKeys = src.select(col(key))
         // NOT MATCHED BY SOURCE must decide EVERY target row, so the
         // touch set widens to the whole table (the semantics, not a
         // missed optimization — Delta scans the full target too)
