@@ -150,30 +150,59 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val sOut = m.sourceTable.output
     val keyCol = r.manifest.keyCol
     // the manifest merge joins strictly on the merge key: the ON
-    // condition must be exactly target.key = source.<col>
-    val srcKeyName = m.mergeCondition match {
+    // condition must CONTAIN exactly one target.key = source.<col>
+    // equality conjunct. EXTRA conjuncts are allowed when the statement
+    // has no NOT MATCHED branch of either kind — then "key matches but
+    // the extra condition fails" ≡ "matched, no clause fires" (row
+    // carried, source row ignored), so folding the extras into every
+    // matched clause's condition is exact. With NOT MATCHED branches
+    // the equivalence breaks (such a row would insert — a key-unique
+    // violation here anyway) — refuse loudly naming the API.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+        conjuncts(l) ++ conjuncts(rr)
+      case other => Seq(other)
+    }
+    def keyEq(e: Expression): Option[String] = e match {
       case EqualTo(l: AttributeReference, rr: AttributeReference) =>
         val (t, s) =
           if (tOut.exists(_.exprId == l.exprId)) (l, rr)
           else (rr, l)
-        require(tOut.exists(_.exprId == t.exprId) &&
+        if (tOut.exists(_.exprId == t.exprId) &&
           sOut.exists(_.exprId == s.exprId) &&
-          t.name.equalsIgnoreCase(keyCol),
-          s"graft SQL MERGE: the ON condition must be " +
-          s"target.$keyCol = source.<column> (got ${m.mergeCondition.sql}); " +
-          "for other join shapes use ManifestTable.mergeInto")
-        s.name
-      case other => throw new IllegalArgumentException(
-        s"graft SQL MERGE: the ON condition must be a single equality " +
-        s"on the merge key '$keyCol' (got ${other.sql}); for other " +
-        "shapes use ManifestTable.mergeInto")
+          t.name.equalsIgnoreCase(keyCol)) Some(s.name) else None
+      case _ => None
     }
+    val onParts = conjuncts(m.mergeCondition)
+    val (keyParts, extraParts) = onParts.partition(keyEq(_).isDefined)
+    require(keyParts.length == 1,
+      s"graft SQL MERGE: the ON condition must contain exactly one " +
+      s"equality on the merge key '$keyCol' " +
+      s"(got ${m.mergeCondition.sql}); for other join shapes use " +
+      "ManifestTable.mergeInto")
+    require(extraParts.isEmpty || (m.notMatchedActions.isEmpty &&
+      m.notMatchedBySourceActions.isEmpty),
+      s"graft SQL MERGE: extra ON conjuncts " +
+      s"(${extraParts.map(_.sql).mkString(" AND ")}) compose with WHEN " +
+      "MATCHED clauses only — with NOT MATCHED branches their " +
+      "semantics diverge from the keyed merge; filter the source or " +
+      "use ManifestTable.mergeInto")
+    val srcKeyName = keyEq(keyParts.head).get
     // the command renames a differently-named source key onto the
     // target's key name before the manifest merge — clause references
     // to it must follow ([[tsCol]]'s srcRename)
     val rn =
       if (srcKeyName.equalsIgnoreCase(keyCol)) None
       else Some(srcKeyName -> keyCol)
+    // extra ON conjuncts, folded into every matched clause below (the
+    // no-NOT-MATCHED equivalence proved above)
+    val extraCond: Option[Column] = extraParts
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(tsCol(_, tOut, sOut, rn))
+    def withExtra(cond: Option[Column]): Option[Column] = (extraCond, cond) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
     // WHEN NOT MATCHED BY SOURCE: target-only clauses, first-match-wins
     // — the manifest merge evaluates them over the anti-joined target
     // rows (`t.` columns only; the analyzer already forbade source
@@ -232,14 +261,16 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.toMap
         require(sets.nonEmpty, "graft SQL MERGE: UPDATE SET resolves " +
           "to an identity update (no column changes)")
-        WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)), UpdateSet(sets))
+        WhenMatched(withExtra(cond.map(tsCol(_, tOut, sOut, rn))),
+          UpdateSet(sets))
       case _: UpdateStarAction =>
         // pre-alignment SET * — every non-key column from the source
-        WhenMatched(None, UpdateSet(
+        WhenMatched(withExtra(None), UpdateSet(
           r.manifest.schema.fieldNames.filterNot(_ == keyCol)
             .map(n => n -> col(s"s.$n")).toMap))
       case DeleteAction(cond) =>
-        WhenMatched(cond.map(tsCol(_, tOut, sOut, rn)), DeleteMatched)
+        WhenMatched(withExtra(cond.map(tsCol(_, tOut, sOut, rn))),
+          DeleteMatched)
       case other => throw new IllegalArgumentException(
         s"graft SQL MERGE: unsupported WHEN MATCHED action $other")
     }

@@ -179,11 +179,12 @@ class GraftSqlDmlSpec extends SparkSpec {
         assert(spark.table("dml_mrg").filter(col("id") === 999L)
           .select("bucket", "price").as[(Int, Long)].head() ==
           ((7, 99900L)))
-        // unsupported shapes refuse loudly, naming mergeInto
+        // unsupported shapes refuse loudly, naming mergeInto: an ON
+        // condition with NO merge-key equality has no keyed-merge form
         val e = intercept[Exception] {
           spark.sql(
             """MERGE INTO dml_mrg t USING dml_src s
-              |ON t.id = s.id AND t.bucket = s.bucket
+              |ON t.bucket = s.bucket
               |WHEN MATCHED THEN DELETE""".stripMargin)
         }
         assert(chain(e).exists(_.contains("mergeInto")),
@@ -557,6 +558,48 @@ class GraftSqlDmlSpec extends SparkSpec {
         spark.sql("INSERT OVERWRITE dyn_t VALUES (1, 'd0', 1)")
         assert(spark.table("dyn_t").count() == 1L)
       } finally spark.sql("DROP TABLE IF EXISTS dyn_t")
+    } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("MERGE with a COMPOUND ON condition: extra conjuncts fold into " +
+    "the matched clauses when no NOT MATCHED branch exists; with one " +
+    "they refuse loudly") {
+    val (root, path) = mk()
+    try {
+      table(path, "dml_cmp")
+      try {
+        // source matches keys 0..99; the extra ON conjunct keeps only
+        // bucket-3 targets (ids 300..399 — none of which are in 0..99,
+        // so nothing fires there) plus s.flag gating
+        (0 until 200).map(i => (i.toLong, i % 2 == 0, i * 5L))
+          .toDF("id", "flag", "newprice")
+          .createOrReplaceTempView("cmp_src")
+        spark.sql(
+          """MERGE INTO dml_cmp t USING cmp_src s
+            |ON t.id = s.id AND s.flag AND t.bucket = 0
+            |WHEN MATCHED THEN UPDATE SET price = s.newprice
+            |""".stripMargin)
+        val t = spark.table("dml_cmp")
+        // bucket 0 = ids 0..99; flagged source rows are even ids
+        assert(t.filter(col("id") === 42L).select("price").as[Long]
+          .head() == 210L, "even id in bucket 0: updated")
+        assert(t.filter(col("id") === 43L).select("price").as[Long]
+          .head() == 430L, "odd id: s.flag fails, row carried")
+        assert(t.filter(col("id") === 150L).select("price").as[Long]
+          .head() == 1500L, "source id outside bucket 0: carried")
+        assert(t.count() == 1000L, "no inserts, no deletes")
+        // extra conjuncts + NOT MATCHED: semantics diverge — loud
+        val e = intercept[Exception] {
+          spark.sql(
+            """MERGE INTO dml_cmp t USING cmp_src s
+              |ON t.id = s.id AND s.flag
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT (id, bucket, price)
+              |  VALUES (s.id, 0, s.newprice)""".stripMargin)
+        }
+        assert(chain(e).exists(_.contains("extra ON conjuncts")),
+          chain(e).mkString("|"))
+      } finally spark.sql("DROP TABLE IF EXISTS dml_cmp")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
