@@ -418,6 +418,17 @@ class GraftSqlDmlSpec extends SparkSpec {
         assert(r3.as[Long].head() == 97L)
         assert(spark.table("dml_sq").filter(col("bucket") === 9)
           .count() == 0L)
+        // the NOT IN null trap: a NULL in the subquery result makes
+        // `x NOT IN (…)` unknowable for EVERY row (SQL three-valued
+        // logic) — the routed delete must remove NOTHING, exactly as
+        // Spark's null-aware anti join plans it
+        Seq(Some(0L), None).toDF("nk").createOrReplaceTempView("dml_nulls")
+        val before = spark.table("dml_sq").count()
+        val r4 = spark.sql("DELETE FROM dml_sq WHERE id NOT IN " +
+          "(SELECT nk FROM dml_nulls)")
+        assert(r4.as[Long].head() == 0L,
+          "NULL in the NOT IN list deletes nothing")
+        assert(spark.table("dml_sq").count() == before)
         assert(rootStrays(path).isEmpty)
       } finally spark.sql("DROP TABLE IF EXISTS dml_sq")
     } finally Fs.deleteRecursively(java.nio.file.Paths.get(root))
