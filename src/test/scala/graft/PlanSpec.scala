@@ -547,4 +547,37 @@ class PlanSpec extends SparkSpec {
       assert(!ps.contains("payload"), ps)
     } finally graft.io.Fs.deleteRecursively(root)
   }
+
+  test("routed subquery DELETE: the matched-rows plan is a JOIN (semi/" +
+    "anti via Spark's subquery rewrite) — distributed, never a driver " +
+    "loop or a nested per-row subquery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqplan")
+    val path = s"$root/t"
+    try {
+      import spark.implicits._
+      graft.io.ManifestTable.create(
+        (0L to 999L).map(i => (i, i % 7)).toDF("id", "b"), path, "id",
+        numFiles = 4)
+      spark.sql(s"CREATE TABLE sqplan_t USING graft " +
+        s"OPTIONS (path '$path', key 'id')")
+      try {
+        (0L to 99L).map(Tuple1(_)).toDF("k")
+          .createOrReplaceTempView("sqplan_refs")
+        // the exact frame GraftSubqueryDeleteCommand materializes:
+        // Filter(cond-with-subquery, target) — assert its OPTIMIZED
+        // form is a semi join over the scan
+        val matched = spark.table("sqplan_t")
+          .filter("id IN (SELECT k FROM sqplan_refs)")
+        val p = matched.queryExecution.executedPlan.toString.toLowerCase
+        assert(p.contains("leftsemi") || p.contains("left semi"), p)
+        assert(!p.contains("insubquery"),
+          s"the IN must be rewritten to a join, not evaluated per row: $p")
+        // and the routed statement lands the delete end to end
+        val res = spark.sql("DELETE FROM sqplan_t WHERE id IN " +
+          "(SELECT k FROM sqplan_refs)")
+        assert(res.as[Long].head() == 100L)
+        assert(spark.table("sqplan_t").count() == 900L)
+      } finally spark.sql("DROP TABLE IF EXISTS sqplan_t")
+    } finally graft.io.Fs.deleteRecursively(root)
+  }
 }
